@@ -1,0 +1,15 @@
+from yoho_tpu.parallel.mesh import (  # noqa: F401
+    AXIS_DATA,
+    AXIS_MODEL,
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+)
+from yoho_tpu.parallel.sharding import (  # noqa: F401
+    PartitionRules,
+    WHISPER_RULES,
+    YOHO_RULES,
+    partition_specs,
+    shard_params,
+)

@@ -1,0 +1,86 @@
+"""Device mesh + collective helpers: the framework's single comm module.
+
+The reference distributes with single-host ``jax.pmap`` + ``lax.pmean`` over
+NCCL (``train/stages/transcription_pretrain_no_voiceprints.py:194,215``).
+The TPU-native replacement is a named ``jax.sharding.Mesh`` whose collectives
+ride ICI (and DCN across slices) — every layer above this module only speaks
+axis names, never transports.
+
+Axis convention:
+  * ``data``  — batch (data parallel); gradient psum rides this axis.
+  * ``model`` — tensor parallel (attention heads / MLP hidden).
+
+Multi-host: call :func:`init_distributed` first (no-op on one host); the same
+mesh code then spans the full pod slice.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS_DATA = "data"
+AXIS_MODEL = "model"
+
+
+def init_distributed() -> None:
+    """Initialize multi-host JAX if running under a multi-process launcher.
+
+    Safe to call unconditionally: a no-op for single-process runs.
+    """
+    import os
+
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ:
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            pass  # already initialized
+
+
+def make_mesh(
+    data: int = -1,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a (data, model) mesh over the given (default: all) devices.
+
+    ``data=-1`` absorbs whatever ``model`` does not use. Device order is
+    taken from ``jax.devices()`` which already reflects physical ICI
+    topology ordering on TPU.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if model < 1 or n % model != 0:
+        raise ValueError(f"model axis size {model} does not divide device count {n}")
+    if data == -1:
+        data = n // model
+    if data * model != n:
+        raise ValueError(f"mesh {data}x{model} != {n} devices")
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (AXIS_DATA, AXIS_MODEL))
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    """Batch tensors: leading axis split over ``data``, rest replicated."""
+    return NamedSharding(mesh, P(AXIS_DATA, *([None] * (ndim - 1))))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host pytree of arrays onto the mesh, batch-sharded on data.
+
+    TPU-native replacement for ``flax.training.common_utils.shard``
+    (reference trainer :231-236) — no leading device axis is introduced;
+    the arrays stay logically global.
+    """
+
+    def _put(x):
+        return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+
+    return jax.tree_util.tree_map(_put, batch)
