@@ -1,0 +1,308 @@
+"""Layer library: attention (with static-shape KV cache), RoPE, SwiGLU, GQA.
+
+Design notes vs the reference (cited per SURVEY.md §2.1):
+
+* Whisper attention reproduces OpenAI's exact semantics — biases on q/v/out
+  but NOT k, scale ``head_dim**-0.25`` applied to both q and k
+  (``yoho/src/nn/whisper.py:32-35,54-57``) — so pretrained weights produce
+  identical activations.
+* The KV cache the reference never built (``whisper.py:27`` TODO) is
+  first-class here: static-shape cache tensors threaded functionally through
+  ``__call__`` so the whole decode loop stays under one ``jit``
+  (no flax mutable-variable machinery, which doesn't compose with
+  ``lax.while_loop``).
+* ``GroupedQueryAttention`` implements the GQA paper correctly: each group
+  of query heads attends with its own KV head. The reference's einsum sums
+  over the group axis before softmax (``yoho/src/nn/layers.py:82``) — a
+  deviation from its cited paper that collapses query groups; we implement
+  the intended semantics (divergence documented per SURVEY.md §7).
+* ``RoPE`` defaults to the standard 10000^(-2i/d) frequency spectrum; the
+  reference uses decade spacing ``10**-i`` starting at position 1
+  (``layers.py:31-33``), available as ``rope_variant="decade"`` for
+  compatibility experiments.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class KVCache:
+    """Static-shape decode cache for one attention layer.
+
+    k/v: (batch, max_len, kv_heads, head_dim). ``index`` is implicit — the
+    caller passes the write position so caches stay pure data.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @classmethod
+    def zeros(cls, batch: int, max_len: int, kv_heads: int, head_dim: int, dtype=jnp.bfloat16):
+        shape = (batch, max_len, kv_heads, head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    def update(self, pos, k_new: jnp.ndarray, v_new: jnp.ndarray) -> "KVCache":
+        """Write (B, S, H, D) new entries at time offset ``pos``."""
+        k = jax.lax.dynamic_update_slice(self.k, k_new.astype(self.k.dtype), (0, pos, 0, 0))
+        v = jax.lax.dynamic_update_slice(self.v, v_new.astype(self.v.dtype), (0, pos, 0, 0))
+        return KVCache(k=k, v=v)
+
+
+def _attend(
+    q: jnp.ndarray,  # (B, S, H, D) — pre-scaled
+    k: jnp.ndarray,  # (B, T, H, D) — pre-scaled
+    v: jnp.ndarray,  # (B, T, H, D)
+    mask: Optional[jnp.ndarray],  # broadcastable to (B, H, S, T), bool
+    dtype,
+) -> jnp.ndarray:
+    scores = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    w = jax.nn.softmax(scores, axis=-1).astype(dtype)
+    out = jnp.einsum("bhst,bthd->bshd", w, v)
+    return out
+
+
+def causal_mask(s: int, t: int, offset: int = 0) -> jnp.ndarray:
+    """Boolean (1, 1, s, t) mask: query i attends keys j <= i + offset."""
+    qi = jnp.arange(s)[:, None] + offset
+    kj = jnp.arange(t)[None, :]
+    return (kj <= qi)[None, None]
+
+
+def decode_mask(t_max: int, pos, s: int = 1) -> jnp.ndarray:
+    """(1, 1, s, t_max) causal mask for ``s`` new queries written at cache
+    offset ``pos``: query i sees keys <= pos + i (covers both single-token
+    decode and multi-token prefill)."""
+    qi = pos + jnp.arange(s)[:, None]
+    kj = jnp.arange(t_max)[None, :]
+    return (kj <= qi)[None, None]
+
+
+class MultiHeadAttention(nn.Module):
+    """Whisper-semantics MHA with optional static-shape KV cache.
+
+    Modes (all shapes static):
+      * full self-attention:   ``__call__(x, mask=...)``
+      * full cross-attention:  ``__call__(x, xa=encoder_out)``
+      * cached self decode:    ``__call__(x, cache=KVCache, pos=i)`` ->
+        (out, new_cache)
+      * cached cross decode:   ``__call__(x, cross_kv=(k, v))`` where k/v
+        were precomputed once via :meth:`kv`.
+    """
+
+    n_state: int
+    n_head: int
+    k_bias: bool = False  # OpenAI Whisper: key projection has no bias
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        d = self.dtype
+        self.q_proj = nn.Dense(self.n_state, dtype=d, name="q_proj")
+        self.k_proj = nn.Dense(self.n_state, use_bias=self.k_bias, dtype=d, name="k_proj")
+        self.v_proj = nn.Dense(self.n_state, dtype=d, name="v_proj")
+        self.out_proj = nn.Dense(self.n_state, dtype=d, name="out_proj")
+
+    def _split(self, x):
+        b, s, _ = x.shape
+        return x.reshape(b, s, self.n_head, self.n_state // self.n_head)
+
+    def kv(self, xa: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Precompute cross-attention K/V from encoder output (once per
+        utterance; the decode loop then never touches the encoder)."""
+        scale = (self.n_state // self.n_head) ** -0.25
+        k = self._split(self.k_proj(xa)) * scale
+        v = self._split(self.v_proj(xa))
+        return k, v
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        xa: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        cache: Optional[KVCache] = None,
+        pos=None,
+        cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ):
+        scale = (self.n_state // self.n_head) ** -0.25
+        q = self._split(self.q_proj(x)) * scale
+
+        new_cache = None
+        if cross_kv is not None:
+            k, v = cross_kv  # already scaled by kv()
+        else:
+            src = x if xa is None else xa
+            k = self._split(self.k_proj(src)) * scale
+            v = self._split(self.v_proj(src))
+            if cache is not None:
+                new_cache = cache.update(pos, k, v)
+                k, v = new_cache.k, new_cache.v
+                mask = decode_mask(k.shape[1], pos, x.shape[1])
+
+        out = _attend(q, k.astype(q.dtype), v.astype(q.dtype), mask, self.dtype)
+        b, s = x.shape[:2]
+        out = self.out_proj(out.reshape(b, s, self.n_state))
+        if cache is not None:
+            return out, new_cache
+        return out
+
+
+class MLP(nn.Module):
+    """Whisper MLP: fc1 -> exact GELU -> fc2 (4x expansion)."""
+
+    n_state: int
+    expansion: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.n_state * self.expansion, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.n_state, dtype=self.dtype, name="fc2")(x)
+
+
+class SwiGLU(nn.Module):
+    """Gated MLP (arXiv:2002.05202): down(silu(gate(x)) * up(x)), bias-free.
+
+    Same contract as the reference SwiGLU (``yoho/src/nn/layers.py:7-20``).
+    """
+
+    hidden_dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        d_in = x.shape[-1]
+        gate = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name="gate")(x)
+        up = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name="up")(x)
+        return nn.Dense(d_in, use_bias=False, dtype=self.dtype, name="down")(
+            nn.silu(gate) * up
+        )
+
+
+def rope_angles(
+    positions: jnp.ndarray, head_dim: int, variant: str = "standard", base: float = 10000.0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables (..., head_dim//2) for the given positions.
+
+    ``standard``: theta_i = base^(-2i/d) (RoFormer). ``decade``: the
+    reference's ad-hoc spectrum theta_i = 10^-i with positions starting at 1
+    (``yoho/src/nn/layers.py:31-33``) — kept only for A/B compatibility.
+    """
+    half = head_dim // 2
+    if variant == "standard":
+        freqs = base ** (-jnp.arange(0, half, dtype=jnp.float32) * 2.0 / head_dim)
+        pos = positions.astype(jnp.float32)
+    elif variant == "decade":
+        freqs = 10.0 ** (-jnp.arange(0, half, dtype=jnp.float32))
+        pos = positions.astype(jnp.float32) + 1.0
+    else:
+        raise ValueError(f"unknown rope variant {variant!r}")
+    ang = pos[..., None] * freqs
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotate interleaved pairs: x shape (..., S, H, D), cos/sin (S, D//2).
+
+    Pairing convention matches the reference (even/odd interleave as
+    complex re/im, ``layers.py:35-40``).
+    """
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    c = cos[:, None, :]  # broadcast over heads: (S, 1, D/2)
+    s = sin[:, None, :]
+    r1 = x1 * c - x2 * s
+    r2 = x1 * s + x2 * c
+    return jnp.stack([r1, r2], axis=-1).reshape(x.shape)
+
+
+class GroupedQueryAttention(nn.Module):
+    """Standard GQA (arXiv:2305.13245) with RoPE and optional KV cache.
+
+    Bias-free projections like the reference (``layers.py:70-72``); unlike
+    the reference, query groups are NOT summed before softmax — each group
+    member attends independently against its shared KV head (see module
+    docstring).
+
+    RoPE is applied to q and k. For cross-attention the reference also
+    rotates the keys by *key* position (``layers.py:78-80``); we follow
+    that contract so audio positions carry into the decoder.
+    """
+
+    q_heads: int
+    dims: int
+    kv_heads: Optional[int] = None
+    rope_variant: str = "standard"
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        kvh = self.kv_heads or self.q_heads
+        assert self.q_heads % kvh == 0 and self.dims % self.q_heads == 0
+        head_dim = self.dims // self.q_heads
+        d = self.dtype
+        self.q_proj = nn.DenseGeneral((self.q_heads, head_dim), use_bias=False, dtype=d,
+                                      name="q_proj")
+        self.k_proj = nn.DenseGeneral((kvh, head_dim), use_bias=False, dtype=d, name="k_proj")
+        self.v_proj = nn.DenseGeneral((kvh, head_dim), use_bias=False, dtype=d, name="v_proj")
+        self.out_proj = nn.Dense(self.dims, use_bias=False, dtype=d, name="out_proj")
+
+    def kv(self, xa: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Precompute (rotated) cross-attention K/V from encoder output."""
+        k = self.k_proj(xa)
+        v = self.v_proj(xa)
+        cos, sin = rope_angles(jnp.arange(xa.shape[1]), k.shape[-1], self.rope_variant)
+        k = apply_rope(k, cos, sin)
+        return k, v
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        xa: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        cache: Optional[KVCache] = None,
+        pos=None,
+        cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ):
+        kvh = self.kv_heads or self.q_heads
+        groups = self.q_heads // kvh
+        head_dim = self.dims // self.q_heads
+        b, s = x.shape[:2]
+
+        q = self.q_proj(x)  # (B, S, Hq, D)
+        q_pos = jnp.arange(s) if pos is None else pos + jnp.arange(s)
+        cos_q, sin_q = rope_angles(q_pos, head_dim, self.rope_variant)
+        q = apply_rope(q, cos_q, sin_q)
+
+        new_cache = None
+        if cross_kv is not None:
+            k, v = cross_kv
+        else:
+            src = x if xa is None else xa
+            k = self.k_proj(src)
+            v = self.v_proj(src)
+            k_pos = jnp.arange(src.shape[1]) if pos is None else pos + jnp.arange(src.shape[1])
+            cos_k, sin_k = rope_angles(k_pos, head_dim, self.rope_variant)
+            k = apply_rope(k, cos_k, sin_k)
+            if cache is not None:
+                new_cache = cache.update(pos, k, v)
+                k, v = new_cache.k, new_cache.v
+                mask = decode_mask(k.shape[1], pos, s)
+
+        # Expand KV heads across query groups: (B, T, Hkv, D) -> (B, T, Hq, D).
+        if groups > 1:
+            k = jnp.repeat(k, groups, axis=2)
+            v = jnp.repeat(v, groups, axis=2)
+
+        q = q * (head_dim**-0.5)
+        out = _attend(q, k.astype(q.dtype), v.astype(q.dtype), mask, self.dtype)
+        out = self.out_proj(out.reshape(b, s, self.q_heads * head_dim))
+        if cache is not None:
+            return out, new_cache
+        return out

@@ -1,0 +1,198 @@
+"""Whisper encoder-decoder in Flax, loading pretrained OpenAI/HF weights.
+
+Architecture parity targets (cf. reference ``yoho/src/nn/whisper.py``, which
+reimplements OpenAI Whisper in Flax without a KV cache):
+  * conv stem k=3 pad=1, second conv stride 2, exact (erf) GELU;
+  * fixed sinusoidal encoder positions (log-timescale 10000, half sin/cos);
+  * pre-LN blocks, MHA with q/v/out biases but no k bias, 0.25-power scaling;
+  * learned decoder positional embedding, tied embedding logits, causal mask.
+
+TPU-first differences: every attention layer threads a static-shape
+:class:`KVCache`; the decoder exposes a ``decode_step`` that runs one token
+against the caches so the whole autoregressive loop compiles into a single
+``lax.while_loop`` (see ``yoho_tpu.infer.decode``). Dtype is a module knob so
+serving runs bf16 while parity tests run f32.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from yoho_tpu.core.config import WhisperConfig
+from yoho_tpu.nn.layers import KVCache, MLP, MultiHeadAttention, causal_mask
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
+    """OpenAI Whisper's fixed positional encoding (host-side, baked const)."""
+    assert channels % 2 == 0
+    log_timescale_increment = np.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(
+        np.float32
+    )
+
+
+class EncoderBlock(nn.Module):
+    n_state: int
+    n_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")
+        self.attn = MultiHeadAttention(self.n_state, self.n_head, dtype=self.dtype, name="attn")
+        self.ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")
+        self.mlp = MLP(self.n_state, dtype=self.dtype, name="mlp")
+
+    def __call__(self, x):
+        x = x + self.attn(self.ln1(x))
+        x = x + self.mlp(self.ln2(x))
+        return x
+
+
+class DecoderBlock(nn.Module):
+    n_state: int
+    n_head: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        d = self.dtype
+        self.ln1 = nn.LayerNorm(epsilon=1e-5, dtype=d, name="ln1")
+        self.attn = MultiHeadAttention(self.n_state, self.n_head, dtype=d, name="attn")
+        self.ln2 = nn.LayerNorm(epsilon=1e-5, dtype=d, name="ln2")
+        self.cross_attn = MultiHeadAttention(self.n_state, self.n_head, dtype=d,
+                                             name="cross_attn")
+        self.ln3 = nn.LayerNorm(epsilon=1e-5, dtype=d, name="ln3")
+        self.mlp = MLP(self.n_state, dtype=d, name="mlp")
+
+    def __call__(self, x, xa, mask):
+        x = x + self.attn(self.ln1(x), mask=mask)
+        x = x + self.cross_attn(self.ln2(x), xa=xa)
+        x = x + self.mlp(self.ln3(x))
+        return x
+
+    def step(self, x, cache: KVCache, cross_kv, pos):
+        """One cached decode step: x is (B, S_new, D) (usually S_new=1)."""
+        a, new_cache = self.attn(self.ln1(x), cache=cache, pos=pos)
+        x = x + a
+        x = x + self.cross_attn(self.ln2(x), cross_kv=cross_kv)
+        x = x + self.mlp(self.ln3(x))
+        return x, new_cache
+
+    def cross_kv(self, xa):
+        return self.cross_attn.kv(xa)
+
+
+class AudioEncoder(nn.Module):
+    cfg: WhisperConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """(B, n_frames, n_mels) -> (B, n_audio_ctx, n_state)."""
+        c = self.cfg
+        d = self.dtype
+        x = nn.Conv(c.n_audio_state, (3,), padding=1, dtype=d, name="conv1")(mel.astype(d))
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(c.n_audio_state, (3,), strides=2, padding=1, dtype=d, name="conv2")(x)
+        x = nn.gelu(x, approximate=False)
+        x = x + jnp.asarray(sinusoids(c.n_audio_ctx, c.n_audio_state), d)
+        for i in range(c.n_audio_layer):
+            x = EncoderBlock(c.n_audio_state, c.n_audio_head, dtype=d, name=f"blocks_{i}")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=d, name="ln_post")(x)
+
+
+class TextDecoder(nn.Module):
+    cfg: WhisperConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.token_embedding = nn.Embed(c.n_vocab, c.n_text_state, dtype=self.dtype,
+                                        name="token_embedding")
+        self.positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(0.01),
+            (c.n_text_ctx, c.n_text_state),
+        )
+        self.blocks = [
+            DecoderBlock(c.n_text_state, c.n_text_head, dtype=self.dtype, name=f"blocks_{i}")
+            for i in range(c.n_text_layer)
+        ]
+        self.ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")
+
+    def _logits(self, x):
+        emb = self.token_embedding.embedding.astype(self.dtype)
+        # Tied-embedding logits in f32 for a stable softmax/argmax.
+        return jnp.einsum("bsd,vd->bsv", x, emb, preferred_element_type=jnp.float32)
+
+    def __call__(self, tokens: jnp.ndarray, xa: jnp.ndarray) -> jnp.ndarray:
+        """Full-sequence (training/teacher-forcing) forward."""
+        t = tokens.shape[1]
+        x = self.token_embedding(tokens)
+        x = x + self.positional_embedding[:t].astype(self.dtype)
+        mask = causal_mask(t, t)
+        for blk in self.blocks:
+            x = blk(x, xa, mask)
+        return self._logits(self.ln(x))
+
+    def init_caches(self, batch: int, dtype=None) -> List[KVCache]:
+        c = self.cfg
+        dtype = dtype or self.dtype
+        return [
+            KVCache.zeros(batch, c.n_text_ctx, c.n_text_head,
+                          c.n_text_state // c.n_text_head, dtype)
+            for _ in range(c.n_text_layer)
+        ]
+
+    def cross_kvs(self, xa: jnp.ndarray) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Precompute per-layer cross-attention K/V once per utterance."""
+        return [blk.cross_kv(xa) for blk in self.blocks]
+
+    def decode_step(self, tokens, caches: List[KVCache], cross_kvs, pos):
+        """Cached step: tokens (B, S_new) at absolute position ``pos``.
+
+        Returns (logits (B, S_new, vocab), new_caches).
+        """
+        s = tokens.shape[1]
+        x = self.token_embedding(tokens)
+        pos_emb = jnp.asarray(self.positional_embedding, self.dtype)
+        x = x + jnp.take(pos_emb, pos + jnp.arange(s), axis=0)
+        new_caches = []
+        for blk, cache, ckv in zip(self.blocks, caches, cross_kvs):
+            x, nc = blk.step(x, cache, ckv, pos)
+            new_caches.append(nc)
+        return self._logits(self.ln(x)), new_caches
+
+
+class Whisper(nn.Module):
+    """Full model. ``__call__`` = training forward (mel, tokens) -> logits."""
+
+    cfg: WhisperConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = AudioEncoder(self.cfg, dtype=self.dtype, name="encoder")
+        self.decoder = TextDecoder(self.cfg, dtype=self.dtype, name="decoder")
+
+    def __call__(self, mel: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder(tokens, self.encoder(mel))
+
+    def encode_audio(self, mel: jnp.ndarray) -> jnp.ndarray:
+        return self.encoder(mel)
+
+    def decode_text(self, tokens: jnp.ndarray, xa: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder(tokens, xa)
+
+    def cross_kvs(self, xa: jnp.ndarray):
+        return self.decoder.cross_kvs(xa)
+
+    def init_caches(self, batch: int, dtype=None):
+        return self.decoder.init_caches(batch, dtype)
+
+    def decode_step(self, tokens, caches, cross_kvs, pos):
+        return self.decoder.decode_step(tokens, caches, cross_kvs, pos)

@@ -1,0 +1,220 @@
+"""The custom YOHO model: GQA + RoPE + RMSNorm + SwiGLU encoder-decoder,
+plus the voiceprint (speaker-embedding) head.
+
+Capability parity with the reference ``yoho/src/nn/model.py`` (conv stem with
+(1,2) max-pool halving time 1024->512, kv_heads = q_heads // 2, tied-embedding
+logits, no absolute positions — RoPE only), with the reference's GQA
+group-summing quirk fixed (see ``yoho_tpu.nn.layers`` docstring) and two
+capabilities the reference only reserved slots for:
+
+  * static-shape KV-cached decoding (same scheme as the Whisper decoder);
+  * a voiceprint head projecting decoder hidden states at ``<|voiceprint|>``
+    positions into L2-normalized speaker embeddings — the contract implied
+    by the dataloader's masked voiceprint slots
+    (``train/utils/dataloaders.py:211-217``) and stages 3/4.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from yoho_tpu.core.config import YOHOConfig
+from yoho_tpu.nn.layers import (
+    GroupedQueryAttention,
+    KVCache,
+    SwiGLU,
+    causal_mask,
+)
+
+
+class YOHOEncoderBlock(nn.Module):
+    q_heads: int
+    kv_heads: int
+    dims: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.ln1 = nn.RMSNorm(dtype=self.dtype, name="ln1")
+        self.attn = GroupedQueryAttention(self.q_heads, self.dims, self.kv_heads,
+                                          dtype=self.dtype, name="attn")
+        self.ln2 = nn.RMSNorm(dtype=self.dtype, name="ln2")
+        self.mlp = SwiGLU(int(self.dims * 3), dtype=self.dtype, name="mlp")
+
+    def __call__(self, x):
+        x = x + self.attn(self.ln1(x))
+        x = x + self.mlp(self.ln2(x))
+        return x
+
+
+class YOHODecoderBlock(nn.Module):
+    q_heads: int
+    kv_heads: int
+    dims: int
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        d = self.dtype
+        self.ln1 = nn.RMSNorm(dtype=d, name="ln1")
+        self.attn = GroupedQueryAttention(self.q_heads, self.dims, self.kv_heads,
+                                          dtype=d, name="attn")
+        self.ln2 = nn.RMSNorm(dtype=d, name="ln2")
+        # The reference RMSNorms the encoder output inside every decoder
+        # block before cross-attention (``layers.py:131-132``); we keep that.
+        self.ln_kv = nn.RMSNorm(dtype=d, name="ln_kv")
+        self.cross_attn = GroupedQueryAttention(self.q_heads, self.dims, self.kv_heads,
+                                                dtype=d, name="cross_attn")
+        self.ln3 = nn.RMSNorm(dtype=d, name="ln3")
+        self.mlp = SwiGLU(int(self.dims * 1.5), dtype=d, name="mlp")
+
+    def __call__(self, x, xa, mask):
+        x = x + self.attn(self.ln1(x), mask=mask)
+        x = x + self.cross_attn(self.ln2(x), xa=self.ln_kv(xa))
+        x = x + self.mlp(self.ln3(x))
+        return x
+
+    def step(self, x, cache: KVCache, cross_kv, pos):
+        a, new_cache = self.attn(self.ln1(x), cache=cache, pos=pos)
+        x = x + a
+        x = x + self.cross_attn(self.ln2(x), cross_kv=cross_kv, pos=pos)
+        x = x + self.mlp(self.ln3(x))
+        return x, new_cache
+
+    def cross_kv(self, xa):
+        return self.cross_attn.kv(self.ln_kv(xa))
+
+
+class YOHOAudioEncoder(nn.Module):
+    cfg: YOHOConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """(B, max_audio_len, n_mels) -> (B, max_audio_len // 2, dims)."""
+        c = self.cfg
+        d = self.dtype
+        x = nn.Conv(c.dims, (3,), dtype=d, name="conv1")(mel.astype(d))
+        x = nn.RMSNorm(dtype=d, name="norm1")(x)
+        x = nn.silu(x)
+        # Halve time: (1,2) max-pool, parity with model.py:21.
+        x = nn.max_pool(x, (2,), strides=(2,))
+        x = nn.Conv(c.dims, (3,), dtype=d, name="conv2")(x)
+        x = nn.RMSNorm(dtype=d, name="norm2")(x)
+        x = nn.silu(x)
+        for i in range(c.n_audio_blocks):
+            x = YOHOEncoderBlock(
+                c.n_audio_heads, max(1, c.n_audio_heads // 2), c.dims,
+                dtype=d, name=f"blocks_{i}",
+            )(x)
+        return x
+
+
+class YOHOTextDecoder(nn.Module):
+    cfg: YOHOConfig
+    vocab_size: int
+    voiceprint_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.token_embedding = nn.Embed(self.vocab_size, c.dims, dtype=self.dtype,
+                                        name="token_embedding")
+        self.blocks = [
+            YOHODecoderBlock(c.n_text_heads, max(1, c.n_text_heads // 2), c.dims,
+                             dtype=self.dtype, name=f"blocks_{i}")
+            for i in range(c.n_text_blocks)
+        ]
+        self.ln = nn.RMSNorm(dtype=self.dtype, name="ln")
+        # Voiceprint head: hidden -> speaker embedding (L2-normalized).
+        self.voiceprint_head = nn.Dense(self.voiceprint_dim, use_bias=False,
+                                        dtype=self.dtype, name="voiceprint_head")
+
+    def _hidden(self, tokens, xa):
+        t = tokens.shape[1]
+        x = self.token_embedding(tokens)
+        mask = causal_mask(t, t)
+        for blk in self.blocks:
+            x = blk(x, xa, mask)
+        return self.ln(x)
+
+    def _logits(self, h):
+        emb = self.token_embedding.embedding.astype(self.dtype)
+        return jnp.einsum("bsd,vd->bsv", h, emb, preferred_element_type=jnp.float32)
+
+    def __call__(self, tokens, xa):
+        return self._logits(self._hidden(tokens, xa))
+
+    def with_voiceprints(self, tokens, xa):
+        """Returns (logits, voiceprint embeddings per position).
+
+        Embeddings are L2-normalized; callers gather the positions that
+        carry ``<|voiceprint|>`` tokens (the same forward pass serves ASR
+        and speaker recognition — the joint-head design from the north
+        star).
+        """
+        h = self._hidden(tokens, xa)
+        vp = self.voiceprint_head(h)
+        vp = vp / jnp.maximum(jnp.linalg.norm(vp, axis=-1, keepdims=True), 1e-6)
+        return self._logits(h), vp
+
+    def init_caches(self, batch: int, dtype=None) -> List[KVCache]:
+        c = self.cfg
+        kvh = max(1, c.n_text_heads // 2)
+        return [
+            KVCache.zeros(batch, c.max_text_len, kvh, c.dims // c.n_text_heads,
+                          dtype or self.dtype)
+            for _ in range(c.n_text_blocks)
+        ]
+
+    def cross_kvs(self, xa):
+        return [blk.cross_kv(xa) for blk in self.blocks]
+
+    def decode_step(self, tokens, caches, cross_kvs, pos):
+        x = self.token_embedding(tokens)
+        new_caches = []
+        for blk, cache, ckv in zip(self.blocks, caches, cross_kvs):
+            x, nc = blk.step(x, cache, ckv, pos)
+            new_caches.append(nc)
+        h = self.ln(x)
+        vp = self.voiceprint_head(h)
+        vp = vp / jnp.maximum(jnp.linalg.norm(vp, axis=-1, keepdims=True), 1e-6)
+        return self._logits(h), vp, new_caches
+
+
+class YOHOModel(nn.Module):
+    """Joint ASR + diarization + speaker-recognition model."""
+
+    cfg: YOHOConfig
+    vocab_size: int
+    voiceprint_dim: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = YOHOAudioEncoder(self.cfg, dtype=self.dtype, name="encoder")
+        self.decoder = YOHOTextDecoder(self.cfg, self.vocab_size, self.voiceprint_dim,
+                                       dtype=self.dtype, name="decoder")
+
+    def __call__(self, tokens: jnp.ndarray, mel: jnp.ndarray) -> jnp.ndarray:
+        # Argument order (text, audio) matches the reference Model.__call__
+        # (``model.py:77-80``).
+        return self.decoder(tokens, self.encoder(mel))
+
+    def encode_audio(self, mel):
+        return self.encoder(mel)
+
+    def decode_text(self, tokens, xa):
+        return self.decoder(tokens, xa)
+
+    def forward_with_voiceprints(self, tokens, mel):
+        return self.decoder.with_voiceprints(tokens, self.encoder(mel))
+
+    def cross_kvs(self, xa):
+        return self.decoder.cross_kvs(xa)
+
+    def init_caches(self, batch: int, dtype=None):
+        return self.decoder.init_caches(batch, dtype)
+
+    def decode_step(self, tokens, caches, cross_kvs, pos):
+        return self.decoder.decode_step(tokens, caches, cross_kvs, pos)
