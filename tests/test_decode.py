@@ -1,0 +1,144 @@
+"""Decode-loop tests: the jitted while_loop decode must equal the naive
+full-recompute greedy loop (the reference's loop is the executable spec,
+SURVEY.md §4), and beam search must dominate greedy in sequence logprob."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yoho_tpu.core.config import WhisperConfig
+from yoho_tpu.infer.beam import beam_search, tile_beams
+from yoho_tpu.infer.decode import greedy_decode, make_whisper_step_fn
+from yoho_tpu.nn.whisper import Whisper
+
+EOT = 7  # arbitrary small id in the toy vocab
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = WhisperConfig(
+        n_mels=8, n_audio_ctx=16, n_audio_state=32, n_audio_head=4, n_audio_layer=2,
+        n_vocab=50, n_text_ctx=24, n_text_state=32, n_text_head=4, n_text_layer=2,
+    )
+    model = Whisper(cfg)
+    g = np.random.default_rng(0)
+    mel = jnp.asarray(g.standard_normal((3, cfg.n_audio_ctx * 2, cfg.n_mels))
+                      .astype(np.float32))
+    tokens = jnp.asarray(g.integers(0, cfg.n_vocab, size=(3, 4)))
+    variables = model.init(jax.random.PRNGKey(0), mel, tokens)
+    xa = model.apply(variables, mel, method=Whisper.encode_audio)
+    return cfg, model, variables, mel, xa
+
+
+def _naive_greedy(model, variables, xa, prompt, max_len, eot):
+    """Reference-style loop: full decoder recompute every step."""
+    b, p = prompt.shape
+    buf = np.full((b, max_len), eot, np.int32)
+    buf[:, :p] = np.asarray(prompt)
+    finished = np.zeros(b, bool)
+    pos = p
+    while pos < max_len and not finished.all():
+        logits = model.apply(variables, jnp.asarray(buf[:, :pos]), xa,
+                             method=Whisper.decode_text)
+        nxt = np.asarray(jnp.argmax(logits[:, -1], axis=-1)).astype(np.int32)
+        nxt = np.where(finished, eot, nxt)
+        buf[:, pos] = nxt
+        finished |= nxt == eot
+        pos += 1
+    return buf
+
+
+def test_jitted_greedy_equals_naive(setup):
+    cfg, model, variables, mel, xa = setup
+    prompt = jnp.asarray([[1, 2], [1, 2], [1, 3]], jnp.int32)
+    max_len = 16
+
+    cross_kvs = model.apply(variables, xa, method=Whisper.cross_kvs)
+    caches = model.apply(variables, 3, jnp.float32, method=Whisper.init_caches)
+    step_fn = make_whisper_step_fn(model, variables, cross_kvs)
+
+    fn = jax.jit(lambda caches, prompt: greedy_decode(
+        step_fn, caches, prompt, max_len, EOT))
+    tokens, lengths = fn(caches, prompt)
+
+    expected = _naive_greedy(model, variables, xa, prompt, max_len, EOT)
+    np.testing.assert_array_equal(np.asarray(tokens), expected)
+    # lengths consistent with buffer content
+    for i, L in enumerate(np.asarray(lengths)):
+        row = np.asarray(tokens)[i]
+        if L < max_len:
+            assert row[L - 1] == EOT
+
+
+def test_greedy_suppress(setup):
+    cfg, model, variables, mel, xa = setup
+    prompt = jnp.asarray([[1, 2]], jnp.int32)
+    cross_kvs = model.apply(variables, xa[:1], method=Whisper.cross_kvs)
+    caches = model.apply(variables, 1, jnp.float32, method=Whisper.init_caches)
+    step_fn = make_whisper_step_fn(model, variables, cross_kvs)
+
+    banned = list(range(10, 50))  # only ids 0..9 allowed
+    tokens, _ = greedy_decode(step_fn, caches, prompt, 12, EOT,
+                              suppress_ids=tuple(banned))
+    out = np.asarray(tokens)[0, 2:]
+    assert np.all(out < 10)
+
+
+def _seq_logprob(model, variables, xa, tokens, lengths, prompt_len):
+    """Sum log p(token_i | prefix) over emitted tokens (incl. EOT)."""
+    logits = model.apply(variables, jnp.asarray(tokens[:, :-1]), xa,
+                         method=Whisper.decode_text)
+    logp = np.asarray(jax.nn.log_softmax(logits, axis=-1))
+    total = np.zeros(tokens.shape[0])
+    for i in range(tokens.shape[0]):
+        for t in range(prompt_len, int(lengths[i])):
+            total[i] += logp[i, t - 1, tokens[i, t]]
+    return total
+
+
+def test_beam1_equals_greedy(setup):
+    cfg, model, variables, mel, xa = setup
+    prompt = jnp.asarray([[1, 2], [1, 2], [1, 3]], jnp.int32)
+    max_len = 14
+
+    cross_kvs = model.apply(variables, xa, method=Whisper.cross_kvs)
+    step_fn = make_whisper_step_fn(model, variables, cross_kvs)
+    caches = model.apply(variables, 3, jnp.float32, method=Whisper.init_caches)
+    g_tokens, g_lengths = greedy_decode(step_fn, caches, prompt, max_len, EOT)
+
+    ckv1 = tile_beams(cross_kvs, 1)
+    step1 = make_whisper_step_fn(model, variables, ckv1)
+    caches1 = model.apply(variables, 3, jnp.float32, method=Whisper.init_caches)
+    b_tokens, b_lengths, _ = beam_search(step1, caches1, prompt, max_len, EOT, beams=1)
+
+    np.testing.assert_array_equal(np.asarray(g_tokens), np.asarray(b_tokens))
+    np.testing.assert_array_equal(np.asarray(g_lengths), np.asarray(b_lengths))
+
+
+def test_beam_dominates_greedy_logprob(setup):
+    cfg, model, variables, mel, xa = setup
+    prompt = jnp.asarray([[1, 2], [4, 2], [1, 3]], jnp.int32)
+    max_len = 14
+    k = 4
+
+    cross_kvs = model.apply(variables, xa, method=Whisper.cross_kvs)
+    step_fn = make_whisper_step_fn(model, variables, cross_kvs)
+    caches = model.apply(variables, 3, jnp.float32, method=Whisper.init_caches)
+    g_tokens, g_lengths = greedy_decode(step_fn, caches, prompt, max_len, EOT)
+
+    ckv = tile_beams(cross_kvs, k)
+    stepk = make_whisper_step_fn(model, variables, ckv)
+    cachesk = model.apply(variables, 3 * k, jnp.float32, method=Whisper.init_caches)
+    b_tokens, b_lengths, b_scores = beam_search(
+        stepk, cachesk, prompt, max_len, EOT, beams=k, length_penalty=0.0
+    )
+
+    g_lp = _seq_logprob(model, variables, xa, np.asarray(g_tokens),
+                        np.asarray(g_lengths), 2)
+    b_lp = _seq_logprob(model, variables, xa, np.asarray(b_tokens),
+                        np.asarray(b_lengths), 2)
+    assert np.all(b_lp >= g_lp - 1e-4)
+    # returned scores agree with recomputed sequence logprob (lp=0 -> raw)
+    np.testing.assert_allclose(b_lp, np.asarray(b_scores), atol=1e-3)

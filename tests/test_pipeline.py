@@ -1,0 +1,92 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yoho_tpu.core.config import YOHOConfig
+from yoho_tpu.infer.longform import Segment, chunk_audio, stitch_segments
+from yoho_tpu.infer.pipeline import Transcriber
+from yoho_tpu.nn.yoho import YOHOModel
+from yoho_tpu.text.tokenizer import train_tokenizer
+
+
+def test_chunk_audio_short():
+    wins, starts = chunk_audio(np.ones(100, np.float32), 400, 300)
+    assert wins.shape == (1, 400)
+    assert starts == [0]
+    assert wins[0, :100].sum() == 100 and wins[0, 100:].sum() == 0
+
+
+def test_chunk_audio_long_covers_tail():
+    audio = np.arange(1000, dtype=np.float32)
+    wins, starts = chunk_audio(audio, 400, 300)
+    assert starts[0] == 0
+    assert starts[-1] + 400 >= 1000
+    for w, s in zip(wins, starts):
+        n = min(400, 1000 - s)
+        np.testing.assert_array_equal(w[:n], audio[s : s + n])
+
+
+def test_stitch_dedupes_overlap():
+    # two windows, 4 s chunks, 3 s stride (1 s overlap @ sr=1)
+    sr, chunk, stride = 1, 4, 3
+    w0 = [Segment(0.5, 1.0, "a"), Segment(3.2, 3.8, "dup")]
+    w1 = [Segment(0.2, 0.8, "dup"), Segment(1.5, 2.0, "b")]  # abs: 3.2-3.8, 4.5-5.0
+    out = stitch_segments([w0, w1], [0, 3], sr, chunk, stride)
+    texts = [s.text for s in out]
+    assert texts.count("dup") == 1
+    assert texts == ["a", "dup", "b"]
+    dup = out[texts.index("dup")]
+    assert abs(dup.start - 3.2) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def yoho_setup():
+    cfg = YOHOConfig(
+        n_mel_bands=16, max_audio_len=32, max_text_len=24, dims=32,
+        n_audio_heads=4, n_audio_blocks=1, n_text_heads=4, n_text_blocks=1,
+    )
+    corpus = ["hello world this is a test", "the quick brown fox"] * 5
+    tok = train_tokenizer(corpus, vocab_size=1024 + 256 + 35 + 200,
+                          max_audio_len=cfg.max_audio_len, backend="python")
+    model = YOHOModel(cfg, vocab_size=tok.vocab_size)
+    g = np.random.default_rng(0)
+    mel = jnp.asarray(g.standard_normal((1, cfg.max_audio_len, cfg.n_mel_bands))
+                      .astype(np.float32))
+    tokens = jnp.asarray(g.integers(0, tok.vocab_size, size=(1, cfg.max_text_len)))
+    variables = model.init(jax.random.PRNGKey(0), tokens, mel,
+                           method=YOHOModel.forward_with_voiceprints)
+    return cfg, model, variables, tok
+
+
+def test_transcriber_end_to_end_smoke(yoho_setup):
+    cfg, model, variables, tok = yoho_setup
+    t = Transcriber(model, variables, family="yoho", tokenizer=tok,
+                    batch_size=2, overlap_seconds=0.05)
+    # ~3 windows of audio
+    audio = np.random.default_rng(1).standard_normal(int(cfg.n_samples * 2.5)) * 0.1
+    result = t.transcribe(audio.astype(np.float32))
+    assert result.language == "en"
+    assert isinstance(result.text, str)
+    for seg in result.segments:
+        assert 0 <= seg.start <= seg.end
+
+
+def test_transcriber_batch_smoke(yoho_setup):
+    cfg, model, variables, tok = yoho_setup
+    t = Transcriber(model, variables, family="yoho", tokenizer=tok, batch_size=4)
+    clips = [np.zeros(cfg.n_samples, np.float32) for _ in range(3)]
+    results = t.transcribe_batch(clips)
+    assert len(results) == 3
+    # identical inputs -> identical outputs (determinism)
+    assert results[0].text == results[1].text == results[2].text
+
+
+def test_transcriber_beam_smoke(yoho_setup):
+    cfg, model, variables, tok = yoho_setup
+    t = Transcriber(model, variables, family="yoho", tokenizer=tok,
+                    batch_size=1, beams=2)
+    audio = np.zeros(cfg.n_samples, np.float32)
+    result = t.transcribe(audio)
+    assert isinstance(result.text, str)

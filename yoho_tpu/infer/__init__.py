@@ -1,0 +1,4 @@
+from yoho_tpu.infer.decode import greedy_decode, make_whisper_step_fn, make_yoho_step_fn  # noqa: F401
+from yoho_tpu.infer.beam import beam_search, tile_beams  # noqa: F401
+from yoho_tpu.infer.longform import Segment, chunk_audio, stitch_segments  # noqa: F401
+from yoho_tpu.infer.pipeline import Transcriber, TranscriptionResult  # noqa: F401

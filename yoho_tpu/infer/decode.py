@@ -1,0 +1,120 @@
+"""Fully-jitted autoregressive decoding (greedy / temperature sampling).
+
+The reference's decode loop re-runs the full decoder over all 448 positions
+per emitted token from Python, syncing to host every step
+(``yoho/src/nn/whisper.py:274-285`` — SURVEY.md §3.1 marks it the #1 perf
+target). Here the whole loop is one ``lax.while_loop`` under ``jit``:
+static-shape token buffer, per-layer KV caches, per-stream EOT tracking with
+early exit when every stream finished. No host sync until the final buffer
+comes back.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def make_whisper_step_fn(model, variables, cross_kvs):
+    """step_fn(tokens, caches, pos) -> (last-position logits, new caches)."""
+
+    def step(tokens, caches, pos):
+        logits, new_caches = model.apply(
+            variables, tokens, caches, cross_kvs, pos, method=type(model).decode_step
+        )
+        return logits[:, -1], new_caches
+
+    return step
+
+
+def make_yoho_step_fn(model, variables, cross_kvs):
+    """Same contract for the YOHO model (voiceprints are extracted after
+    decoding by one teacher-forced pass — see ``yoho_tpu.infer.pipeline``)."""
+
+    def step(tokens, caches, pos):
+        logits, _vp, new_caches = model.apply(
+            variables, tokens, caches, cross_kvs, pos, method=type(model).decode_step
+        )
+        return logits[:, -1], new_caches
+
+    return step
+
+
+def _suppress(logits: jnp.ndarray, suppress_ids) -> jnp.ndarray:
+    if len(suppress_ids):
+        ids = jnp.asarray(list(suppress_ids), jnp.int32)
+        neg = jnp.full((len(suppress_ids),), jnp.finfo(jnp.float32).min, logits.dtype)
+        logits = logits.at[:, ids].set(neg[None, :])
+    return logits
+
+
+def greedy_decode(
+    step_fn: Callable,
+    caches,
+    prompt: jnp.ndarray,  # (B, P) int32 — same prompt length for all streams
+    max_len: int,
+    eot_id: int,
+    suppress_ids: Sequence[int] = (),
+    temperature: float = 0.0,
+    rng: Optional[jax.Array] = None,
+    logits_fn: Optional[Callable] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Decode up to ``max_len`` total tokens (prompt included).
+
+    Returns ``(tokens (B, max_len) int32, lengths (B,) int32)``. After a
+    stream emits ``eot_id`` its remaining positions are filled with
+    ``eot_id``. ``lengths`` counts tokens up to and including EOT.
+    ``logits_fn(logits, pos)`` optionally post-processes logits per step
+    (timestamp rules etc.) — must be jit-traceable.
+    """
+    b, p = prompt.shape
+    assert p < max_len, "prompt must be shorter than max_len"
+    tokens = jnp.full((b, max_len), eot_id, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
+
+    # Prefill the whole prompt in one step; sample the first new token.
+    logits, caches = step_fn(prompt.astype(jnp.int32), caches, 0)
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    def pick(logits, pos, key):
+        logits = _suppress(logits, suppress_ids)
+        if logits_fn is not None:
+            logits = logits_fn(logits, pos)
+        if temperature > 0.0:
+            return jax.random.categorical(key, logits / temperature, axis=-1)
+        return jnp.argmax(logits, axis=-1)
+
+    first = pick(logits, p, jax.random.fold_in(rng, p)).astype(jnp.int32)
+    tokens = tokens.at[:, p].set(first)
+    finished0 = first == eot_id
+
+    def cond(state):
+        pos, _tokens, _caches, finished = state
+        return jnp.logical_and(pos + 1 < max_len, ~jnp.all(finished))
+
+    def body(state):
+        pos, tokens, caches, finished = state
+        cur = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))
+        logits, caches = step_fn(cur, caches, pos)
+        nxt = pick(logits, pos + 1, jax.random.fold_in(rng, pos + 1)).astype(jnp.int32)
+        nxt = jnp.where(finished, eot_id, nxt)
+        tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
+        finished = jnp.logical_or(finished, nxt == eot_id)
+        return pos + 1, tokens, caches, finished
+
+    _pos, tokens, _caches, _fin = jax.lax.while_loop(
+        cond, body, (jnp.asarray(p, jnp.int32), tokens, caches, finished0)
+    )
+
+    # Length = index of first EOT at/after the prompt, +1 (includes EOT);
+    # streams that never emitted EOT get max_len.
+    is_eot = tokens[:, p:] == eot_id
+    any_eot = jnp.any(is_eot, axis=1)
+    first_eot = jnp.argmax(is_eot, axis=1)
+    lengths = jnp.where(any_eot, p + first_eot + 1, max_len)
+    return tokens, lengths.astype(jnp.int32)

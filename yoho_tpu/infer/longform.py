@@ -1,0 +1,91 @@
+"""Long-form audio: batched fixed-window chunking + deterministic stitching.
+
+The reference truncates everything to one 30 s window at inference
+(``whisper.py:251-253``); long audio is only handled offline by the dataset
+splitter. Here long-form is a first-class *inference* feature (north star):
+audio is cut into fixed windows with overlap, all windows decode **in
+parallel** as one padded batch (static shapes), and segments are stitched by
+assigning each to the window that owns its midpoint — deterministic, so
+repeated runs produce identical transcripts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class Segment:
+    start: float  # seconds, absolute in the source audio
+    end: float
+    text: str
+    tokens: List[int] = field(default_factory=list)
+    voiceprint: Optional[np.ndarray] = None
+
+
+def chunk_audio(
+    audio: np.ndarray,
+    chunk_samples: int,
+    stride_samples: int,
+) -> Tuple[np.ndarray, List[int]]:
+    """Slice (n,) audio into zero-padded windows.
+
+    Returns (windows (W, chunk_samples) float32, window start offsets).
+    A single window covers short audio; stride < chunk gives overlap.
+    """
+    n = len(audio)
+    if n <= chunk_samples:
+        out = np.zeros((1, chunk_samples), np.float32)
+        out[0, :n] = audio
+        return out, [0]
+    starts = list(range(0, n - chunk_samples + stride_samples, stride_samples))
+    # Ensure the tail is covered.
+    if starts[-1] + chunk_samples < n:
+        starts.append(n - chunk_samples)
+    windows = np.zeros((len(starts), chunk_samples), np.float32)
+    for i, s in enumerate(starts):
+        seg = audio[s : s + chunk_samples]
+        windows[i, : len(seg)] = seg
+    return windows, starts
+
+
+def stitch_segments(
+    per_window: Sequence[Sequence[Segment]],
+    window_starts: Sequence[int],
+    sample_rate: int,
+    chunk_samples: int,
+    stride_samples: int,
+) -> List[Segment]:
+    """Merge per-window segments into one absolute-time transcript.
+
+    Ownership rule: window w owns absolute time range
+    [start_w + L/2 - stride/2, start_w + L/2 + stride/2) (clamped to the
+    audio bounds); a segment belongs to the window that owns its midpoint.
+    With overlapping windows each instant is owned by exactly one window,
+    so overlap duplicates are dropped deterministically.
+    """
+    chunk_s = chunk_samples / sample_rate
+    stride_s = stride_samples / sample_rate
+    out: List[Segment] = []
+    n_win = len(window_starts)
+    for w, segs in enumerate(per_window):
+        off = window_starts[w] / sample_rate
+        lo = -np.inf if w == 0 else off + chunk_s / 2 - stride_s / 2
+        hi = np.inf if w == n_win - 1 else off + chunk_s / 2 + stride_s / 2
+        for seg in segs:
+            mid = off + (seg.start + seg.end) / 2
+            if lo <= mid < hi:
+                out.append(
+                    Segment(
+                        start=round(off + seg.start, 3),
+                        end=round(off + seg.end, 3),
+                        text=seg.text,
+                        tokens=list(seg.tokens),
+                        voiceprint=seg.voiceprint,
+                    )
+                )
+    out.sort(key=lambda s: (s.start, s.end))
+    return out

@@ -1,0 +1,302 @@
+"""High-level transcription API: audio in, timed segments + voiceprints out.
+
+This is the serving layer the reference never had (SURVEY.md §1 "what does
+NOT exist"). TPU-first shape discipline: audio is chunked to fixed windows,
+windows are decoded as padded batches of a fixed size (one compiled
+program per (batch, prompt-len) signature, reused across calls), and the
+entire per-batch encode + greedy/beam decode runs as ONE jit invocation.
+
+Two model families share the machinery:
+  * ``family="whisper"`` — OpenAI token scheme (WhisperTokenTable),
+    <|t|> timestamps every 0.02 s;
+  * ``family="yoho"``    — session tokenizer scheme (<|t-frame|> tokens,
+    ``<|voiceprint|>`` slots -> speaker embeddings from the same forward
+    pass, parity with the dataloader contract
+    ``train/utils/dataloaders.py:179-195``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from pathlib import Path
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yoho_tpu.audio.frontend import whisper_log_mel, yoho_log_mel
+from yoho_tpu.audio.io import load_audio_f32
+from yoho_tpu.infer.beam import beam_search, tile_beams
+from yoho_tpu.infer.decode import greedy_decode, make_whisper_step_fn, make_yoho_step_fn
+from yoho_tpu.infer.longform import Segment, chunk_audio, stitch_segments
+
+
+@dataclass
+class TranscriptionResult:
+    text: str
+    segments: List[Segment]
+    language: Optional[str] = None
+
+
+class Transcriber:
+    def __init__(
+        self,
+        model,
+        variables,
+        *,
+        family: str = "whisper",
+        tokenizer=None,  # YOHOTokenizer (yoho family)
+        token_table=None,  # WhisperTokenTable (whisper family)
+        batch_size: int = 8,
+        beams: int = 0,  # 0/1 = greedy
+        overlap_seconds: float = 5.0,
+        cache_dtype=jnp.float32,
+        language: str = "en",
+        timestamps: bool = True,
+    ):
+        self.model = model
+        self.variables = variables
+        self.family = family
+        self.tokenizer = tokenizer
+        self.token_table = token_table
+        self.batch_size = batch_size
+        self.beams = max(0, beams)
+        self.language = language
+        self.timestamps = timestamps
+        self.cache_dtype = cache_dtype
+
+        cfg = model.cfg
+        if family == "whisper":
+            self.sample_rate = cfg.sample_rate
+            self.chunk_samples = cfg.n_samples
+            self.hop = cfg.hop_length
+            self.max_len = cfg.n_text_ctx
+            if token_table is None:
+                raise ValueError("whisper family needs a WhisperTokenTable")
+            self.eot = token_table.eot
+            self._features = lambda wins: whisper_log_mel(wins, n_mels=cfg.n_mels)
+        elif family == "yoho":
+            self.sample_rate = cfg.sample_rate
+            self.chunk_samples = cfg.n_samples
+            self.hop = cfg.stft_hop
+            self.max_len = cfg.max_text_len
+            if tokenizer is None:
+                raise ValueError("yoho family needs a YOHOTokenizer")
+            self.eot = tokenizer.eot_id
+            self._features = lambda wins: yoho_log_mel(wins, cfg)
+        else:
+            raise ValueError(f"unknown family {family!r}")
+
+        overlap = min(int(overlap_seconds * self.sample_rate), self.chunk_samples // 2)
+        self.stride_samples = self.chunk_samples - overlap
+        assert 0 < self.stride_samples <= self.chunk_samples
+        self._jitted = {}
+
+    # ------------------------------------------------------------------
+    def _prompt_ids(self) -> List[int]:
+        if self.family == "whisper":
+            return self.token_table.sot_sequence(
+                self.language, "transcribe", timestamps=self.timestamps
+            )
+        return [self.tokenizer.sot_id]
+
+    def _suppress_ids(self):
+        if self.family == "whisper":
+            sup = list(self.token_table.non_speech_tokens)
+            if not self.timestamps:
+                sup = sup + list(
+                    range(self.token_table.timestamp_begin, self.token_table.n_vocab)
+                )
+            # never emit SOT again / we keep sot in non_speech already
+            return tuple(sup)
+        return ()
+
+    def _make_step(self, cross_kvs):
+        if self.family == "whisper":
+            return make_whisper_step_fn(self.model, self.variables, cross_kvs)
+        return make_yoho_step_fn(self.model, self.variables, cross_kvs)
+
+    def _decode_fn(self, batch: int):
+        """One jitted program: mel windows -> (tokens, lengths)."""
+        key = (batch, self.beams)
+        if key in self._jitted:
+            return self._jitted[key]
+
+        model, variables = self.model, self.variables
+        prompt = np.asarray([self._prompt_ids()] * batch, np.int32)
+        suppress = self._suppress_ids()
+        k = self.beams if self.beams > 1 else 0
+
+        def run(variables, mel):
+            xa = model.apply(variables, mel, method=type(model).encode_audio)
+            ckv = model.apply(variables, xa, method=type(model).cross_kvs)
+            if k:
+                ckv = tile_beams(ckv, k)
+                caches = model.apply(variables, batch * k, self.cache_dtype,
+                                     method=type(model).init_caches)
+                step = self._make_step(ckv)
+                tokens, lengths, _ = beam_search(
+                    step, caches, jnp.asarray(prompt), self.max_len, self.eot,
+                    beams=k, suppress_ids=suppress,
+                )
+            else:
+                caches = model.apply(variables, batch, self.cache_dtype,
+                                     method=type(model).init_caches)
+                step = self._make_step(ckv)
+                tokens, lengths = greedy_decode(
+                    step, caches, jnp.asarray(prompt), self.max_len, self.eot,
+                    suppress_ids=suppress,
+                )
+            return tokens, lengths
+
+        fn = jax.jit(run)
+        self._jitted[key] = fn
+        return fn
+
+    # ------------------------------------------------------------------
+    def _tokens_to_segments(self, tokens: np.ndarray, length: int) -> List[Segment]:
+        """Parse one stream's tokens into timestamped segments."""
+        toks = [int(t) for t in tokens[:length]]
+        segs: List[Segment] = []
+        if self.family == "whisper":
+            tt = self.token_table
+            cur: List[int] = []
+            start: Optional[float] = None
+            for t in toks:
+                if tt.is_timestamp(t):
+                    if start is None:
+                        start = tt.timestamp_seconds(t)
+                    else:
+                        segs.append(Segment(start, tt.timestamp_seconds(t),
+                                            self._render(cur), cur))
+                        cur, start = [], None
+                elif t == tt.eot or t >= tt.eot:
+                    continue  # specials
+                else:
+                    cur.append(t)
+            if cur:
+                end = self.chunk_samples / self.sample_rate
+                segs.append(Segment(start or 0.0, end, self._render(cur), cur))
+        else:
+            tok = self.tokenizer
+            frame_s = self.hop / self.sample_rate
+            cur = []
+            start = None
+            for t in toks:
+                if tok.is_timestamp(t):
+                    if start is None:
+                        start = (t - tok.timestamp_base) * frame_s
+                        cur = []
+                    else:
+                        segs.append(Segment(start, (t - tok.timestamp_base) * frame_s,
+                                            self._render(cur), cur))
+                        cur, start = [], None
+                elif t in (tok.sot_id, tok.eot_id, tok.voiceprint_id):
+                    continue
+                else:
+                    cur.append(t)
+            if cur and start is not None:
+                segs.append(Segment(start, self.chunk_samples / self.sample_rate,
+                                    self._render(cur), cur))
+        return segs
+
+    def _render(self, ids: Sequence[int]) -> str:
+        if self.family == "whisper":
+            try:
+                return self.token_table.decode_text(ids).strip()
+            except RuntimeError:
+                return ""  # no text backend available: ids-only result
+        return self.tokenizer.decode(ids).strip()
+
+    # ------------------------------------------------------------------
+    def _attach_voiceprints(self, mel: jnp.ndarray, tokens: np.ndarray,
+                            per_window: List[List[Segment]]) -> None:
+        """One teacher-forced pass extracts speaker embeddings at
+        ``<|voiceprint|>`` positions (yoho family only)."""
+        if self.family != "yoho":
+            return
+        pad = np.zeros((tokens.shape[0], self.max_len), np.int32)
+        pad[:, : tokens.shape[1]] = tokens[:, : self.max_len]
+        _logits, vp = self.model.apply(
+            self.variables, jnp.asarray(pad), mel,
+            method=type(self.model).forward_with_voiceprints,
+        )
+        vp = np.asarray(vp)
+        vp_id = self.tokenizer.voiceprint_id
+        for w, segs in enumerate(per_window):
+            positions = np.nonzero(pad[w] == vp_id)[0]
+            for seg, p in zip(segs, positions):
+                # Embedding read at the position *preceding* the voiceprint
+                # token (the state that predicted it carries the speaker).
+                seg.voiceprint = vp[w, max(p - 1, 0)]
+
+    # ------------------------------------------------------------------
+    def transcribe(
+        self,
+        audio: Union[str, Path, np.ndarray],
+        sample_rate: Optional[int] = None,
+    ) -> TranscriptionResult:
+        """Transcribe one audio source of any length."""
+        if isinstance(audio, (str, Path)):
+            audio = load_audio_f32(audio, self.sample_rate)
+        else:
+            audio = np.asarray(audio, np.float32)
+            if sample_rate is not None and sample_rate != self.sample_rate:
+                from yoho_tpu.audio.io import resample
+
+                audio = resample(audio, sample_rate, self.sample_rate)
+
+        windows, starts = chunk_audio(audio, self.chunk_samples, self.stride_samples)
+        n_win = len(windows)
+        per_window: List[List[Segment]] = []
+
+        b = self.batch_size
+        for i in range(0, n_win, b):
+            batch = windows[i : i + b]
+            actual = len(batch)
+            if actual < b:
+                batch = np.concatenate(
+                    [batch, np.zeros((b - actual, self.chunk_samples), np.float32)]
+                )
+            mel = self._features(jnp.asarray(batch))
+            tokens, lengths = self._decode_fn(b)(self.variables, mel)
+            tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+            segs = [
+                self._tokens_to_segments(tokens[j], int(lengths[j]))
+                for j in range(actual)
+            ]
+            self._attach_voiceprints(mel[:actual], tokens[:actual], segs)
+            per_window.extend(segs)
+
+        segments = stitch_segments(per_window, starts, self.sample_rate,
+                                   self.chunk_samples, self.stride_samples)
+        text = " ".join(s.text for s in segments if s.text).strip()
+        return TranscriptionResult(text=text, segments=segments,
+                                   language=self.language)
+
+    def transcribe_batch(self, audios: Sequence[np.ndarray]) -> List[TranscriptionResult]:
+        """Multi-stream serving: decode up to batch_size independent clips
+        (each <= one chunk) in a single padded batch."""
+        results: List[TranscriptionResult] = []
+        b = self.batch_size
+        for i in range(0, len(audios), b):
+            group = audios[i : i + b]
+            batch = np.zeros((b, self.chunk_samples), np.float32)
+            for j, a in enumerate(group):
+                a = np.asarray(a, np.float32)[: self.chunk_samples]
+                batch[j, : len(a)] = a
+            mel = self._features(jnp.asarray(batch))
+            tokens, lengths = self._decode_fn(b)(self.variables, mel)
+            tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+            segs = [
+                self._tokens_to_segments(tokens[j], int(lengths[j]))
+                for j in range(len(group))
+            ]
+            self._attach_voiceprints(mel[: len(group)], tokens[: len(group)], segs)
+            for s in segs:
+                text = " ".join(x.text for x in s if x.text).strip()
+                results.append(TranscriptionResult(text=text, segments=s,
+                                                   language=self.language))
+        return results

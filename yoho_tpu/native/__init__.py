@@ -97,6 +97,21 @@ def _configure(lib: ctypes.CDLL) -> None:
     lib.yoho_free.restype = None
     lib.yoho_free.argtypes = [ctypes.c_void_p]
 
+    lib.yoho_bpe_train.restype = ctypes.c_int64
+    lib.yoho_bpe_train.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_char_p),
+    ]
+    lib.yoho_bpe_load.restype = ctypes.c_void_p
+    lib.yoho_bpe_load.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.yoho_bpe_free_model.restype = None
+    lib.yoho_bpe_free_model.argtypes = [ctypes.c_void_p]
+    lib.yoho_bpe_encode.restype = ctypes.c_int64
+    lib.yoho_bpe_encode.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+    ]
+
 
 def wav_decode_native(path) -> Optional[tuple[np.ndarray, int]]:
     """C++ WAV decode -> (mono float32 [-1,1], sample_rate); None if the
@@ -114,3 +129,57 @@ def wav_decode_native(path) -> Optional[tuple[np.ndarray, int]]:
     finally:
         lib.yoho_free(data_ptr)
     return arr, int(sr.value)
+
+
+def bpe_train_native(corpus, vocab_size: int, max_token_len: int, specials) -> Optional[str]:
+    """Train a BPE model in C++ -> model text (YOHOBPE v1 format); None when
+    the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    text = "\n".join(corpus).encode("utf-8")
+    spec = "\n".join(specials).encode("utf-8")
+    out = ctypes.c_char_p()
+    n = lib.yoho_bpe_train(text, len(text), vocab_size, max_token_len, spec,
+                           ctypes.byref(out))
+    if n < 0:
+        return None
+    try:
+        return ctypes.string_at(out, n).decode("utf-8")
+    finally:
+        lib.yoho_free(ctypes.cast(out, ctypes.c_void_p))
+
+
+class NativeBPEEncoder:
+    """ctypes handle to the C++ BPE encoder; encodes plain text spans."""
+
+    def __init__(self, model_text: str):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native lib unavailable")
+        data = model_text.encode("utf-8")
+        self._lib = lib
+        self._handle = lib.yoho_bpe_load(data, len(data))
+        if not self._handle:
+            raise RuntimeError("failed to parse BPE model in native backend")
+
+    def encode(self, text: str) -> np.ndarray:
+        data = text.encode("utf-8")
+        ids = ctypes.POINTER(ctypes.c_int32)()
+        n = self._lib.yoho_bpe_encode(self._handle, data, len(data), ctypes.byref(ids))
+        if n < 0:
+            raise RuntimeError("native BPE encode failed")
+        try:
+            if n == 0:
+                return np.empty((0,), np.int32)
+            return np.ctypeslib.as_array(ids, shape=(n,)).copy()
+        finally:
+            self._lib.yoho_free(ctypes.cast(ids, ctypes.c_void_p))
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            try:
+                self._lib.yoho_bpe_free_model(handle)
+            except Exception:
+                pass

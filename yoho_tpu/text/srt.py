@@ -1,0 +1,75 @@
+"""Minimal SRT subtitle parser/composer (the reference depends on the
+``srt`` pip package for dataset transcripts; this is the from-scratch
+equivalent covering parse / compose / sort_and_reindex as used by the
+dataloaders and the dataset splitter)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator, List
+
+_TS = re.compile(r"(\d+):(\d{1,2}):(\d{1,2})[,.](\d{1,3})")
+
+
+@dataclass
+class Subtitle:
+    index: int
+    start: dt.timedelta
+    end: dt.timedelta
+    content: str
+    proprietary: str = field(default="")
+
+
+def _parse_ts(s: str) -> dt.timedelta:
+    m = _TS.fullmatch(s.strip())
+    if not m:
+        raise ValueError(f"bad SRT timestamp: {s!r}")
+    h, mnt, sec, ms = m.groups()
+    return dt.timedelta(
+        hours=int(h), minutes=int(mnt), seconds=int(sec), milliseconds=int(ms.ljust(3, "0"))
+    )
+
+
+def _fmt_ts(td: dt.timedelta) -> str:
+    total_ms = round(td.total_seconds() * 1000)
+    h, rem = divmod(total_ms, 3_600_000)
+    m, rem = divmod(rem, 60_000)
+    s, ms = divmod(rem, 1000)
+    return f"{h:02d}:{m:02d}:{s:02d},{ms:03d}"
+
+
+def parse_srt(data: str) -> Iterator[Subtitle]:
+    """Parse SRT text into subtitles (tolerant of blank-line variations)."""
+    blocks = re.split(r"\n\s*\n", data.replace("\r\n", "\n").strip("﻿").strip())
+    for block in blocks:
+        lines = [ln for ln in block.split("\n")]
+        if not lines or not lines[0].strip():
+            continue
+        idx_line = 0
+        index = 0
+        if re.fullmatch(r"\d+", lines[0].strip()):
+            index = int(lines[0].strip())
+            idx_line = 1
+        if idx_line >= len(lines) or "-->" not in lines[idx_line]:
+            continue
+        start_s, end_s = [p.strip() for p in lines[idx_line].split("-->")]
+        content = "\n".join(lines[idx_line + 1 :]).strip()
+        yield Subtitle(index=index, start=_parse_ts(start_s), end=_parse_ts(end_s),
+                       content=content)
+
+
+def sort_and_reindex(subs: Iterable[Subtitle], start_index: int = 1) -> List[Subtitle]:
+    out = sorted(subs, key=lambda s: (s.start, s.end))
+    for i, s in enumerate(out):
+        s.index = start_index + i
+    return out
+
+
+def compose_srt(subs: Iterable[Subtitle]) -> str:
+    parts = []
+    for i, s in enumerate(subs):
+        idx = s.index if s.index else i + 1
+        parts.append(f"{idx}\n{_fmt_ts(s.start)} --> {_fmt_ts(s.end)}\n{s.content}\n")
+    return "\n".join(parts)
