@@ -1,0 +1,227 @@
+"""Training-harness tests on synthetic SRT+WAV fixtures (SURVEY.md §4)."""
+
+import datetime as dt
+import wave
+
+import numpy as np
+import pytest
+
+import jax
+
+from yoho_tpu.core.config import (
+    DatasetConfig,
+    Hyperparameters,
+    SessionConfig,
+    TrainingASRHP,
+    YOHOConfig,
+)
+from yoho_tpu.parallel.mesh import make_mesh
+from yoho_tpu.text.srt import Subtitle, compose_srt
+from yoho_tpu.text.tokenizer import train_tokenizer
+from yoho_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint, save_checkpoint
+from yoho_tpu.train.dataloader import TranscriptionDataloader
+from yoho_tpu.train.metrics import MetricsWriter
+from yoho_tpu.train.session import create_session
+
+TINY_YOHO = dict(
+    sample_rate=16000, n_mel_bands=16, n_fft=400, stft_hop=160,
+    max_audio_len=64, max_text_len=32, dims=32,
+    n_audio_heads=4, n_audio_blocks=1, n_text_heads=4, n_text_blocks=1,
+)
+
+SENTENCES = [
+    "hello there friend", "this is a test", "the quick brown fox",
+    "we are training a model", "speech goes in text comes out",
+    "one more utterance here",
+]
+
+
+def _write_wav(path, data, sr=16000):
+    pcm = np.clip(data * 32768, -32768, 32767).astype(np.int16)
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    """3 tracks x ~4 utterances of 0.2 s speech each, tiny chunk model."""
+    root = tmp_path_factory.mktemp("corpus")
+    cfg = YOHOConfig(**TINY_YOHO)
+    g = np.random.default_rng(0)
+    for d in ("noisy", "clean", "finetune", "ambient", "speakers"):
+        (root / d / "transcripts").mkdir(parents=True)
+        (root / d / "audio").mkdir(parents=True)
+    for f in range(3):
+        subs, t = [], 0.1
+        n_total = int(16000 * 2.5)
+        audio = g.standard_normal(n_total).astype(np.float32) * 0.01
+        for u in range(4):
+            start, end = t, t + 0.2
+            tone = 0.3 * np.sin(2 * np.pi * (300 + 100 * u) *
+                                np.arange(int(0.2 * 16000)) / 16000)
+            audio[int(start * 16000): int(start * 16000) + len(tone)] += tone
+            subs.append(Subtitle(u + 1, dt.timedelta(seconds=start),
+                                 dt.timedelta(seconds=end),
+                                 SENTENCES[(f + u) % len(SENTENCES)]))
+            t = end + 0.3
+        (root / "noisy" / "transcripts" / f"track{f}.srt").write_text(compose_srt(subs))
+        _write_wav(root / "noisy" / "audio" / f"track{f}.wav", audio)
+    # ambient noise file for speechless samples
+    _write_wav(root / "ambient" / "audio" / "amb.wav",
+               g.standard_normal(16000).astype(np.float32) * 0.01)
+    return root, cfg
+
+
+@pytest.fixture(scope="module")
+def session_config(dataset, tmp_path_factory):
+    root, cfg = dataset
+    sess_root = tmp_path_factory.mktemp("sessions")
+    hp = Hyperparameters()
+    hp.transcribe_pretrain = TrainingASRHP(
+        learning_rate=1e-3, final_learning_rate=1e-5, batch_size=4,
+        accumulated_batches=2, updates=50, warmup_updates=2,
+        validation_frequency=1, validation_samples=2, speechless_sample_ratio=0.0,
+    )
+    config = SessionConfig(
+        name="t", yoho=cfg,
+        dataset=DatasetConfig(**{k: root / k for k in
+                                 ("noisy", "clean", "finetune", "ambient", "speakers")}),
+        hyperparameters=hp, sessions_root=sess_root,
+    )
+    config.path.mkdir(parents=True, exist_ok=True)
+    config.reroot_weights()
+    return config
+
+
+@pytest.fixture(scope="module")
+def tokenizer(session_config):
+    cfg = session_config
+    tok = train_tokenizer(SENTENCES * 5, vocab_size=cfg.yoho.max_audio_len + 3 + 256 + 200,
+                          max_audio_len=cfg.yoho.max_audio_len, backend="python")
+    return tok
+
+
+def test_dataloader_batch_contract(session_config, tokenizer):
+    dl = TranscriptionDataloader((0, 1), session_config, tokenizer, batch_size=4,
+                                 use_multiprocessing=False, shuffle=True)
+    audio, tokens, mask = dl.get_prepared_batch()
+    cfg = session_config.yoho
+    assert audio.shape == (4, cfg.n_samples) and audio.dtype == np.float32
+    assert tokens.shape == (4, cfg.max_text_len) and tokens.dtype == np.int32
+    assert mask.shape == (4, cfg.max_text_len) and mask.dtype == np.uint8
+
+    for r in range(4):
+        toks = tokens[r]
+        assert toks[0] == tokenizer.sot_id
+        # mask is 1 on real tokens, 0 on padding and voiceprint slots
+        L = mask[r].sum() + (toks == tokenizer.voiceprint_id).sum()
+        assert L > 0
+        vp_positions = np.nonzero(toks == tokenizer.voiceprint_id)[0]
+        assert np.all(mask[r][vp_positions] == 0)
+        # timestamp tokens within range and paired around text
+        ts = [t for t in toks if tokenizer.is_timestamp(int(t))]
+        assert len(ts) % 2 == 0 and len(ts) >= 2
+
+
+def test_dataloader_deterministic(session_config, tokenizer):
+    a = TranscriptionDataloader((0, 1), session_config, tokenizer, batch_size=2,
+                                use_multiprocessing=False, seed=7)
+    b = TranscriptionDataloader((0, 1), session_config, tokenizer, batch_size=2,
+                                use_multiprocessing=False, seed=7)
+    batch_a, batch_b = a.get_batch(0), b.get_batch(0)
+    for x, y in zip(batch_a, batch_b):
+        np.testing.assert_array_equal(x, y)
+
+
+def test_dataloader_speechless(session_config, tokenizer):
+    dl = TranscriptionDataloader((0, 1), session_config, tokenizer, batch_size=3,
+                                 use_multiprocessing=False, speechless_ratio=1.0)
+    audio, tokens, mask = dl.get_batch(0)
+    for r in range(3):
+        # empty transcript: SOT then EOT, no timestamps
+        assert tokens[r][0] == tokenizer.sot_id
+        assert tokens[r][1] == tokenizer.eot_id
+        assert mask[r].sum() == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    opt = {"mu": {"w": np.zeros((2, 3), np.float32)}, "count": np.asarray(3)}
+    path = tmp_path / "c.msgpack"
+    save_checkpoint(path, 17, params, opt)
+    restored = load_checkpoint(path, params, opt)
+    assert restored is not None
+    step, p, o = restored
+    assert step == 17
+    np.testing.assert_array_equal(p["w"], params["w"])
+    np.testing.assert_array_equal(o["count"], 3)
+    assert load_checkpoint(tmp_path / "missing", params, opt) is None
+
+
+def test_async_checkpointer_coalesces(tmp_path):
+    path = tmp_path / "c.msgpack"
+    ck = AsyncCheckpointer(path)
+    params = {"w": np.ones(4, np.float32)}
+    for step in range(5):
+        ck.save(step, {"w": params["w"] * step}, {})
+    ck.close()
+    restored = load_checkpoint(path, params, {})
+    assert restored is not None
+    step, p, _ = restored
+    assert step == 4  # latest snapshot wins
+    np.testing.assert_array_equal(p["w"], np.ones(4) * 4)
+
+
+def test_metrics_writer(tmp_path):
+    m = MetricsWriter(tmp_path / "metrics.csv", tmp_path / "val.jsonl")
+    m.log(1, 1e-3, 2.5)
+    m.log(2, 1e-3, 2.0, val_loss=1.9)
+    lines = (tmp_path / "metrics.csv").read_text().strip().split("\n")
+    assert lines[0] == "update,learning_rate,loss,val_loss"
+    assert lines[1].startswith("1,0.001,2.5,")
+    assert lines[2].endswith("1.9")
+
+    m.write_validation(["<|startoftranscript|>hi<|endoftranscript|>junk"],
+                       ["<|t-3|>x<|voiceprint|>"], ["a"], ["b"])
+    import json
+
+    rec = json.loads((tmp_path / "val.jsonl").read_text())[0]
+    assert rec["val_correct"] == "🚀hi🏁"
+    assert rec["val_predicted"] == "⏱️x🎙️"
+
+
+def test_create_session(tmp_path):
+    from yoho_tpu.core.config import load_session_config
+
+    path = create_session("demo", tmp_path)
+    assert (path / "config.toml").exists()
+    assert (path / "weights").is_dir() and (path / "stages").is_dir()
+    cfg = load_session_config("demo", tmp_path)
+    assert cfg.name == "demo"
+    with pytest.raises(FileExistsError):
+        create_session("demo", tmp_path)
+
+
+def test_trainer_short_run_and_resume(session_config, tokenizer):
+    from yoho_tpu.train.trainer import ASRTrainer
+
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    trainer = ASRTrainer(session_config, tokenizer=tokenizer, stage=1, mesh=mesh,
+                         use_multiprocessing=False)
+    assert int(trainer.state.step) == 0
+    trainer.run(max_updates=2)
+
+    metrics = (trainer.stage_path / "metrics.csv").read_text().strip().split("\n")
+    assert len(metrics) >= 3  # header + 2 updates
+    assert (trainer.stage_path / "checkpoint.msgpack").exists()
+    assert (trainer.stage_path / "validations.jsonl").exists()
+    final_step = int(trainer.state.step)
+    assert final_step == 2 * session_config.hyperparameters.transcribe_pretrain.accumulated_batches
+
+    # Resume: a fresh trainer picks up the checkpointed step.
+    resumed = ASRTrainer(session_config, tokenizer=tokenizer, stage=1, mesh=mesh,
+                         use_multiprocessing=False)
+    assert int(resumed.state.step) == final_step

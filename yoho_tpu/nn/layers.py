@@ -244,7 +244,12 @@ class GroupedQueryAttention(nn.Module):
 
     def setup(self):
         kvh = self.kv_heads or self.q_heads
-        assert self.q_heads % kvh == 0 and self.dims % self.q_heads == 0
+        assert self.q_heads % kvh == 0, (
+            f"q_heads ({self.q_heads}) must be divisible by kv_heads ({kvh})"
+        )
+        assert self.dims % self.q_heads == 0, (
+            f"dims ({self.dims}) must be divisible by q_heads ({self.q_heads})"
+        )
         head_dim = self.dims // self.q_heads
         d = self.dtype
         self.q_proj = nn.DenseGeneral((self.q_heads, head_dim), use_bias=False, dtype=d,

@@ -68,6 +68,22 @@ class YOHOTokenizer:
         return (self.timestamp_base is not None
                 and self.timestamp_base <= token_id < self.timestamp_base + self.n_timestamps)
 
+    # Spawn-based dataloader workers pickle the tokenizer; the ctypes
+    # native handle can't cross the boundary, so drop it and rebuild lazily.
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_native"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        try:
+            from yoho_tpu.native import NativeBPEEncoder
+
+            self._native = NativeBPEEncoder(self.bpe.dump())
+        except Exception:
+            self._native = None
+
     def _encode_plain(self, text: str) -> List[int]:
         if self._native is not None:
             return self._native.encode(text).tolist()

@@ -1,0 +1,107 @@
+"""Checkpoint/resume: atomic, async, preemption-safe.
+
+The reference pickles ``(step, params, opt_state)`` from a fire-and-forget
+thread with no atomicity (``transcription_pretrain_no_voiceprints.py:302-315``
+— SURVEY.md §5 flags the race). Here: msgpack serialization (flax), write to
+a temp file + atomic rename, single background writer that coalesces saves,
+and an optional SIGTERM hook so preempted TPU VMs checkpoint on the way down.
+Resume contract matches the reference: load ``(step, params, opt_state)``
+if the checkpoint exists, else fresh init.
+"""
+
+from __future__ import annotations
+
+import os
+import signal
+import threading
+from pathlib import Path
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+from flax import serialization
+
+
+def save_checkpoint(path, step: int, params, opt_state) -> None:
+    """Blocking atomic save of (step, params, opt_state)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "step": int(step),
+        "params": serialization.to_state_dict(jax.device_get(params)),
+        "opt_state": serialization.to_state_dict(jax.device_get(opt_state)),
+    }
+    data = serialization.msgpack_serialize(payload)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(data)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+def load_checkpoint(path, params_template, opt_state_template
+                    ) -> Optional[Tuple[int, Any, Any]]:
+    """Restore (step, params, opt_state) against templates; None if absent."""
+    path = Path(path)
+    if not path.exists():
+        return None
+    payload = serialization.msgpack_restore(path.read_bytes())
+    params = serialization.from_state_dict(params_template, payload["params"])
+    opt_state = serialization.from_state_dict(opt_state_template, payload["opt_state"])
+    return int(payload["step"]), params, opt_state
+
+
+class AsyncCheckpointer:
+    """Single background writer; a save issued while one is in flight
+    replaces the pending payload (coalescing), so the training loop never
+    blocks and writes never interleave."""
+
+    def __init__(self, path, install_sigterm: bool = False):
+        self.path = Path(path)
+        self._pending = None
+        self._cv = threading.Condition()
+        self._stop = False
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+        if install_sigterm:
+            try:
+                prev = signal.getsignal(signal.SIGTERM)
+
+                def _handler(signum, frame):
+                    self.flush()
+                    if callable(prev):
+                        prev(signum, frame)
+
+                signal.signal(signal.SIGTERM, _handler)
+            except ValueError:
+                pass  # not the main thread
+
+    def save(self, step: int, params, opt_state) -> None:
+        # device_get NOW so the snapshot is consistent even if training
+        # mutates (donates) the buffers next step.
+        snapshot = (int(step), jax.device_get(params), jax.device_get(opt_state))
+        with self._cv:
+            self._pending = snapshot
+            self._cv.notify()
+
+    def _run(self) -> None:
+        while True:
+            with self._cv:
+                while self._pending is None and not self._stop:
+                    self._cv.wait()
+                if self._stop and self._pending is None:
+                    return
+                payload = self._pending
+                self._pending = None
+            save_checkpoint(self.path, *payload)
+
+    def flush(self) -> None:
+        """Write any pending snapshot synchronously."""
+        with self._cv:
+            payload, self._pending = self._pending, None
+        if payload is not None:
+            save_checkpoint(self.path, *payload)
+
+    def close(self) -> None:
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+        self._thread.join(timeout=30)
+        self.flush()

@@ -1,0 +1,371 @@
+"""Training dataloaders: generic multiprocessing prefetch + transcription.
+
+Capability parity with ``train/utils/base_dataloader.py`` (worker pool fed
+by per-worker task queues, bounded shared batch queue, round-robin refill,
+epoch hook, sync mode) and ``train/utils/dataloaders.py`` (SRT+audio corpus
+indexing, greedy utterance packing, randomized context padding,
+augmentation, timestamp/voiceprint token injection, loss-mask construction).
+
+Beyond parity: deterministic per-batch RNG seeding (reproducible batches in
+and out of worker processes) and an actually-honored
+``speechless_sample_ratio`` — the reference declares it but never consumes
+it (``train/utils/config.py:33``, SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+import bisect
+import datetime as dt
+import multiprocessing as mp
+import warnings
+from abc import ABC, abstractmethod
+from pathlib import Path
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from yoho_tpu.audio.augment import augmenter
+from yoho_tpu.audio.io import load_audio_f32
+from yoho_tpu.core.config import SessionConfig
+from yoho_tpu.text.langdetect import detect_language
+from yoho_tpu.text.srt import parse_srt
+from yoho_tpu.text.standardize import standardize_text
+from yoho_tpu.text.tokenizer import EOT, SOT, VOICEPRINT, YOHOTokenizer
+
+AUDIO_SUFFIXES = (".wav", ".npy", ".mp3", ".mp4", ".m4a", ".flac", ".ogg", ".opus")
+
+
+class Dataloader(ABC):
+    """Prefetching dataloader: subclasses implement ``get_num_batches`` and
+    ``get_batch(idx)``; the base runs them in daemon worker processes."""
+
+    def __init__(
+        self,
+        batch_size: int,
+        max_queued_batches: int = 8,
+        num_workers: int = 4,
+        warmup_queue: bool = True,
+        use_multiprocessing: bool = True,
+        disable_warnings: bool = False,
+    ):
+        self.batch_size = batch_size
+        self.max_queued_batches = max_queued_batches
+        self.num_workers = max(1, num_workers)
+        self.warmup_queue = warmup_queue
+        self.use_multiprocessing = use_multiprocessing
+        self.disable_warnings = disable_warnings
+        self.current_batch_idx = 0
+
+        if self.use_multiprocessing:
+            # spawn, not fork: JAX is multithreaded and fork() deadlocks.
+            self._mp = mp.get_context("spawn")
+            self._batch_queue: mp.Queue = self._mp.Queue(self.max_queued_batches)
+            self._task_queues = [self._mp.Queue() for _ in range(self.num_workers)]
+            self._start_workers()
+
+    # ------------------------------------------------------------------
+    @abstractmethod
+    def get_num_batches(self) -> int: ...
+
+    @abstractmethod
+    def get_batch(self, idx: int) -> Any: ...
+
+    def on_epoch(self) -> None:
+        """Called when the batch index wraps."""
+
+    @property
+    def num_batches(self) -> int:
+        return self.get_num_batches()
+
+    @property
+    def num_prepared_batches(self) -> int:
+        return self._batch_queue.qsize()
+
+    # ------------------------------------------------------------------
+    def __getstate__(self):
+        # Workers (spawn) pickle self through the Process target; strip the
+        # sibling Process handles — children only need the queues + dataset.
+        state = dict(self.__dict__)
+        state.pop("_workers", None)
+        return state
+
+    def _worker(self, idx: int) -> None:
+        task_queue = self._task_queues[idx]
+        while True:
+            batch_idx = task_queue.get()
+            if batch_idx is None:
+                return
+            self._batch_queue.put(self.get_batch(batch_idx))
+
+    def _start_workers(self) -> None:
+        for _ in range(self.max_queued_batches):
+            self._enqueue_next_task()
+        self._workers = [
+            self._mp.Process(target=self._worker, args=(i,), daemon=True)
+            for i in range(self.num_workers)
+        ]
+        for w in self._workers:
+            w.start()
+        while self.warmup_queue and not self._batch_queue.full():
+            pass
+
+    def _enqueue_next_task(self) -> None:
+        self._task_queues[self.current_batch_idx % self.num_workers].put(
+            self.current_batch_idx
+        )
+        self.current_batch_idx = int((self.current_batch_idx + 1) % self.num_batches)
+        if self.current_batch_idx == 0:
+            self.on_epoch()
+
+    def get_prepared_batch(self):
+        if not self.use_multiprocessing:
+            batch = self.get_batch(self.current_batch_idx)
+            self.current_batch_idx = int((self.current_batch_idx + 1) % self.num_batches)
+            if self.current_batch_idx == 0:
+                self.on_epoch()
+            return batch
+
+        if not self.disable_warnings and self.num_prepared_batches == 0:
+            warnings.warn(
+                f"Batches aren't preparing fast enough; consider optimizing "
+                f"{type(self).__name__}.get_batch"
+            )
+        batch = self._batch_queue.get()
+        self._enqueue_next_task()
+        return batch
+
+    def terminate(self) -> None:
+        if not self.use_multiprocessing:
+            return
+        for q in self._task_queues:
+            q.put(None)
+        while not self._batch_queue.empty():
+            self._batch_queue.get()
+        for w in self._workers:
+            w.join(timeout=5)
+
+
+# ---------------------------------------------------------------------------
+class TranscriptionDataloader(Dataloader):
+    """SRT+audio corpus -> (audio, tokens, loss_mask) batches.
+
+    Sample recipe (parity with ``dataloaders.py:77-218``): locate utterance
+    by global index, greedily append following utterances while they fit
+    ``max_input_seconds``, randomize leading/trailing context padding within
+    neighbor bounds, slice + augment audio, reject-and-advance when the
+    augmented clip exceeds ``n_samples``, zero-pad. Targets wrap each
+    utterance in frame-resolution timestamp tokens and a voiceprint slot;
+    the loss mask zeroes padding and voiceprint positions.
+    """
+
+    def __init__(
+        self,
+        data_slice: Tuple[float, float],
+        config: SessionConfig,
+        tokenizer: YOHOTokenizer,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        speechless_ratio: Optional[float] = None,
+        augment: bool = True,
+        **kwargs,
+    ):
+        self.config = config
+        self.tokenizer = tokenizer
+        self.shuffle = shuffle
+        self.seed = seed
+        self.augment = augment
+        self.speechless_ratio = (
+            config.hyperparameters.transcribe_pretrain.speechless_sample_ratio
+            if speechless_ratio is None
+            else speechless_ratio
+        )
+        self._epoch = 0
+
+        transcripts_dir = Path(config.dataset.noisy) / "transcripts"
+        all_paths = sorted(transcripts_dir.iterdir()) if transcripts_dir.exists() else []
+        i = int(data_slice[0] * len(all_paths))
+        j = int(data_slice[1] * len(all_paths))
+        all_paths = all_paths[i:j]
+
+        sizes: List[int] = []
+        paths: List[Tuple[Path, Path]] = []
+        langs: List[str] = []
+        audio_dir = Path(config.dataset.noisy) / "audio"
+        for path in all_paths:
+            try:
+                subs = list(parse_srt(path.read_text(encoding="utf-8")))
+            except (ValueError, OSError):
+                continue
+            if not subs:
+                continue
+            content = "\n".join(s.content for s in subs)
+            det = detect_language(content)
+            lang = det.language if det.score > 0.02 else (
+                config.language_whitelist[0] if config.language_whitelist else "en"
+            )
+            if config.language_whitelist and lang not in config.language_whitelist:
+                continue
+            audio_path = None
+            for suf in AUDIO_SUFFIXES:
+                cand = audio_dir / path.with_suffix(suf).name
+                if cand.exists():
+                    audio_path = cand
+                    break
+            if audio_path is None:
+                continue
+            sizes.append(len(subs))
+            paths.append((path, audio_path))
+            langs.append(lang)
+
+        if not paths:
+            raise FileNotFoundError(
+                f"No usable (transcript, audio) pairs under {config.dataset.noisy}"
+            )
+
+        self.sizes = np.cumsum(np.asarray(sizes, np.int64))
+        self.paths = paths
+        self.langs = langs
+        self.index_table = np.arange(self.sizes[-1], dtype=np.int64)
+        if self.shuffle:
+            np.random.default_rng(seed).shuffle(self.index_table)
+
+        super().__init__(batch_size, **kwargs)
+
+    # ------------------------------------------------------------------
+    def get_num_batches(self) -> int:
+        return int(self.sizes[-1] // self.batch_size)
+
+    def on_epoch(self) -> None:
+        self._epoch += 1
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(self.index_table)
+
+    # ------------------------------------------------------------------
+    def _randomize_padding(self, rng, start_time, end_time, speech_start, speech_end):
+        """Random context around the speech span, bounded by neighbors and
+        the model's input capacity (parity: ``dataloaders.py:77-90``)."""
+        max_s = self.config.yoho.max_input_seconds
+        duration = (speech_end - speech_start).total_seconds()
+        pad_left = (speech_start - start_time).total_seconds()
+        pad_left = rng.uniform(0, max(0.0, min(pad_left, max_s - duration)))
+        start_time = speech_start - dt.timedelta(seconds=pad_left)
+        duration = (speech_end - start_time).total_seconds()
+        pad_right = (end_time - speech_end).total_seconds()
+        pad_right = rng.uniform(0, max(0.0, min(pad_right, max_s - duration)))
+        return start_time, speech_end + dt.timedelta(seconds=pad_right)
+
+    def _load_sample(self, rng, sample_idx: int):
+        """-> (audio [n_samples] f32, [(start_sample, end_sample, text)]) or
+        (None, None) when the clip doesn't fit after augmentation."""
+        cfg = self.config.yoho
+        asset = bisect.bisect_right(self.sizes, sample_idx)
+        transcript_path, audio_path = self.paths[asset]
+        lang = self.langs[asset]
+        subs = list(parse_srt(transcript_path.read_text(encoding="utf-8")))
+        audio = load_audio_f32(audio_path, cfg.sample_rate)
+
+        rel = int(sample_idx - (0 if asset == 0 else self.sizes[asset - 1]))
+        rel = min(rel, len(subs) - 1)
+
+        utterances = [subs[rel]]
+        start_time = dt.timedelta() if rel == 0 else subs[rel - 1].end
+        speech_start = subs[rel].start
+        si = rel
+        while si < len(subs) - 1:
+            if (subs[si + 1].end - speech_start).total_seconds() >= cfg.max_input_seconds:
+                break
+            si += 1
+            utterances.append(subs[si])
+        speech_end = subs[si].end
+        end_time = (
+            dt.timedelta(seconds=len(audio) / cfg.sample_rate)
+            if si >= len(subs) - 1
+            else subs[si + 1].start
+        )
+
+        start_time, end_time = self._randomize_padding(
+            rng, start_time, end_time, speech_start, speech_end
+        )
+        a = int(np.ceil(start_time.total_seconds() * cfg.sample_rate))
+        b = int(np.floor(end_time.total_seconds() * cfg.sample_rate))
+        clip = audio[max(a, 0) : max(b, 0)]
+
+        if self.augment:
+            clip = augmenter(clip, cfg.sample_rate, rng)
+        if len(clip) > cfg.n_samples:
+            return None, None
+        clip = np.pad(clip, (0, cfg.n_samples - len(clip)))
+
+        rel_utts = [
+            (
+                int(np.floor((u.start - start_time).total_seconds() * cfg.sample_rate)),
+                int(np.ceil((u.end - start_time).total_seconds() * cfg.sample_rate)),
+                standardize_text(u.content, lang=lang),
+            )
+            for u in utterances
+        ]
+        return clip.astype(np.float32), rel_utts
+
+    def _speechless_sample(self, rng):
+        """Negative sample: ambient noise (or synthesized low noise) with an
+        empty transcript — implements the reserved speechless_sample_ratio."""
+        cfg = self.config.yoho
+        ambient_dir = Path(self.config.dataset.ambient) / "audio"
+        files = sorted(ambient_dir.iterdir()) if ambient_dir.exists() else []
+        files = [f for f in files if f.suffix.lower() in AUDIO_SUFFIXES]
+        if files:
+            audio = load_audio_f32(files[int(rng.integers(len(files)))], cfg.sample_rate)
+            if len(audio) > cfg.n_samples:
+                off = int(rng.integers(0, len(audio) - cfg.n_samples))
+                audio = audio[off : off + cfg.n_samples]
+        else:
+            audio = (rng.standard_normal(cfg.n_samples) * 1e-3).astype(np.float32)
+        if self.augment:
+            audio = augmenter(audio, cfg.sample_rate, rng)
+        audio = np.pad(audio, (0, max(0, cfg.n_samples - len(audio))))[: cfg.n_samples]
+        return audio.astype(np.float32), []
+
+    # ------------------------------------------------------------------
+    def get_batch(self, idx: int):
+        cfg = self.config.yoho
+        rng = np.random.default_rng((self.seed, self._epoch, idx))
+        i = idx * self.batch_size
+
+        samples = []
+        for k in range(self.batch_size):
+            if self.speechless_ratio > 0 and rng.uniform() < self.speechless_ratio:
+                samples.append(self._speechless_sample(rng))
+                continue
+            sample_idx = int(self.index_table[(i + k) % len(self.index_table)])
+            while True:
+                audio, utts = self._load_sample(rng, sample_idx)
+                if audio is not None:
+                    break
+                sample_idx = int((sample_idx + 1) % self.sizes[-1])
+            samples.append((audio, utts))
+
+        audio_batch = np.stack([s[0] for s in samples])
+        tokens_batch = []
+        for _audio, utts in samples:
+            transcript = SOT
+            for start, end, content in utts:
+                sf = int(min(start // cfg.stft_hop, cfg.max_audio_len - 1))
+                ef = int(min(end // cfg.stft_hop, cfg.max_audio_len - 1))
+                transcript += f"<|t-{sf}|>{content}<|t-{ef}|>{VOICEPRINT}"
+            transcript += EOT
+            tokens_batch.append(self.tokenizer.encode(transcript))
+
+        T = cfg.max_text_len
+        lengths = np.asarray([len(t) for t in tokens_batch])
+        tokens = np.zeros((self.batch_size, T), np.int32)
+        for r, t in enumerate(tokens_batch):
+            tokens[r, : min(len(t), T)] = t[:T]
+
+        loss_mask = np.zeros((self.batch_size, T), np.uint8)
+        vp_id = self.tokenizer.voiceprint_id
+        for r, L in enumerate(lengths):
+            loss_mask[r, : min(int(L), T)] = 1
+            loss_mask[r][tokens[r] == vp_id] = 0  # voiceprint slots carry no CE loss
+
+        return audio_batch, tokens, loss_mask

@@ -1,0 +1,61 @@
+"""Stage 0: train the session tokenizer.
+
+Parity with ``train/stages/train_tokenizer.py``: stream standardized
+utterances from the noisy/clean/finetune transcript corpora (language
+whitelist applied), train BPE with the special-token scheme
+(``<|startoftranscript|>``, ``<|endoftranscript|>``, ``<|voiceprint|>``,
+one ``<|t-i|>`` per STFT frame), write the model to ``weights.tokenizer``,
+and smoke-test a roundtrip. Uses the native C++ trainer when available.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Iterator
+
+from yoho_tpu.core.config import SessionConfig
+from yoho_tpu.text.langdetect import detect_language
+from yoho_tpu.text.srt import parse_srt
+from yoho_tpu.text.standardize import standardize_text
+from yoho_tpu.text.tokenizer import train_tokenizer
+
+
+def load_transcripts(config: SessionConfig) -> Iterator[str]:
+    dirs = [config.dataset.noisy, config.dataset.clean, config.dataset.finetune]
+    for d in dirs:
+        tdir = Path(d) / "transcripts"
+        if not tdir.exists():
+            continue
+        for p in sorted(tdir.iterdir()):
+            try:
+                subs = list(parse_srt(p.read_text(encoding="utf-8")))
+            except (ValueError, OSError):
+                continue
+            if not subs:
+                continue
+            det = detect_language("\n".join(s.content for s in subs))
+            lang = det.language if det.score > 0.02 else "en"
+            if config.language_whitelist and lang not in config.language_whitelist:
+                continue
+            for s in subs:
+                out = standardize_text(s.content, lang)
+                if out:
+                    yield out
+
+
+def main(config: SessionConfig) -> None:
+    hp = config.hyperparameters.tokenizer
+    tokenizer = train_tokenizer(
+        load_transcripts(config),
+        vocab_size=hp.vocab_size,
+        max_token_length=hp.max_token_length,
+        max_audio_len=config.yoho.max_audio_len,
+    )
+    Path(config.weights.tokenizer).parent.mkdir(parents=True, exist_ok=True)
+    tokenizer.save(config.weights.tokenizer)
+
+    sample = "Hello, world!"
+    encoded = tokenizer.encode(sample)
+    print(f"Trained tokenizer: vocab_size={tokenizer.vocab_size}")
+    print(f"Encoded: {encoded}")
+    print(f"Decoded: {tokenizer.decode(encoded)}")

@@ -1,0 +1,273 @@
+"""Stage-1/4 ASR trainer: mesh/GSPMD data parallelism, fully-jitted steps.
+
+Redesign of the reference Trainer
+(``train/stages/transcription_pretrain_no_voiceprints.py:29-330``) on
+TPU-native distribution: instead of pmap + replicate/unreplicate plumbing
+(reference :215-236), parameters are placed on a named (data, model) Mesh
+via the partition rules, batches are sharded on ``data``, and one jitted
+donated ``train_step`` carries everything — XLA inserts the gradient
+reductions over ICI. Multi-host = same code after
+``jax.distributed.initialize`` (bigger mesh).
+
+Training semantics preserved: on-device mel + standardization preprocessing
+(ref :172-179), masked next-token CE (ref :181-187), optax
+warmup-cosine-decay AdamW wrapped in MultiSteps gradient accumulation
+(ref :67-79), metrics CSV + validation JSONL cadence, resume from
+checkpoint. Validation sample decoding uses the KV-cached jitted greedy
+decoder instead of the reference's per-token full recompute (ref :273-286).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training.train_state import TrainState
+
+from yoho_tpu.audio.frontend import yoho_log_mel
+from yoho_tpu.core.config import SessionConfig, TrainingHP
+from yoho_tpu.infer.decode import greedy_decode, make_yoho_step_fn
+from yoho_tpu.nn.yoho import YOHOModel
+from yoho_tpu.parallel.mesh import make_mesh, shard_batch
+from yoho_tpu.parallel.sharding import YOHO_RULES, shard_params
+from yoho_tpu.text.tokenizer import YOHOTokenizer
+from yoho_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint
+from yoho_tpu.train.dataloader import TranscriptionDataloader
+from yoho_tpu.train.metrics import MetricsWriter
+from yoho_tpu.train.session import stage_dir
+
+
+def masked_ce_loss(logits, tokens, loss_mask):
+    """Next-token CE, masked (parity: reference loss_fn :181-187)."""
+    ce = optax.softmax_cross_entropy_with_integer_labels(
+        logits[:, :-1], tokens[:, 1:].astype(jnp.int32)
+    )
+    mask = loss_mask[:, 1:].astype(ce.dtype)
+    return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+class ASRTrainer:
+    """Transcription (pre)training. ``stage=1`` trains without voiceprint
+    supervision; ``stage=4`` reuses the loop with voiceprint-aware data."""
+
+    def __init__(
+        self,
+        config: SessionConfig,
+        tokenizer: Optional[YOHOTokenizer] = None,
+        stage: int = 1,
+        hp: Optional[TrainingHP] = None,
+        mesh=None,
+        use_multiprocessing: bool = False,
+        checkpoint_name: str = "checkpoint.msgpack",
+        model: Optional[YOHOModel] = None,
+        init_params=None,
+    ):
+        self.config = config
+        self.stage = stage
+        self.hp = hp or (
+            config.hyperparameters.transcribe_pretrain
+            if stage == 1
+            else config.hyperparameters.transcribe_finetune
+        )
+        self.stage_path = stage_dir(config, stage)
+        self.checkpoint_path = self.stage_path / checkpoint_name
+        self.metrics = MetricsWriter(
+            self.stage_path / "metrics.csv", self.stage_path / "validations.jsonl"
+        )
+
+        self.tokenizer = tokenizer or YOHOTokenizer.load(config.weights.tokenizer)
+        self.model = model or YOHOModel(config.yoho, self.tokenizer.vocab_size)
+        self.mesh = mesh or make_mesh(config.mesh.data, config.mesh.model)
+
+        dl_kwargs = dict(
+            config=config,
+            tokenizer=self.tokenizer,
+            batch_size=self.hp.batch_size,
+            shuffle=True,
+            use_multiprocessing=use_multiprocessing,
+            disable_warnings=True,
+            warmup_queue=False,
+        )
+        self.train_dataloader = TranscriptionDataloader((0.0, 0.9), seed=0, **dl_kwargs)
+        try:
+            self.val_dataloader = TranscriptionDataloader((0.9, 1.0), seed=1, **dl_kwargs)
+        except FileNotFoundError:
+            # Tiny corpora: fall back to a reshuffled train slice.
+            self.val_dataloader = TranscriptionDataloader((0.0, 1.0), seed=1, **dl_kwargs)
+
+        acc = self.hp.accumulated_batches
+        self.lr_schedule = optax.schedules.warmup_cosine_decay_schedule(
+            0.0,
+            self.hp.learning_rate,
+            self.hp.warmup_updates * acc,
+            (self.hp.updates - self.hp.warmup_updates) * acc,
+            self.hp.final_learning_rate,
+        )
+        self.optimizer = optax.MultiSteps(optax.adamw(self.lr_schedule), acc)
+
+        self.state = self._init_state(init_params)
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    def _init_state(self, init_params=None) -> TrainState:
+        cfg = self.config.yoho
+        b = self.hp.batch_size
+        dummy_tokens = jnp.zeros((b, cfg.max_text_len), jnp.int32)
+        dummy_mel = jnp.zeros((b, cfg.max_audio_len, cfg.n_mel_bands), jnp.float32)
+        if init_params is None:
+            variables = jax.jit(
+                partial(self.model.init, method=YOHOModel.forward_with_voiceprints)
+            )(jax.random.PRNGKey(0), dummy_tokens, dummy_mel)
+            params = variables["params"]
+        else:
+            params = init_params
+
+        params = shard_params(params, self.mesh, YOHO_RULES)
+        state = jax.jit(
+            lambda p: TrainState.create(
+                apply_fn=self.model.apply, params=p, tx=self.optimizer
+            )
+        )(params)
+
+        restored = load_checkpoint(self.checkpoint_path, state.params, state.opt_state)
+        if restored is not None:
+            step, params, opt_state = restored
+            params = shard_params(params, self.mesh, YOHO_RULES)
+            state = TrainState(
+                step=jnp.asarray(step),
+                apply_fn=self.model.apply,
+                params=params,
+                tx=self.optimizer,
+                opt_state=opt_state,
+            )
+        return state
+
+    # ------------------------------------------------------------------
+    def _build_steps(self) -> None:
+        model, cfg = self.model, self.config.yoho
+
+        def preprocess(audio, tokens, loss_mask):
+            mel = yoho_log_mel(audio.astype(jnp.float32), cfg)
+            return mel, tokens.astype(jnp.int32), loss_mask.astype(jnp.uint8)
+
+        def loss_fn(params, mel, tokens, loss_mask):
+            logits = model.apply({"params": params}, tokens, mel)
+            return masked_ce_loss(logits, tokens, loss_mask)
+
+        def train_step(state, audio, tokens, loss_mask):
+            mel, tokens, loss_mask = preprocess(audio, tokens, loss_mask)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, mel, tokens, loss_mask
+            )
+            # No explicit pmean: grads of data-sharded batches are reduced
+            # by XLA through the sharded dot/reduce ops (GSPMD).
+            state = state.apply_gradients(grads=grads)
+            return state, loss
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+
+        def val_loss_fn(params, audio, tokens, loss_mask):
+            mel, tokens, loss_mask = preprocess(audio, tokens, loss_mask)
+            return loss_fn(params, mel, tokens, loss_mask)
+
+        self._val_loss = jax.jit(val_loss_fn)
+
+        n_val = 2 * self.hp.validation_samples
+
+        def decode_samples(params, audio, prompt):
+            mel = yoho_log_mel(audio.astype(jnp.float32), cfg)
+            variables = {"params": params}
+            xa = model.apply(variables, mel, method=YOHOModel.encode_audio)
+            ckv = model.apply(variables, xa, method=YOHOModel.cross_kvs)
+            caches = model.apply(variables, n_val, jnp.float32,
+                                 method=YOHOModel.init_caches)
+            step = make_yoho_step_fn(model, variables, ckv)
+            tokens, lengths = greedy_decode(
+                step, caches, prompt, cfg.max_text_len, self.tokenizer.eot_id
+            )
+            return tokens, lengths
+
+        self._decode_samples = jax.jit(decode_samples)
+
+    # ------------------------------------------------------------------
+    def _validate(self, update: int) -> float:
+        hp = self.hp
+        val_batch = self.val_dataloader.get_prepared_batch()
+        val_loss = float(self._val_loss(self.state.params, *map(jnp.asarray, val_batch)))
+
+        n = hp.validation_samples
+        train_batch = self.train_dataloader.get_prepared_batch()
+        audio = np.concatenate([val_batch[0][:n], train_batch[0][:n]])
+        tokens = np.concatenate([val_batch[1][:n], train_batch[1][:n]])
+        masks = np.concatenate([val_batch[2][:n], train_batch[2][:n]])
+        prompt = jnp.full((2 * n, 1), self.tokenizer.sot_id, jnp.int32)
+        decoded, _lengths = self._decode_samples(
+            self.state.params, jnp.asarray(audio), prompt
+        )
+        decoded = np.asarray(decoded)
+
+        def _true_len(mask):
+            nz = np.nonzero(mask)[0]
+            return int(nz[-1]) + 1 if len(nz) else 0
+
+        correct = [
+            self.tokenizer.decode(row[: _true_len(m)])
+            for row, m in zip(tokens, masks)
+        ]
+        predicted = [self.tokenizer.decode(row) for row in decoded]
+        self.metrics.write_validation(
+            correct[:n], predicted[:n], correct[n:], predicted[n:]
+        )
+        return val_loss
+
+    # ------------------------------------------------------------------
+    def run(self, max_updates: Optional[int] = None, progress: bool = False) -> None:
+        hp = self.hp
+        acc = hp.accumulated_batches
+        target_steps = (max_updates or hp.updates) * acc
+        ckpt = AsyncCheckpointer(self.checkpoint_path, install_sigterm=True)
+        pbar = None
+        if progress:
+            from tqdm import tqdm
+
+            pbar = tqdm(initial=int(self.state.step) // acc,
+                        total=max_updates or hp.updates)
+
+        acc_loss, seen = 0.0, 0
+        try:
+            while int(self.state.step) < target_steps:
+                step = int(self.state.step)
+                accumulation_step = step % acc
+                batch = self.train_dataloader.get_prepared_batch()
+                batch = shard_batch(self.mesh, tuple(np.asarray(x) for x in batch))
+                self.state, loss = self._train_step(self.state, *batch)
+                acc_loss += float(loss)
+                seen += 1
+
+                if accumulation_step == acc - 1:
+                    update = (step + 1) // acc
+                    batch_loss = acc_loss / max(seen, 1)
+                    acc_loss, seen = 0.0, 0
+                    if pbar is not None:
+                        pbar.update()
+                        pbar.set_postfix_str(f"loss {batch_loss:.4e}")
+
+                    val_loss = None
+                    if update % hp.validation_frequency == 0:
+                        val_loss = self._validate(update)
+                        ckpt.save(self.state.step, self.state.params,
+                                  self.state.opt_state)
+                    self.metrics.log(
+                        update, float(self.lr_schedule(self.state.step)),
+                        batch_loss, val_loss,
+                    )
+        finally:
+            ckpt.save(self.state.step, self.state.params, self.state.opt_state)
+            ckpt.close()
+            if pbar is not None:
+                pbar.close()
