@@ -105,3 +105,25 @@ class AsyncCheckpointer:
             self._cv.notify()
         self._thread.join(timeout=30)
         self.flush()
+
+
+def save_params(path, params) -> None:
+    """Export a params-only artifact (the weights.* session slots)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    data = serialization.msgpack_serialize(
+        serialization.to_state_dict(jax.device_get(params))
+    )
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.write_bytes(data)
+    os.replace(tmp, path)
+
+
+def load_params(path, template):
+    """Restore a params artifact onto a template pytree; None if absent."""
+    path = Path(path)
+    if not path.exists():
+        return None
+    return serialization.from_state_dict(
+        template, serialization.msgpack_restore(path.read_bytes())
+    )

@@ -168,8 +168,12 @@ class TranscriptionDataloader(Dataloader):
         seed: int = 0,
         speechless_ratio: Optional[float] = None,
         augment: bool = True,
+        return_spans: bool = False,
+        max_utterances: int = 8,
         **kwargs,
     ):
+        self.return_spans = return_spans
+        self.max_utterances = max_utterances
         self.config = config
         self.tokenizer = tokenizer
         self.shuffle = shuffle
@@ -234,7 +238,9 @@ class TranscriptionDataloader(Dataloader):
 
     # ------------------------------------------------------------------
     def get_num_batches(self) -> int:
-        return int(self.sizes[-1] // self.batch_size)
+        # At least one batch: sample indices wrap via the index table, so a
+        # corpus smaller than one batch still yields full batches.
+        return max(1, int(self.sizes[-1] // self.batch_size))
 
     def on_epoch(self) -> None:
         self._epoch += 1
@@ -368,4 +374,130 @@ class TranscriptionDataloader(Dataloader):
             loss_mask[r, : min(int(L), T)] = 1
             loss_mask[r][tokens[r] == vp_id] = 0  # voiceprint slots carry no CE loss
 
-        return audio_batch, tokens, loss_mask
+        if not self.return_spans:
+            return audio_batch, tokens, loss_mask
+
+        # Per-utterance sample spans, in the same order as the voiceprint
+        # tokens — stage 4 pairs span u with the u-th <|voiceprint|> slot.
+        U = self.max_utterances
+        spans = np.zeros((self.batch_size, U, 2), np.int32)
+        span_valid = np.zeros((self.batch_size, U), np.uint8)
+        for r, (_audio, utts) in enumerate(samples):
+            for u, (start, end, _text) in enumerate(utts[:U]):
+                spans[r, u] = (max(0, start), min(cfg.n_samples, max(0, end)))
+                span_valid[r, u] = 1
+        return audio_batch, tokens, loss_mask, spans, span_valid
+
+
+# ---------------------------------------------------------------------------
+class AudioChunkDataloader(Dataloader):
+    """Audio-only fixed-length chunks from the noisy+clean corpora (stage 2
+    reconstruction pretraining needs no transcripts)."""
+
+    def __init__(self, config: SessionConfig, batch_size: int, seed: int = 0,
+                 augment: bool = False, dirs: Optional[Sequence[Path]] = None,
+                 **kwargs):
+        self.config = config
+        self.seed = seed
+        self.augment = augment
+        cfg = config.yoho
+
+        files: List[Path] = []
+        for d in (dirs or [config.dataset.noisy, config.dataset.clean]):
+            adir = Path(d) / "audio"
+            if adir.exists():
+                files += [f for f in sorted(adir.iterdir())
+                          if f.suffix.lower() in AUDIO_SUFFIXES]
+        if not files:
+            raise FileNotFoundError(
+                f"No audio files under {[str(d) for d in (dirs or [])] or 'noisy/clean'}"
+            )
+
+        self.files = files
+        # Chunk index: (file_idx, chunk_idx) pairs, computed from durations.
+        self.chunks: List[Tuple[int, int]] = []
+        for fi, f in enumerate(files):
+            audio = load_audio_f32(f, cfg.sample_rate)
+            n = max(1, len(audio) // cfg.n_samples)
+            self.chunks += [(fi, ci) for ci in range(n)]
+        super().__init__(batch_size, **kwargs)
+
+    def get_num_batches(self) -> int:
+        return max(1, len(self.chunks) // self.batch_size)
+
+    def get_batch(self, idx: int):
+        cfg = self.config.yoho
+        rng = np.random.default_rng((self.seed, idx))
+        out = np.zeros((self.batch_size, cfg.n_samples), np.float32)
+        for k in range(self.batch_size):
+            fi, ci = self.chunks[(idx * self.batch_size + k) % len(self.chunks)]
+            audio = load_audio_f32(self.files[fi], cfg.sample_rate)
+            start = ci * cfg.n_samples
+            clip = audio[start : start + cfg.n_samples]
+            if self.augment:
+                clip = augmenter(clip, cfg.sample_rate, rng)[: cfg.n_samples]
+            out[k, : len(clip)] = clip
+        return (out,)
+
+
+class SpeakerDataloader(Dataloader):
+    """Speaker-labeled clips for contrastive training (stage 3).
+
+    Dataset layout: ``dataset.speakers/<speaker_name>/*.wav``. Each batch
+    holds ``batch_size // clips_per_speaker`` distinct speakers with
+    ``clips_per_speaker`` (augmented) clips each -> in-batch positives.
+    Returns (audio (B, n_samples) f32, speaker_ids (B,) int32).
+    """
+
+    def __init__(self, config: SessionConfig, batch_size: int,
+                 clips_per_speaker: int = 2, seed: int = 0, augment: bool = True,
+                 **kwargs):
+        assert batch_size % clips_per_speaker == 0
+        self.config = config
+        self.clips_per_speaker = clips_per_speaker
+        self.seed = seed
+        self.augment = augment
+        cfg = config.yoho
+
+        root = Path(config.dataset.speakers)
+        self.speakers: List[Tuple[str, List[Path]]] = []
+        if root.exists():
+            for spk_dir in sorted(p for p in root.iterdir() if p.is_dir()):
+                files = [f for f in sorted(spk_dir.iterdir())
+                         if f.suffix.lower() in AUDIO_SUFFIXES]
+                if files:
+                    self.speakers.append((spk_dir.name, files))
+        if len(self.speakers) < 2:
+            raise FileNotFoundError(
+                f"Need >=2 speaker dirs with audio under {root} "
+                "(layout: speakers/<name>/*.wav)"
+            )
+        super().__init__(batch_size, **kwargs)
+
+    def get_num_batches(self) -> int:
+        total_clips = sum(len(f) for _n, f in self.speakers)
+        return max(1, total_clips // self.batch_size)
+
+    def get_batch(self, idx: int):
+        cfg = self.config.yoho
+        rng = np.random.default_rng((self.seed, idx))
+        n_spk = self.batch_size // self.clips_per_speaker
+        chosen = rng.choice(len(self.speakers), size=n_spk,
+                            replace=len(self.speakers) < n_spk)
+        audio = np.zeros((self.batch_size, cfg.n_samples), np.float32)
+        ids = np.zeros((self.batch_size,), np.int32)
+        row = 0
+        for spk_idx in chosen:
+            _name, files = self.speakers[int(spk_idx)]
+            for _c in range(self.clips_per_speaker):
+                f = files[int(rng.integers(len(files)))]
+                clip = load_audio_f32(f, cfg.sample_rate)
+                if len(clip) > cfg.n_samples:
+                    off = int(rng.integers(0, len(clip) - cfg.n_samples + 1))
+                    clip = clip[off : off + cfg.n_samples]
+                if self.augment:
+                    clip = augmenter(clip, cfg.sample_rate, rng)[: cfg.n_samples]
+                audio[row, : len(clip)] = clip
+                ids[row] = int(spk_idx)
+                row += 1
+        return audio, ids

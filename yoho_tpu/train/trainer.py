@@ -66,6 +66,7 @@ class ASRTrainer:
         checkpoint_name: str = "checkpoint.msgpack",
         model: Optional[YOHOModel] = None,
         init_params=None,
+        dataloader_kwargs: Optional[dict] = None,
     ):
         self.config = config
         self.stage = stage
@@ -92,6 +93,7 @@ class ASRTrainer:
             use_multiprocessing=use_multiprocessing,
             disable_warnings=True,
             warmup_queue=False,
+            **(dataloader_kwargs or {}),
         )
         self.train_dataloader = TranscriptionDataloader((0.0, 0.9), seed=0, **dl_kwargs)
         try:
@@ -198,7 +200,9 @@ class ASRTrainer:
     def _validate(self, update: int) -> float:
         hp = self.hp
         val_batch = self.val_dataloader.get_prepared_batch()
-        val_loss = float(self._val_loss(self.state.params, *map(jnp.asarray, val_batch)))
+        val_loss = float(
+            self._val_loss(self.state.params, *map(jnp.asarray, val_batch[:3]))
+        )
 
         n = hp.validation_samples
         train_batch = self.train_dataloader.get_prepared_batch()
@@ -269,5 +273,15 @@ class ASRTrainer:
         finally:
             ckpt.save(self.state.step, self.state.params, self.state.opt_state)
             ckpt.close()
+            self._export_weights()
             if pbar is not None:
                 pbar.close()
+
+    def _export_weights(self) -> None:
+        """Write the stage's params artifact into its weights.* slot
+        (stage 1 -> weights.asr, stage 4 -> weights.yoho)."""
+        from yoho_tpu.train.checkpoint import save_params
+
+        target = (self.config.weights.asr if self.stage == 1
+                  else self.config.weights.yoho)
+        save_params(target, self.state.params)
