@@ -1,0 +1,106 @@
+"""Benchmark: Whisper-small batched transcription throughput on one chip.
+
+Measures the BASELINE.md headline metric — audio-seconds transcribed per
+second per chip (real-time factor) — for the full serving path: fused
+on-device log-mel frontend -> encoder -> KV-cached greedy decode, batched
+streams, bf16 compute, everything under jit. Prints ONE JSON line.
+
+The 40x-real-time target comes from BASELINE.json; ``vs_baseline`` is
+RTF / 40.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from yoho_tpu.audio.frontend import whisper_log_mel
+    from yoho_tpu.core.config import WHISPER_PRESETS
+    from yoho_tpu.infer.decode import greedy_decode, make_whisper_step_fn
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    model_name = os.environ.get("BENCH_MODEL", "small")
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "224"))
+    iters = int(os.environ.get("BENCH_ITERS", "3"))
+
+    cfg = WHISPER_PRESETS[model_name]
+    table = WhisperTokenTable(multilingual=True)
+    model = Whisper(cfg, dtype=jnp.bfloat16)
+
+    # Random bf16 params (shapes only matter for throughput).
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.n_frames, cfg.n_mels), jnp.float32),
+        jnp.zeros((1, 4), jnp.int32),
+    )
+    key = jax.random.PRNGKey(0)
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    keys = jax.random.split(key, len(leaves))
+    variables = jax.tree_util.tree_unflatten(
+        treedef,
+        [
+            (jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02).astype(s.dtype)
+            if jnp.issubdtype(s.dtype, jnp.floating)
+            else jnp.zeros(s.shape, s.dtype)
+            for k, s in zip(keys, leaves)
+        ],
+    )
+
+    prompt_ids = table.sot_sequence("en", "transcribe", timestamps=False)
+    prompt = jnp.asarray([prompt_ids] * batch, jnp.int32)
+    max_len = len(prompt_ids) + decode_tokens
+
+    def run(variables, audio):
+        mel = whisper_log_mel(audio, n_mels=cfg.n_mels)
+        xa = model.apply(variables, mel, method=Whisper.encode_audio)
+        ckv = model.apply(variables, xa, method=Whisper.cross_kvs)
+        caches = model.apply(variables, batch, jnp.bfloat16,
+                             method=Whisper.init_caches)
+        step = make_whisper_step_fn(model, variables, ckv)
+        tokens, lengths = greedy_decode(step, caches, prompt, max_len, table.eot)
+        return tokens, lengths
+
+    fn = jax.jit(run)
+
+    g = np.random.default_rng(0)
+    audio = jnp.asarray(g.standard_normal((batch, cfg.n_samples)).astype(np.float32)
+                        * 0.1)
+
+    # Warmup/compile.
+    tokens, lengths = fn(variables, audio)
+    tokens.block_until_ready()
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        tokens, lengths = fn(variables, audio)
+        tokens.block_until_ready()
+        times.append(time.perf_counter() - t0)
+
+    best = min(times)
+    audio_seconds = batch * cfg.chunk_seconds
+    rtf = audio_seconds / best
+    tok_per_sec = batch * decode_tokens / best
+
+    result = {
+        "metric": f"whisper-{model_name} audio-seconds transcribed /sec/chip "
+                  f"(B={batch}, {decode_tokens} decode tokens; "
+                  f"{tok_per_sec:.0f} tok/s)",
+        "value": round(rtf, 2),
+        "unit": "audio_s/s",
+        "vs_baseline": round(rtf / 40.0, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+import datetime as dt
+import wave
+
+import numpy as np
+
+from yoho_tpu.cli.create_session import main as create_main
+from yoho_tpu.cli.plot_metrics import _read_metrics
+from yoho_tpu.cli.split_tracks import main as split_main, split_track
+from yoho_tpu.text.srt import Subtitle, compose_srt, parse_srt
+from yoho_tpu.utils.profiling import Timer, trace
+
+
+def _sub(i, a, b, text="x"):
+    return Subtitle(i, dt.timedelta(seconds=a), dt.timedelta(seconds=b), text)
+
+
+def test_split_track_never_cuts_speech():
+    sr = 100
+    audio = np.arange(sr * 20, dtype=np.float32)
+    subs = [_sub(1, 1, 2, "a"), _sub(2, 4, 9, "b"), _sub(3, 9.5, 11, "c"),
+            _sub(4, 15, 16, "d")]
+    chunks = split_track(audio, subs, sr, dt.timedelta(seconds=8))
+    # every utterance lands in exactly one chunk, fully inside it
+    all_texts = [s.content for _a, ss in chunks for s in ss]
+    assert sorted(all_texts) == ["a", "b", "c", "d"]
+    for chunk_audio, ss in chunks:
+        for s in ss:
+            assert s.start >= dt.timedelta(0)
+            assert s.end.total_seconds() * sr <= len(chunk_audio) + sr  # within chunk
+
+
+def test_split_tracks_cli(tmp_path):
+    sr = 16000
+    src = tmp_path / "src"
+    (src / "audio").mkdir(parents=True)
+    (src / "transcripts").mkdir()
+    audio = (np.random.default_rng(0).standard_normal(sr * 10) * 0.05).astype(np.float32)
+    pcm = np.clip(audio * 32768, -32768, 32767).astype(np.int16)
+    with wave.open(str(src / "audio" / "a.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(pcm.tobytes())
+    subs = [_sub(1, 0.5, 1.5, "one"), _sub(2, 4, 5, "two"), _sub(3, 8, 9, "three")]
+    (src / "transcripts" / "a.srt").write_text(compose_srt(subs))
+
+    dst = tmp_path / "dst"
+    split_main([str(src), str(dst), "--approx_duration", "4", "--workers", "1"])
+    out_audio = sorted((dst / "audio").iterdir())
+    out_srt = sorted((dst / "transcripts").iterdir())
+    assert len(out_audio) == len(out_srt) >= 2
+    # rebased timestamps start near zero and parse cleanly
+    first = list(parse_srt(out_srt[0].read_text()))
+    assert first[0].start < dt.timedelta(seconds=4)
+
+
+def test_read_metrics(tmp_path):
+    p = tmp_path / "metrics.csv"
+    p.write_text("update,learning_rate,loss,val_loss\n1,0.1,2.0,\n2,0.1,1.5,1.4\n")
+    updates, lrs, losses, vu, vl = _read_metrics(p)
+    assert updates == [1.0, 2.0]
+    assert vl == [1.4] and vu == [2.0]
+
+
+def test_create_session_cli(tmp_path, capsys):
+    assert create_main(["x", "--root", str(tmp_path)]) == 0
+    assert create_main(["x", "--root", str(tmp_path)]) == 1  # duplicate
+
+
+def test_timer_and_trace():
+    t = Timer()
+    with t.section("a"):
+        pass
+    with t.section("a"):
+        pass
+    assert t.counts["a"] == 2
+    assert "a" in t.report()
+    with trace(None):  # no-op path
+        pass

@@ -1,0 +1,128 @@
+"""CLI: transcribe audio files (the serving entry point the reference only
+sketched as a ``__main__`` demo, ``yoho/src/nn/whisper.py:206-285``).
+
+Two model sources:
+  * ``--hf <path-or-repo>``: a HuggingFace Whisper checkpoint (converted
+    on the fly via yoho_tpu.nn.convert);
+  * ``--session <name>``: a trained YOHO session (weights.yoho or
+    weights.asr + the session tokenizer), including voiceprints.
+
+Usage: ``python -m yoho_tpu.cli.transcribe file1.wav [file2.wav ...]
+          (--hf openai/whisper-small | --session main) [--beams 5]
+          [--language en] [--batch 8] [--json]``
+"""
+
+import argparse
+import json as jsonlib
+from pathlib import Path
+
+
+def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: str,
+                              timestamps: bool):
+    import jax.numpy as jnp
+
+    from yoho_tpu.infer.pipeline import Transcriber
+    from yoho_tpu.nn.convert import load_hf_whisper
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    cfg, params = load_hf_whisper(hf_path)
+    model = Whisper(cfg, dtype=jnp.bfloat16)
+    v3 = cfg.n_vocab == 51866
+    multilingual = cfg.n_vocab != 51864
+    table = WhisperTokenTable(multilingual=multilingual, v3=v3)
+    try:  # text rendering needs the HF tokenizer files (optional)
+        from transformers import WhisperTokenizer
+
+        table.text_backend = WhisperTokenizer.from_pretrained(hf_path)
+    except Exception:
+        pass
+    return Transcriber(
+        model, {"params": params}, family="whisper", token_table=table,
+        batch_size=batch, beams=beams, language=language,
+        cache_dtype=jnp.bfloat16, timestamps=timestamps,
+    )
+
+
+def build_yoho_transcriber(session: str, root: str, beams: int, batch: int):
+    import jax
+    import jax.numpy as jnp
+
+    from yoho_tpu.core.config import load_session_config
+    from yoho_tpu.infer.pipeline import Transcriber
+    from yoho_tpu.nn.yoho import YOHOModel
+    from yoho_tpu.text.tokenizer import YOHOTokenizer
+    from yoho_tpu.train.checkpoint import load_params
+
+    config = load_session_config(session, root)
+    tok = YOHOTokenizer.load(config.weights.tokenizer)
+    vp_dim = config.hyperparameters.voiceprint_finetune.embedding_dim
+    model = YOHOModel(config.yoho, tok.vocab_size, voiceprint_dim=vp_dim,
+                      dtype=jnp.bfloat16)
+
+    cfg = config.yoho
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.max_text_len), jnp.int32),
+        jnp.zeros((1, cfg.max_audio_len, cfg.n_mel_bands), jnp.float32),
+        method=YOHOModel.forward_with_voiceprints,
+    )["params"]
+    params = None
+    for slot in (config.weights.yoho, config.weights.asr):
+        params = load_params(slot, template)
+        if params is not None:
+            break
+    if params is None:
+        raise FileNotFoundError(
+            f"No trained weights at {config.weights.yoho} or {config.weights.asr}"
+        )
+    return Transcriber(model, {"params": params}, family="yoho", tokenizer=tok,
+                       batch_size=batch, beams=beams, cache_dtype=jnp.bfloat16)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Transcribe audio files")
+    parser.add_argument("files", nargs="+", type=str)
+    src = parser.add_mutually_exclusive_group(required=True)
+    src.add_argument("--hf", type=str, help="HF Whisper checkpoint path/repo")
+    src.add_argument("--session", type=str, help="YOHO training session name")
+    parser.add_argument("--root", type=str, default="./sessions")
+    parser.add_argument("--language", type=str, default="en")
+    parser.add_argument("--beams", type=int, default=0)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--no-timestamps", action="store_true")
+    parser.add_argument("--json", action="store_true", help="JSONL output")
+    args = parser.parse_args(argv)
+
+    if args.hf:
+        t = build_whisper_transcriber(args.hf, args.beams, args.batch,
+                                      args.language, not args.no_timestamps)
+    else:
+        t = build_yoho_transcriber(args.session, args.root, args.beams, args.batch)
+
+    for f in args.files:
+        result = t.transcribe(f)
+        if args.json:
+            print(jsonlib.dumps({
+                "file": f,
+                "text": result.text,
+                "language": result.language,
+                "segments": [
+                    {"start": s.start, "end": s.end, "text": s.text,
+                     "voiceprint": (s.voiceprint.tolist()
+                                    if s.voiceprint is not None else None)}
+                    for s in result.segments
+                ],
+            }, ensure_ascii=False))
+        else:
+            print(f"== {f}")
+            for s in result.segments:
+                vp = " 🎙️" if s.voiceprint is not None else ""
+                print(f"[{s.start:7.2f} - {s.end:7.2f}]{vp} {s.text}")
+            if not result.segments:
+                print(result.text or "(no speech detected)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
