@@ -117,12 +117,14 @@ def test_swiglu_shapes():
 
 
 def test_kv_cache_update():
-    cache = KVCache.zeros(2, 8, 2, 4, jnp.float32)
-    k_new = jnp.ones((2, 1, 2, 4))
+    # time-minor layout: (batch, kv_heads, head_dim, max_len)
+    cache = KVCache.zeros(2, 2, 8, 4, jnp.float32)
+    assert cache.k.shape == (2, 2, 4, 8) and cache.max_len == 8
+    k_new = jnp.ones((2, 2, 4, 1))
     c2 = cache.update(3, k_new, k_new * 2)
-    assert float(c2.k[0, 3, 0, 0]) == 1.0
-    assert float(c2.v[0, 3, 0, 0]) == 2.0
-    assert float(c2.k[0, 2, 0, 0]) == 0.0
+    assert float(c2.k[0, 0, 0, 3]) == 1.0
+    assert float(c2.v[0, 0, 0, 3]) == 2.0
+    assert float(c2.k[0, 0, 0, 2]) == 0.0
 
 
 def test_causal_mask():

@@ -1,0 +1,96 @@
+"""HTTP serving layer test: real socket round-trip against a tiny model."""
+
+import io
+import json
+import threading
+import urllib.request
+import wave
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yoho_tpu.cli.serve import serve
+from yoho_tpu.core.config import YOHOConfig
+from yoho_tpu.infer.pipeline import Transcriber
+from yoho_tpu.nn.yoho import YOHOModel
+from yoho_tpu.text.tokenizer import train_tokenizer
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = YOHOConfig(
+        n_mel_bands=16, max_audio_len=32, max_text_len=16, dims=32,
+        n_audio_heads=4, n_audio_blocks=1, n_text_heads=4, n_text_blocks=1,
+    )
+    tok = train_tokenizer(["hello world"] * 3, vocab_size=32 + 3 + 256 + 50,
+                          max_audio_len=cfg.max_audio_len, backend="python")
+    model = YOHOModel(cfg, vocab_size=tok.vocab_size)
+    g = np.random.default_rng(0)
+    mel = jnp.asarray(g.standard_normal((1, cfg.max_audio_len, cfg.n_mel_bands))
+                      .astype(np.float32))
+    tokens = jnp.asarray(g.integers(0, tok.vocab_size, size=(1, cfg.max_text_len)))
+    variables = model.init(jax.random.PRNGKey(0), tokens, mel,
+                           method=YOHOModel.forward_with_voiceprints)
+    t = Transcriber(model, variables, family="yoho", tokenizer=tok, batch_size=1)
+
+    srv = serve(t, port=0)  # ephemeral port
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz") as r:
+        assert json.load(r)["status"] == "ok"
+
+
+def test_transcribe_wav_roundtrip(server):
+    buf = io.BytesIO()
+    pcm = (np.zeros(5360) * 32767).astype(np.int16)
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    req = urllib.request.Request(
+        server + "/transcribe", data=buf.getvalue(),
+        headers={"Content-Type": "audio/wav"}, method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        payload = json.load(r)
+    assert "text" in payload and "segments" in payload
+    assert payload["language"] == "en"
+
+
+def test_transcribe_raw_f32(server):
+    audio = np.zeros(5360, np.float32)
+    req = urllib.request.Request(
+        server + "/transcribe", data=audio.tobytes(),
+        headers={"Content-Type": "application/octet-stream"}, method="POST",
+    )
+    with urllib.request.urlopen(req) as r:
+        assert "text" in json.load(r)
+
+
+def test_bad_content_type(server):
+    req = urllib.request.Request(
+        server + "/transcribe", data=b"junk",
+        headers={"Content-Type": "text/plain"}, method="POST",
+    )
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected HTTPError"
+    except urllib.error.HTTPError as e:
+        assert e.code == 415
+
+
+def test_unknown_path(server):
+    try:
+        urllib.request.urlopen(server + "/nope")
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 404

@@ -9,6 +9,9 @@ from yoho_tpu.train.session import create_session
 
 
 def main(argv=None):
+    from yoho_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description="Create a new YOHO training session")
     parser.add_argument("name", type=str, nargs="?", default="main",
                         help="Name of the session")

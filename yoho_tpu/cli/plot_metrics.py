@@ -80,6 +80,9 @@ def plot_live(file_path: Path, poll_seconds: float = 2.0, once: bool = False):
 
 
 def main(argv=None):
+    from yoho_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description="Shows live plot of a training session")
     parser.add_argument("name", type=str)
     parser.add_argument("stage", type=int, choices=[0, 1, 2, 3, 4])

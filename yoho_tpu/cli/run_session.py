@@ -20,6 +20,9 @@ STAGE_HELP = (
 
 
 def main(argv=None):
+    from yoho_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(
         description="Starts/Resumes the training of a session",
         formatter_class=argparse.RawTextHelpFormatter,

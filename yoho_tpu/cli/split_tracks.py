@@ -67,6 +67,9 @@ def process_file(args):
 
 
 def main(argv=None):
+    from yoho_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(
         description="Split audio+SRT pairs into chunks at utterance boundaries."
     )

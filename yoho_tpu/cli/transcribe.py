@@ -81,6 +81,9 @@ def build_yoho_transcriber(session: str, root: str, beams: int, batch: int):
 
 
 def main(argv=None):
+    from yoho_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser(description="Transcribe audio files")
     parser.add_argument("files", nargs="+", type=str)
     src = parser.add_mutually_exclusive_group(required=True)

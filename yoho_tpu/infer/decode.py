@@ -67,7 +67,8 @@ def greedy_decode(
     Returns ``(tokens (B, max_len) int32, lengths (B,) int32)``. After a
     stream emits ``eot_id`` its remaining positions are filled with
     ``eot_id``. ``lengths`` counts tokens up to and including EOT.
-    ``logits_fn(logits, pos)`` optionally post-processes logits per step
+    ``logits_fn(logits, tokens, pos)`` optionally post-processes logits per
+    step, seeing the full token buffer and the position being generated
     (timestamp rules etc.) — must be jit-traceable.
     """
     b, p = prompt.shape
@@ -81,15 +82,15 @@ def greedy_decode(
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
-    def pick(logits, pos, key):
+    def pick(logits, tokens, pos, key):
         logits = _suppress(logits, suppress_ids)
         if logits_fn is not None:
-            logits = logits_fn(logits, pos)
+            logits = logits_fn(logits, tokens, pos)
         if temperature > 0.0:
             return jax.random.categorical(key, logits / temperature, axis=-1)
         return jnp.argmax(logits, axis=-1)
 
-    first = pick(logits, p, jax.random.fold_in(rng, p)).astype(jnp.int32)
+    first = pick(logits, tokens, p, jax.random.fold_in(rng, p)).astype(jnp.int32)
     tokens = tokens.at[:, p].set(first)
     finished0 = first == eot_id
 
@@ -101,7 +102,8 @@ def greedy_decode(
         pos, tokens, caches, finished = state
         cur = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))
         logits, caches = step_fn(cur, caches, pos)
-        nxt = pick(logits, pos + 1, jax.random.fold_in(rng, pos + 1)).astype(jnp.int32)
+        nxt = pick(logits, tokens, pos + 1,
+                   jax.random.fold_in(rng, pos + 1)).astype(jnp.int32)
         nxt = jnp.where(finished, eot_id, nxt)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
         finished = jnp.logical_or(finished, nxt == eot_id)

@@ -125,9 +125,16 @@ class Transcriber:
             return self._jitted[key]
 
         model, variables = self.model, self.variables
-        prompt = np.asarray([self._prompt_ids()] * batch, np.int32)
+        prompt_ids = self._prompt_ids()
+        prompt = np.asarray([prompt_ids] * batch, np.int32)
         suppress = self._suppress_ids()
         k = self.beams if self.beams > 1 else 0
+
+        logits_fn = None
+        if self.family == "whisper" and self.timestamps and not k:
+            from yoho_tpu.infer.whisper_rules import make_timestamp_rules
+
+            logits_fn = make_timestamp_rules(self.token_table, len(prompt_ids))
 
         def run(variables, mel):
             xa = model.apply(variables, mel, method=type(model).encode_audio)
@@ -147,7 +154,7 @@ class Transcriber:
                 step = self._make_step(ckv)
                 tokens, lengths = greedy_decode(
                     step, caches, jnp.asarray(prompt), self.max_len, self.eot,
-                    suppress_ids=suppress,
+                    suppress_ids=suppress, logits_fn=logits_fn,
                 )
             return tokens, lengths
 

@@ -92,6 +92,18 @@ int64_t yoho_wav_decode(const char* path, float** out, int32_t* sr_out) {
 
     const uint8_t* p = data.data();
     const float inv_ch = 1.0f / (float)channels;
+
+    // Fast path: mono 16-bit PCM (the dominant training format) — tight
+    // vectorizable loop, no per-sample channel mixing.
+    if (fmt == 1 && bits == 16 && channels == 1) {
+        const int16_t* s16 = (const int16_t*)p;
+        constexpr float kInv = 1.0f / 32768.0f;
+        for (int64_t i = 0; i < frames; ++i) mono[i] = (float)s16[i] * kInv;
+        *out = mono;
+        *sr_out = (int32_t)rate;
+        return frames;
+    }
+
     for (int64_t i = 0; i < frames; ++i) {
         float acc = 0.0f;
         for (uint16_t c = 0; c < channels; ++c) {

@@ -36,38 +36,71 @@ from flax import struct
 class KVCache:
     """Static-shape decode cache for one attention layer.
 
-    k/v: (batch, max_len, kv_heads, head_dim). ``index`` is implicit — the
-    caller passes the write position so caches stay pure data.
+    k/v: (batch, kv_heads, head_dim, max_len) — time-MINOR layout, chosen
+    for TPU memory tiling: HBM arrays are tiled in their last two dims with
+    128 lanes, so a time-major (…, T, 64) cache is physically padded to
+    (…, T, 128) — 2x HBM traffic on the decode hot loop — and the batched
+    GEMV then needs a full-cache transpose on top (measured: ~3x total
+    step cost at whisper-small B=64). With D=64 sublanes x T lanes both
+    K·q and V·w contract MXU-natively with zero padding and zero
+    transposes. ``index`` is implicit — the caller passes the write
+    position so caches stay pure data.
     """
 
     k: jnp.ndarray
     v: jnp.ndarray
 
     @classmethod
-    def zeros(cls, batch: int, max_len: int, kv_heads: int, head_dim: int, dtype=jnp.bfloat16):
-        shape = (batch, max_len, kv_heads, head_dim)
+    def zeros(cls, batch: int, kv_heads: int, max_len: int, head_dim: int,
+              dtype=jnp.bfloat16):
+        shape = (batch, kv_heads, head_dim, max_len)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
     def update(self, pos, k_new: jnp.ndarray, v_new: jnp.ndarray) -> "KVCache":
-        """Write (B, S, H, D) new entries at time offset ``pos``."""
-        k = jax.lax.dynamic_update_slice(self.k, k_new.astype(self.k.dtype), (0, pos, 0, 0))
-        v = jax.lax.dynamic_update_slice(self.v, v_new.astype(self.v.dtype), (0, pos, 0, 0))
+        """Write (B, H, D, S) new entries at time offset ``pos``."""
+        k = jax.lax.dynamic_update_slice(
+            self.k, k_new.astype(self.k.dtype), (0, 0, 0, pos)
+        )
+        v = jax.lax.dynamic_update_slice(
+            self.v, v_new.astype(self.v.dtype), (0, 0, 0, pos)
+        )
         return KVCache(k=k, v=v)
 
 
+def _bhsd(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, S, H, D) -> (B, H, S, D)."""
+    return x.transpose(0, 2, 1, 3)
+
+
+def _bhdt(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, S, H, D) -> (B, H, D, S) — the KV storage layout."""
+    return x.transpose(0, 2, 3, 1)
+
+
 def _attend(
-    q: jnp.ndarray,  # (B, S, H, D) — pre-scaled
-    k: jnp.ndarray,  # (B, T, H, D) — pre-scaled
-    v: jnp.ndarray,  # (B, T, H, D)
+    q: jnp.ndarray,  # (B, H, S, D) — pre-scaled
+    k: jnp.ndarray,  # (B, H, D, T) — pre-scaled, time-minor
+    v: jnp.ndarray,  # (B, H, D, T) — time-minor
     mask: Optional[jnp.ndarray],  # broadcastable to (B, H, S, T), bool
     dtype,
 ) -> jnp.ndarray:
-    scores = jnp.einsum("bshd,bthd->bhst", q, k, preferred_element_type=jnp.float32)
+    """Attention against time-minor K/V; returns (B, S, H, D).
+
+    Both contractions are MXU-native in this layout: scores contract D
+    (q lanes x k sublanes), and the value product is computed transposed —
+    out^T = V (D, T) @ w^T (T, S) — so the only transposes touch the tiny
+    (S, T) weight matrix and the (D, S) output block, never the caches.
+    """
+    scores = jnp.einsum("bhsd,bhdt->bhst", q, k, preferred_element_type=jnp.float32)
     if mask is not None:
         scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
     w = jax.nn.softmax(scores, axis=-1).astype(dtype)
-    out = jnp.einsum("bhst,bthd->bshd", w, v)
-    return out
+    out_t = jnp.einsum("bhdt,bhst->bhds", v, w)  # (B, H, D, S)
+    return out_t.transpose(0, 3, 1, 2)  # -> (B, S, H, D)
 
 
 def causal_mask(s: int, t: int, offset: int = 0) -> jnp.ndarray:
@@ -96,12 +129,17 @@ class MultiHeadAttention(nn.Module):
         (out, new_cache)
       * cached cross decode:   ``__call__(x, cross_kv=(k, v))`` where k/v
         were precomputed once via :meth:`kv`.
+
+    ``use_flash=True`` routes full (un-cached, un-masked or causal)
+    attention through the Pallas flash kernel (``yoho_tpu.ops``) — for long
+    encoder sequences where the materialized (T x T) score matrix hurts.
     """
 
     n_state: int
     n_head: int
     k_bias: bool = False  # OpenAI Whisper: key projection has no bias
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     def setup(self):
         d = self.dtype
@@ -116,10 +154,11 @@ class MultiHeadAttention(nn.Module):
 
     def kv(self, xa: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Precompute cross-attention K/V from encoder output (once per
-        utterance; the decode loop then never touches the encoder)."""
+        utterance; the decode loop then never touches the encoder).
+        Returned time-minor (B, H, D, T)."""
         scale = (self.n_state // self.n_head) ** -0.25
-        k = self._split(self.k_proj(xa)) * scale
-        v = self._split(self.v_proj(xa))
+        k = _bhdt(self._split(self.k_proj(xa)) * scale)
+        v = _bhdt(self._split(self.v_proj(xa)))
         return k, v
 
     def __call__(
@@ -132,19 +171,35 @@ class MultiHeadAttention(nn.Module):
         cross_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ):
         scale = (self.n_state // self.n_head) ** -0.25
-        q = self._split(self.q_proj(x)) * scale
+
+        if self.use_flash and cache is None and cross_kv is None:
+            # Full-sequence path through the Pallas flash kernel. ``mask``
+            # None == bidirectional (encoder); a causal mask from
+            # causal_mask() maps to causal=True.
+            from yoho_tpu.ops.flash_attention import flash_attention
+
+            src = x if xa is None else xa
+            q4 = self._split(self.q_proj(x))
+            k4 = self._split(self.k_proj(src))
+            v4 = self._split(self.v_proj(src))
+            out = flash_attention(q4, k4, v4, causal=mask is not None,
+                                  scale=scale * scale)
+            b, s = x.shape[:2]
+            return self.out_proj(out.reshape(b, s, self.n_state))
+
+        q = _bhsd(self._split(self.q_proj(x)) * scale)
 
         new_cache = None
         if cross_kv is not None:
-            k, v = cross_kv  # already scaled by kv()
+            k, v = cross_kv  # already scaled + time-minor from kv()
         else:
             src = x if xa is None else xa
-            k = self._split(self.k_proj(src)) * scale
-            v = self._split(self.v_proj(src))
+            k = _bhdt(self._split(self.k_proj(src)) * scale)
+            v = _bhdt(self._split(self.v_proj(src)))
             if cache is not None:
                 new_cache = cache.update(pos, k, v)
                 k, v = new_cache.k, new_cache.v
-                mask = decode_mask(k.shape[1], pos, x.shape[1])
+                mask = decode_mask(k.shape[3], pos, x.shape[1])
 
         out = _attend(q, k.astype(q.dtype), v.astype(q.dtype), mask, self.dtype)
         b, s = x.shape[:2]
@@ -259,12 +314,13 @@ class GroupedQueryAttention(nn.Module):
         self.out_proj = nn.Dense(self.dims, use_bias=False, dtype=d, name="out_proj")
 
     def kv(self, xa: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Precompute (rotated) cross-attention K/V from encoder output."""
+        """Precompute (rotated) cross-attention K/V from encoder output.
+        Returned time-minor (B, H, D, T)."""
         k = self.k_proj(xa)
         v = self.v_proj(xa)
         cos, sin = rope_angles(jnp.arange(xa.shape[1]), k.shape[-1], self.rope_variant)
         k = apply_rope(k, cos, sin)
-        return k, v
+        return _bhdt(k), _bhdt(v)
 
     def __call__(
         self,
@@ -287,7 +343,7 @@ class GroupedQueryAttention(nn.Module):
 
         new_cache = None
         if cross_kv is not None:
-            k, v = cross_kv
+            k, v = cross_kv  # time-minor from kv()
         else:
             src = x if xa is None else xa
             k = self.k_proj(src)
@@ -295,17 +351,18 @@ class GroupedQueryAttention(nn.Module):
             k_pos = jnp.arange(src.shape[1]) if pos is None else pos + jnp.arange(src.shape[1])
             cos_k, sin_k = rope_angles(k_pos, head_dim, self.rope_variant)
             k = apply_rope(k, cos_k, sin_k)
+            k, v = _bhdt(k), _bhdt(v)
             if cache is not None:
                 new_cache = cache.update(pos, k, v)
                 k, v = new_cache.k, new_cache.v
-                mask = decode_mask(k.shape[1], pos, s)
+                mask = decode_mask(k.shape[3], pos, s)
 
-        # Expand KV heads across query groups: (B, T, Hkv, D) -> (B, T, Hq, D).
+        # Expand KV heads across query groups: (B, Hkv, T, D) -> (B, Hq, T, D).
         if groups > 1:
-            k = jnp.repeat(k, groups, axis=2)
-            v = jnp.repeat(v, groups, axis=2)
+            k = jnp.repeat(k, groups, axis=1)
+            v = jnp.repeat(v, groups, axis=1)
 
-        q = q * (head_dim**-0.5)
+        q = _bhsd(q) * (head_dim**-0.5)
         out = _attend(q, k.astype(q.dtype), v.astype(q.dtype), mask, self.dtype)
         out = self.out_proj(out.reshape(b, s, self.q_heads * head_dim))
         if cache is not None:

@@ -41,10 +41,12 @@ class EncoderBlock(nn.Module):
     n_state: int
     n_head: int
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     def setup(self):
         self.ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")
-        self.attn = MultiHeadAttention(self.n_state, self.n_head, dtype=self.dtype, name="attn")
+        self.attn = MultiHeadAttention(self.n_state, self.n_head, dtype=self.dtype,
+                                       use_flash=self.use_flash, name="attn")
         self.ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")
         self.mlp = MLP(self.n_state, dtype=self.dtype, name="mlp")
 
@@ -90,6 +92,7 @@ class DecoderBlock(nn.Module):
 class AudioEncoder(nn.Module):
     cfg: WhisperConfig
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
@@ -102,7 +105,8 @@ class AudioEncoder(nn.Module):
         x = nn.gelu(x, approximate=False)
         x = x + jnp.asarray(sinusoids(c.n_audio_ctx, c.n_audio_state), d)
         for i in range(c.n_audio_layer):
-            x = EncoderBlock(c.n_audio_state, c.n_audio_head, dtype=d, name=f"blocks_{i}")(x)
+            x = EncoderBlock(c.n_audio_state, c.n_audio_head, dtype=d,
+                             use_flash=self.use_flash, name=f"blocks_{i}")(x)
         return nn.LayerNorm(epsilon=1e-5, dtype=d, name="ln_post")(x)
 
 
@@ -140,11 +144,12 @@ class TextDecoder(nn.Module):
             x = blk(x, xa, mask)
         return self._logits(self.ln(x))
 
-    def init_caches(self, batch: int, dtype=None) -> List[KVCache]:
+    def init_caches(self, batch: int, dtype=None, max_len=None) -> List[KVCache]:
         c = self.cfg
         dtype = dtype or self.dtype
+        max_len = max_len or c.n_text_ctx
         return [
-            KVCache.zeros(batch, c.n_text_ctx, c.n_text_head,
+            KVCache.zeros(batch, c.n_text_head, max_len,
                           c.n_text_state // c.n_text_head, dtype)
             for _ in range(c.n_text_layer)
         ]
@@ -174,9 +179,11 @@ class Whisper(nn.Module):
 
     cfg: WhisperConfig
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False  # Pallas flash attention in the encoder
 
     def setup(self):
-        self.encoder = AudioEncoder(self.cfg, dtype=self.dtype, name="encoder")
+        self.encoder = AudioEncoder(self.cfg, dtype=self.dtype,
+                                    use_flash=self.use_flash, name="encoder")
         self.decoder = TextDecoder(self.cfg, dtype=self.dtype, name="decoder")
 
     def __call__(self, mel: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
@@ -191,8 +198,8 @@ class Whisper(nn.Module):
     def cross_kvs(self, xa: jnp.ndarray):
         return self.decoder.cross_kvs(xa)
 
-    def init_caches(self, batch: int, dtype=None):
-        return self.decoder.init_caches(batch, dtype)
+    def init_caches(self, batch: int, dtype=None, max_len=None):
+        return self.decoder.init_caches(batch, dtype, max_len)
 
     def decode_step(self, tokens, caches, cross_kvs, pos):
         return self.decoder.decode_step(tokens, caches, cross_kvs, pos)

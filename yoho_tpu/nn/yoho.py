@@ -159,12 +159,12 @@ class YOHOTextDecoder(nn.Module):
         vp = vp / jnp.maximum(jnp.linalg.norm(vp, axis=-1, keepdims=True), 1e-6)
         return self._logits(h), vp
 
-    def init_caches(self, batch: int, dtype=None) -> List[KVCache]:
+    def init_caches(self, batch: int, dtype=None, max_len=None) -> List[KVCache]:
         c = self.cfg
         kvh = max(1, c.n_text_heads // 2)
         return [
-            KVCache.zeros(batch, c.max_text_len, kvh, c.dims // c.n_text_heads,
-                          dtype or self.dtype)
+            KVCache.zeros(batch, kvh, max_len or c.max_text_len,
+                          c.dims // c.n_text_heads, dtype or self.dtype)
             for _ in range(c.n_text_blocks)
         ]
 
@@ -213,8 +213,8 @@ class YOHOModel(nn.Module):
     def cross_kvs(self, xa):
         return self.decoder.cross_kvs(xa)
 
-    def init_caches(self, batch: int, dtype=None):
-        return self.decoder.init_caches(batch, dtype)
+    def init_caches(self, batch: int, dtype=None, max_len=None):
+        return self.decoder.init_caches(batch, dtype, max_len)
 
     def decode_step(self, tokens, caches, cross_kvs, pos):
         return self.decoder.decode_step(tokens, caches, cross_kvs, pos)
