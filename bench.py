@@ -28,9 +28,11 @@ def main():
     from yoho_tpu.text.whisper_tokens import WhisperTokenTable
 
     model_name = os.environ.get("BENCH_MODEL", "small")
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "224"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
+    quantized_kv = os.environ.get("BENCH_QUANTIZED_KV", "1") == "1"
+
 
     cfg = WHISPER_PRESETS[model_name]
     table = WhisperTokenTable(multilingual=True)
@@ -62,7 +64,7 @@ def main():
     def run_once(variables, audio):
         mel = whisper_log_mel(audio, n_mels=cfg.n_mels)
         xa = model.apply(variables, mel, method=Whisper.encode_audio)
-        ckv = model.apply(variables, xa, method=Whisper.cross_kvs)
+        ckv = model.apply(variables, xa, quantized_kv, method=Whisper.cross_kvs)
         # Cache sized to the actual decode horizon (rounded up to a lane
         # multiple), not the full 448-token context: halves self-KV traffic.
         cache_len = -(-max_len // 128) * 128
@@ -108,7 +110,8 @@ def main():
 
     result = {
         "metric": f"whisper-{model_name} audio-seconds transcribed /sec/chip "
-                  f"(B={batch}, {decode_tokens} decode tokens; "
+                  f"(B={batch}, {decode_tokens} decode tokens"
+                  f"{', int8 cross-KV' if quantized_kv else ''}; "
                   f"{tok_per_sec:.0f} tok/s)",
         "value": round(rtf, 2),
         "unit": "audio_s/s",

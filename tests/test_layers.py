@@ -169,3 +169,22 @@ def test_yoho_model_shapes_and_cache_invariant():
         )
         outs.append(np.asarray(step)[:, 0])
     np.testing.assert_allclose(np.stack(outs, 1), np.asarray(full), atol=2e-4)
+
+
+def test_quantized_kv_close_to_exact():
+    from yoho_tpu.nn.layers import _attend, _attend_quantized, quantize_kv
+
+    g = np.random.default_rng(7)
+    B, H, D, T, S = 2, 3, 16, 32, 1
+    q = jnp.asarray(g.standard_normal((B, H, S, D)).astype(np.float32))
+    k = jnp.asarray(g.standard_normal((B, H, D, T)).astype(np.float32))
+    v = jnp.asarray(g.standard_normal((B, H, D, T)).astype(np.float32))
+
+    exact = _attend(q, k, v, None, jnp.float32)
+    quant = _attend_quantized(q, quantize_kv(k, v), None, jnp.float32)
+    np.testing.assert_allclose(np.asarray(quant), np.asarray(exact),
+                               atol=5e-2, rtol=5e-2)
+    # int8 storage really is int8
+    qkv = quantize_kv(k, v)
+    assert qkv.k_q.dtype == jnp.int8 and qkv.v_q.dtype == jnp.int8
+    assert qkv.k_scale.shape == (B, H, 1, T)

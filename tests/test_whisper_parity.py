@@ -158,3 +158,28 @@ def test_prefill_then_step(ours):
     full = model.apply(variables, tokens[:, :5], xa, method=Whisper.decode_text)
     np.testing.assert_allclose(np.asarray(logits_p)[:, -1], np.asarray(full)[:, 3], atol=2e-4)
     np.testing.assert_allclose(np.asarray(logits_5)[:, 0], np.asarray(full)[:, 4], atol=2e-4)
+
+
+def test_quantized_cross_kv_decode_agrees(ours):
+    """int8 cross-KV decode: argmax-identical on random weights, logits
+    close (the serving fast path)."""
+    import jax
+
+    model, variables, cfg = ours
+    g = np.random.default_rng(9)
+    mel = g.standard_normal((2, cfg.n_audio_ctx * 2, cfg.n_mels)).astype(np.float32)
+    xa = model.apply(variables, jnp.asarray(mel), method=Whisper.encode_audio)
+    ckv = model.apply(variables, xa, method=Whisper.cross_kvs)
+    ckv_q = model.apply(variables, xa, True, method=Whisper.cross_kvs)
+    tok = jnp.ones((2, 1), jnp.int32)
+
+    caches = model.apply(variables, 2, jnp.float32, method=Whisper.init_caches)
+    l_exact, _ = model.apply(variables, tok, caches, ckv, 0,
+                             method=Whisper.decode_step)
+    caches = model.apply(variables, 2, jnp.float32, method=Whisper.init_caches)
+    l_quant, _ = model.apply(variables, tok, caches, ckv_q, 0,
+                             method=Whisper.decode_step)
+    assert np.array_equal(np.asarray(jnp.argmax(l_exact, -1)),
+                          np.asarray(jnp.argmax(l_quant, -1)))
+    np.testing.assert_allclose(np.asarray(l_quant), np.asarray(l_exact),
+                               atol=5e-2)

@@ -55,8 +55,18 @@ class Transcriber:
         cache_dtype=jnp.float32,
         language: str = "en",
         timestamps: bool = True,
+        mesh=None,
+        quantized_cross_kv: bool = False,
     ):
+        self.quantized_cross_kv = quantized_cross_kv
         self.model = model
+        self.mesh = mesh
+        if mesh is not None:
+            # Multi-chip serving: tensor-parallel params + data-parallel
+            # batches over the mesh (e.g. whisper-large-v3 on a v5e-8).
+            from yoho_tpu.parallel.sharding import shard_params
+
+            variables = {"params": shard_params(variables["params"], mesh)}
         self.variables = variables
         self.family = family
         self.tokenizer = tokenizer
@@ -113,10 +123,13 @@ class Transcriber:
             return tuple(sup)
         return ()
 
-    def _make_step(self, cross_kvs):
+    def _make_step(self, variables, cross_kvs):
+        # NB: ``variables`` must be the traced jit argument, not
+        # self.variables — closing over the concrete arrays would bake the
+        # weights into the compiled program as constants.
         if self.family == "whisper":
-            return make_whisper_step_fn(self.model, self.variables, cross_kvs)
-        return make_yoho_step_fn(self.model, self.variables, cross_kvs)
+            return make_whisper_step_fn(self.model, variables, cross_kvs)
+        return make_yoho_step_fn(self.model, variables, cross_kvs)
 
     def _decode_fn(self, batch: int):
         """One jitted program: mel windows -> (tokens, lengths)."""
@@ -136,14 +149,19 @@ class Transcriber:
 
             logits_fn = make_timestamp_rules(self.token_table, len(prompt_ids))
 
+        quantize = self.quantized_cross_kv and self.family == "whisper"
+
         def run(variables, mel):
             xa = model.apply(variables, mel, method=type(model).encode_audio)
-            ckv = model.apply(variables, xa, method=type(model).cross_kvs)
+            if quantize:
+                ckv = model.apply(variables, xa, True, method=type(model).cross_kvs)
+            else:
+                ckv = model.apply(variables, xa, method=type(model).cross_kvs)
             if k:
                 ckv = tile_beams(ckv, k)
                 caches = model.apply(variables, batch * k, self.cache_dtype,
                                      method=type(model).init_caches)
-                step = self._make_step(ckv)
+                step = self._make_step(variables, ckv)
                 tokens, lengths, _ = beam_search(
                     step, caches, jnp.asarray(prompt), self.max_len, self.eot,
                     beams=k, suppress_ids=suppress,
@@ -151,7 +169,7 @@ class Transcriber:
             else:
                 caches = model.apply(variables, batch, self.cache_dtype,
                                      method=type(model).init_caches)
-                step = self._make_step(ckv)
+                step = self._make_step(variables, ckv)
                 tokens, lengths = greedy_decode(
                     step, caches, jnp.asarray(prompt), self.max_len, self.eot,
                     suppress_ids=suppress, logits_fn=logits_fn,
@@ -161,6 +179,13 @@ class Transcriber:
         fn = jax.jit(run)
         self._jitted[key] = fn
         return fn
+
+    def _to_device(self, batch: np.ndarray):
+        if self.mesh is not None:
+            from yoho_tpu.parallel.mesh import shard_batch
+
+            return shard_batch(self.mesh, batch)
+        return jnp.asarray(batch)
 
     # ------------------------------------------------------------------
     def _tokens_to_segments(self, tokens: np.ndarray, length: int) -> List[Segment]:
@@ -267,7 +292,7 @@ class Transcriber:
                 batch = np.concatenate(
                     [batch, np.zeros((b - actual, self.chunk_samples), np.float32)]
                 )
-            mel = self._features(jnp.asarray(batch))
+            mel = self._features(self._to_device(batch))
             tokens, lengths = self._decode_fn(b)(self.variables, mel)
             tokens, lengths = np.asarray(tokens), np.asarray(lengths)
             segs = [
@@ -294,7 +319,7 @@ class Transcriber:
             for j, a in enumerate(group):
                 a = np.asarray(a, np.float32)[: self.chunk_samples]
                 batch[j, : len(a)] = a
-            mel = self._features(jnp.asarray(batch))
+            mel = self._features(self._to_device(batch))
             tokens, lengths = self._decode_fn(b)(self.variables, mel)
             tokens, lengths = np.asarray(tokens), np.asarray(lengths)
             segs = [

@@ -71,6 +71,51 @@ class KVCache:
         return KVCache(k=k, v=v)
 
 
+@struct.dataclass
+class QuantizedKV:
+    """Int8 cross-attention KV with per-(batch, head, position) scales.
+
+    Decode is HBM-bound on cross-KV reads (whisper-small B=64: ~60% of the
+    step); int8 halves that traffic. Scales factor out of both attention
+    contractions exactly: scores = (q @ k_q) * k_scale, and the value
+    product folds v_scale into the (tiny) attention weights — so the only
+    approximation is the 8-bit rounding of K/V themselves.
+    Layout matches KVCache: values (B, H, D, T), scales (B, H, 1, T).
+    """
+
+    k_q: jnp.ndarray
+    v_q: jnp.ndarray
+    k_scale: jnp.ndarray
+    v_scale: jnp.ndarray
+
+
+def quantize_kv(k: jnp.ndarray, v: jnp.ndarray) -> QuantizedKV:
+    """Quantize time-minor (B, H, D, T) K/V to int8, absmax per position."""
+
+    def _q(x):
+        scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2, keepdims=True) / 127.0
+        scale = jnp.maximum(scale, 1e-8)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+        return q.astype(jnp.int8), scale.astype(jnp.bfloat16)
+
+    k_q, k_scale = _q(k)
+    v_q, v_scale = _q(v)
+    return QuantizedKV(k_q=k_q, v_q=v_q, k_scale=k_scale, v_scale=v_scale)
+
+
+def _attend_quantized(q: jnp.ndarray, qkv: QuantizedKV, mask, dtype) -> jnp.ndarray:
+    """Attention against int8 time-minor KV; q is (B, H, S, D) pre-scaled."""
+    kf = qkv.k_q.astype(dtype)
+    scores = jnp.einsum("bhsd,bhdt->bhst", q, kf, preferred_element_type=jnp.float32)
+    scores = scores * qkv.k_scale.astype(jnp.float32)  # (B,H,1,T) broadcast
+    if mask is not None:
+        scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
+    w = jax.nn.softmax(scores, axis=-1)
+    w = (w * qkv.v_scale.astype(jnp.float32)).astype(dtype)
+    out_t = jnp.einsum("bhdt,bhst->bhds", qkv.v_q.astype(dtype), w)
+    return out_t.transpose(0, 3, 1, 2)
+
+
 def _bhsd(x: jnp.ndarray) -> jnp.ndarray:
     """(B, S, H, D) -> (B, H, S, D)."""
     return x.transpose(0, 2, 1, 3)
@@ -190,6 +235,10 @@ class MultiHeadAttention(nn.Module):
         q = _bhsd(self._split(self.q_proj(x)) * scale)
 
         new_cache = None
+        if isinstance(cross_kv, QuantizedKV):
+            out = _attend_quantized(q, cross_kv, mask, self.dtype)
+            b, s = x.shape[:2]
+            return self.out_proj(out.reshape(b, s, self.n_state))
         if cross_kv is not None:
             k, v = cross_kv  # already scaled + time-minor from kv()
         else:

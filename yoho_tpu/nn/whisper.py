@@ -154,9 +154,15 @@ class TextDecoder(nn.Module):
             for _ in range(c.n_text_layer)
         ]
 
-    def cross_kvs(self, xa: jnp.ndarray) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
-        """Precompute per-layer cross-attention K/V once per utterance."""
-        return [blk.cross_kv(xa) for blk in self.blocks]
+    def cross_kvs(self, xa: jnp.ndarray, quantize: bool = False):
+        """Precompute per-layer cross-attention K/V once per utterance.
+        ``quantize=True`` stores them int8 (halves decode HBM traffic)."""
+        from yoho_tpu.nn.layers import quantize_kv
+
+        kvs = [blk.cross_kv(xa) for blk in self.blocks]
+        if quantize:
+            kvs = [quantize_kv(k, v) for k, v in kvs]
+        return kvs
 
     def decode_step(self, tokens, caches: List[KVCache], cross_kvs, pos):
         """Cached step: tokens (B, S_new) at absolute position ``pos``.
@@ -195,8 +201,8 @@ class Whisper(nn.Module):
     def decode_text(self, tokens: jnp.ndarray, xa: jnp.ndarray) -> jnp.ndarray:
         return self.decoder(tokens, xa)
 
-    def cross_kvs(self, xa: jnp.ndarray):
-        return self.decoder.cross_kvs(xa)
+    def cross_kvs(self, xa: jnp.ndarray, quantize: bool = False):
+        return self.decoder.cross_kvs(xa, quantize)
 
     def init_caches(self, batch: int, dtype=None, max_len=None):
         return self.decoder.init_caches(batch, dtype, max_len)
