@@ -90,3 +90,50 @@ def test_transcriber_beam_smoke(yoho_setup):
     audio = np.zeros(cfg.n_samples, np.float32)
     result = t.transcribe(audio)
     assert isinstance(result.text, str)
+
+
+def test_diarization_clustering():
+    from yoho_tpu.infer.diarize import cluster_voiceprints, identify_speaker
+
+    a = np.array([1.0, 0.0, 0.0])
+    b = np.array([0.95, 0.3, 0.0])  # close to a
+    c = np.array([0.0, 1.0, 0.0])   # different speaker
+    labels = cluster_voiceprints([a, None, b, c, a])
+    assert labels[0] == labels[2] == labels[4] == 0
+    assert labels[1] is None
+    assert labels[3] == 1
+
+    assert identify_speaker(a, {"alice": a, "bob": c}) == "alice"
+    assert identify_speaker(np.array([0.0, 0.0, 1.0]), {"alice": a}) is None
+
+
+def test_transcriber_diarizes(yoho_setup):
+    cfg, model, variables, tok = yoho_setup
+    t = Transcriber(model, variables, family="yoho", tokenizer=tok, batch_size=1)
+    audio = np.zeros(cfg.n_samples, np.float32)
+    result = t.transcribe(audio)
+    for seg in result.segments:
+        assert seg.speaker is None or isinstance(seg.speaker, int)
+
+
+def test_whisper_language_detection():
+    import jax
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    # Tiny model with the REAL vocab size so language token ids exist.
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=16, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=1)
+    lang, probs = t.detect_language(np.zeros(cfg.n_samples, np.float32))
+    assert lang in table.languages
+    assert abs(sum(probs.values()) - 1.0) < 1e-3

@@ -81,11 +81,11 @@ class WhisperConfig(BaseModel):
     sample_rate: int = 16000
     n_fft: int = 400
     hop_length: int = 160
-    chunk_seconds: int = 30
+    chunk_seconds: float = 30.0
 
     @property
     def n_samples(self) -> int:
-        return self.chunk_seconds * self.sample_rate  # 480_000
+        return int(self.chunk_seconds * self.sample_rate)  # 480_000
 
     @property
     def n_frames(self) -> int:

@@ -1,0 +1,84 @@
+"""Speaker diarization: cluster per-segment voiceprints into speaker labels.
+
+Completes the "joint ASR + speaker diarization + speaker recognition"
+headline: the YOHO decoder emits one L2-normalized voiceprint per utterance
+(``yoho_tpu.nn.yoho``); this module turns those embeddings into stable
+speaker ids via greedy agglomerative clustering with a cosine threshold —
+deterministic, order-independent (centroid-based), no extra dependencies.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def cluster_voiceprints(
+    embeddings: Sequence[Optional[np.ndarray]],
+    threshold: float = 0.75,
+) -> List[Optional[int]]:
+    """Assign speaker ids to (possibly missing) embeddings.
+
+    Average-linkage agglomerative clustering: repeatedly merge the two
+    clusters whose centroid cosine similarity is highest, while above
+    ``threshold``. Returns one id per input (None where the embedding was
+    None). Ids are numbered by first appearance.
+    """
+    idx = [i for i, e in enumerate(embeddings) if e is not None]
+    if not idx:
+        return [None] * len(embeddings)
+
+    vecs = [np.asarray(embeddings[i], np.float64) for i in idx]
+    vecs = [v / max(np.linalg.norm(v), 1e-9) for v in vecs]
+
+    clusters = [[j] for j in range(len(vecs))]  # member indices into vecs
+
+    def centroid(members):
+        c = np.mean([vecs[m] for m in members], axis=0)
+        return c / max(np.linalg.norm(c), 1e-9)
+
+    while len(clusters) > 1:
+        cents = [centroid(c) for c in clusters]
+        best, best_sim = None, threshold
+        for a in range(len(clusters)):
+            for b in range(a + 1, len(clusters)):
+                sim = float(np.dot(cents[a], cents[b]))
+                if sim >= best_sim:
+                    best, best_sim = (a, b), sim
+        if best is None:
+            break
+        a, b = best
+        clusters[a] = clusters[a] + clusters[b]
+        del clusters[b]
+
+    # Order clusters by earliest member for stable speaker numbering.
+    clusters.sort(key=lambda c: min(c))
+    member_to_cluster = {}
+    for cid, members in enumerate(clusters):
+        for m in members:
+            member_to_cluster[m] = cid
+
+    out: List[Optional[int]] = [None] * len(embeddings)
+    for j, i in enumerate(idx):
+        out[i] = member_to_cluster[j]
+    return out
+
+
+def identify_speaker(
+    embedding: np.ndarray,
+    enrolled: dict,
+    threshold: float = 0.75,
+) -> Optional[str]:
+    """Speaker recognition against enrolled voiceprints: returns the best
+    matching name above threshold, else None."""
+    e = np.asarray(embedding, np.float64)
+    e = e / max(np.linalg.norm(e), 1e-9)
+    best_name, best_sim = None, threshold
+    for name, ref in enrolled.items():
+        r = np.asarray(ref, np.float64)
+        r = r / max(np.linalg.norm(r), 1e-9)
+        sim = float(np.dot(e, r))
+        if sim >= best_sim:
+            best_name, best_sim = name, sim
+    return best_name

@@ -24,6 +24,7 @@ class Segment:
     text: str
     tokens: List[int] = field(default_factory=list)
     voiceprint: Optional[np.ndarray] = None
+    speaker: Optional[int] = None  # diarization label (yoho family)
 
 
 def chunk_audio(
@@ -85,6 +86,7 @@ def stitch_segments(
                         text=seg.text,
                         tokens=list(seg.tokens),
                         voiceprint=seg.voiceprint,
+                        speaker=seg.speaker,
                     )
                 )
     out.sort(key=lambda s: (s.start, s.end))

@@ -304,9 +304,51 @@ class Transcriber:
 
         segments = stitch_segments(per_window, starts, self.sample_rate,
                                    self.chunk_samples, self.stride_samples)
+        if self.family == "yoho":
+            # Diarization: cluster per-segment voiceprints into speaker ids.
+            from yoho_tpu.infer.diarize import cluster_voiceprints
+
+            labels = cluster_voiceprints([s.voiceprint for s in segments])
+            for seg, spk in zip(segments, labels):
+                seg.speaker = spk
         text = " ".join(s.text for s in segments if s.text).strip()
         return TranscriptionResult(text=text, segments=segments,
                                    language=self.language)
+
+    def detect_language(self, audio: Union[str, Path, np.ndarray]):
+        """Whisper language ID: one decoder step after <|startoftranscript|>,
+        argmax over the language tokens (parity with the reference's
+        language auto-detect intent at whisper.py:268-270)."""
+        assert self.family == "whisper", "language detection is a whisper feature"
+        if isinstance(audio, (str, Path)):
+            audio = load_audio_f32(audio, self.sample_rate)
+        window = np.zeros((1, self.chunk_samples), np.float32)
+        clip = np.asarray(audio, np.float32)[: self.chunk_samples]
+        window[0, : len(clip)] = clip
+
+        tt = self.token_table
+        model = self.model
+
+        def run(variables, mel):
+            xa = model.apply(variables, mel, method=type(model).encode_audio)
+            ckv = model.apply(variables, xa, method=type(model).cross_kvs)
+            caches = model.apply(variables, 1, self.cache_dtype, 128,
+                                 method=type(model).init_caches)
+            prompt = jnp.asarray([[tt.sot]], jnp.int32)
+            logits, _ = model.apply(variables, prompt, caches, ckv, 0,
+                                    method=type(model).decode_step)
+            return logits[0, -1]
+
+        logits = np.asarray(jax.jit(run)(self.variables,
+                                         self._features(self._to_device(window))))
+        lang_ids = np.arange(tt.language_base, tt.language_base + len(tt.languages))
+        lang_logits = logits[lang_ids]
+        probs = np.exp(lang_logits - lang_logits.max())
+        probs = probs / probs.sum()
+        best = int(np.argmax(lang_logits))
+        return tt.languages[best], {
+            lang: float(p) for lang, p in zip(tt.languages, probs)
+        }
 
     def transcribe_batch(self, audios: Sequence[np.ndarray]) -> List[TranscriptionResult]:
         """Multi-stream serving: decode up to batch_size independent clips
