@@ -32,6 +32,7 @@ def main():
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "224"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     quantized_kv = os.environ.get("BENCH_QUANTIZED_KV", "1") == "1"
+    quantized_cache = os.environ.get("BENCH_QUANTIZED_CACHE", "1") == "1"
 
 
     cfg = WHISPER_PRESETS[model_name]
@@ -69,7 +70,7 @@ def main():
         # multiple), not the full 448-token context: halves self-KV traffic.
         cache_len = -(-max_len // 128) * 128
         caches = model.apply(variables, batch, jnp.bfloat16, cache_len,
-                             method=Whisper.init_caches)
+                             quantized_cache, method=Whisper.init_caches)
         step = make_whisper_step_fn(model, variables, ckv)
         tokens, lengths = greedy_decode(step, caches, prompt, max_len, table.eot)
         return tokens, lengths
@@ -111,7 +112,8 @@ def main():
     result = {
         "metric": f"whisper-{model_name} audio-seconds transcribed /sec/chip "
                   f"(B={batch}, {decode_tokens} decode tokens"
-                  f"{', int8 cross-KV' if quantized_kv else ''}; "
+                  f"{', int8 cross-KV' if quantized_kv else ''}"
+                  f"{', int8 cache' if quantized_cache else ''}; "
                   f"{tok_per_sec:.0f} tok/s)",
         "value": round(rtf, 2),
         "unit": "audio_s/s",

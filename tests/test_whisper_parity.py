@@ -183,3 +183,27 @@ def test_quantized_cross_kv_decode_agrees(ours):
                           np.asarray(jnp.argmax(l_quant, -1)))
     np.testing.assert_allclose(np.asarray(l_quant), np.asarray(l_exact),
                                atol=5e-2)
+
+
+def test_quantized_self_cache_decode_agrees(ours):
+    """int8 self-attention cache: argmax-identical step-by-step decode."""
+    model, variables, cfg = ours
+    g = np.random.default_rng(11)
+    mel = g.standard_normal((2, cfg.n_audio_ctx * 2, cfg.n_mels)).astype(np.float32)
+    xa = model.apply(variables, jnp.asarray(mel), method=Whisper.encode_audio)
+    ckv = model.apply(variables, xa, method=Whisper.cross_kvs)
+    toks = jnp.asarray(g.integers(0, cfg.n_vocab, size=(2, 6)))
+
+    def run(quantized):
+        caches = model.apply(variables, 2, jnp.float32, None, quantized,
+                             method=Whisper.init_caches)
+        outs = []
+        for i in range(6):
+            logits, caches = model.apply(variables, toks[:, i:i+1], caches, ckv, i,
+                                         method=Whisper.decode_step)
+            outs.append(np.asarray(logits)[:, 0])
+        return np.stack(outs, 1)
+
+    exact, quant = run(False), run(True)
+    assert np.array_equal(exact.argmax(-1), quant.argmax(-1))
+    np.testing.assert_allclose(quant, exact, atol=5e-2)

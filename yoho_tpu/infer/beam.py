@@ -43,6 +43,7 @@ def beam_search(
     beams: int = 5,
     length_penalty: float = 1.0,
     suppress_ids: Sequence[int] = (),
+    logits_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns ``(tokens (B, max_len), lengths (B,), best scores (B,))``.
 
@@ -67,7 +68,12 @@ def beam_search(
     else:
         sup = None
 
-    def expand(logits, scores, finished):
+    def expand(logits, scores, finished, tokens, pos):
+        if logits_fn is not None:
+            # Per-beam logits processing (e.g. whisper timestamp rules);
+            # sees the flattened (B*K, T) token buffer.
+            logits = logits_fn(logits.astype(jnp.float32),
+                               tokens.reshape(b * k, -1), pos)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         if sup is not None:
             logp = logp.at[:, sup].set(NEG_INF)
@@ -82,7 +88,7 @@ def beam_search(
         tok = (top_idx % vocab).astype(jnp.int32)
         return top_scores, beam_src, tok
 
-    top_scores, beam_src, tok = expand(logits, scores, finished)
+    top_scores, beam_src, tok = expand(logits, scores, finished, tokens, p)
     tokens = _gather_beams(tokens.reshape(b * k, max_len), beam_src).reshape(b, k, max_len)
     caches = _gather_beams(caches, beam_src)
     finished = jnp.take_along_axis(finished, beam_src, axis=1) | (tok == eot_id)
@@ -97,7 +103,7 @@ def beam_search(
         pos, tokens, caches, scores, finished = state
         cur = jax.lax.dynamic_slice(tokens.reshape(b * k, max_len), (0, pos), (b * k, 1))
         logits, caches = step_fn(cur, caches, pos)
-        top_scores, beam_src, tok = expand(logits, scores, finished)
+        top_scores, beam_src, tok = expand(logits, scores, finished, tokens, pos + 1)
         tokens = _gather_beams(tokens.reshape(b * k, max_len), beam_src).reshape(
             b, k, max_len
         )

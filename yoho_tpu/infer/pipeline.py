@@ -57,8 +57,10 @@ class Transcriber:
         timestamps: bool = True,
         mesh=None,
         quantized_cross_kv: bool = False,
+        quantized_cache: bool = False,
     ):
         self.quantized_cross_kv = quantized_cross_kv
+        self.quantized_cache = quantized_cache
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -144,7 +146,7 @@ class Transcriber:
         k = self.beams if self.beams > 1 else 0
 
         logits_fn = None
-        if self.family == "whisper" and self.timestamps and not k:
+        if self.family == "whisper" and self.timestamps:
             from yoho_tpu.infer.whisper_rules import make_timestamp_rules
 
             logits_fn = make_timestamp_rules(self.token_table, len(prompt_ids))
@@ -164,11 +166,16 @@ class Transcriber:
                 step = self._make_step(variables, ckv)
                 tokens, lengths, _ = beam_search(
                     step, caches, jnp.asarray(prompt), self.max_len, self.eot,
-                    beams=k, suppress_ids=suppress,
+                    beams=k, suppress_ids=suppress, logits_fn=logits_fn,
                 )
             else:
-                caches = model.apply(variables, batch, self.cache_dtype,
-                                     method=type(model).init_caches)
+                if self.family == "whisper":
+                    caches = model.apply(variables, batch, self.cache_dtype,
+                                         None, self.quantized_cache,
+                                         method=type(model).init_caches)
+                else:
+                    caches = model.apply(variables, batch, self.cache_dtype,
+                                         method=type(model).init_caches)
                 step = self._make_step(variables, ckv)
                 tokens, lengths = greedy_decode(
                     step, caches, jnp.asarray(prompt), self.max_len, self.eot,

@@ -116,6 +116,59 @@ def _attend_quantized(q: jnp.ndarray, qkv: QuantizedKV, mask, dtype) -> jnp.ndar
     return out_t.transpose(0, 3, 1, 2)
 
 
+@struct.dataclass
+class QuantizedKVCache:
+    """Int8 self-attention decode cache: values (B, H, D, T) int8 + scales
+    (B, H, 1, T) bf16. Each position is quantized once at write time (its
+    scale never changes afterwards), so cached reads cost half the HBM
+    traffic of the bf16 cache with the same per-position absmax scheme as
+    :class:`QuantizedKV`.
+    """
+
+    k_q: jnp.ndarray
+    v_q: jnp.ndarray
+    k_scale: jnp.ndarray
+    v_scale: jnp.ndarray
+
+    @classmethod
+    def zeros(cls, batch: int, kv_heads: int, max_len: int, head_dim: int,
+              dtype=jnp.bfloat16):
+        vals = (batch, kv_heads, head_dim, max_len)
+        scales = (batch, kv_heads, 1, max_len)
+        return cls(
+            k_q=jnp.zeros(vals, jnp.int8), v_q=jnp.zeros(vals, jnp.int8),
+            k_scale=jnp.zeros(scales, jnp.bfloat16),
+            v_scale=jnp.zeros(scales, jnp.bfloat16),
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.k_q.shape[3]
+
+    def update(self, pos, k_new: jnp.ndarray, v_new: jnp.ndarray) -> "QuantizedKVCache":
+        """Quantize + write (B, H, D, S) new entries at offset ``pos``."""
+
+        def _q(x):
+            scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2,
+                            keepdims=True) / 127.0
+            scale = jnp.maximum(scale, 1e-8)
+            q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+            return q.astype(jnp.int8), scale.astype(jnp.bfloat16)
+
+        kq, ks = _q(k_new)
+        vq, vs = _q(v_new)
+        return QuantizedKVCache(
+            k_q=jax.lax.dynamic_update_slice(self.k_q, kq, (0, 0, 0, pos)),
+            v_q=jax.lax.dynamic_update_slice(self.v_q, vq, (0, 0, 0, pos)),
+            k_scale=jax.lax.dynamic_update_slice(self.k_scale, ks, (0, 0, 0, pos)),
+            v_scale=jax.lax.dynamic_update_slice(self.v_scale, vs, (0, 0, 0, pos)),
+        )
+
+    def as_quantized_kv(self) -> "QuantizedKV":
+        return QuantizedKV(k_q=self.k_q, v_q=self.v_q,
+                           k_scale=self.k_scale, v_scale=self.v_scale)
+
+
 def _bhsd(x: jnp.ndarray) -> jnp.ndarray:
     """(B, S, H, D) -> (B, H, S, D)."""
     return x.transpose(0, 2, 1, 3)
@@ -234,10 +287,10 @@ class MultiHeadAttention(nn.Module):
 
         q = _bhsd(self._split(self.q_proj(x)) * scale)
 
+        b, s = x.shape[:2]
         new_cache = None
         if isinstance(cross_kv, QuantizedKV):
             out = _attend_quantized(q, cross_kv, mask, self.dtype)
-            b, s = x.shape[:2]
             return self.out_proj(out.reshape(b, s, self.n_state))
         if cross_kv is not None:
             k, v = cross_kv  # already scaled + time-minor from kv()
@@ -247,11 +300,15 @@ class MultiHeadAttention(nn.Module):
             v = _bhdt(self._split(self.v_proj(src)))
             if cache is not None:
                 new_cache = cache.update(pos, k, v)
+                mask = decode_mask(new_cache.max_len, pos, s)
+                if isinstance(new_cache, QuantizedKVCache):
+                    out = _attend_quantized(q, new_cache.as_quantized_kv(),
+                                            mask, self.dtype)
+                    out = self.out_proj(out.reshape(b, s, self.n_state))
+                    return out, new_cache
                 k, v = new_cache.k, new_cache.v
-                mask = decode_mask(k.shape[3], pos, x.shape[1])
 
         out = _attend(q, k.astype(q.dtype), v.astype(q.dtype), mask, self.dtype)
-        b, s = x.shape[:2]
         out = self.out_proj(out.reshape(b, s, self.n_state))
         if cache is not None:
             return out, new_cache

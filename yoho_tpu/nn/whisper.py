@@ -144,13 +144,17 @@ class TextDecoder(nn.Module):
             x = blk(x, xa, mask)
         return self._logits(self.ln(x))
 
-    def init_caches(self, batch: int, dtype=None, max_len=None) -> List[KVCache]:
+    def init_caches(self, batch: int, dtype=None, max_len=None,
+                    quantized: bool = False):
+        from yoho_tpu.nn.layers import QuantizedKVCache
+
         c = self.cfg
         dtype = dtype or self.dtype
         max_len = max_len or c.n_text_ctx
+        cls = QuantizedKVCache if quantized else KVCache
         return [
-            KVCache.zeros(batch, c.n_text_head, max_len,
-                          c.n_text_state // c.n_text_head, dtype)
+            cls.zeros(batch, c.n_text_head, max_len,
+                      c.n_text_state // c.n_text_head, dtype)
             for _ in range(c.n_text_layer)
         ]
 
@@ -204,8 +208,9 @@ class Whisper(nn.Module):
     def cross_kvs(self, xa: jnp.ndarray, quantize: bool = False):
         return self.decoder.cross_kvs(xa, quantize)
 
-    def init_caches(self, batch: int, dtype=None, max_len=None):
-        return self.decoder.init_caches(batch, dtype, max_len)
+    def init_caches(self, batch: int, dtype=None, max_len=None,
+                    quantized: bool = False):
+        return self.decoder.init_caches(batch, dtype, max_len, quantized)
 
     def decode_step(self, tokens, caches, cross_kvs, pos):
         return self.decoder.decode_step(tokens, caches, cross_kvs, pos)
