@@ -28,7 +28,7 @@ def main():
     from yoho_tpu.text.whisper_tokens import WhisperTokenTable
 
     model_name = os.environ.get("BENCH_MODEL", "small")
-    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "224"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     quantized_kv = os.environ.get("BENCH_QUANTIZED_KV", "1") == "1"

@@ -77,3 +77,17 @@ def test_timer_and_trace():
     assert "a" in t.report()
     with trace(None):  # no-op path
         pass
+
+
+def test_structured_logger(capsys):
+    import io
+    from yoho_tpu.utils.logging import StructuredLogger
+
+    buf = io.StringIO()
+    log = StructuredLogger("t", stream=buf)
+    log.info("update", step=3, loss=1.5)
+    import json
+
+    rec = json.loads(buf.getvalue())
+    assert rec["event"] == "update" and rec["step"] == 3
+    assert rec["level"] == "info" and "ts" in rec

@@ -33,6 +33,11 @@ def main(argv=None):
     parser.add_argument("--max-updates", type=int, default=None)
     args = parser.parse_args(argv)
 
+    # Multi-host: no-op on one host, joins the pod slice when launched
+    # under a multi-process coordinator.
+    from yoho_tpu.parallel.mesh import init_distributed
+
+    init_distributed()
     config = load_session_config(args.name, args.root)
     print("Loaded config:")
     print(config.model_dump_json(indent=4))

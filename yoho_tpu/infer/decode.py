@@ -61,7 +61,9 @@ def greedy_decode(
     temperature: float = 0.0,
     rng: Optional[jax.Array] = None,
     logits_fn: Optional[Callable] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    return_aux: bool = False,
+    no_speech_id: Optional[int] = None,
+):
     """Decode up to ``max_len`` total tokens (prompt included).
 
     Returns ``(tokens (B, max_len) int32, lengths (B,) int32)``. After a
@@ -70,6 +72,11 @@ def greedy_decode(
     ``logits_fn(logits, tokens, pos)`` optionally post-processes logits per
     step, seeing the full token buffer and the position being generated
     (timestamp rules etc.) — must be jit-traceable.
+
+    ``return_aux=True`` additionally returns a dict with per-stream quality
+    signals: ``sum_logprob`` (sum over emitted tokens, EOT included) and —
+    when ``no_speech_id`` is given — ``no_speech_prob`` measured at the
+    first generated position (whisper silence detection).
     """
     b, p = prompt.shape
     assert p < max_len, "prompt must be shorter than max_len"
@@ -79,38 +86,52 @@ def greedy_decode(
     # Prefill the whole prompt in one step; sample the first new token.
     logits, caches = step_fn(prompt.astype(jnp.int32), caches, 0)
 
+    no_speech_prob = None
+    if no_speech_id is not None:
+        probs0 = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        no_speech_prob = probs0[:, no_speech_id]
+
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
     def pick(logits, tokens, pos, key):
-        logits = _suppress(logits, suppress_ids)
+        logits = _suppress(logits.astype(jnp.float32), suppress_ids)
         if logits_fn is not None:
             logits = logits_fn(logits, tokens, pos)
         if temperature > 0.0:
-            return jax.random.categorical(key, logits / temperature, axis=-1)
-        return jnp.argmax(logits, axis=-1)
+            nxt = jax.random.categorical(key, logits / temperature, axis=-1)
+        else:
+            nxt = jnp.argmax(logits, axis=-1)
+        if return_aux:
+            logprobs = jax.nn.log_softmax(logits, axis=-1)
+            lp = jnp.take_along_axis(logprobs, nxt[:, None], axis=-1)[:, 0]
+        else:
+            lp = jnp.zeros((b,), jnp.float32)
+        return nxt, lp
 
-    first = pick(logits, tokens, p, jax.random.fold_in(rng, p)).astype(jnp.int32)
+    first, lp0 = pick(logits, tokens, p, jax.random.fold_in(rng, p))
+    first = first.astype(jnp.int32)
     tokens = tokens.at[:, p].set(first)
     finished0 = first == eot_id
 
     def cond(state):
-        pos, _tokens, _caches, finished = state
+        pos, _tokens, _caches, finished, _sum_lp = state
         return jnp.logical_and(pos + 1 < max_len, ~jnp.all(finished))
 
     def body(state):
-        pos, tokens, caches, finished = state
+        pos, tokens, caches, finished, sum_lp = state
         cur = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))
         logits, caches = step_fn(cur, caches, pos)
-        nxt = pick(logits, tokens, pos + 1,
-                   jax.random.fold_in(rng, pos + 1)).astype(jnp.int32)
+        nxt, lp = pick(logits, tokens, pos + 1, jax.random.fold_in(rng, pos + 1))
+        nxt = nxt.astype(jnp.int32)
         nxt = jnp.where(finished, eot_id, nxt)
+        sum_lp = sum_lp + jnp.where(finished, 0.0, lp)
         tokens = jax.lax.dynamic_update_slice(tokens, nxt[:, None], (0, pos + 1))
         finished = jnp.logical_or(finished, nxt == eot_id)
-        return pos + 1, tokens, caches, finished
+        return pos + 1, tokens, caches, finished, sum_lp
 
-    _pos, tokens, _caches, _fin = jax.lax.while_loop(
-        cond, body, (jnp.asarray(p, jnp.int32), tokens, caches, finished0)
+    _pos, tokens, _caches, _fin, sum_lp = jax.lax.while_loop(
+        cond, body, (jnp.asarray(p, jnp.int32), tokens, caches, finished0, lp0)
     )
 
     # Length = index of first EOT at/after the prompt, +1 (includes EOT);
@@ -118,5 +139,10 @@ def greedy_decode(
     is_eot = tokens[:, p:] == eot_id
     any_eot = jnp.any(is_eot, axis=1)
     first_eot = jnp.argmax(is_eot, axis=1)
-    lengths = jnp.where(any_eot, p + first_eot + 1, max_len)
-    return tokens, lengths.astype(jnp.int32)
+    lengths = jnp.where(any_eot, p + first_eot + 1, max_len).astype(jnp.int32)
+    if return_aux:
+        aux = {"sum_logprob": sum_lp}
+        if no_speech_prob is not None:
+            aux["no_speech_prob"] = no_speech_prob
+        return tokens, lengths, aux
+    return tokens, lengths

@@ -58,7 +58,14 @@ class Transcriber:
         mesh=None,
         quantized_cross_kv: bool = False,
         quantized_cache: bool = False,
+        no_speech_threshold: float = 0.6,
+        logprob_threshold: float = -1.0,
     ):
+        # Whisper-style silence filtering: a window is treated as
+        # speech-free when p(<|nospeech|>) exceeds no_speech_threshold AND
+        # the decode's mean logprob falls below logprob_threshold.
+        self.no_speech_threshold = no_speech_threshold
+        self.logprob_threshold = logprob_threshold
         self.quantized_cross_kv = quantized_cross_kv
         self.quantized_cache = quantized_cache
         self.model = model
@@ -168,24 +175,43 @@ class Transcriber:
                     step, caches, jnp.asarray(prompt), self.max_len, self.eot,
                     beams=k, suppress_ids=suppress, logits_fn=logits_fn,
                 )
+                aux = {
+                    "sum_logprob": jnp.zeros((batch,), jnp.float32),
+                    "no_speech_prob": jnp.zeros((batch,), jnp.float32),
+                }
             else:
                 if self.family == "whisper":
                     caches = model.apply(variables, batch, self.cache_dtype,
                                          None, self.quantized_cache,
                                          method=type(model).init_caches)
+                    ns_id = self.token_table.no_speech
                 else:
                     caches = model.apply(variables, batch, self.cache_dtype,
                                          method=type(model).init_caches)
+                    ns_id = None
                 step = self._make_step(variables, ckv)
-                tokens, lengths = greedy_decode(
+                tokens, lengths, aux = greedy_decode(
                     step, caches, jnp.asarray(prompt), self.max_len, self.eot,
                     suppress_ids=suppress, logits_fn=logits_fn,
+                    return_aux=True, no_speech_id=ns_id,
                 )
-            return tokens, lengths
+                aux.setdefault("no_speech_prob", jnp.zeros((batch,), jnp.float32))
+            return tokens, lengths, aux
 
         fn = jax.jit(run)
         self._jitted[key] = fn
         return fn
+
+    def _silent_mask(self, lengths: np.ndarray, aux) -> np.ndarray:
+        """Whisper no-speech rule: high p(<|nospeech|>) + low mean logprob."""
+        ns = np.asarray(aux["no_speech_prob"])[: len(lengths)]
+        sum_lp = np.asarray(aux["sum_logprob"])[: len(lengths)]
+        n_prompt = len(self._prompt_ids())
+        gen = np.maximum(lengths - n_prompt, 1)
+        avg_lp = sum_lp / gen
+        if self.family != "whisper" or self.beams > 1:
+            return np.zeros(len(lengths), bool)
+        return (ns > self.no_speech_threshold) & (avg_lp < self.logprob_threshold)
 
     def _to_device(self, batch: np.ndarray):
         if self.mesh is not None:
@@ -300,10 +326,11 @@ class Transcriber:
                     [batch, np.zeros((b - actual, self.chunk_samples), np.float32)]
                 )
             mel = self._features(self._to_device(batch))
-            tokens, lengths = self._decode_fn(b)(self.variables, mel)
+            tokens, lengths, aux = self._decode_fn(b)(self.variables, mel)
             tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+            silent = self._silent_mask(lengths, aux)
             segs = [
-                self._tokens_to_segments(tokens[j], int(lengths[j]))
+                [] if silent[j] else self._tokens_to_segments(tokens[j], int(lengths[j]))
                 for j in range(actual)
             ]
             self._attach_voiceprints(mel[:actual], tokens[:actual], segs)
@@ -369,10 +396,11 @@ class Transcriber:
                 a = np.asarray(a, np.float32)[: self.chunk_samples]
                 batch[j, : len(a)] = a
             mel = self._features(self._to_device(batch))
-            tokens, lengths = self._decode_fn(b)(self.variables, mel)
+            tokens, lengths, aux = self._decode_fn(b)(self.variables, mel)
             tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+            silent = self._silent_mask(lengths, aux)
             segs = [
-                self._tokens_to_segments(tokens[j], int(lengths[j]))
+                [] if silent[j] else self._tokens_to_segments(tokens[j], int(lengths[j]))
                 for j in range(len(group))
             ]
             self._attach_voiceprints(mel[: len(group)], tokens[: len(group)], segs)
