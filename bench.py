@@ -21,7 +21,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from yoho_tpu.audio.frontend import whisper_log_mel
+    from yoho_tpu.ops.mel_kernel import fused_whisper_log_mel
     from yoho_tpu.core.config import WHISPER_PRESETS
     from yoho_tpu.infer.decode import greedy_decode, make_whisper_step_fn
     from yoho_tpu.nn.whisper import Whisper
@@ -63,7 +63,7 @@ def main():
     max_len = len(prompt_ids) + decode_tokens
 
     def run_once(variables, audio):
-        mel = whisper_log_mel(audio, n_mels=cfg.n_mels)
+        mel = fused_whisper_log_mel(audio, n_mels=cfg.n_mels)
         xa = model.apply(variables, mel, method=Whisper.encode_audio)
         ckv = model.apply(variables, xa, quantized_kv, method=Whisper.cross_kvs)
         # Cache sized to the actual decode horizon (rounded up to a lane

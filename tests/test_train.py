@@ -225,3 +225,45 @@ def test_trainer_short_run_and_resume(session_config, tokenizer):
     resumed = ASRTrainer(session_config, tokenizer=tokenizer, stage=1, mesh=mesh,
                          use_multiprocessing=False)
     assert int(resumed.state.step) == final_step
+
+
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+
+    from yoho_tpu.train.sharded_checkpoint import (
+        load_checkpoint_sharded,
+        save_checkpoint_sharded,
+    )
+
+    params = {"w": jnp.arange(8, dtype=jnp.float32).reshape(2, 4)}
+    opt = {"mu": {"w": jnp.zeros((2, 4))}, "count": jnp.asarray(5)}
+    path = tmp_path / "ckpt"
+    save_checkpoint_sharded(path, 42, params, opt)
+    restored = load_checkpoint_sharded(path, params, opt)
+    assert restored is not None
+    step, p, o = restored
+    assert step == 42
+    np.testing.assert_array_equal(np.asarray(p["w"]), np.asarray(params["w"]))
+    assert load_checkpoint_sharded(tmp_path / "none", params, opt) is None
+
+
+def test_sharded_checkpoint_preserves_sharding(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from yoho_tpu.parallel.mesh import make_mesh
+    from yoho_tpu.parallel.sharding import shard_params
+    from yoho_tpu.train.sharded_checkpoint import (
+        load_checkpoint_sharded,
+        save_checkpoint_sharded,
+    )
+
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    params = {"attn": {"q_proj": {"kernel": jnp.ones((8, 8), jnp.float32)}}}
+    sharded = shard_params(params, mesh)
+    path = tmp_path / "ckpt"
+    save_checkpoint_sharded(path, 1, sharded, {})
+    restored = load_checkpoint_sharded(path, sharded, {})
+    assert restored is not None
+    _step, p, _o = restored
+    assert p["attn"]["q_proj"]["kernel"].sharding == sharded["attn"]["q_proj"]["kernel"].sharding

@@ -1,0 +1,64 @@
+"""Word-level timestamp machinery: DTW, alignment, word grouping."""
+
+import numpy as np
+
+from yoho_tpu.infer.word_timestamps import (
+    WordTiming,
+    dtw_path,
+    split_words,
+    token_frame_alignment,
+    words_from_alignment,
+)
+
+
+def test_dtw_diagonal():
+    # Perfect diagonal cost: path follows the diagonal.
+    n = 6
+    cost = np.ones((n, n)) - np.eye(n)
+    ti, fi = dtw_path(cost)
+    assert ti[0] == 0 and fi[0] == 0
+    assert ti[-1] == n - 1 and fi[-1] == n - 1
+    # path is monotonic
+    assert np.all(np.diff(ti) >= 0) and np.all(np.diff(fi) >= 0)
+
+
+def test_token_frame_alignment_block_diagonal():
+    """Attention concentrated on distinct audio spans per token recovers
+    those spans' start frames."""
+    n_tok, n_frames = 4, 40
+    attn = np.full((n_tok, n_frames), 1e-3)
+    spans = [(0, 10), (10, 18), (18, 30), (30, 40)]
+    for t, (a, b) in enumerate(spans):
+        attn[t, a:b] = 1.0
+    frames = token_frame_alignment(attn)
+    for t, (a, b) in enumerate(spans):
+        assert a <= frames[t] < b, (t, frames[t], spans[t])
+    assert np.all(np.diff(frames) >= 0)
+
+
+class _PieceDecoder:
+    """Space-marker piece decoder (GPT-2/our-BPE style)."""
+
+    PIECES = {1: " hello", 2: " wor", 3: "ld", 4: " there"}
+
+    def __call__(self, ids):
+        return "".join(self.PIECES[i] for i in ids)
+
+
+def test_split_words():
+    words = split_words([1, 2, 3, 4], _PieceDecoder())
+    assert [w for w, _ in words] == ["hello", "world", "there"]
+    assert [idx for _, idx in words] == [[0], [1, 2], [3]]
+
+
+def test_words_from_alignment():
+    ids = [1, 2, 3, 4]
+    frames = np.asarray([0, 10, 14, 20])
+    words = words_from_alignment(ids, frames, 0.02, _PieceDecoder(),
+                                 max_duration=1.0)
+    assert [w.word for w in words] == ["hello", "world", "there"]
+    assert words[0].start == 0.0 and words[0].end == 0.2
+    assert words[1].start == 0.2 and words[1].end == 0.4
+    # monotonic, clamped
+    assert all(w.end <= 1.0 for w in words)
+    assert all(w.end > w.start for w in words)

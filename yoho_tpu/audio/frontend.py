@@ -100,8 +100,11 @@ def stft_power(
 
     cos_b, sin_b = _dft_bases(n_fft)
     windowed = frames * win
-    re = windowed @ jnp.asarray(cos_b)
-    im = windowed @ jnp.asarray(sin_b)
+    # HIGHEST matmul precision: the MXU's default f32 path is bf16 and
+    # costs accuracy through the power+log chain (bit-accuracy contract).
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.matmul(windowed, jnp.asarray(cos_b), precision=hi)
+    im = jnp.matmul(windowed, jnp.asarray(sin_b), precision=hi)
     power = re * re + im * im
     if scale != 1.0:
         power = power * (scale * scale)
@@ -143,7 +146,7 @@ def log_mel_spectrogram(
     filters = jnp.asarray(
         mel_filter_bank(sample_rate, n_fft, n_mels, mel_scale=mel_scale).T
     )  # (n_freq, n_mels)
-    mel = power @ filters
+    mel = jnp.matmul(power, filters, precision=jax.lax.Precision.HIGHEST)
     return jnp.log10(jnp.maximum(mel, log_floor))
 
 

@@ -25,6 +25,7 @@ class Segment:
     tokens: List[int] = field(default_factory=list)
     voiceprint: Optional[np.ndarray] = None
     speaker: Optional[int] = None  # diarization label (yoho family)
+    words: Optional[list] = None  # List[WordTiming] when word_timestamps on
 
 
 def chunk_audio(
@@ -87,6 +88,9 @@ def stitch_segments(
                         tokens=list(seg.tokens),
                         voiceprint=seg.voiceprint,
                         speaker=seg.speaker,
+                        words=[type(w)(w.word, round(off + w.start, 3),
+                                       round(off + w.end, 3))
+                               for w in seg.words] if seg.words else None,
                     )
                 )
     out.sort(key=lambda s: (s.start, s.end))

@@ -250,6 +250,16 @@ class MultiHeadAttention(nn.Module):
         b, s, _ = x.shape
         return x.reshape(b, s, self.n_head, self.n_state // self.n_head)
 
+    def attention_map(self, x: jnp.ndarray, xa: jnp.ndarray) -> jnp.ndarray:
+        """Head-averaged cross-attention weights (B, S, T) in f32 —
+        the alignment signal for word-level timestamps (DTW)."""
+        scale = (self.n_state // self.n_head) ** -0.25
+        q = _bhsd(self._split(self.q_proj(x)) * scale)
+        k = _bhdt(self._split(self.k_proj(xa)) * scale)
+        scores = jnp.einsum("bhsd,bhdt->bhst", q, k,
+                            preferred_element_type=jnp.float32)
+        return jax.nn.softmax(scores, axis=-1).mean(axis=1)
+
     def kv(self, xa: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Precompute cross-attention K/V from encoder output (once per
         utterance; the decode loop then never touches the encoder).

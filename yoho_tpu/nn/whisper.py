@@ -168,6 +168,25 @@ class TextDecoder(nn.Module):
             kvs = [quantize_kv(k, v) for k, v in kvs]
         return kvs
 
+    def cross_attention_map(self, tokens: jnp.ndarray, xa: jnp.ndarray) -> jnp.ndarray:
+        """Teacher-forced forward collecting the alignment signal: mean
+        cross-attention over the upper half of the decoder layers (the
+        standard heuristic when a checkpoint ships no alignment-head mask).
+        Returns (B, S_text, T_audio) f32."""
+        t = tokens.shape[1]
+        x = self.token_embedding(tokens)
+        x = x + self.positional_embedding[:t].astype(self.dtype)
+        mask = causal_mask(t, t)
+        align_from = len(self.blocks) // 2
+        acc = None
+        for i, blk in enumerate(self.blocks):
+            x_attn_in = blk.ln2(x + blk.attn(blk.ln1(x), mask=mask))
+            if i >= align_from:
+                w = blk.cross_attn.attention_map(x_attn_in, xa)
+                acc = w if acc is None else acc + w
+            x = blk(x, xa, mask)
+        return acc / max(len(self.blocks) - align_from, 1)
+
     def decode_step(self, tokens, caches: List[KVCache], cross_kvs, pos):
         """Cached step: tokens (B, S_new) at absolute position ``pos``.
 
@@ -214,3 +233,6 @@ class Whisper(nn.Module):
 
     def decode_step(self, tokens, caches, cross_kvs, pos):
         return self.decoder.decode_step(tokens, caches, cross_kvs, pos)
+
+    def cross_attention_map(self, tokens, xa):
+        return self.decoder.cross_attention_map(tokens, xa)

@@ -35,7 +35,7 @@ _LOG10_INV = 1.0 / np.log(10.0)
 
 
 def _mel_kernel(audio_ref, cos_ref, sin_ref, mel_ref, out_ref, scratch, sem,
-                *, tile_f: int, hop: int, n_full: int, rem: int,
+                *, tile_f: int, row_w: int, n_chunks: int,
                 span_rows: int, log_floor: float):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -48,22 +48,34 @@ def _mel_kernel(audio_ref, cos_ref, sin_ref, mel_ref, out_ref, scratch, sem,
     copy.start()
     copy.wait()
 
-    x = scratch[...]  # (span_rows, hop)
-    pieces = [x[kk : kk + tile_f, :] for kk in range(n_full)]
-    if rem:
-        pieces.append(x[n_full : n_full + tile_f, :rem])
-    frames = jnp.concatenate(pieces, axis=1)  # (tile_f, n_fft) — windowed bases
-
-    re = jnp.dot(frames, cos_ref[...], preferred_element_type=jnp.float32)
-    im = jnp.dot(frames, sin_ref[...], preferred_element_type=jnp.float32)
+    x = scratch[...]  # (span_rows, row_w) — one hop per row, lane-padded
+    # frame i = concat_kk(x[i+kk]) along features; the DFT matmul is linear
+    # over that concat, so compute partial products per row-chunk and sum
+    # (Mosaic supports neither unaligned concat nor unaligned lane slices —
+    # the lane padding is folded into zero rows of the DFT matrices).
+    # HIGHEST precision: the TPU MXU's default f32 matmul is single-pass
+    # bf16, which costs ~2 decimal digits through the power+log chain.
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.zeros((tile_f, cos_ref.shape[1]), jnp.float32)
+    im = jnp.zeros((tile_f, sin_ref.shape[1]), jnp.float32)
+    for kk in range(n_chunks):
+        piece = x[kk : kk + tile_f, :]
+        re += jnp.dot(piece, cos_ref[kk * row_w : (kk + 1) * row_w, :],
+                      preferred_element_type=jnp.float32, precision=hi)
+        im += jnp.dot(piece, sin_ref[kk * row_w : (kk + 1) * row_w, :],
+                      preferred_element_type=jnp.float32, precision=hi)
     power = re * re + im * im
-    mel = jnp.dot(power, mel_ref[...], preferred_element_type=jnp.float32)
+    mel = jnp.dot(power, mel_ref[...], preferred_element_type=jnp.float32,
+                  precision=hi)
     out_ref[0] = jnp.log(jnp.maximum(mel, log_floor)) * _LOG10_INV
 
 
 @functools.lru_cache(maxsize=None)
 def _constants(sample_rate: int, n_fft: int, hop: int, n_mels: int,
                mel_scale: str, scaled: bool):
+    """Chunked windowed-DFT bases: rows regrouped per lane-padded audio
+    row (row_w = hop padded to a 128 multiple; padding rows are zero), plus
+    the (freq-padded) mel projection."""
     win = _hann_periodic(n_fft).astype(np.float64)
     if scaled:  # scipy scaling="spectrum": amplitude scale 1/sum(win)
         win = win / win.sum()
@@ -74,9 +86,20 @@ def _constants(sample_rate: int, n_fft: int, hop: int, n_mels: int,
     freq_pad = -n_freq % 128
     cos_w = np.pad(cos_w, ((0, 0), (0, freq_pad)))
     sin_w = np.pad(sin_w, ((0, 0), (0, freq_pad)))
+
+    row_w = hop + (-hop % 128)
+    n_chunks = -(-n_fft // hop)
+    f_pad = cos_w.shape[1]
+    cos_c = np.zeros((n_chunks * row_w, f_pad), np.float32)
+    sin_c = np.zeros((n_chunks * row_w, f_pad), np.float32)
+    for kk in range(n_chunks):
+        lo, hi = kk * hop, min((kk + 1) * hop, n_fft)
+        cos_c[kk * row_w : kk * row_w + (hi - lo)] = cos_w[lo:hi]
+        sin_c[kk * row_w : kk * row_w + (hi - lo)] = sin_w[lo:hi]
+
     filt = mel_filter_bank(sample_rate, n_fft, n_mels, mel_scale=mel_scale).T
     filt = np.pad(filt, ((0, freq_pad), (0, -n_mels % 128))).astype(np.float32)
-    return cos_w, sin_w, filt
+    return cos_c, sin_c, filt, row_w, n_chunks
 
 
 def fused_log_mel(
@@ -89,7 +112,7 @@ def fused_log_mel(
     mel_scale: str = "slaney",
     convention: str = "whisper",
     log_floor: float = 1e-10,
-    tile_f: int = 500,
+    tile_f: int = 600,
 ) -> jnp.ndarray:
     """Un-normalized log10-mel, (B, frames, n_mels) — fused Pallas path.
 
@@ -110,23 +133,32 @@ def fused_log_mel(
     else:
         raise ValueError(f"unknown convention {convention!r}")
 
-    cos_w, sin_w, filt = _constants(sample_rate, n_fft, hop, n_mels, mel_scale,
-                                    scaled)
-    n_full, rem = divmod(n_fft, hop)
-    span_rows_needed = tile_f + n_full + (1 if rem else 0)
+    # Mosaic requires the output block's sublane dim (frames) divisible by 8.
+    tile_f = max(8, (tile_f + 7) // 8 * 8)
 
-    # Frame grid: pad frames to a tile multiple; rows = frames + overlap tail.
+    cos_c, sin_c, filt, row_w, n_chunks = _constants(
+        sample_rate, n_fft, hop, n_mels, mel_scale, scaled
+    )
+    span_rows_needed = tile_f + n_chunks
+    # Mosaic DMA slices must be 8-aligned in the sublane dim.
+    span_rows_needed = (span_rows_needed + 7) // 8 * 8
+
+    # Frame grid: pad frames to a tile multiple; rows = frames + overlap tail
+    # (enough that the last tile's full span stays in bounds).
     frames_pad = -num_frames % tile_f
     total_frames = num_frames + frames_pad
-    rows = total_frames + n_full + (1 if rem else 0)
+    rows = total_frames + (span_rows_needed - tile_f)
     need = rows * hop
     audio = jnp.pad(audio, ((0, 0), (0, max(0, need - audio.shape[1]))))
     audio = audio[:, :need].reshape(b, rows, hop)
+    # Lane-pad each hop row to row_w (the DFT chunk matrices have zero rows
+    # at the padded lanes, so the padding contributes nothing).
+    audio = jnp.pad(audio, ((0, 0), (0, 0), (0, row_w - hop)))
 
     m_pad = filt.shape[1]
     interpret = jax.default_backend() != "tpu"
     kernel = functools.partial(
-        _mel_kernel, tile_f=tile_f, hop=hop, n_full=n_full, rem=rem,
+        _mel_kernel, tile_f=tile_f, row_w=row_w, n_chunks=n_chunks,
         span_rows=span_rows_needed, log_floor=log_floor,
     )
     out = pl.pallas_call(
@@ -134,9 +166,9 @@ def fused_log_mel(
         grid=(b, total_frames // tile_f),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # audio stays in HBM
-            pl.BlockSpec(cos_w.shape, lambda bb, ii: (0, 0),
+            pl.BlockSpec(cos_c.shape, lambda bb, ii: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(sin_w.shape, lambda bb, ii: (0, 0),
+            pl.BlockSpec(sin_c.shape, lambda bb, ii: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(filt.shape, lambda bb, ii: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -145,11 +177,11 @@ def fused_log_mel(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, total_frames, m_pad), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((span_rows_needed, hop), jnp.float32),
+            pltpu.VMEM((span_rows_needed, row_w), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(audio, jnp.asarray(cos_w), jnp.asarray(sin_w), jnp.asarray(filt))
+    )(audio, jnp.asarray(cos_c), jnp.asarray(sin_c), jnp.asarray(filt))
 
     return out[:, :num_frames, :n_mels]
 
