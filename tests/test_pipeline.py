@@ -137,3 +137,29 @@ def test_whisper_language_detection():
     lang, probs = t.detect_language(np.zeros(cfg.n_samples, np.float32))
     assert lang in table.languages
     assert abs(sum(probs.values()) - 1.0) < 1e-3
+
+
+def test_temperature_fallback_smoke():
+    """Fallback path: random tiny whisper model decodes with a (0.0, 0.5)
+    temperature ladder without error; compression-ratio helper sane."""
+    import jax
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=16, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=1, temperatures=(0.0, 0.5))
+    res = t.transcribe(np.zeros(cfg.n_samples, np.float32))
+    assert isinstance(res.text, str)
+    assert Transcriber._compression_ratio("") == 0.0
+    assert Transcriber._compression_ratio("ab " * 200) > 2.4  # repetitive
+    assert Transcriber._compression_ratio("the quick brown fox") < 2.4

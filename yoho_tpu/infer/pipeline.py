@@ -61,7 +61,14 @@ class Transcriber:
         no_speech_threshold: float = 0.6,
         logprob_threshold: float = -1.0,
         word_timestamps: bool = False,
+        temperatures: Sequence[float] = (0.0,),
+        compression_ratio_threshold: float = 2.4,
     ):
+        # Whisper-style quality fallback: windows whose greedy decode fails
+        # the logprob/compression checks are re-decoded at increasing
+        # sampling temperatures (one extra compiled program per temperature).
+        self.temperatures = tuple(temperatures)
+        self.compression_ratio_threshold = compression_ratio_threshold
         self.word_timestamps = word_timestamps
         # Whisper-style silence filtering: a window is treated as
         # speech-free when p(<|nospeech|>) exceeds no_speech_threshold AND
@@ -152,9 +159,9 @@ class Transcriber:
             return make_whisper_step_fn(self.model, variables, cross_kvs)
         return make_yoho_step_fn(self.model, variables, cross_kvs)
 
-    def _decode_fn(self, batch: int):
-        """One jitted program: mel windows -> (tokens, lengths)."""
-        key = (batch, self.beams)
+    def _decode_fn(self, batch: int, temperature: float = 0.0):
+        """One jitted program: mel windows -> (tokens, lengths, aux)."""
+        key = (batch, self.beams, float(temperature))
         if key in self._jitted:
             return self._jitted[key]
 
@@ -206,6 +213,8 @@ class Transcriber:
                     step, caches, jnp.asarray(prompt), self.max_len, self.eot,
                     suppress_ids=suppress, logits_fn=logits_fn,
                     return_aux=True, no_speech_id=ns_id,
+                    temperature=float(temperature),
+                    rng=jax.random.PRNGKey(42),
                 )
                 aux.setdefault("no_speech_prob", jnp.zeros((batch,), jnp.float32))
             return tokens, lengths, aux
@@ -268,6 +277,51 @@ class Transcriber:
             for seg in segs:
                 seg.words = [w for w in words
                              if seg.start <= (w.start + w.end) / 2 <= seg.end]
+
+    @staticmethod
+    def _compression_ratio(text: str) -> float:
+        import zlib
+
+        data = text.encode("utf-8")
+        if not data:
+            return 0.0
+        return len(data) / max(len(zlib.compress(data)), 1)
+
+    def _decode_with_fallback(self, b: int, mel):
+        """Greedy first; windows failing the whisper quality checks (low
+        mean logprob, pathological compression ratio) are replaced by
+        higher-temperature re-decodes (parity with OpenAI's fallback)."""
+        tokens, lengths, aux = self._decode_fn(b, self.temperatures[0])(
+            self.variables, mel
+        )
+        tokens = np.array(tokens)  # writable host copies
+        lengths = np.array(lengths)
+        aux = {k: np.array(v) for k, v in aux.items()}
+        if len(self.temperatures) <= 1 or self.family != "whisper" or self.beams > 1:
+            return tokens, lengths, aux
+
+        n_prompt = len(self._prompt_ids())
+        for temp in self.temperatures[1:]:
+            gen = np.maximum(lengths - n_prompt, 1)
+            avg_lp = aux["sum_logprob"] / gen
+            failed = avg_lp < self.logprob_threshold
+            for j in range(b):
+                text = self._render([int(t) for t in tokens[j, n_prompt:lengths[j]]
+                                     if t < self.token_table.eot])
+                if self._compression_ratio(text) > self.compression_ratio_threshold:
+                    failed[j] = True
+            # Silent windows are handled by the no-speech rule, not retried.
+            failed &= ~self._silent_mask(lengths, aux)
+            if not failed.any():
+                break
+            t2, l2, a2 = self._decode_fn(b, temp)(self.variables, mel)
+            t2, l2 = np.asarray(t2), np.asarray(l2)
+            a2 = {k: np.asarray(v) for k, v in a2.items()}
+            tokens[failed] = t2[failed]
+            lengths[failed] = l2[failed]
+            for k in aux:
+                aux[k][failed] = a2[k][failed]
+        return tokens, lengths, aux
 
     def _silent_mask(self, lengths: np.ndarray, aux) -> np.ndarray:
         """Whisper no-speech rule: high p(<|nospeech|>) + low mean logprob."""
@@ -393,8 +447,7 @@ class Transcriber:
                     [batch, np.zeros((b - actual, self.chunk_samples), np.float32)]
                 )
             mel = self._features(self._to_device(batch))
-            tokens, lengths, aux = self._decode_fn(b)(self.variables, mel)
-            tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+            tokens, lengths, aux = self._decode_with_fallback(b, mel)
             silent = self._silent_mask(lengths, aux)
             segs = [
                 [] if silent[j] else self._tokens_to_segments(tokens[j], int(lengths[j]))
@@ -464,8 +517,7 @@ class Transcriber:
                 a = np.asarray(a, np.float32)[: self.chunk_samples]
                 batch[j, : len(a)] = a
             mel = self._features(self._to_device(batch))
-            tokens, lengths, aux = self._decode_fn(b)(self.variables, mel)
-            tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+            tokens, lengths, aux = self._decode_with_fallback(b, mel)
             silent = self._silent_mask(lengths, aux)
             segs = [
                 [] if silent[j] else self._tokens_to_segments(tokens[j], int(lengths[j]))
