@@ -1,0 +1,108 @@
+"""Streaming transcription: incremental push/flush matches offline batch."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yoho_tpu.core.config import YOHOConfig
+from yoho_tpu.infer.pipeline import Transcriber
+from yoho_tpu.infer.streaming import StreamingTranscriber
+from yoho_tpu.nn.yoho import YOHOModel
+from yoho_tpu.text.tokenizer import train_tokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = YOHOConfig(
+        n_mel_bands=16, max_audio_len=32, max_text_len=16, dims=32,
+        n_audio_heads=4, n_audio_blocks=1, n_text_heads=4, n_text_blocks=1,
+    )
+    tok = train_tokenizer(["hello world test"] * 3, vocab_size=32 + 3 + 256 + 60,
+                          max_audio_len=cfg.max_audio_len, backend="python")
+    model = YOHOModel(cfg, vocab_size=tok.vocab_size)
+    g = np.random.default_rng(0)
+    mel = jnp.asarray(g.standard_normal((1, cfg.max_audio_len, cfg.n_mel_bands))
+                      .astype(np.float32))
+    tokens = jnp.asarray(g.integers(0, tok.vocab_size, size=(1, cfg.max_text_len)))
+    variables = model.init(jax.random.PRNGKey(0), tokens, mel,
+                           method=YOHOModel.forward_with_voiceprints)
+    t = Transcriber(model, variables, family="yoho", tokenizer=tok, batch_size=1,
+                    overlap_seconds=0.05)
+    return cfg, t
+
+
+def test_streaming_matches_offline(setup):
+    cfg, t = setup
+    g = np.random.default_rng(1)
+    audio = (0.1 * g.standard_normal(int(cfg.n_samples * 2.6))).astype(np.float32)
+
+    offline = t.transcribe(audio)
+
+    s = StreamingTranscriber(t)
+    collected = []
+    # push in awkward chunk sizes
+    for i in range(0, len(audio), 1234):
+        collected.extend(s.push(audio[i : i + 1234]))
+    collected.extend(s.flush())
+
+    off = [(x.start, x.end, x.text) for x in offline.segments]
+    stream = [(x.start, x.end, x.text) for x in collected]
+    assert stream == off
+    assert s.text() == offline.text
+
+
+def test_streaming_incremental_finalization(setup):
+    cfg, t = setup
+    s = StreamingTranscriber(t)
+    # Less than one window: nothing decodes yet.
+    out = s.push(np.zeros(cfg.n_samples // 2, np.float32))
+    assert out == [] and s.segments == []
+    # Completing the first two windows may finalize window 1.
+    s.push(np.zeros(cfg.n_samples * 2, np.float32))
+    final = s.flush()
+    assert isinstance(final, list)
+    # flush resets buffered audio
+    assert s.push(np.zeros(10, np.float32)) == []
+
+
+def test_streaming_stitching_with_synthetic_segments(setup, monkeypatch):
+    """Force deterministic nonempty segments to truly exercise stitching."""
+    cfg, t = setup
+    tok = t.tokenizer
+    text_ids = tok.encode("hello world")
+
+    def fake_decode(b, mel):
+        # one segment spanning frames 4..20 in every window
+        seq = [tok.sot_id, tok.timestamp_id(4), *text_ids,
+               tok.timestamp_id(20), tok.voiceprint_id, tok.eot_id]
+        tokens = np.full((b, t.max_len), tok.eot_id, np.int32)
+        tokens[:, : len(seq)] = seq
+        lengths = np.full((b,), len(seq), np.int32)
+        aux = {"sum_logprob": np.zeros(b, np.float32),
+               "no_speech_prob": np.zeros(b, np.float32)}
+        return tokens, lengths, aux
+
+    monkeypatch.setattr(t, "_decode_with_fallback", fake_decode)
+    monkeypatch.setattr(t, "_attach_voiceprints", lambda *a, **k: None)
+
+    g = np.random.default_rng(2)
+    audio = (0.1 * g.standard_normal(int(cfg.n_samples * 2.3))).astype(np.float32)
+    offline = t.transcribe(audio)
+    assert offline.segments, "synthetic decode must produce segments"
+
+    s = StreamingTranscriber(t)
+    collected = []
+    for i in range(0, len(audio), 977):
+        collected.extend(s.push(audio[i : i + 977]))
+    n_before_flush = len(collected)
+    collected.extend(s.flush())
+
+    stream = [(x.start, x.text) for x in collected]
+    # every streamed segment is unique and ordered
+    assert stream == sorted(set(stream))
+    assert n_before_flush >= 1  # some segments finalized before end of stream
+    # offline vs streaming cover the same time span with the same text
+    assert all(x.text == "hello world" for x in collected)
+    assert len(collected) >= len(offline.segments) - 1

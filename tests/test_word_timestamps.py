@@ -62,3 +62,43 @@ def test_words_from_alignment():
     # monotonic, clamped
     assert all(w.end <= 1.0 for w in words)
     assert all(w.end > w.start for w in words)
+
+
+def test_pipeline_word_timestamps_integration():
+    """Transcriber(word_timestamps=True) attaches WordTiming lists via the
+    cross-attention DTW path (fake text backend supplies word pieces)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.infer.pipeline import Transcriber
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    class FakeBackend:
+        def convert_ids_to_tokens(self, ids):
+            return [("Ġtok%d" % (i % 7)) for i in ids]
+
+        def decode(self, ids):
+            return " ".join("tok%d" % (i % 7) for i in ids)
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=16, n_text_state=32, n_text_head=4,
+                        n_text_layer=2, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True, text_backend=FakeBackend())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=1, word_timestamps=True,
+                    no_speech_threshold=1.1)  # never drop (random weights)
+    g = np.random.default_rng(0)
+    res = t.transcribe((0.1 * g.standard_normal(cfg.n_samples)).astype(np.float32))
+    # Words attach whenever text tokens were emitted into segments.
+    for seg in res.segments:
+        if seg.tokens and seg.words:
+            for w in seg.words:
+                assert w.end >= w.start >= 0
+                assert isinstance(w.word, str) and w.word

@@ -1,0 +1,117 @@
+"""Streaming transcription: push audio incrementally, pull finalized segments.
+
+Real-time serving shape the reference lacks: a stateful wrapper over the
+batched Transcriber that decodes each fixed window as soon as enough audio
+has arrived, using the same compiled programs (no new jit signatures).
+Segments are finalized once they can no longer be revised by a later
+overlapping window (their midpoint falls in territory owned by an already-
+decoded window — the same ownership rule as offline stitching, so a
+streamed session yields exactly the segments of an offline transcribe over
+the same audio, modulo the unavoidable final partial window).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from yoho_tpu.infer.longform import Segment
+
+
+class StreamingTranscriber:
+    def __init__(self, transcriber):
+        self.t = transcriber
+        self._buffer = np.zeros((0,), np.float32)
+        self._next_window_start = 0  # absolute sample index
+        self._emitted: List[Segment] = []
+        self._pending: List[tuple] = []  # (window_start, [Segment])
+        self._consumed = 0  # absolute samples consumed into buffer
+
+    # ------------------------------------------------------------------
+    def _decode_window(self, window_start: int, audio: np.ndarray, final: bool):
+        t = self.t
+        batch = np.zeros((1, t.chunk_samples), np.float32)
+        n = min(len(audio), t.chunk_samples)
+        batch[0, :n] = audio[:n]
+        mel = t._features(t._to_device(batch))
+        tokens, lengths, aux = t._decode_with_fallback(1, mel)
+        silent = t._silent_mask(lengths, aux)
+        segs = ([] if silent[0]
+                else t._tokens_to_segments(tokens[0], int(lengths[0])))
+        t._attach_voiceprints(mel[:1], tokens[:1], [segs])
+        self._pending.append((window_start, segs))
+
+    def _finalize(self, final: bool) -> List[Segment]:
+        """Apply the midpoint-ownership rule across pending windows."""
+        t = self.t
+        sr = t.sample_rate
+        chunk_s = t.chunk_samples / sr
+        stride_s = t.stride_samples / sr
+        out: List[Segment] = []
+        n = len(self._pending)
+        for w, (start, segs) in enumerate(self._pending):
+            off = start / sr
+            lo = -np.inf if start == 0 else off + chunk_s / 2 - stride_s / 2
+            hi = np.inf if (final and w == n - 1) else off + chunk_s / 2 + stride_s / 2
+            if not final and w == n - 1:
+                # The last pending window may still be revised — hold it.
+                continue
+            for seg in segs:
+                mid = off + (seg.start + seg.end) / 2
+                if lo <= mid < hi:
+                    out.append(Segment(
+                        start=round(off + seg.start, 3),
+                        end=round(off + seg.end, 3),
+                        text=seg.text, tokens=list(seg.tokens),
+                        voiceprint=seg.voiceprint, speaker=seg.speaker,
+                        words=seg.words,
+                    ))
+        # Drop finalized windows; keep the last (still revisable) one.
+        if not final and self._pending:
+            self._pending = self._pending[-1:]
+        elif final:
+            self._pending = []
+        out.sort(key=lambda s: (s.start, s.end))
+        self._emitted.extend(out)
+        return out
+
+    # ------------------------------------------------------------------
+    def push(self, audio: np.ndarray) -> List[Segment]:
+        """Feed more audio; returns newly finalized segments."""
+        t = self.t
+        audio = np.asarray(audio, np.float32).reshape(-1)
+        self._buffer = np.concatenate([self._buffer, audio])
+        self._consumed += len(audio)
+
+        new: List[Segment] = []
+        while self._consumed - self._next_window_start >= t.chunk_samples:
+            rel = self._next_window_start - (self._consumed - len(self._buffer))
+            window = self._buffer[rel : rel + t.chunk_samples]
+            self._decode_window(self._next_window_start, window, final=False)
+            self._next_window_start += t.stride_samples
+            new.extend(self._finalize(final=False))
+        # Trim buffer to what future windows still need.
+        keep_from = self._next_window_start - (self._consumed - len(self._buffer))
+        if keep_from > 0:
+            self._buffer = self._buffer[keep_from:]
+        return new
+
+    def flush(self) -> List[Segment]:
+        """End of stream: decode the remaining partial window, finalize all."""
+        t = self.t
+        rel = self._next_window_start - (self._consumed - len(self._buffer))
+        tail = self._buffer[max(rel, 0):]
+        if len(tail) > 0:
+            self._decode_window(self._next_window_start, tail, final=True)
+        out = self._finalize(final=True)
+        self._buffer = np.zeros((0,), np.float32)
+        return out
+
+    @property
+    def segments(self) -> List[Segment]:
+        """All segments finalized so far."""
+        return list(self._emitted)
+
+    def text(self) -> str:
+        return " ".join(s.text for s in self._emitted if s.text).strip()
