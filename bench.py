@@ -11,7 +11,6 @@ RTF / 40.
 
 import json
 import os
-import sys
 import time
 
 import numpy as np

@@ -12,7 +12,7 @@ given the ``rng`` and bounded to keep outputs finite.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable, List, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import numpy as np
 from scipy import signal as sps

@@ -8,7 +8,6 @@ Usage: ``python -m yoho_tpu.cli.plot_metrics <name> <stage> [--root ...]``
 
 import argparse
 import csv
-import time
 from pathlib import Path
 
 

@@ -14,11 +14,12 @@ Usage: ``python -m yoho_tpu.cli.transcribe file1.wav [file2.wav ...]
 
 import argparse
 import json as jsonlib
-from pathlib import Path
 
 
 def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: str,
-                              timestamps: bool):
+                              timestamps: bool, quantized: bool = False,
+                              word_timestamps: bool = False,
+                              temperatures=(0.0,)):
     import jax.numpy as jnp
 
     from yoho_tpu.infer.pipeline import Transcriber
@@ -41,6 +42,8 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
         model, {"params": params}, family="whisper", token_table=table,
         batch_size=batch, beams=beams, language=language,
         cache_dtype=jnp.bfloat16, timestamps=timestamps,
+        quantized_cross_kv=quantized, quantized_cache=quantized,
+        word_timestamps=word_timestamps, temperatures=temperatures,
     )
 
 
@@ -95,11 +98,20 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--no-timestamps", action="store_true")
     parser.add_argument("--json", action="store_true", help="JSONL output")
+    parser.add_argument("--int8-kv", action="store_true",
+                        help="int8 KV caches (faster, argmax-identical in tests)")
+    parser.add_argument("--word-timestamps", action="store_true")
+    parser.add_argument("--temperature-fallback", action="store_true",
+                        help="retry low-quality windows at higher temperatures")
     args = parser.parse_args(argv)
 
+    temps = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if args.temperature_fallback else (0.0,)
     if args.hf:
         t = build_whisper_transcriber(args.hf, args.beams, args.batch,
-                                      args.language, not args.no_timestamps)
+                                      args.language, not args.no_timestamps,
+                                      quantized=args.int8_kv,
+                                      word_timestamps=args.word_timestamps,
+                                      temperatures=temps)
     else:
         t = build_yoho_transcriber(args.session, args.root, args.beams, args.batch)
 
@@ -121,7 +133,11 @@ def main(argv=None):
             print(f"== {f}")
             for s in result.segments:
                 vp = " 🎙️" if s.voiceprint is not None else ""
-                print(f"[{s.start:7.2f} - {s.end:7.2f}]{vp} {s.text}")
+                spk = f" [spk{s.speaker}]" if s.speaker is not None else ""
+                print(f"[{s.start:7.2f} - {s.end:7.2f}]{vp}{spk} {s.text}")
+                if s.words:
+                    print("    " + " ".join(f"{w.word}({w.start:.2f})"
+                                            for w in s.words))
             if not result.segments:
                 print(result.text or "(no speech detected)")
     return 0

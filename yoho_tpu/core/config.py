@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import tomllib
 from pathlib import Path
-from typing import List, Literal, Optional, Union
+from typing import List, Union
 
 from pydantic import BaseModel, Field, model_validator
 

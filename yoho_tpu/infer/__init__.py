@@ -2,3 +2,6 @@ from yoho_tpu.infer.decode import greedy_decode, make_whisper_step_fn, make_yoho
 from yoho_tpu.infer.beam import beam_search, tile_beams  # noqa: F401
 from yoho_tpu.infer.longform import Segment, chunk_audio, stitch_segments  # noqa: F401
 from yoho_tpu.infer.pipeline import Transcriber, TranscriptionResult  # noqa: F401
+from yoho_tpu.infer.streaming import StreamingTranscriber  # noqa: F401
+from yoho_tpu.infer.diarize import cluster_voiceprints, identify_speaker  # noqa: F401
+from yoho_tpu.infer.word_timestamps import WordTiming  # noqa: F401

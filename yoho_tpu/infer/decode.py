@@ -11,8 +11,7 @@ comes back.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

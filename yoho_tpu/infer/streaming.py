@@ -12,7 +12,7 @@ the same audio, modulo the unavoidable final partial window).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 

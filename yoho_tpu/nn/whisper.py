@@ -16,7 +16,7 @@ serving runs bf16 while parity tests run f32.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List
 
 import flax.linen as nn
 import jax.numpy as jnp

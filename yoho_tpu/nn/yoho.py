@@ -16,7 +16,7 @@ capabilities the reference only reserved slots for:
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List
 
 import flax.linen as nn
 import jax.numpy as jnp

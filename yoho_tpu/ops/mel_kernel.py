@@ -20,7 +20,6 @@ Runs in interpreter mode off-TPU so CPU tests exercise the same code.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,10 +18,9 @@ right id asc); merges applied lowest-rank-first, left-to-right):
 
 from __future__ import annotations
 
-import heapq
-from collections import Counter, defaultdict
+from collections import Counter
 from pathlib import Path
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Sequence, Tuple
 
 MAGIC = "YOHOBPE v1"
 

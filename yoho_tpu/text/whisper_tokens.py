@@ -11,7 +11,7 @@ available locally.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 # Whisper's 99 languages in canonical id order (tokenizer.py upstream);
 # large-v3 appends "yue".

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from yoho_tpu.core.config import DEFAULT_SESSION_TOML, SessionConfig, load_session_config
+from yoho_tpu.core.config import DEFAULT_SESSION_TOML, SessionConfig
 
 STAGE_NAMES = {
     0: "tokenizer",

@@ -14,8 +14,6 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Any, Optional, Tuple
 
-import jax
-
 
 def _checkpointer():
     import orbax.checkpoint as ocp

@@ -9,7 +9,6 @@ are exported to ``weights.voice_reconstruction`` and seed stage 3.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -19,7 +19,6 @@ decoder instead of the reference's per-token full recompute (ref :273-286).
 
 from __future__ import annotations
 
-import time
 from functools import partial
 from typing import Optional
 
