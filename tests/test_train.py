@@ -267,3 +267,18 @@ def test_sharded_checkpoint_preserves_sharding(tmp_path):
     assert restored is not None
     _step, p, _o = restored
     assert p["attn"]["q_proj"]["kernel"].sharding == sharded["attn"]["q_proj"]["kernel"].sharding
+
+
+def test_trainer_bf16_compute(session_config, tokenizer):
+    import jax.numpy as jnp
+
+    from yoho_tpu.train.trainer import ASRTrainer
+
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    tr = ASRTrainer(session_config, tokenizer=tokenizer, stage=1, mesh=mesh,
+                    use_multiprocessing=False, compute_dtype=jnp.bfloat16,
+                    checkpoint_name="bf16.msgpack")
+    # params stay f32 even with bf16 compute
+    leaf = jax.tree_util.tree_leaves(tr.state.params)[0]
+    assert leaf.dtype == jnp.float32
+    tr.run(max_updates=1)

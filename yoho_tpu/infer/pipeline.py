@@ -404,11 +404,15 @@ class Transcriber:
             return
         pad = np.zeros((tokens.shape[0], self.max_len), np.int32)
         pad[:, : tokens.shape[1]] = tokens[:, : self.max_len]
-        _logits, vp = self.model.apply(
-            self.variables, jnp.asarray(pad), mel,
-            method=type(self.model).forward_with_voiceprints,
-        )
-        vp = np.asarray(vp)
+        key = ("voiceprints", tokens.shape[0])
+        if key not in self._jitted:
+            model = self.model
+            self._jitted[key] = jax.jit(
+                lambda v, t, m: model.apply(
+                    v, t, m, method=type(model).forward_with_voiceprints
+                )[1]
+            )
+        vp = np.asarray(self._jitted[key](self.variables, jnp.asarray(pad), mel))
         vp_id = self.tokenizer.voiceprint_id
         for w, segs in enumerate(per_window):
             positions = np.nonzero(pad[w] == vp_id)[0]
@@ -483,18 +487,20 @@ class Transcriber:
         tt = self.token_table
         model = self.model
 
-        def run(variables, mel):
-            xa = model.apply(variables, mel, method=type(model).encode_audio)
-            ckv = model.apply(variables, xa, method=type(model).cross_kvs)
-            caches = model.apply(variables, 1, self.cache_dtype, 128,
-                                 method=type(model).init_caches)
-            prompt = jnp.asarray([[tt.sot]], jnp.int32)
-            logits, _ = model.apply(variables, prompt, caches, ckv, 0,
-                                    method=type(model).decode_step)
-            return logits[0, -1]
+        if "detect_language" not in self._jitted:
+            def run(variables, mel):
+                xa = model.apply(variables, mel, method=type(model).encode_audio)
+                ckv = model.apply(variables, xa, method=type(model).cross_kvs)
+                caches = model.apply(variables, 1, self.cache_dtype, 128,
+                                     method=type(model).init_caches)
+                prompt = jnp.asarray([[tt.sot]], jnp.int32)
+                logits, _ = model.apply(variables, prompt, caches, ckv, 0,
+                                        method=type(model).decode_step)
+                return logits[0, -1]
 
-        logits = np.asarray(jax.jit(run)(self.variables,
-                                         self._features(self._to_device(window))))
+            self._jitted["detect_language"] = jax.jit(run)
+        logits = np.asarray(self._jitted["detect_language"](
+            self.variables, self._features(self._to_device(window))))
         lang_ids = np.arange(tt.language_base, tt.language_base + len(tt.languages))
         lang_logits = logits[lang_ids]
         probs = np.exp(lang_logits - lang_logits.max())

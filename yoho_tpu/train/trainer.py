@@ -66,7 +66,11 @@ class ASRTrainer:
         model: Optional[YOHOModel] = None,
         init_params=None,
         dataloader_kwargs: Optional[dict] = None,
+        compute_dtype=None,
     ):
+        # Mixed precision: bf16 activations/matmuls with f32 params and
+        # optimizer state (pass compute_dtype=jnp.bfloat16). Default f32.
+        self.compute_dtype = compute_dtype or jnp.float32
         self.config = config
         self.stage = stage
         self.hp = hp or (
@@ -81,7 +85,8 @@ class ASRTrainer:
         )
 
         self.tokenizer = tokenizer or YOHOTokenizer.load(config.weights.tokenizer)
-        self.model = model or YOHOModel(config.yoho, self.tokenizer.vocab_size)
+        self.model = model or YOHOModel(config.yoho, self.tokenizer.vocab_size,
+                                        dtype=self.compute_dtype)
         self.mesh = mesh or make_mesh(config.mesh.data, config.mesh.model)
 
         dl_kwargs = dict(
