@@ -282,3 +282,56 @@ def test_trainer_bf16_compute(session_config, tokenizer):
     leaf = jax.tree_util.tree_leaves(tr.state.params)[0]
     assert leaf.dtype == jnp.float32
     tr.run(max_updates=1)
+
+
+def test_metrics_writer_concurrent(tmp_path):
+    """Many threads appending concurrently never interleave rows."""
+    import threading
+
+    m = MetricsWriter(tmp_path / "m.csv")
+
+    def work(k):
+        for i in range(50):
+            m.log(k * 1000 + i, 1e-3, float(i))
+
+    threads = [threading.Thread(target=work, args=(k,)) for k in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    lines = (tmp_path / "m.csv").read_text().strip().split("\n")
+    assert len(lines) == 1 + 8 * 50
+    for ln in lines[1:]:
+        parts = ln.split(",")
+        assert len(parts) == 4 and parts[0].isdigit()
+
+
+def test_sigterm_flushes_checkpoint(tmp_path):
+    """Preemption safety: SIGTERM triggers a checkpoint flush (SURVEY §5)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(f"""
+        import os, signal, sys, time
+        import numpy as np
+        from yoho_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint
+
+        ck = AsyncCheckpointer({str(repr(str(tmp_path / 'c.msgpack')))}, install_sigterm=True)
+        # block the writer so the pending snapshot survives until SIGTERM
+        import threading
+        ck._cv.acquire()  # starve the worker loop
+        ck._pending = (7, {{"w": np.ones(3, np.float32)}}, {{}})
+        os.kill(os.getpid(), signal.SIGTERM)
+    """)
+    proc = subprocess.run([sys.executable, "-c", script], timeout=120,
+                          capture_output=True,
+                          env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    restored = load_checkpoint(tmp_path / "c.msgpack",
+                               {"w": np.zeros(3, np.float32)}, {})
+    assert restored is not None
+    step, p, _ = restored
+    assert step == 7
+    np.testing.assert_array_equal(p["w"], np.ones(3))

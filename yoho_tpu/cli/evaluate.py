@@ -1,0 +1,100 @@
+"""CLI: evaluate transcription quality (WER/CER/exact-match) on a dataset.
+
+Dataset layout (LibriSpeech-style flat dir): ``<dir>/*.wav`` with sibling
+``<stem>.txt`` reference transcripts, OR a ``transcripts/*.srt`` +
+``audio/*`` corpus (the training layout).
+
+Usage: ``python -m yoho_tpu.cli.evaluate <dir>
+          (--hf openai/whisper-small | --session main)
+          [--limit N] [--beams 5] [--json]``
+"""
+
+import argparse
+import json as jsonlib
+from pathlib import Path
+
+
+def collect_pairs(root: Path, limit=None):
+    """-> [(audio_path, reference_text)]."""
+    pairs = []
+    if (root / "transcripts").exists():
+        from yoho_tpu.text.srt import parse_srt
+
+        for srt_path in sorted((root / "transcripts").iterdir()):
+            stem = srt_path.stem
+            for suf in (".wav", ".npy", ".mp3", ".flac"):
+                cand = root / "audio" / (stem + suf)
+                if cand.exists():
+                    subs = list(parse_srt(srt_path.read_text(encoding="utf-8")))
+                    pairs.append((cand, " ".join(s.content for s in subs)))
+                    break
+    else:
+        for wav in sorted(root.glob("*.wav")):
+            txt = wav.with_suffix(".txt")
+            if txt.exists():
+                pairs.append((wav, txt.read_text(encoding="utf-8").strip()))
+    return pairs[:limit] if limit else pairs
+
+
+def main(argv=None):
+    from yoho_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
+    parser = argparse.ArgumentParser(description="WER/CER evaluation")
+    parser.add_argument("dataset", type=str)
+    src = parser.add_mutually_exclusive_group(required=True)
+    src.add_argument("--hf", type=str)
+    src.add_argument("--session", type=str)
+    parser.add_argument("--root", type=str, default="./sessions")
+    parser.add_argument("--language", type=str, default="en")
+    parser.add_argument("--beams", type=int, default=0)
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--json", action="store_true")
+    args = parser.parse_args(argv)
+
+    from yoho_tpu.cli.transcribe import (
+        build_whisper_transcriber,
+        build_yoho_transcriber,
+    )
+    from yoho_tpu.eval.wer import cer, normalize_for_wer, wer
+
+    if args.hf:
+        t = build_whisper_transcriber(args.hf, args.beams, args.batch,
+                                      args.language, True)
+    else:
+        t = build_yoho_transcriber(args.session, args.root, args.beams, args.batch)
+
+    pairs = collect_pairs(Path(args.dataset), args.limit)
+    if not pairs:
+        print("no (audio, transcript) pairs found")
+        return 1
+
+    refs, hyps, exact = [], [], 0
+    for audio_path, ref in pairs:
+        hyp = t.transcribe(str(audio_path)).text
+        refs.append(ref)
+        hyps.append(hyp)
+        exact += normalize_for_wer(ref) == normalize_for_wer(hyp)
+
+    wer_rate, wst = wer(refs, hyps)
+    cer_rate, _ = cer(refs, hyps)
+    report = {
+        "utterances": len(pairs),
+        "wer": round(wer_rate, 4),
+        "cer": round(cer_rate, 4),
+        "exact_match": round(exact / len(pairs), 4),
+        "substitutions": wst.substitutions,
+        "insertions": wst.insertions,
+        "deletions": wst.deletions,
+    }
+    if args.json:
+        print(jsonlib.dumps(report))
+    else:
+        for k, v in report.items():
+            print(f"{k:14s} {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
