@@ -30,7 +30,10 @@ def main():
     batch = int(os.environ.get("BENCH_BATCH", "128"))
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "224"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
-    quantized_kv = os.environ.get("BENCH_QUANTIZED_KV", "1") == "1"
+    # BENCH_QUANTIZED_KV: 0 = bf16, 1 = int8 (argmax-identical), 4 = int4
+    # (opt-in approximation; quarters the dominant cross-KV HBM traffic).
+    kv_env = os.environ.get("BENCH_QUANTIZED_KV", "1")
+    quantized_kv = {"0": False, "1": True, "4": "int4"}[kv_env]
     quantized_cache = os.environ.get("BENCH_QUANTIZED_CACHE", "1") == "1"
 
 
@@ -111,7 +114,7 @@ def main():
     result = {
         "metric": f"whisper-{model_name} audio-seconds transcribed /sec/chip "
                   f"(B={batch}, {decode_tokens} decode tokens"
-                  f"{', int8 cross-KV' if quantized_kv else ''}"
+                  f"{', int4 cross-KV' if quantized_kv == 'int4' else ', int8 cross-KV' if quantized_kv else ''}"
                   f"{', int8 cache' if quantized_cache else ''}; "
                   f"{tok_per_sec:.0f} tok/s)",
         "value": round(rtf, 2),

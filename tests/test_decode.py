@@ -142,3 +142,28 @@ def test_beam_dominates_greedy_logprob(setup):
     assert np.all(b_lp >= g_lp - 1e-4)
     # returned scores agree with recomputed sequence logprob (lp=0 -> raw)
     np.testing.assert_allclose(b_lp, np.asarray(b_scores), atol=1e-3)
+
+
+def test_fused_decode_path_matches_xla(setup, monkeypatch):
+    """Whole greedy decode through the fused Pallas kernel (forced interpret
+    mode off-TPU) vs the XLA path: identical transcripts, int8 caches."""
+    cfg, model, variables, mel, xa = setup
+    prompt = jnp.asarray([[1, 2], [1, 2], [1, 3]], jnp.int32)
+    max_len = 16
+
+    def run():
+        cross_kvs = model.apply(variables, xa, True, method=Whisper.cross_kvs)
+        caches = model.apply(variables, 3, jnp.float32, 128, True,
+                             method=Whisper.init_caches)
+        step_fn = make_whisper_step_fn(model, variables, cross_kvs)
+        return greedy_decode(step_fn, caches, prompt, max_len, EOT)
+
+    monkeypatch.setenv("YOHO_FUSED_DECODE", "0")
+    tokens_xla, lengths_xla = jax.jit(run)()
+    monkeypatch.setenv("YOHO_FUSED_DECODE", "force")
+    tokens_fused, lengths_fused = jax.jit(run)()
+
+    np.testing.assert_array_equal(np.asarray(tokens_xla),
+                                  np.asarray(tokens_fused))
+    np.testing.assert_array_equal(np.asarray(lengths_xla),
+                                  np.asarray(lengths_fused))

@@ -103,3 +103,151 @@ def test_fused_whisper_normalized_matches_xla():
     assert fused.shape == xla.shape == (1, 3000, 80)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(xla),
                                rtol=1e-3, atol=2e-3)
+
+
+# ------------------------------------------------------- fused decode attention
+def _quantize_ref(x):
+    import numpy as np
+    scale = np.abs(x).max(axis=2, keepdims=True) / 127.0
+    scale = np.maximum(scale, 1e-8)
+    q = np.clip(np.round(x / scale), -127, 127)
+    return q.astype(np.int8), scale.astype(np.float32)
+
+
+@pytest.mark.parametrize("s,kv_len", [(1, 384), (1, 300), (4, 384)])
+def test_fused_decode_attention_cross_matches_xla(s, kv_len):
+    """Quantized cross-attention (bidirectional over valid prefix)."""
+    from yoho_tpu.nn.layers import QuantizedKV, _attend_quantized
+    from yoho_tpu.ops.decode_attention import fused_decode_attention
+
+    g = np.random.default_rng(10)
+    b, h, d, t = 2, 3, 64, 384
+    q = jnp.asarray(g.standard_normal((b, h, s, d)).astype(np.float32), jnp.bfloat16)
+    k = g.standard_normal((b, h, d, t)).astype(np.float32)
+    v = g.standard_normal((b, h, d, t)).astype(np.float32)
+    k_q, k_s = _quantize_ref(k)
+    v_q, v_s = _quantize_ref(v)
+
+    out = fused_decode_attention(
+        q, jnp.asarray(k_q), jnp.asarray(v_q),
+        jnp.asarray(k_s, dtype=jnp.bfloat16).reshape(b, h, 1, t),
+        jnp.asarray(v_s, dtype=jnp.bfloat16).reshape(b, h, 1, t),
+        kv_len=kv_len,
+    )
+
+    qkv = QuantizedKV(
+        k_q=jnp.asarray(k_q), v_q=jnp.asarray(v_q),
+        k_scale=jnp.asarray(k_s, dtype=jnp.bfloat16).reshape(b, h, 1, t),
+        v_scale=jnp.asarray(v_s, dtype=jnp.bfloat16).reshape(b, h, 1, t),
+    )
+    mask = (jnp.arange(t) < kv_len)[None, None, None, :]
+    ref = _attend_quantized(q, qkv, mask, jnp.bfloat16)
+    assert out.shape == ref.shape == (b, s, h, d)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.02,
+    )
+
+
+@pytest.mark.parametrize("pos", [0, 5, 250])
+def test_fused_decode_attention_causal_matches_xla(pos):
+    """Quantized self-attention decode step (causal at dynamic offset)."""
+    from yoho_tpu.nn.layers import QuantizedKV, _attend_quantized, decode_mask
+    from yoho_tpu.ops.decode_attention import fused_decode_attention
+
+    g = np.random.default_rng(11)
+    b, h, d, t, s = 2, 2, 64, 256, 1
+    q = jnp.asarray(g.standard_normal((b, h, s, d)).astype(np.float32), jnp.bfloat16)
+    k = g.standard_normal((b, h, d, t)).astype(np.float32)
+    v = g.standard_normal((b, h, d, t)).astype(np.float32)
+    k_q, k_s = _quantize_ref(k)
+    v_q, v_s = _quantize_ref(v)
+    ks = jnp.asarray(k_s, dtype=jnp.bfloat16).reshape(b, h, 1, t)
+    vs = jnp.asarray(v_s, dtype=jnp.bfloat16).reshape(b, h, 1, t)
+
+    out = fused_decode_attention(q, jnp.asarray(k_q), jnp.asarray(v_q), ks, vs,
+                                 pos=jnp.int32(pos))
+
+    qkv = QuantizedKV(k_q=jnp.asarray(k_q), v_q=jnp.asarray(v_q),
+                      k_scale=ks, v_scale=vs)
+    ref = _attend_quantized(q, qkv, decode_mask(t, pos, s), jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.02,
+    )
+
+
+def test_fused_decode_attention_bf16_and_gqa():
+    """Unquantized bf16 KV with grouped queries (YOHO GQA decode)."""
+    from yoho_tpu.nn.layers import _attend
+    from yoho_tpu.ops.decode_attention import fused_decode_attention
+
+    g = np.random.default_rng(12)
+    b, hkv, groups, d, t, s = 2, 2, 2, 64, 128, 1
+    hq = hkv * groups
+    q = jnp.asarray(g.standard_normal((b, hq, s, d)).astype(np.float32), jnp.bfloat16)
+    k = jnp.asarray(g.standard_normal((b, hkv, d, t)).astype(np.float32), jnp.bfloat16)
+    v = jnp.asarray(g.standard_normal((b, hkv, d, t)).astype(np.float32), jnp.bfloat16)
+    pos = jnp.int32(63)
+
+    out = fused_decode_attention(q, k, v, pos=pos, groups=groups)
+
+    from yoho_tpu.nn.layers import decode_mask
+    k_e = jnp.repeat(k, groups, axis=1)
+    v_e = jnp.repeat(v, groups, axis=1)
+    ref = _attend(q, k_e, v_e, decode_mask(t, 63, s), jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.02,
+    )
+
+
+def test_fused_decode_attention_int4_matches_xla():
+    """Nibble-packed int4 KV: fused kernel == XLA unpack reference."""
+    from yoho_tpu.nn.layers import _attend_quantized, quantize_kv4
+    from yoho_tpu.ops.decode_attention import fused_decode_attention
+
+    g = np.random.default_rng(13)
+    b, h, d, t, s = 2, 3, 64, 300, 1
+    q = jnp.asarray(g.standard_normal((b, h, s, d)).astype(np.float32), jnp.bfloat16)
+    k = jnp.asarray(g.standard_normal((b, h, d, t)).astype(np.float32))
+    v = jnp.asarray(g.standard_normal((b, h, d, t)).astype(np.float32))
+
+    qkv = quantize_kv4(k, v, pad_to=128)
+    assert qkv.packing == 2 and qkv.kv_len == t
+    assert qkv.k_q.shape == (b, h, d // 2, 384) and qkv.k_q.dtype == jnp.uint8
+
+    out = fused_decode_attention(q, qkv.k_q, qkv.v_q, qkv.k_scale,
+                                 qkv.v_scale, kv_len=t, packing=2)
+    ref = _attend_quantized(q, qkv, None, jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.02,
+    )
+
+
+def test_int4_quantization_error_bounded():
+    """int4 dequant reconstructs within the absmax/7 step size, and the
+    attention output stays close to the exact bf16 result."""
+    from yoho_tpu.nn.layers import (
+        QuantizedKV, _attend, _attend_quantized, quantize_kv4, unpack_int4,
+    )
+
+    g = np.random.default_rng(14)
+    b, h, d, t = 1, 2, 64, 128
+    k = g.standard_normal((b, h, d, t)).astype(np.float32)
+    v = g.standard_normal((b, h, d, t)).astype(np.float32)
+    qkv = quantize_kv4(jnp.asarray(k), jnp.asarray(v))
+
+    deq = (np.asarray(unpack_int4(qkv.k_q), np.float32)
+           * np.asarray(qkv.k_scale, np.float32))
+    step = np.abs(k).max(axis=2, keepdims=True) / 7.0
+    assert np.all(np.abs(deq - k) <= step * 0.75 + 1e-6)
+
+    q = jnp.asarray(g.standard_normal((b, h, 1, d)).astype(np.float32) * 0.2,
+                    jnp.bfloat16)
+    out4 = _attend_quantized(q, qkv, None, jnp.bfloat16)
+    exact = _attend(q, jnp.asarray(k, jnp.bfloat16), jnp.asarray(v, jnp.bfloat16),
+                    None, jnp.bfloat16)
+    err = np.abs(np.asarray(out4, np.float32) - np.asarray(exact, np.float32))
+    assert err.mean() < 0.1, err.mean()

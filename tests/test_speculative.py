@@ -1,0 +1,134 @@
+"""Speculative decoding invariants: for ANY weights, speculative greedy
+decode must produce exactly the target model's greedy output (the draft can
+only change speed, never content). Exercises partial acceptance (independent
+random draft), full acceptance (draft == target, which stresses the
+draft-cache gap refill), and suppression."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yoho_tpu.core.config import WhisperConfig
+from yoho_tpu.infer.decode import greedy_decode, make_whisper_step_fn
+from yoho_tpu.infer.speculative import (
+    make_verify_step_fn,
+    speculative_greedy_decode,
+)
+from yoho_tpu.nn.whisper import Whisper
+
+EOT = 7
+MAX_LEN = 20
+GAMMA = 3
+
+
+def _make(cfg, seed, mel):
+    model = Whisper(cfg)
+    g = np.random.default_rng(seed)
+    tokens = jnp.asarray(g.integers(0, cfg.n_vocab, size=(mel.shape[0], 4)))
+    variables = model.init(jax.random.PRNGKey(seed), mel, tokens)
+    xa = model.apply(variables, mel, method=Whisper.encode_audio)
+    return model, variables, xa
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg_t = WhisperConfig(
+        n_mels=8, n_audio_ctx=16, n_audio_state=32, n_audio_head=4,
+        n_audio_layer=2, n_vocab=50, n_text_ctx=32, n_text_state=32,
+        n_text_head=4, n_text_layer=2,
+    )
+    cfg_d = WhisperConfig(
+        n_mels=8, n_audio_ctx=16, n_audio_state=16, n_audio_head=2,
+        n_audio_layer=1, n_vocab=50, n_text_ctx=32, n_text_state=16,
+        n_text_head=2, n_text_layer=1,
+    )
+    g = np.random.default_rng(0)
+    mel = jnp.asarray(g.standard_normal((3, cfg_t.n_audio_ctx * 2, 8))
+                      .astype(np.float32))
+    target = _make(cfg_t, 0, mel)
+    draft = _make(cfg_d, 1, mel)
+    return cfg_t, cfg_d, target, draft
+
+
+def _target_greedy(target, prompt, suppress=()):
+    model, variables, xa = target
+    ckv = model.apply(variables, xa, method=Whisper.cross_kvs)
+    caches = model.apply(variables, prompt.shape[0], jnp.float32,
+                         method=Whisper.init_caches)
+    step = make_whisper_step_fn(model, variables, ckv)
+    return jax.jit(lambda c, p: greedy_decode(
+        step, c, p, MAX_LEN, EOT, suppress_ids=suppress))(caches, prompt)
+
+
+def _speculative(target, draft, prompt, suppress=()):
+    t_model, t_vars, t_xa = target
+    d_model, d_vars, d_xa = draft
+    b = prompt.shape[0]
+    t_ckv = t_model.apply(t_vars, t_xa, method=Whisper.cross_kvs)
+    d_ckv = d_model.apply(d_vars, d_xa, method=Whisper.cross_kvs)
+    # Caches need max_len + gamma workspace (module docstring).
+    t_caches = t_model.apply(t_vars, b, jnp.float32, MAX_LEN + GAMMA + 2,
+                             method=Whisper.init_caches)
+    d_caches = d_model.apply(d_vars, b, jnp.float32, MAX_LEN + GAMMA + 2,
+                             method=Whisper.init_caches)
+    t_step = make_verify_step_fn(t_model, t_vars, t_ckv)
+    d_step = make_verify_step_fn(d_model, d_vars, d_ckv)
+    return jax.jit(lambda tc, dc, p: speculative_greedy_decode(
+        t_step, d_step, tc, dc, p, MAX_LEN, EOT, gamma=GAMMA,
+        suppress_ids=suppress))(t_caches, d_caches, prompt)
+
+
+def test_speculative_equals_greedy_independent_draft(setup):
+    _cfg_t, _cfg_d, target, draft = setup
+    prompt = jnp.asarray([[1, 2], [1, 2], [1, 3]], jnp.int32)
+
+    tokens_g, lengths_g = _target_greedy(target, prompt)
+    tokens_s, lengths_s = _speculative(target, draft, prompt)
+
+    np.testing.assert_array_equal(np.asarray(tokens_g), np.asarray(tokens_s))
+    np.testing.assert_array_equal(np.asarray(lengths_g), np.asarray(lengths_s))
+
+
+def test_speculative_equals_greedy_perfect_draft(setup):
+    """Draft == target: every proposal accepted; stresses the full-accept
+    path (bonus token + draft-cache gap refill via the S=2 first step)."""
+    _cfg_t, _cfg_d, target, _draft = setup
+    prompt = jnp.asarray([[1, 2], [4, 5], [1, 3]], jnp.int32)
+
+    tokens_g, lengths_g = _target_greedy(target, prompt)
+    tokens_s, lengths_s = _speculative(target, target, prompt)
+
+    np.testing.assert_array_equal(np.asarray(tokens_g), np.asarray(tokens_s))
+    np.testing.assert_array_equal(np.asarray(lengths_g), np.asarray(lengths_s))
+
+
+def test_speculative_respects_suppression(setup):
+    _cfg_t, _cfg_d, target, draft = setup
+    prompt = jnp.asarray([[1, 2], [1, 2], [1, 3]], jnp.int32)
+    suppress = (3, 9, 11)
+
+    tokens_g, _ = _target_greedy(target, prompt, suppress)
+    tokens_s, _ = _speculative(target, draft, prompt, suppress)
+
+    np.testing.assert_array_equal(np.asarray(tokens_g), np.asarray(tokens_s))
+    gen = np.asarray(tokens_s)[:, 2:]
+    for t in suppress:
+        assert not np.any(gen == t)
+
+
+def test_speculative_single_stream(setup):
+    """B=1 — the latency-serving configuration."""
+    _cfg_t, _cfg_d, target, draft = setup
+    t_model, t_vars, t_xa = target
+    d_model, d_vars, d_xa = draft
+    target1 = (t_model, t_vars, t_xa[:1])
+    draft1 = (d_model, d_vars, d_xa[:1])
+    prompt = jnp.asarray([[1, 2]], jnp.int32)
+
+    tokens_g, lengths_g = _target_greedy(target1, prompt)
+    tokens_s, lengths_s = _speculative(target1, draft1, prompt)
+
+    np.testing.assert_array_equal(np.asarray(tokens_g), np.asarray(tokens_s))
+    np.testing.assert_array_equal(np.asarray(lengths_g), np.asarray(lengths_s))

@@ -55,7 +55,7 @@ class Transcriber:
         language: str = "en",
         timestamps: bool = True,
         mesh=None,
-        quantized_cross_kv: bool = False,
+        quantized_cross_kv=False,  # False | True/"int8" | "int4"
         quantized_cache: bool = False,
         no_speech_threshold: float = 0.6,
         logprob_threshold: float = -1.0,
@@ -176,12 +176,13 @@ class Transcriber:
 
             logits_fn = make_timestamp_rules(self.token_table, len(prompt_ids))
 
-        quantize = self.quantized_cross_kv and self.family == "whisper"
+        quantize = self.quantized_cross_kv if self.family == "whisper" else False
 
         def run(variables, mel):
             xa = model.apply(variables, mel, method=type(model).encode_audio)
             if quantize:
-                ckv = model.apply(variables, xa, True, method=type(model).cross_kvs)
+                ckv = model.apply(variables, xa, quantize,
+                                  method=type(model).cross_kvs)
             else:
                 ckv = model.apply(variables, xa, method=type(model).cross_kvs)
             if k:

@@ -1,0 +1,165 @@
+"""Speculative greedy decoding (draft-verify) — beyond-reference serving.
+
+A small draft model proposes ``gamma`` tokens autoregressively; the target
+model verifies all of them in ONE cached decode step (S = gamma + 1). The
+cache sweep that dominates decode cost (PERFORMANCE.md: int8 cross-KV reads
+are ~66% of the step and already run at ~90% of HBM peak, so the only lever
+left is amortization) is thus shared by several tokens. Greedy verification
+commits the longest prefix of proposals the target agrees with plus one
+target token — the committed stream is IDENTICAL to target-only greedy
+decoding, for any weights (tested: tests/test_speculative.py).
+
+TPU-first mechanics (everything under one jit, static shapes):
+  * one ``lax.while_loop`` over verify rounds; each round advances a
+    DYNAMIC number of committed tokens (1..gamma+1) by moving a scalar
+    write cursor — shapes never change.
+  * both models share absolute cache positions; stale cache entries past
+    the commit point are provably invisible (causal mask) and are
+    overwritten by the next round's writes before they could be seen.
+  * the draft's first step each round feeds TWO tokens (S=2) at cursor-2:
+    an idempotent re-write that also fills the one-position cache gap a
+    fully-accepted round leaves behind.
+  * batches run in lockstep: the committed count per round is the MINIMUM
+    acceptance across streams (+1). Every stream still commits its own
+    greedy-consistent tokens `[p_0..p_{m-2}, g_{m-1}]`; lockstep only
+    costs re-proposing tokens a faster stream already agreed to.
+
+Speedup = (mean committed per round) x; with a well-matched draft
+(e.g. whisper-tiny drafting for whisper-small/large) speech transcripts
+accept 70-90%, i.e. ~3-4 tokens per cache sweep at gamma=4.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def make_verify_step_fn(model, variables, cross_kvs):
+    """Like ``make_whisper_step_fn`` but returns logits for ALL S input
+    positions (needed to verify a whole proposal block in one step).
+    Works for both Whisper and YOHO decode_step signatures."""
+
+    def step(tokens, caches, pos):
+        out = model.apply(
+            variables, tokens, caches, cross_kvs, pos,
+            method=type(model).decode_step,
+        )
+        if len(out) == 3:  # YOHO decode_step returns (logits, vp, caches)
+            logits, _vp, new_caches = out
+        else:
+            logits, new_caches = out
+        return logits, new_caches
+
+    return step
+
+
+def speculative_greedy_decode(
+    target_step: Callable,  # (tokens (B,S), caches, pos) -> ((B,S,V), caches)
+    draft_step: Callable,
+    target_caches,
+    draft_caches,
+    prompt: jnp.ndarray,  # (B, P) int32, P >= 1
+    max_len: int,
+    eot_id: int,
+    gamma: int = 4,
+    suppress_ids: Sequence[int] = (),
+):
+    """Returns ``(tokens (B, max_len) int32, lengths (B,) int32)`` with
+    exactly the semantics of ``greedy_decode`` on the target model.
+
+    Both cache sets must be long enough for ``max_len + gamma`` positions
+    (stale-overwrite workspace past the horizon).
+    """
+    b, p = prompt.shape
+    assert p >= 1 and p < max_len
+    ext = max_len + gamma + 2  # slack so block writes never clamp
+
+    sup = jnp.asarray(list(suppress_ids), jnp.int32) if len(suppress_ids) else None
+
+    def greedy_pick(logits):  # (B, S, V) f32 -> (B, S) int32
+        logits = logits.astype(jnp.float32)
+        if sup is not None:
+            neg = jnp.full(sup.shape, jnp.finfo(jnp.float32).min, jnp.float32)
+            logits = logits.at[:, :, sup].set(neg[None, None, :])
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    tokens = jnp.full((b, ext), eot_id, jnp.int32)
+    tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
+
+    # Prefill both models on the prompt; commit the first target token.
+    t_logits, target_caches = target_step(prompt.astype(jnp.int32),
+                                          target_caches, 0)
+    _d_logits, draft_caches = draft_step(prompt.astype(jnp.int32),
+                                         draft_caches, 0)
+    first = greedy_pick(t_logits[:, -1:])[:, 0]
+    tokens = tokens.at[:, p].set(first)
+    finished0 = first == eot_id
+    c0 = jnp.int32(p + 1)  # committed token count
+
+    def cond(state):
+        c, _tokens, _tc, _dc, finished = state
+        return jnp.logical_and(c < max_len, ~jnp.all(finished))
+
+    def body(state):
+        c, tokens, t_caches, d_caches, finished = state
+
+        # --- draft phase: propose gamma tokens --------------------------
+        # First step S=2 at c-2: idempotent re-write of position c-2 plus
+        # the (possible) gap at c-1 left by a fully-accepted round.
+        first_in = jax.lax.dynamic_slice(tokens, (0, c - 2), (b, 2))
+        d_logits, d_caches = draft_step(first_in, d_caches, c - 2)
+        props = [greedy_pick(d_logits[:, -1:])[:, 0]]
+        for _j in range(gamma - 1):
+            d_logits, d_caches = draft_step(props[-1][:, None], d_caches,
+                                            c - 1 + len(props))
+            props.append(greedy_pick(d_logits[:, -1:])[:, 0])
+        proposals = jnp.stack(props, axis=1)  # (B, gamma)
+
+        # --- verify phase: one target step over [last, p_0..p_{g-1}] ----
+        last = jax.lax.dynamic_slice(tokens, (0, c - 1), (b, 1))
+        verify_in = jnp.concatenate([last, proposals], axis=1)  # (B, g+1)
+        t_logits, t_caches = target_step(verify_in, t_caches, c - 1)
+        greedy = greedy_pick(t_logits)  # (B, g+1): row i predicts pos c+i
+
+        # --- lockstep acceptance -----------------------------------------
+        agree = greedy[:, :-1] == proposals  # (B, gamma)
+        n_i = jnp.sum(jnp.cumprod(agree.astype(jnp.int32), axis=1), axis=1)
+        # Streams already finished should not constrain the others.
+        m = jnp.min(jnp.where(finished, gamma, n_i)) + 1  # commit count
+
+        # Per-stream committed block: [p_0..p_{m-2}, g_{m-1}] then EOT fill.
+        idx = jnp.arange(gamma + 1)
+        g_pick = jnp.take_along_axis(greedy, jnp.full((b, 1), m - 1), axis=1)
+        block = jnp.where(
+            idx[None, :] < m - 1,
+            jnp.pad(proposals, ((0, 0), (0, 1))),  # p_i (pad col unused)
+            jnp.where(idx[None, :] == m - 1, g_pick, eot_id),
+        ).astype(jnp.int32)
+        block = jnp.where(finished[:, None], eot_id, block)
+
+        tokens = jax.lax.dynamic_update_slice(tokens, block, (0, c))
+
+        # EOT tracking over the committed region only (first m entries).
+        committed_eot = jnp.any(
+            jnp.logical_and(idx[None, :] < m, block == eot_id), axis=1
+        )
+        finished = jnp.logical_or(finished, committed_eot)
+        return c + m, tokens, t_caches, d_caches, finished
+
+    _c, tokens, _tc, _dc, _fin = jax.lax.while_loop(
+        cond, body, (c0, tokens, target_caches, draft_caches, finished0)
+    )
+
+    tokens = tokens[:, :max_len]
+    is_eot = tokens[:, p:] == eot_id
+    any_eot = jnp.any(is_eot, axis=1)
+    first_eot = jnp.argmax(is_eot, axis=1)
+    lengths = jnp.where(any_eot, p + first_eot + 1, max_len).astype(jnp.int32)
+    # Normalize: everything at/after the first EOT becomes EOT (greedy
+    # semantics — uncommitted draft writes past EOT must not leak out).
+    pos_idx = jnp.arange(max_len)[None, :]
+    tokens = jnp.where(pos_idx >= lengths[:, None], eot_id, tokens)
+    return tokens, lengths

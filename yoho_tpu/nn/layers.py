@@ -24,6 +24,7 @@ Design notes vs the reference (cited per SURVEY.md §2.1):
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -87,10 +88,21 @@ class QuantizedKV:
     v_q: jnp.ndarray
     k_scale: jnp.ndarray
     v_scale: jnp.ndarray
+    # Valid prefix when T is lane-padded (static metadata, not a leaf).
+    kv_len: Optional[int] = struct.field(pytree_node=False, default=None)
+    # Elements per stored byte: 1 = int8, 2 = two int4 nibbles along D
+    # (k_q/v_q are then (B, H, D//2, T) uint8; see quantize_kv4).
+    packing: int = struct.field(pytree_node=False, default=1)
 
 
-def quantize_kv(k: jnp.ndarray, v: jnp.ndarray) -> QuantizedKV:
-    """Quantize time-minor (B, H, D, T) K/V to int8, absmax per position."""
+def quantize_kv(k: jnp.ndarray, v: jnp.ndarray,
+                pad_to: Optional[int] = None) -> QuantizedKV:
+    """Quantize time-minor (B, H, D, T) K/V to int8, absmax per position.
+
+    ``pad_to`` zero-pads T up to a multiple (TPU lane alignment for the
+    fused decode kernel); the original length is recorded as ``kv_len`` and
+    padded positions are masked by every consumer.
+    """
 
     def _q(x):
         scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2, keepdims=True) / 127.0
@@ -98,13 +110,127 @@ def quantize_kv(k: jnp.ndarray, v: jnp.ndarray) -> QuantizedKV:
         q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
         return q.astype(jnp.int8), scale.astype(jnp.bfloat16)
 
+    kv_len = None
+    t = k.shape[3]
+    if pad_to is not None and t % pad_to:
+        pad = pad_to - t % pad_to
+        widths = [(0, 0), (0, 0), (0, 0), (0, pad)]
+        k = jnp.pad(k, widths)
+        v = jnp.pad(v, widths)
+        kv_len = t
+
     k_q, k_scale = _q(k)
     v_q, v_scale = _q(v)
-    return QuantizedKV(k_q=k_q, v_q=v_q, k_scale=k_scale, v_scale=v_scale)
+    return QuantizedKV(k_q=k_q, v_q=v_q, k_scale=k_scale, v_scale=v_scale,
+                       kv_len=kv_len)
+
+
+def quantize_kv4(k: jnp.ndarray, v: jnp.ndarray,
+                 pad_to: Optional[int] = None) -> QuantizedKV:
+    """Int4 variant of :func:`quantize_kv`: absmax per position over D,
+    4-bit codes in [-8, 7] stored two-per-byte along D — k_q/v_q become
+    (B, H, D//2, T) uint8 with D[0:D/2] in the low nibbles and D[D/2:D]
+    in the high nibbles (a sublane concat at unpack time, no interleave).
+
+    Quarters the dominant decode HBM term vs bf16 (half of int8). Unlike
+    int8 (argmax-identical in tests) int4 is a real approximation —
+    serving exposes it as an opt-in quality/throughput trade.
+    """
+
+    def _q(x):
+        scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2,
+                        keepdims=True) / 7.0
+        scale = jnp.maximum(scale, 1e-8)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -8, 7) + 8.0
+        q = q.astype(jnp.uint8)
+        d = q.shape[2]
+        lo, hi = q[:, :, : d // 2], q[:, :, d // 2:]
+        return lo | (hi << 4), scale.astype(jnp.bfloat16)
+
+    kv_len = None
+    t = k.shape[3]
+    if pad_to is not None and t % pad_to:
+        pad = pad_to - t % pad_to
+        widths = [(0, 0), (0, 0), (0, 0), (0, pad)]
+        k = jnp.pad(k, widths)
+        v = jnp.pad(v, widths)
+        kv_len = t
+
+    k_q, k_scale = _q(k)
+    v_q, v_scale = _q(v)
+    return QuantizedKV(k_q=k_q, v_q=v_q, k_scale=k_scale, v_scale=v_scale,
+                       kv_len=kv_len, packing=2)
+
+
+def unpack_int4(x: jnp.ndarray, axis: int = 2) -> jnp.ndarray:
+    """(…, D/2, …) uint8 nibble-packed -> (…, D, …) int8 in [-8, 7]."""
+    lo = (x & 0xF).astype(jnp.int8) - 8
+    hi = (x >> 4).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=axis)
+
+
+def _fused_decode_mode() -> str:
+    """How to route decode attention to the fused Pallas kernel.
+
+    Env ``YOHO_FUSED_DECODE``:
+      "auto" (default) — kernel only where measured to beat XLA: the
+          nibble-packed int4 cross-KV read (XLA has no non-materializing
+          int4 lowering). XLA's own batched-GEMV lowering of the int8/bf16
+          reads already runs at ~90% of HBM peak
+          (experiments/decode_kernel_bench.py, decode_ablation.py), so
+          those stay on XLA.
+      "on" — kernel for every eligible cross read (A/B experiments).
+      "off" — always XLA.
+      "force" — kernel even off-TPU (interpreted; tests).
+    """
+    mode = os.environ.get("YOHO_FUSED_DECODE", "auto")
+    if mode in ("0", "off"):
+        return "off"
+    if mode == "force":
+        return "force"
+    if jax.default_backend() != "tpu":
+        return "off"
+    return "on" if mode in ("1", "on") else "auto"
+
+
+def _fused_decode_enabled() -> bool:
+    return _fused_decode_mode() in ("on", "force")
+
+
+def attend_quantized(q: jnp.ndarray, qkv: QuantizedKV, mask, dtype,
+                     pos=None) -> jnp.ndarray:
+    """Dispatch: fused Pallas decode kernel when it wins, else XLA.
+
+    Only the big *cross*-attention reads ever route to the kernel (the
+    XLA lowering of the short self-attention cache read runs at ~90% of
+    HBM peak — nothing to win). ``pos`` marks causal decode (self) — XLA.
+    Arbitrary masks always take the XLA path.
+    """
+    mode = _fused_decode_mode()
+    t = qkv.k_q.shape[3]
+    s = q.shape[2]
+    eligible = (t % 128 == 0 and s <= 32 and mask is None and pos is None)
+    use_kernel = eligible and (
+        mode in ("on", "force") or (mode == "auto" and qkv.packing == 2)
+    )
+    if use_kernel:
+        from yoho_tpu.ops.decode_attention import fused_decode_attention
+
+        return fused_decode_attention(
+            q, qkv.k_q, qkv.v_q, qkv.k_scale, qkv.v_scale,
+            kv_len=qkv.kv_len or t, packing=qkv.packing,
+        )
+    return _attend_quantized(q, qkv, mask, dtype)
 
 
 def _attend_quantized(q: jnp.ndarray, qkv: QuantizedKV, mask, dtype) -> jnp.ndarray:
-    """Attention against int8 time-minor KV; q is (B, H, S, D) pre-scaled."""
+    """Attention against int8/int4 time-minor KV; q is (B, H, S, D) pre-scaled."""
+    if qkv.kv_len is not None and qkv.kv_len < qkv.k_q.shape[3]:
+        valid = (jnp.arange(qkv.k_q.shape[3]) < qkv.kv_len)[None, None, None, :]
+        mask = valid if mask is None else jnp.logical_and(mask, valid)
+    if qkv.packing == 2:
+        qkv = QuantizedKV(k_q=unpack_int4(qkv.k_q), v_q=unpack_int4(qkv.v_q),
+                          k_scale=qkv.k_scale, v_scale=qkv.v_scale)
     kf = qkv.k_q.astype(dtype)
     scores = jnp.einsum("bhsd,bhdt->bhst", q, kf, preferred_element_type=jnp.float32)
     scores = scores * qkv.k_scale.astype(jnp.float32)  # (B,H,1,T) broadcast
@@ -300,7 +426,7 @@ class MultiHeadAttention(nn.Module):
         b, s = x.shape[:2]
         new_cache = None
         if isinstance(cross_kv, QuantizedKV):
-            out = _attend_quantized(q, cross_kv, mask, self.dtype)
+            out = attend_quantized(q, cross_kv, mask, self.dtype)
             return self.out_proj(out.reshape(b, s, self.n_state))
         if cross_kv is not None:
             k, v = cross_kv  # already scaled + time-minor from kv()
@@ -312,6 +438,8 @@ class MultiHeadAttention(nn.Module):
                 new_cache = cache.update(pos, k, v)
                 mask = decode_mask(new_cache.max_len, pos, s)
                 if isinstance(new_cache, QuantizedKVCache):
+                    # XLA path: the short cache read runs at ~90% of HBM
+                    # peak already (experiments/decode_kernel_bench.py).
                     out = _attend_quantized(q, new_cache.as_quantized_kv(),
                                             mask, self.dtype)
                     out = self.out_proj(out.reshape(b, s, self.n_state))

@@ -150,7 +150,9 @@ class TextDecoder(nn.Module):
 
         c = self.cfg
         dtype = dtype or self.dtype
-        max_len = max_len or c.n_text_ctx
+        # Lane-align the horizon: HBM stores T in 128-lane tiles anyway, and
+        # an aligned cache lets the fused decode kernel engage.
+        max_len = -(-(max_len or c.n_text_ctx) // 128) * 128
         cls = QuantizedKVCache if quantized else KVCache
         return [
             cls.zeros(batch, c.n_text_head, max_len,
@@ -158,14 +160,32 @@ class TextDecoder(nn.Module):
             for _ in range(c.n_text_layer)
         ]
 
-    def cross_kvs(self, xa: jnp.ndarray, quantize: bool = False):
+    def cross_kvs(self, xa: jnp.ndarray, quantize=False):
         """Precompute per-layer cross-attention K/V once per utterance.
-        ``quantize=True`` stores them int8 (halves decode HBM traffic)."""
-        from yoho_tpu.nn.layers import quantize_kv
 
+        ``quantize``: False (bf16), True/"int8" (halves decode HBM traffic,
+        argmax-identical in tests), or "int4" (quarters it — a real
+        approximation, opt-in quality/throughput trade; see quantize_kv4).
+        """
+        from yoho_tpu.nn.layers import (
+            _fused_decode_enabled,
+            quantize_kv,
+            quantize_kv4,
+        )
+
+        mode = {False: None, True: "int8"}.get(quantize, quantize)
         kvs = [blk.cross_kv(xa) for blk in self.blocks]
-        if quantize:
-            kvs = [quantize_kv(k, v) for k, v in kvs]
+        if mode == "int8":
+            # T lane-padded to 128 so the fused decode kernel engages (the
+            # valid length rides along as static metadata). Only when the
+            # kernel will actually run: the XLA fallback pays ~12% for the
+            # pad+mask (experiments/decode_kernel_bench.py).
+            pad_to = 128 if _fused_decode_enabled() else None
+            kvs = [quantize_kv(k, v, pad_to=pad_to) for k, v in kvs]
+        elif mode == "int4":
+            kvs = [quantize_kv4(k, v, pad_to=128) for k, v in kvs]
+        elif mode is not None:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
         return kvs
 
     def cross_attention_map(self, tokens: jnp.ndarray, xa: jnp.ndarray) -> jnp.ndarray:

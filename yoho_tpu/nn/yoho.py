@@ -162,8 +162,10 @@ class YOHOTextDecoder(nn.Module):
     def init_caches(self, batch: int, dtype=None, max_len=None) -> List[KVCache]:
         c = self.cfg
         kvh = max(1, c.n_text_heads // 2)
+        # Lane-aligned horizon (see whisper.py init_caches).
+        aligned = -(-(max_len or c.max_text_len) // 128) * 128
         return [
-            KVCache.zeros(batch, kvh, max_len or c.max_text_len,
+            KVCache.zeros(batch, kvh, aligned,
                           c.dims // c.n_text_heads, dtype or self.dtype)
             for _ in range(c.n_text_blocks)
         ]

@@ -45,12 +45,32 @@ def load_transcripts(config: SessionConfig) -> Iterator[str]:
 
 def main(config: SessionConfig) -> None:
     hp = config.hyperparameters.tokenizer
+    n_sentences = 0
+
+    def counted():
+        nonlocal n_sentences
+        for s in load_transcripts(config):
+            n_sentences += 1
+            yield s
+
     tokenizer = train_tokenizer(
-        load_transcripts(config),
+        counted(),
         vocab_size=hp.vocab_size,
         max_token_length=hp.max_token_length,
         max_audio_len=config.yoho.max_audio_len,
     )
+    if n_sentences == 0:
+        import warnings
+
+        warnings.warn(
+            "stage 0 found NO transcripts under "
+            f"{config.dataset.noisy}/{config.dataset.clean}/"
+            f"{config.dataset.finetune} (expected <dir>/transcripts/*.srt) — "
+            "the tokenizer was trained on an empty corpus (byte fallback "
+            "vocab only)", stacklevel=1,
+        )
+    else:
+        print(f"Trained on {n_sentences} standardized sentences")
     Path(config.weights.tokenizer).parent.mkdir(parents=True, exist_ok=True)
     tokenizer.save(config.weights.tokenizer)
 

@@ -107,11 +107,16 @@ class ASRTrainer:
             self.val_dataloader = TranscriptionDataloader((0.0, 1.0), seed=1, **dl_kwargs)
 
         acc = self.hp.accumulated_batches
+        # optax's decay_steps is the TOTAL schedule length INCLUDING warmup
+        # (cosine runs for decay_steps - warmup_steps). Clamp so short runs
+        # (updates <= warmup) still construct a valid schedule.
+        warmup = self.hp.warmup_updates * acc
+        total = max(self.hp.updates * acc, warmup + 1)
         self.lr_schedule = optax.schedules.warmup_cosine_decay_schedule(
             0.0,
             self.hp.learning_rate,
-            self.hp.warmup_updates * acc,
-            (self.hp.updates - self.hp.warmup_updates) * acc,
+            warmup,
+            total,
             self.hp.final_learning_rate,
         )
         self.optimizer = optax.MultiSteps(optax.adamw(self.lr_schedule), acc)
@@ -183,14 +188,14 @@ class ASRTrainer:
 
         self._val_loss = jax.jit(val_loss_fn)
 
-        n_val = 2 * self.hp.validation_samples
-
         def decode_samples(params, audio, prompt):
             mel = yoho_log_mel(audio.astype(jnp.float32), cfg)
             variables = {"params": params}
             xa = model.apply(variables, mel, method=YOHOModel.encode_audio)
             ckv = model.apply(variables, xa, method=YOHOModel.cross_kvs)
-            caches = model.apply(variables, n_val, jnp.float32,
+            # Cache batch from the actual prompt (static at trace time) —
+            # validation batches can be smaller than validation_samples.
+            caches = model.apply(variables, prompt.shape[0], jnp.float32,
                                  method=YOHOModel.init_caches)
             step = make_yoho_step_fn(model, variables, ckv)
             tokens, lengths = greedy_decode(
@@ -208,8 +213,8 @@ class ASRTrainer:
             self._val_loss(self.state.params, *map(jnp.asarray, val_batch[:3]))
         )
 
-        n = hp.validation_samples
         train_batch = self.train_dataloader.get_prepared_batch()
+        n = min(hp.validation_samples, len(val_batch[0]), len(train_batch[0]))
         audio = np.concatenate([val_batch[0][:n], train_batch[0][:n]])
         tokens = np.concatenate([val_batch[1][:n], train_batch[1][:n]])
         masks = np.concatenate([val_batch[2][:n], train_batch[2][:n]])
