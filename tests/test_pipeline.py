@@ -163,3 +163,48 @@ def test_temperature_fallback_smoke():
     assert Transcriber._compression_ratio("") == 0.0
     assert Transcriber._compression_ratio("ab " * 200) > 2.4  # repetitive
     assert Transcriber._compression_ratio("the quick brown fox") < 2.4
+
+
+def test_transcriber_speculative_matches_plain():
+    """Transcriber with a draft model produces EXACTLY the plain greedy
+    transcript (speculative decoding changes throughput, never content)."""
+    import jax
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    kw = dict(n_mels=8, n_audio_ctx=16, n_vocab=51865, n_text_ctx=16,
+              chunk_seconds=0.32)
+    cfg_t = WhisperConfig(n_audio_state=32, n_audio_head=4, n_audio_layer=1,
+                          n_text_state=32, n_text_head=4, n_text_layer=1, **kw)
+    cfg_d = WhisperConfig(n_audio_state=16, n_audio_head=2, n_audio_layer=1,
+                          n_text_state=16, n_text_head=2, n_text_layer=1, **kw)
+    table = WhisperTokenTable(multilingual=True)
+
+    def init(cfg, seed):
+        m = Whisper(cfg)
+        v = m.init(jax.random.PRNGKey(seed),
+                   jnp.zeros((1, 32, cfg.n_mels), jnp.float32),
+                   jnp.zeros((1, 4), jnp.int32))
+        return m, v
+
+    model, variables = init(cfg_t, 0)
+    draft, draft_vars = init(cfg_d, 1)
+
+    g = np.random.default_rng(0)
+    audio = (0.1 * g.standard_normal(cfg_t.n_samples)).astype(np.float32)
+
+    plain = Transcriber(model, variables, family="whisper",
+                        token_table=table, batch_size=1, timestamps=False)
+    spec = Transcriber(model, variables, family="whisper", token_table=table,
+                       batch_size=1, timestamps=False, draft_model=draft,
+                       draft_variables=draft_vars, speculative_gamma=3)
+
+    r_plain = plain.transcribe(audio)
+    r_spec = spec.transcribe(audio)
+    assert [s.text for s in r_plain.segments] == [s.text for s in r_spec.segments]
+
+    with pytest.raises(ValueError):
+        Transcriber(model, variables, family="whisper", token_table=table,
+                    timestamps=True, draft_model=draft,
+                    draft_variables=draft_vars)

@@ -94,3 +94,77 @@ def test_unknown_path(server):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 404
+
+
+# ------------------------------------------------------------- micro-batching
+class _FakeTranscriber:
+    """Counts transcribe_many calls; returns per-request tags."""
+
+    def __init__(self, delay=0.0):
+        self.calls = []
+        self.delay = delay
+
+    def transcribe_many(self, audios, sample_rate=None):
+        import time as _t
+
+        if self.delay:
+            _t.sleep(self.delay)
+        self.calls.append(len(audios))
+        return [f"r{float(np.asarray(a).sum()):.0f}" for a in audios]
+
+
+def test_microbatcher_pools_concurrent_requests():
+    from concurrent.futures import ThreadPoolExecutor
+
+    from yoho_tpu.infer.batching import MicroBatcher
+
+    fake = _FakeTranscriber(delay=0.02)
+    mb = MicroBatcher(fake, max_batch=8, max_wait_ms=60)
+    try:
+        with ThreadPoolExecutor(8) as pool:
+            futs = [pool.submit(mb.submit, np.full(4, i, np.float32))
+                    for i in range(8)]
+            results = [f.result(timeout=10) for f in futs]
+        assert sorted(results) == sorted(f"r{i * 4}" for i in range(8))
+        assert mb.requests_served == 8
+        # 8 near-simultaneous requests must NOT take 8 dispatches.
+        assert mb.batches_dispatched < 8, fake.calls
+        assert max(fake.calls) > 1
+    finally:
+        mb.close()
+
+
+def test_microbatcher_propagates_errors():
+    from yoho_tpu.infer.batching import MicroBatcher
+
+    class Broken:
+        def transcribe_many(self, audios, sample_rate=None):
+            raise RuntimeError("boom")
+
+    mb = MicroBatcher(Broken(), max_batch=2, max_wait_ms=1)
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            mb.submit(np.zeros(4, np.float32))
+    finally:
+        mb.close()
+
+
+def test_server_concurrent_requests_batch(server):
+    """Concurrent POSTs all succeed and /statz shows pooling."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def post():
+        body = np.zeros(800, np.float32).tobytes()
+        req = urllib.request.Request(
+            server + "/transcribe", data=body,
+            headers={"Content-Type": "application/octet-stream"})
+        with urllib.request.urlopen(req) as r:
+            return json.load(r)
+
+    with ThreadPoolExecutor(4) as pool:
+        results = [f.result(timeout=120) for f in [pool.submit(post)
+                                                   for _ in range(4)]]
+    assert all("text" in r for r in results)
+    with urllib.request.urlopen(server + "/statz") as r:
+        stats = json.load(r)
+    assert stats["requests_served"] >= 4

@@ -174,3 +174,42 @@ class Augmenter:
 
 
 augmenter = Augmenter()
+
+
+def _preview_main():  # pragma: no cover - manual tool
+    """Preview the augmentation pipeline (parity with the reference's
+    listening test, ``train/utils/augmenter.py:20-49``, which played
+    augmented batches through speakers). Headless equivalent: write
+    original + N augmented variants as WAVs next to the input and print
+    per-transform stats so the pipeline can be audited by ear or by eye.
+
+    Usage: python -m yoho_tpu.audio.augment <audio-file> [n_variants]
+    """
+    import sys
+    from pathlib import Path
+
+    from yoho_tpu.audio.io import load_audio_f32, save_audio
+
+    if len(sys.argv) < 2:
+        print(__doc__)
+        print("usage: python -m yoho_tpu.audio.augment <audio> [n_variants]")
+        raise SystemExit(2)
+    path = Path(sys.argv[1])
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    sr = 16000
+    audio = load_audio_f32(path, sr)
+    rng = np.random.default_rng(0)
+    out_dir = path.parent
+    save_audio(audio, out_dir / f"{path.stem}_orig.wav", sr)
+    for i in range(n):
+        aug = augmenter(audio, sr, rng)
+        rms = float(np.sqrt(np.mean(aug**2)))
+        peak = float(np.abs(aug).max())
+        out = out_dir / f"{path.stem}_aug{i}.wav"
+        save_audio(aug, out, sr)
+        print(f"{out.name}: rms={rms:.4f} peak={peak:.4f}")
+    print(f"wrote {n} augmented variants to {out_dir}/")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    _preview_main()

@@ -2,11 +2,12 @@
 
 The serving layer the reference lacks entirely (SURVEY.md §1). Stdlib-only:
 POST /transcribe with a WAV (or raw f32 PCM) body -> JSON segments;
-GET /healthz for liveness. Requests are served through one shared
-Transcriber, so repeated calls reuse the compiled decode programs.
+GET /healthz for liveness, GET /statz for batcher counters. Concurrent
+requests are MICRO-BATCHED (yoho_tpu.infer.batching): their 30 s windows
+share the fixed-batch decode programs instead of serializing behind a lock.
 
 Usage: ``python -m yoho_tpu.cli.serve (--hf ... | --session ...)
-[--port 8000] [--batch 8]``
+[--port 8000] [--batch 8] [--max-wait-ms 25]``
 """
 
 from __future__ import annotations
@@ -14,7 +15,6 @@ from __future__ import annotations
 import argparse
 import io
 import json
-import threading
 import wave
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -34,7 +34,7 @@ def _decode_wav_bytes(body: bytes, target_sr: int) -> np.ndarray:
     return resample(data, sr, target_sr)
 
 
-def make_handler(transcriber, lock: threading.Lock):
+def make_handler(transcriber, batcher):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -50,6 +50,11 @@ def make_handler(transcriber, lock: threading.Lock):
         def do_GET(self):
             if self.path == "/healthz":
                 self._json(200, {"status": "ok"})
+            elif self.path == "/statz":
+                self._json(200, {
+                    "requests_served": batcher.requests_served,
+                    "batches_dispatched": batcher.batches_dispatched,
+                })
             else:
                 self._json(404, {"error": "not found"})
 
@@ -68,8 +73,7 @@ def make_handler(transcriber, lock: threading.Lock):
                 else:
                     self._json(415, {"error": f"unsupported content type {ctype!r}"})
                     return
-                with lock:  # one model, serialized batches
-                    result = transcriber.transcribe(audio)
+                result = batcher.submit(audio)
                 self._json(200, {
                     "text": result.text,
                     "language": result.language,
@@ -86,9 +90,15 @@ def make_handler(transcriber, lock: threading.Lock):
     return Handler
 
 
-def serve(transcriber, port: int = 8000, host: str = "127.0.0.1"):
-    lock = threading.Lock()
-    server = ThreadingHTTPServer((host, port), make_handler(transcriber, lock))
+def serve(transcriber, port: int = 8000, host: str = "127.0.0.1",
+          max_wait_ms: float = 25.0):
+    from yoho_tpu.infer.batching import MicroBatcher
+
+    batcher = MicroBatcher(transcriber, max_batch=transcriber.batch_size,
+                           max_wait_ms=max_wait_ms)
+    server = ThreadingHTTPServer((host, port),
+                                 make_handler(transcriber, batcher))
+    server.batcher = batcher  # so callers/tests can read counters / close
     return server
 
 
@@ -104,6 +114,8 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--max-wait-ms", type=float, default=25.0,
+                        help="micro-batching window for concurrent requests")
     parser.add_argument("--beams", type=int, default=0)
     parser.add_argument("--language", type=str, default="en")
     args = parser.parse_args(argv)
@@ -119,7 +131,7 @@ def main(argv=None):
     else:
         t = build_yoho_transcriber(args.session, args.root, args.beams, args.batch)
 
-    server = serve(t, args.port, args.host)
+    server = serve(t, args.port, args.host, args.max_wait_ms)
     print(f"serving on http://{args.host}:{args.port} "
           f"(POST /transcribe, GET /healthz)")
     try:

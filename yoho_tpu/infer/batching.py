@@ -1,0 +1,110 @@
+"""Request micro-batching for serving.
+
+The serving layer the reference lacks (SURVEY.md §1) gets the standard
+production treatment: concurrent requests are collected for up to
+``max_wait_ms`` (or until ``max_batch`` requests are waiting) and pushed
+through ONE pooled `Transcriber.transcribe_many` call, so their 30 s
+windows share decode batches instead of each paying a padded batch alone.
+TPU decode programs have a fixed batch dimension — filling it is free
+throughput; serializing requests wastes it.
+
+Threading model: callers block in :meth:`submit`; a single worker thread
+owns the model (JAX dispatch stays single-threaded), so no lock is needed
+around the Transcriber.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Any, List, Optional
+
+
+@dataclass
+class _Pending:
+    audio: Any
+    sample_rate: Optional[int]
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Any = None
+    error: Optional[BaseException] = None
+
+
+class MicroBatcher:
+    """Blocking submit() front-end over a batching worker thread."""
+
+    def __init__(self, transcriber, max_batch: int = 8,
+                 max_wait_ms: float = 25.0):
+        self.transcriber = transcriber
+        self.max_batch = max(1, int(max_batch))
+        self.max_wait = max_wait_ms / 1e3
+        self._queue: List[_Pending] = []
+        self._cv = threading.Condition()
+        self._closed = False
+        self.batches_dispatched = 0
+        self.requests_served = 0
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------------
+    def submit(self, audio, sample_rate: Optional[int] = None):
+        """Enqueue one request and block until its result is ready."""
+        req = _Pending(audio, sample_rate)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._queue.append(req)
+            self._cv.notify()
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._worker.join(timeout=5)
+
+    # ------------------------------------------------------------------
+    def _take_batch(self) -> List[_Pending]:
+        with self._cv:
+            while not self._queue and not self._closed:
+                self._cv.wait()
+            if not self._queue:
+                return []
+            deadline = time.monotonic() + self.max_wait
+            while (len(self._queue) < self.max_batch and not self._closed):
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                self._cv.wait(timeout=remaining)
+            batch, self._queue = (self._queue[: self.max_batch],
+                                  self._queue[self.max_batch:])
+            return batch
+
+    def _run(self) -> None:
+        while True:
+            batch = self._take_batch()
+            if not batch:
+                return  # closed and drained
+            # Mixed sample rates can't share one transcribe_many call;
+            # group by rate (nearly always a single group).
+            by_rate: dict = {}
+            for req in batch:
+                by_rate.setdefault(req.sample_rate, []).append(req)
+            for rate, reqs in by_rate.items():
+                try:
+                    results = self.transcriber.transcribe_many(
+                        [r.audio for r in reqs], rate
+                    )
+                    for req, res in zip(reqs, results):
+                        req.result = res
+                except BaseException as e:  # noqa: BLE001 — deliver to callers
+                    for req in reqs:
+                        req.error = e
+                finally:
+                    self.batches_dispatched += 1
+                    self.requests_served += len(reqs)
+                    for req in reqs:
+                        req.done.set()

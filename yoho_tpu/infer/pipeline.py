@@ -62,6 +62,9 @@ class Transcriber:
         word_timestamps: bool = False,
         temperatures: Sequence[float] = (0.0,),
         compression_ratio_threshold: float = 2.4,
+        draft_model=None,
+        draft_variables=None,
+        speculative_gamma: int = 4,
     ):
         # Whisper-style quality fallback: windows whose greedy decode fails
         # the logprob/compression checks are re-decoded at increasing
@@ -76,6 +79,21 @@ class Transcriber:
         self.logprob_threshold = logprob_threshold
         self.quantized_cross_kv = quantized_cross_kv
         self.quantized_cache = quantized_cache
+        # Speculative decoding (draft proposes, target verifies — see
+        # yoho_tpu.infer.speculative): opt-in via a smaller draft model of
+        # the SAME family/vocab. Greedy output is provably identical to
+        # target-only decoding; only throughput changes.
+        self.draft_model = draft_model
+        self.draft_variables = draft_variables
+        self.speculative_gamma = speculative_gamma
+        if draft_model is not None:
+            if beams and beams > 1:
+                raise ValueError("speculative decoding is greedy-only "
+                                 "(beams must be 0/1)")
+            if timestamps:
+                raise ValueError(
+                    "speculative decoding does not support timestamp rules "
+                    "yet — construct the Transcriber with timestamps=False")
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -178,7 +196,9 @@ class Transcriber:
 
         quantize = self.quantized_cross_kv if self.family == "whisper" else False
 
-        def run(variables, mel):
+        # NB: draft weights also ride as a traced jit argument (d_vars) —
+        # closing over them would bake them into the program as constants.
+        def run(variables, d_vars, mel):
             xa = model.apply(variables, mel, method=type(model).encode_audio)
             if quantize:
                 ckv = model.apply(variables, xa, quantize,
@@ -198,6 +218,48 @@ class Transcriber:
                     "sum_logprob": jnp.zeros((batch,), jnp.float32),
                     "no_speech_prob": jnp.zeros((batch,), jnp.float32),
                 }
+            elif (self.draft_model is not None and float(temperature) == 0.0):
+                from yoho_tpu.infer.speculative import (
+                    make_verify_step_fn,
+                    speculative_greedy_decode,
+                )
+
+                d_model = self.draft_model
+                gamma = self.speculative_gamma
+                ns_id = (self.token_table.no_speech
+                         if self.family == "whisper" else None)
+                d_xa = d_model.apply(d_vars, mel,
+                                     method=type(d_model).encode_audio)
+                if quantize:
+                    d_ckv = d_model.apply(d_vars, d_xa, quantize,
+                                          method=type(d_model).cross_kvs)
+                else:
+                    d_ckv = d_model.apply(d_vars, d_xa,
+                                          method=type(d_model).cross_kvs)
+                horizon = self.max_len + gamma + 2  # stale-write workspace
+                if self.family == "whisper":
+                    t_caches = model.apply(variables, batch, self.cache_dtype,
+                                           horizon, self.quantized_cache,
+                                           method=type(model).init_caches)
+                    d_caches = d_model.apply(d_vars, batch, self.cache_dtype,
+                                             horizon, self.quantized_cache,
+                                             method=type(d_model).init_caches)
+                else:
+                    t_caches = model.apply(variables, batch, self.cache_dtype,
+                                           horizon,
+                                           method=type(model).init_caches)
+                    d_caches = d_model.apply(d_vars, batch, self.cache_dtype,
+                                             horizon,
+                                             method=type(d_model).init_caches)
+                tokens, lengths, aux = speculative_greedy_decode(
+                    make_verify_step_fn(model, variables, ckv),
+                    make_verify_step_fn(d_model, d_vars, d_ckv),
+                    t_caches, d_caches, jnp.asarray(prompt), self.max_len,
+                    self.eot, gamma=gamma, suppress_ids=suppress,
+                    return_aux=True, no_speech_id=ns_id,
+                )
+                aux.setdefault("no_speech_prob", jnp.zeros((batch,), jnp.float32))
+                return tokens, lengths, aux
             else:
                 if self.family == "whisper":
                     caches = model.apply(variables, batch, self.cache_dtype,
@@ -219,7 +281,11 @@ class Transcriber:
                 aux.setdefault("no_speech_prob", jnp.zeros((batch,), jnp.float32))
             return tokens, lengths, aux
 
-        fn = jax.jit(run)
+        jfn = jax.jit(run)
+
+        def fn(variables, mel):
+            return jfn(variables, self.draft_variables, mel)
+
         self._jitted[key] = fn
         return fn
 
@@ -423,22 +489,45 @@ class Transcriber:
                 seg.voiceprint = vp[w, max(p - 1, 0)]
 
     # ------------------------------------------------------------------
+    def _prepare_audio(self, audio, sample_rate: Optional[int]) -> np.ndarray:
+        if isinstance(audio, (str, Path)):
+            return load_audio_f32(audio, self.sample_rate)
+        audio = np.asarray(audio, np.float32)
+        if sample_rate is not None and sample_rate != self.sample_rate:
+            from yoho_tpu.audio.io import resample
+
+            audio = resample(audio, sample_rate, self.sample_rate)
+        return audio
+
     def transcribe(
         self,
         audio: Union[str, Path, np.ndarray],
         sample_rate: Optional[int] = None,
     ) -> TranscriptionResult:
         """Transcribe one audio source of any length."""
-        if isinstance(audio, (str, Path)):
-            audio = load_audio_f32(audio, self.sample_rate)
-        else:
-            audio = np.asarray(audio, np.float32)
-            if sample_rate is not None and sample_rate != self.sample_rate:
-                from yoho_tpu.audio.io import resample
+        return self.transcribe_many([audio], sample_rate)[0]
 
-                audio = resample(audio, sample_rate, self.sample_rate)
+    def transcribe_many(
+        self,
+        audios: Sequence[Union[str, Path, np.ndarray]],
+        sample_rate: Optional[int] = None,
+    ) -> List[TranscriptionResult]:
+        """Transcribe several audio sources through SHARED decode batches.
 
-        windows, starts = chunk_audio(audio, self.chunk_samples, self.stride_samples)
+        All requests' 30 s windows are pooled into one stream and decoded
+        ``batch_size`` at a time — concurrent short requests fill batches a
+        single request would leave padded (the micro-batching entry point
+        for the HTTP server; see ``yoho_tpu.infer.batching``).
+        """
+        prepared = [self._prepare_audio(a, sample_rate) for a in audios]
+        all_starts: List[List[int]] = []
+        window_list = []
+        for audio in prepared:
+            w, s = chunk_audio(audio, self.chunk_samples, self.stride_samples)
+            window_list.append(w)
+            all_starts.append(s)
+        windows = (np.concatenate(window_list) if window_list
+                   else np.zeros((0, self.chunk_samples), np.float32))
         n_win = len(windows)
         per_window: List[List[Segment]] = []
 
@@ -461,18 +550,25 @@ class Transcriber:
             self._attach_words(mel[:actual], tokens[:actual], lengths[:actual], segs)
             per_window.extend(segs)
 
-        segments = stitch_segments(per_window, starts, self.sample_rate,
-                                   self.chunk_samples, self.stride_samples)
-        if self.family == "yoho":
-            # Diarization: cluster per-segment voiceprints into speaker ids.
-            from yoho_tpu.infer.diarize import cluster_voiceprints
+        results = []
+        off = 0
+        for starts in all_starts:
+            k = len(starts)
+            segments = stitch_segments(per_window[off : off + k], starts,
+                                       self.sample_rate, self.chunk_samples,
+                                       self.stride_samples)
+            off += k
+            if self.family == "yoho":
+                # Diarization: cluster per-segment voiceprints into speakers.
+                from yoho_tpu.infer.diarize import cluster_voiceprints
 
-            labels = cluster_voiceprints([s.voiceprint for s in segments])
-            for seg, spk in zip(segments, labels):
-                seg.speaker = spk
-        text = " ".join(s.text for s in segments if s.text).strip()
-        return TranscriptionResult(text=text, segments=segments,
-                                   language=self.language)
+                labels = cluster_voiceprints([s.voiceprint for s in segments])
+                for seg, spk in zip(segments, labels):
+                    seg.speaker = spk
+            text = " ".join(s.text for s in segments if s.text).strip()
+            results.append(TranscriptionResult(text=text, segments=segments,
+                                               language=self.language))
+        return results
 
     def detect_language(self, audio: Union[str, Path, np.ndarray]):
         """Whisper language ID: one decoder step after <|startoftranscript|>,

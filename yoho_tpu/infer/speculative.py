@@ -66,12 +66,17 @@ def speculative_greedy_decode(
     eot_id: int,
     gamma: int = 4,
     suppress_ids: Sequence[int] = (),
+    return_aux: bool = False,
+    no_speech_id=None,
 ):
     """Returns ``(tokens (B, max_len) int32, lengths (B,) int32)`` with
     exactly the semantics of ``greedy_decode`` on the target model.
 
     Both cache sets must be long enough for ``max_len + gamma`` positions
-    (stale-overwrite workspace past the horizon).
+    (stale-overwrite workspace past the horizon). ``return_aux`` adds a
+    dict with ``no_speech_prob`` (target prefill logits, like
+    ``greedy_decode``) and a zero ``sum_logprob`` placeholder — the
+    quality-fallback ladder needs non-speculative decoding.
     """
     b, p = prompt.shape
     assert p >= 1 and p < max_len
@@ -94,6 +99,10 @@ def speculative_greedy_decode(
                                           target_caches, 0)
     _d_logits, draft_caches = draft_step(prompt.astype(jnp.int32),
                                          draft_caches, 0)
+    no_speech_prob = None
+    if no_speech_id is not None:
+        probs0 = jax.nn.softmax(t_logits[:, -1].astype(jnp.float32), axis=-1)
+        no_speech_prob = probs0[:, no_speech_id]
     first = greedy_pick(t_logits[:, -1:])[:, 0]
     tokens = tokens.at[:, p].set(first)
     finished0 = first == eot_id
@@ -162,4 +171,9 @@ def speculative_greedy_decode(
     # semantics — uncommitted draft writes past EOT must not leak out).
     pos_idx = jnp.arange(max_len)[None, :]
     tokens = jnp.where(pos_idx >= lengths[:, None], eot_id, tokens)
+    if return_aux:
+        aux = {"sum_logprob": jnp.zeros((b,), jnp.float32)}
+        if no_speech_prob is not None:
+            aux["no_speech_prob"] = no_speech_prob
+        return tokens, lengths, aux
     return tokens, lengths

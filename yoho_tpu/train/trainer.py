@@ -251,10 +251,31 @@ class ASRTrainer:
             pbar = tqdm(initial=int(self.state.step) // acc,
                         total=max_updates or hp.updates)
 
+        # Profiling (SURVEY.md §5: the reference has none): set
+        # YOHO_PROFILE_DIR to capture a TensorBoard device trace of steps
+        # [profile_start, profile_start + profile_steps).
+        import os as _os
+
+        profile_dir = _os.environ.get("YOHO_PROFILE_DIR")
+        profile_start = int(_os.environ.get("YOHO_PROFILE_START", "4"))
+        profile_steps = int(_os.environ.get("YOHO_PROFILE_STEPS", "3"))
+        profiling = False
+
         acc_loss, seen = 0.0, 0
         try:
             while int(self.state.step) < target_steps:
                 step = int(self.state.step)
+                if profile_dir and not profiling and step == profile_start:
+                    import jax.profiler
+
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
+                if profiling and step >= profile_start + profile_steps:
+                    import jax.profiler
+
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    profile_dir = None
                 accumulation_step = step % acc
                 batch = self.train_dataloader.get_prepared_batch()
                 batch = shard_batch(self.mesh, tuple(np.asarray(x) for x in batch))
@@ -280,6 +301,10 @@ class ASRTrainer:
                         batch_loss, val_loss,
                     )
         finally:
+            if profiling:
+                import jax.profiler
+
+                jax.profiler.stop_trace()
             ckpt.save(self.state.step, self.state.params, self.state.opt_state)
             ckpt.close()
             self._export_weights()
