@@ -1,0 +1,107 @@
+"""Weight-only int8 serving: quantized decoder must track the bf16 model
+closely (same greedy transcript on random weights, bounded logit error)
+and the param-tree converter must produce exactly the layout the
+weights_int8 model expects."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from yoho_tpu.core.config import WhisperConfig
+from yoho_tpu.infer.decode import greedy_decode, make_whisper_step_fn
+from yoho_tpu.nn.quantize import quantize_whisper_decoder
+from yoho_tpu.nn.whisper import Whisper
+
+CFG = WhisperConfig(
+    n_mels=8, n_audio_ctx=16, n_audio_state=64, n_audio_head=4,
+    n_audio_layer=2, n_vocab=128, n_text_ctx=24, n_text_state=64,
+    n_text_head=4, n_text_layer=2,
+)
+EOT = 7
+
+
+def _setup():
+    model = Whisper(CFG)
+    g = np.random.default_rng(0)
+    mel = jnp.asarray(g.standard_normal((2, CFG.n_audio_ctx * 2, CFG.n_mels))
+                      .astype(np.float32))
+    tokens = jnp.asarray(g.integers(0, CFG.n_vocab, size=(2, 4)))
+    variables = model.init(jax.random.PRNGKey(0), mel, tokens)
+    return model, variables, mel, tokens
+
+
+def test_converted_tree_matches_expected_structure():
+    model, variables, mel, tokens = _setup()
+    q_model = Whisper(CFG, weights_int8=True)
+    expected = jax.eval_shape(q_model.init, jax.random.PRNGKey(0), mel, tokens)
+    got = quantize_whisper_decoder(variables)
+
+    exp_paths = {jax.tree_util.keystr(k): v.shape for k, v in
+                 jax.tree_util.tree_leaves_with_path(expected)}
+    got_paths = {jax.tree_util.keystr(k): np.asarray(v).shape for k, v in
+                 jax.tree_util.tree_leaves_with_path(got)}
+    assert exp_paths == got_paths
+
+
+def test_quantized_logits_close_and_greedy_equal():
+    model, variables, mel, tokens = _setup()
+    q_model = Whisper(CFG, weights_int8=True)
+    q_vars = quantize_whisper_decoder(variables)
+
+    ref = model.apply(variables, mel, tokens)
+    got = q_model.apply(q_vars, mel, tokens)
+    ref_n = np.asarray(ref, np.float32)
+    got_n = np.asarray(got, np.float32)
+    # Per-position cosine similarity of logits stays near 1.
+    cos = (np.sum(ref_n * got_n, -1)
+           / (np.linalg.norm(ref_n, axis=-1) * np.linalg.norm(got_n, axis=-1)))
+    assert cos.min() > 0.999, cos.min()
+
+    # Argmax must agree wherever the decision isn't inside the
+    # quantization noise band (random-weight logits are nearly flat, so
+    # exact greedy equality would test tie-breaking, not correctness).
+    noise = np.abs(ref_n - got_n).max()
+    top2 = np.sort(ref_n, axis=-1)
+    margin = top2[..., -1] - top2[..., -2]
+    confident = margin > 4 * noise
+    assert confident.any()
+    np.testing.assert_array_equal(ref_n.argmax(-1)[confident],
+                                  got_n.argmax(-1)[confident])
+
+    # Full cached decode path (cross-KV + caches + while_loop) runs and
+    # produces valid shapes with the quantized tree.
+    def decode(m, v):
+        xa = m.apply(v, mel, method=Whisper.encode_audio)
+        ckv = m.apply(v, xa, method=Whisper.cross_kvs)
+        caches = m.apply(v, 2, jnp.float32, method=Whisper.init_caches)
+        step = make_whisper_step_fn(m, v, ckv)
+        prompt = jnp.asarray([[1, 2], [1, 3]], jnp.int32)
+        return greedy_decode(step, caches, prompt, 16, EOT)
+
+    t_q, l_q = jax.jit(lambda: decode(q_model, q_vars))()
+    assert t_q.shape == (2, 16) and l_q.shape == (2,)
+
+    # And the cached path agrees with the quantized model's own
+    # teacher-forced forward (the KV-cache invariant still holds int8).
+    xa = q_model.apply(q_vars, mel, method=Whisper.encode_audio)
+    full = q_model.apply(q_vars, np.asarray(t_q)[:, :8], xa,
+                         method=Whisper.decode_text)
+    ckv = q_model.apply(q_vars, xa, method=Whisper.cross_kvs)
+    caches = q_model.apply(q_vars, 2, jnp.float32, method=Whisper.init_caches)
+    step_logits, _ = q_model.apply(q_vars, jnp.asarray(np.asarray(t_q)[:, :8]),
+                                   caches, ckv, 0, method=Whisper.decode_step)
+    np.testing.assert_allclose(np.asarray(full, np.float32),
+                               np.asarray(step_logits, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_quantization_error_bounded():
+    from yoho_tpu.nn.quantize import quantize_dense_params
+
+    g = np.random.default_rng(1)
+    kernel = g.standard_normal((64, 32)).astype(np.float32)
+    q = quantize_dense_params({"kernel": kernel})
+    deq = np.asarray(q["kernel_q"], np.float32) * np.asarray(q["kernel_scale"])
+    step = np.abs(kernel).max(axis=0, keepdims=True) / 127.0
+    assert np.all(np.abs(deq - kernel) <= step * 0.51 + 1e-7)

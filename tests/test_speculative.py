@@ -132,3 +132,48 @@ def test_speculative_single_stream(setup):
 
     np.testing.assert_array_equal(np.asarray(tokens_g), np.asarray(tokens_s))
     np.testing.assert_array_equal(np.asarray(lengths_g), np.asarray(lengths_s))
+
+
+def test_streaming_with_draft_matches_plain(setup):
+    """A draft-equipped Transcriber streams speculatively (same compiled
+    path) and yields exactly the plain transcriber's segments."""
+    from yoho_tpu.infer.pipeline import Transcriber
+    from yoho_tpu.infer.streaming import StreamingTranscriber
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+    import numpy as np
+
+    del setup  # pipeline needs real-vocab, chunk-consistent configs
+    kw = dict(n_mels=8, n_audio_ctx=16, n_vocab=51865, n_text_ctx=16,
+              chunk_seconds=0.32)
+    cfg_t = WhisperConfig(n_audio_state=32, n_audio_head=4, n_audio_layer=1,
+                          n_text_state=32, n_text_head=4, n_text_layer=1, **kw)
+    cfg_d = WhisperConfig(n_audio_state=16, n_audio_head=2, n_audio_layer=1,
+                          n_text_state=16, n_text_head=2, n_text_layer=1, **kw)
+
+    def init(cfg, seed):
+        m = Whisper(cfg)
+        v = m.init(jax.random.PRNGKey(seed),
+                   jnp.zeros((1, cfg.n_frames, cfg.n_mels), jnp.float32),
+                   jnp.zeros((1, 4), jnp.int32))
+        return m, v
+
+    t_model, t_vars = init(cfg_t, 0)
+    d_model, d_vars = init(cfg_d, 1)
+    table = WhisperTokenTable(multilingual=True)
+    g = np.random.default_rng(3)
+    audio = (0.1 * g.standard_normal(int(cfg_t.n_samples * 2.5))).astype(np.float32)
+
+    def run(**kw):
+        tr = Transcriber(t_model, t_vars, family="whisper", token_table=table,
+                         batch_size=1, timestamps=False, **kw)
+        st = StreamingTranscriber(tr)
+        segs = []
+        for i in range(0, len(audio), 4000):
+            segs += st.push(audio[i : i + 4000])
+        segs += st.flush()
+        return [(round(s.start, 3), s.text) for s in segs]
+
+    plain = run()
+    spec = run(draft_model=d_model, draft_variables=d_vars,
+               speculative_gamma=3)
+    assert plain == spec

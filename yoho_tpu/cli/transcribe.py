@@ -19,7 +19,7 @@ import json as jsonlib
 def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: str,
                               timestamps: bool, quantized: bool = False,
                               word_timestamps: bool = False,
-                              temperatures=(0.0,)):
+                              temperatures=(0.0,), int8_weights: bool = False):
     import jax.numpy as jnp
 
     from yoho_tpu.infer.pipeline import Transcriber
@@ -28,7 +28,11 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
     from yoho_tpu.text.whisper_tokens import WhisperTokenTable
 
     cfg, params = load_hf_whisper(hf_path)
-    model = Whisper(cfg, dtype=jnp.bfloat16)
+    if int8_weights:
+        from yoho_tpu.nn.quantize import quantize_whisper_decoder
+
+        params = quantize_whisper_decoder(params)
+    model = Whisper(cfg, dtype=jnp.bfloat16, weights_int8=int8_weights)
     v3 = cfg.n_vocab == 51866
     multilingual = cfg.n_vocab != 51864
     table = WhisperTokenTable(multilingual=multilingual, v3=v3)
@@ -100,6 +104,9 @@ def main(argv=None):
     parser.add_argument("--json", action="store_true", help="JSONL output")
     parser.add_argument("--int8-kv", action="store_true",
                         help="int8 KV caches (faster, argmax-identical in tests)")
+    parser.add_argument("--int8-weights", action="store_true",
+                        help="weight-only int8 decoder (1.6x single-stream "
+                             "weight traffic; near-lossless, not bit-exact)")
     parser.add_argument("--word-timestamps", action="store_true")
     parser.add_argument("--temperature-fallback", action="store_true",
                         help="retry low-quality windows at higher temperatures")
@@ -111,7 +118,8 @@ def main(argv=None):
                                       args.language, not args.no_timestamps,
                                       quantized=args.int8_kv,
                                       word_timestamps=args.word_timestamps,
-                                      temperatures=temps)
+                                      temperatures=temps,
+                                      int8_weights=args.int8_weights)
     else:
         t = build_yoho_transcriber(args.session, args.root, args.beams, args.batch)
 

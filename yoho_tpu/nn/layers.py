@@ -364,13 +364,15 @@ class MultiHeadAttention(nn.Module):
     k_bias: bool = False  # OpenAI Whisper: key projection has no bias
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    weights_int8: bool = False  # serve with int8 kernels (QuantizedDense)
 
     def setup(self):
         d = self.dtype
-        self.q_proj = nn.Dense(self.n_state, dtype=d, name="q_proj")
-        self.k_proj = nn.Dense(self.n_state, use_bias=self.k_bias, dtype=d, name="k_proj")
-        self.v_proj = nn.Dense(self.n_state, dtype=d, name="v_proj")
-        self.out_proj = nn.Dense(self.n_state, dtype=d, name="out_proj")
+        dense = QuantizedDense if self.weights_int8 else nn.Dense
+        self.q_proj = dense(self.n_state, dtype=d, name="q_proj")
+        self.k_proj = dense(self.n_state, use_bias=self.k_bias, dtype=d, name="k_proj")
+        self.v_proj = dense(self.n_state, dtype=d, name="v_proj")
+        self.out_proj = dense(self.n_state, dtype=d, name="out_proj")
 
     def _split(self, x):
         b, s, _ = x.shape
@@ -453,18 +455,50 @@ class MultiHeadAttention(nn.Module):
         return out
 
 
+class QuantizedDense(nn.Module):
+    """Weight-only int8 Dense: kernel stored int8 with per-output-channel
+    scales, dequantized inline (XLA fuses the convert into the matmul —
+    measured 1.58x on the B=1 decode weight chain,
+    experiments/int8_weights_probe.py). Params come from
+    ``yoho_tpu.nn.quantize.quantize_dense_params``, never from training.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        kernel_q = self.param("kernel_q", nn.initializers.zeros,
+                              (in_dim, self.features), jnp.int8)
+        scale = self.param("kernel_scale", nn.initializers.ones,
+                           (1, self.features), jnp.float32)
+        y = jnp.einsum("...d,dk->...k", x.astype(self.dtype),
+                       kernel_q.astype(self.dtype),
+                       preferred_element_type=jnp.float32)
+        y = (y * scale).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class MLP(nn.Module):
     """Whisper MLP: fc1 -> exact GELU -> fc2 (4x expansion)."""
 
     n_state: int
     expansion: int = 4
     dtype: jnp.dtype = jnp.float32
+    weights_int8: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.n_state * self.expansion, dtype=self.dtype, name="fc1")(x)
+        dense = QuantizedDense if self.weights_int8 else nn.Dense
+        x = dense(self.n_state * self.expansion, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        return nn.Dense(self.n_state, dtype=self.dtype, name="fc2")(x)
+        return dense(self.n_state, dtype=self.dtype, name="fc2")(x)
 
 
 class SwiGLU(nn.Module):

@@ -60,16 +60,19 @@ class DecoderBlock(nn.Module):
     n_state: int
     n_head: int
     dtype: jnp.dtype = jnp.float32
+    weights_int8: bool = False
 
     def setup(self):
         d = self.dtype
+        w8 = self.weights_int8
         self.ln1 = nn.LayerNorm(epsilon=1e-5, dtype=d, name="ln1")
-        self.attn = MultiHeadAttention(self.n_state, self.n_head, dtype=d, name="attn")
+        self.attn = MultiHeadAttention(self.n_state, self.n_head, dtype=d,
+                                       weights_int8=w8, name="attn")
         self.ln2 = nn.LayerNorm(epsilon=1e-5, dtype=d, name="ln2")
         self.cross_attn = MultiHeadAttention(self.n_state, self.n_head, dtype=d,
-                                             name="cross_attn")
+                                             weights_int8=w8, name="cross_attn")
         self.ln3 = nn.LayerNorm(epsilon=1e-5, dtype=d, name="ln3")
-        self.mlp = MLP(self.n_state, dtype=d, name="mlp")
+        self.mlp = MLP(self.n_state, dtype=d, weights_int8=w8, name="mlp")
 
     def __call__(self, x, xa, mask):
         x = x + self.attn(self.ln1(x), mask=mask)
@@ -110,26 +113,64 @@ class AudioEncoder(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, dtype=d, name="ln_post")(x)
 
 
+class QuantizedEmbed(nn.Module):
+    """Tied embedding stored int8 with per-row (per-token) scales; serves
+    both the lookup and the tied-logits matmul with exact per-row
+    semantics. Params come from ``yoho_tpu.nn.quantize``."""
+
+    num_embeddings: int
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.embedding_q = self.param(
+            "embedding_q", nn.initializers.zeros,
+            (self.num_embeddings, self.features), jnp.int8)
+        self.embedding_scale = self.param(
+            "embedding_scale", nn.initializers.ones,
+            (self.num_embeddings, 1), jnp.float32)
+
+    def __call__(self, ids):
+        vec = jnp.take(self.embedding_q, ids, axis=0).astype(self.dtype)
+        scale = jnp.take(self.embedding_scale, ids, axis=0)
+        return vec * scale.astype(self.dtype)
+
+    def logits(self, x, dtype):
+        y = jnp.einsum("bsd,vd->bsv", x, self.embedding_q.astype(dtype),
+                       preferred_element_type=jnp.float32)
+        return y * self.embedding_scale[:, 0][None, None, :]
+
+
 class TextDecoder(nn.Module):
     cfg: WhisperConfig
     dtype: jnp.dtype = jnp.float32
+    weights_int8: bool = False
 
     def setup(self):
         c = self.cfg
-        self.token_embedding = nn.Embed(c.n_vocab, c.n_text_state, dtype=self.dtype,
-                                        name="token_embedding")
+        if self.weights_int8:
+            self.token_embedding = QuantizedEmbed(
+                c.n_vocab, c.n_text_state, dtype=self.dtype,
+                name="token_embedding")
+        else:
+            self.token_embedding = nn.Embed(c.n_vocab, c.n_text_state,
+                                            dtype=self.dtype,
+                                            name="token_embedding")
         self.positional_embedding = self.param(
             "positional_embedding",
             nn.initializers.normal(0.01),
             (c.n_text_ctx, c.n_text_state),
         )
         self.blocks = [
-            DecoderBlock(c.n_text_state, c.n_text_head, dtype=self.dtype, name=f"blocks_{i}")
+            DecoderBlock(c.n_text_state, c.n_text_head, dtype=self.dtype,
+                         weights_int8=self.weights_int8, name=f"blocks_{i}")
             for i in range(c.n_text_layer)
         ]
         self.ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")
 
     def _logits(self, x):
+        if self.weights_int8:
+            return self.token_embedding.logits(x, self.dtype)
         emb = self.token_embedding.embedding.astype(self.dtype)
         # Tied-embedding logits in f32 for a stable softmax/argmax.
         return jnp.einsum("bsd,vd->bsv", x, emb, preferred_element_type=jnp.float32)
@@ -229,11 +270,18 @@ class Whisper(nn.Module):
     cfg: WhisperConfig
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False  # Pallas flash attention in the encoder
+    # Serve the DECODER with int8 kernels + int8 tied embedding (encoder
+    # runs once per window — its weight traffic amortizes; the decoder's
+    # repeats per token). ~1.6x on the B=1 weight-bound step; weights come
+    # from yoho_tpu.nn.quantize.quantize_whisper_decoder, not training.
+    weights_int8: bool = False
 
     def setup(self):
         self.encoder = AudioEncoder(self.cfg, dtype=self.dtype,
                                     use_flash=self.use_flash, name="encoder")
-        self.decoder = TextDecoder(self.cfg, dtype=self.dtype, name="decoder")
+        self.decoder = TextDecoder(self.cfg, dtype=self.dtype,
+                                   weights_int8=self.weights_int8,
+                                   name="decoder")
 
     def __call__(self, mel: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
         return self.decoder(tokens, self.encoder(mel))
