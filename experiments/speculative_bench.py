@@ -17,9 +17,13 @@ model-dependent acceptance (needs trained weights): with whisper-tiny
 drafting for whisper-small, literature and practice put alpha at 0.7-0.9
 for speech transcription.
 
+Set YOHO_SPEC_INT8=1 to measure with weight-only int8 decoders on both
+models (the combined latency configuration).
+
 Usage: python experiments/speculative_bench.py [target] [draft] [batch] [gamma]
 """
 
+import os
 import sys
 import time
 
@@ -39,9 +43,13 @@ def main():
     gamma = int(sys.argv[4]) if len(sys.argv) > 4 else 4
     reps = 64
 
+    int8_weights = os.environ.get("YOHO_SPEC_INT8", "0") == "1"
+
     def build(name):
         cfg = WHISPER_PRESETS[name]
         model = Whisper(cfg, dtype=jnp.bfloat16)
+        serve_model = (Whisper(cfg, dtype=jnp.bfloat16, weights_int8=True)
+                       if int8_weights else model)
         shapes = jax.eval_shape(
             model.init, jax.random.PRNGKey(0),
             jnp.zeros((1, cfg.n_frames, cfg.n_mels), jnp.float32),
@@ -80,7 +88,11 @@ def main():
         ]
         caches = model.apply(variables, batch, jnp.bfloat16, 256, True,
                              method=Whisper.init_caches)
-        return cfg, model, variables, ckvs, caches
+        if int8_weights:
+            from yoho_tpu.nn.quantize import quantize_whisper_decoder
+
+            variables = jax.jit(quantize_whisper_decoder)(variables)
+        return cfg, serve_model, variables, ckvs, caches
 
     def time_step(name, model, variables, ckvs, caches, s):
         def step(carry, consts):

@@ -105,3 +105,57 @@ def test_quantization_error_bounded():
     deq = np.asarray(q["kernel_q"], np.float32) * np.asarray(q["kernel_scale"])
     step = np.abs(kernel).max(axis=0, keepdims=True) / 127.0
     assert np.all(np.abs(deq - kernel) <= step * 0.51 + 1e-7)
+
+
+def test_yoho_quantized_matches_structure_and_logits():
+    from yoho_tpu.core.config import YOHOConfig
+    from yoho_tpu.nn.quantize import quantize_yoho_decoder
+    from yoho_tpu.nn.yoho import YOHOModel
+
+    cfg = YOHOConfig(
+        n_mel_bands=16, max_audio_len=32, max_text_len=16, dims=64,
+        n_audio_heads=4, n_audio_blocks=1, n_text_heads=4, n_text_blocks=2,
+    )
+    vocab = 96
+    model = YOHOModel(cfg, vocab_size=vocab, voiceprint_dim=32)
+    q_model = YOHOModel(cfg, vocab_size=vocab, voiceprint_dim=32,
+                        weights_int8=True)
+    g = np.random.default_rng(0)
+    mel = jnp.asarray(g.standard_normal((2, cfg.max_audio_len, cfg.n_mel_bands))
+                      .astype(np.float32))
+    tokens = jnp.asarray(g.integers(0, vocab, size=(2, cfg.max_text_len)))
+    variables = model.init(jax.random.PRNGKey(0), tokens, mel,
+                           method=YOHOModel.forward_with_voiceprints)
+
+    q_vars = quantize_yoho_decoder(variables)
+    expected = jax.eval_shape(
+        lambda r, t, m: q_model.init(
+            r, t, m, method=YOHOModel.forward_with_voiceprints),
+        jax.random.PRNGKey(0), tokens, mel)
+    exp_paths = {jax.tree_util.keystr(k): v.shape for k, v in
+                 jax.tree_util.tree_leaves_with_path(expected)}
+    got_paths = {jax.tree_util.keystr(k): np.asarray(v).shape for k, v in
+                 jax.tree_util.tree_leaves_with_path(q_vars)}
+    assert exp_paths == got_paths
+
+    ref, vp_ref = model.apply(variables, tokens, mel,
+                              method=YOHOModel.forward_with_voiceprints)
+    got, vp_got = q_model.apply(q_vars, tokens, mel,
+                                method=YOHOModel.forward_with_voiceprints)
+    ref_n, got_n = np.asarray(ref, np.float32), np.asarray(got, np.float32)
+    cos = (np.sum(ref_n * got_n, -1)
+           / (np.linalg.norm(ref_n, axis=-1) * np.linalg.norm(got_n, axis=-1)))
+    assert cos.min() > 0.999, cos.min()
+    # Voiceprints stay L2-normalized and close.
+    assert np.allclose(np.linalg.norm(np.asarray(vp_got), axis=-1), 1, atol=1e-2)
+
+    # Cached decode path runs with the quantized tree.
+    from yoho_tpu.infer.decode import greedy_decode, make_yoho_step_fn
+
+    xa = q_model.apply(q_vars, mel, method=YOHOModel.encode_audio)
+    ckv = q_model.apply(q_vars, xa, method=YOHOModel.cross_kvs)
+    caches = q_model.apply(q_vars, 2, jnp.float32, method=YOHOModel.init_caches)
+    step = make_yoho_step_fn(q_model, q_vars, ckv)
+    toks, lens = jax.jit(lambda c: greedy_decode(
+        step, c, jnp.asarray([[1], [2]], jnp.int32), 8, 5))(caches)
+    assert toks.shape == (2, 8)

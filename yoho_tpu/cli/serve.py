@@ -118,6 +118,10 @@ def main(argv=None):
                         help="micro-batching window for concurrent requests")
     parser.add_argument("--beams", type=int, default=0)
     parser.add_argument("--language", type=str, default="en")
+    parser.add_argument("--int8-kv", action="store_true",
+                        help="int8 KV caches (faster, argmax-identical)")
+    parser.add_argument("--int8-weights", action="store_true",
+                        help="weight-only int8 decoder (near-lossless)")
     args = parser.parse_args(argv)
 
     from yoho_tpu.cli.transcribe import (
@@ -127,7 +131,9 @@ def main(argv=None):
 
     if args.hf:
         t = build_whisper_transcriber(args.hf, args.beams, args.batch,
-                                      args.language, True)
+                                      args.language, True,
+                                      quantized=args.int8_kv,
+                                      int8_weights=args.int8_weights)
     else:
         t = build_yoho_transcriber(args.session, args.root, args.beams, args.batch)
 

@@ -51,7 +51,8 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
     )
 
 
-def build_yoho_transcriber(session: str, root: str, beams: int, batch: int):
+def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
+                           int8_weights: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -83,6 +84,12 @@ def build_yoho_transcriber(session: str, root: str, beams: int, batch: int):
         raise FileNotFoundError(
             f"No trained weights at {config.weights.yoho} or {config.weights.asr}"
         )
+    if int8_weights:
+        from yoho_tpu.nn.quantize import quantize_yoho_decoder
+
+        params = quantize_yoho_decoder(params)
+        model = YOHOModel(config.yoho, tok.vocab_size, voiceprint_dim=vp_dim,
+                          dtype=jnp.bfloat16, weights_int8=True)
     return Transcriber(model, {"params": params}, family="yoho", tokenizer=tok,
                        batch_size=batch, beams=beams, cache_dtype=jnp.bfloat16)
 
@@ -121,7 +128,8 @@ def main(argv=None):
                                       temperatures=temps,
                                       int8_weights=args.int8_weights)
     else:
-        t = build_yoho_transcriber(args.session, args.root, args.beams, args.batch)
+        t = build_yoho_transcriber(args.session, args.root, args.beams,
+                                   args.batch, int8_weights=args.int8_weights)
 
     for f in args.files:
         result = t.transcribe(f)

@@ -485,6 +485,56 @@ class QuantizedDense(nn.Module):
         return y
 
 
+class QuantizedDenseGeneral(nn.Module):
+    """Weight-only int8 DenseGeneral projecting to (heads, head_dim) —
+    the GQA projection shape. Per-output-channel scales over (h, hd)."""
+
+    features: Tuple[int, int]
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        h, hd = self.features
+        in_dim = x.shape[-1]
+        kernel_q = self.param("kernel_q", nn.initializers.zeros,
+                              (in_dim, h, hd), jnp.int8)
+        scale = self.param("kernel_scale", nn.initializers.ones,
+                           (1, h, hd), jnp.float32)
+        y = jnp.einsum("...d,dhk->...hk", x.astype(self.dtype),
+                       kernel_q.astype(self.dtype),
+                       preferred_element_type=jnp.float32)
+        return (y * scale).astype(self.dtype)
+
+
+class QuantizedEmbed(nn.Module):
+    """Tied embedding stored int8 with per-row (per-token) scales; serves
+    both the lookup and the tied-logits matmul with exact per-row
+    semantics. Params come from ``yoho_tpu.nn.quantize``."""
+
+    num_embeddings: int
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.embedding_q = self.param(
+            "embedding_q", nn.initializers.zeros,
+            (self.num_embeddings, self.features), jnp.int8)
+        self.embedding_scale = self.param(
+            "embedding_scale", nn.initializers.ones,
+            (self.num_embeddings, 1), jnp.float32)
+
+    def __call__(self, ids):
+        vec = jnp.take(self.embedding_q, ids, axis=0).astype(self.dtype)
+        scale = jnp.take(self.embedding_scale, ids, axis=0)
+        return vec * scale.astype(self.dtype)
+
+    def logits(self, x, dtype):
+        y = jnp.einsum("bsd,vd->bsv", x, self.embedding_q.astype(dtype),
+                       preferred_element_type=jnp.float32)
+        return y * self.embedding_scale[:, 0][None, None, :]
+
+
 class MLP(nn.Module):
     """Whisper MLP: fc1 -> exact GELU -> fc2 (4x expansion)."""
 
@@ -509,13 +559,15 @@ class SwiGLU(nn.Module):
 
     hidden_dim: int
     dtype: jnp.dtype = jnp.float32
+    weights_int8: bool = False
 
     @nn.compact
     def __call__(self, x):
         d_in = x.shape[-1]
-        gate = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name="gate")(x)
-        up = nn.Dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name="up")(x)
-        return nn.Dense(d_in, use_bias=False, dtype=self.dtype, name="down")(
+        dense = QuantizedDense if self.weights_int8 else nn.Dense
+        gate = dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name="gate")(x)
+        up = dense(self.hidden_dim, use_bias=False, dtype=self.dtype, name="up")(x)
+        return dense(d_in, use_bias=False, dtype=self.dtype, name="down")(
             nn.silu(gate) * up
         )
 
@@ -574,6 +626,7 @@ class GroupedQueryAttention(nn.Module):
     kv_heads: Optional[int] = None
     rope_variant: str = "standard"
     dtype: jnp.dtype = jnp.float32
+    weights_int8: bool = False
 
     def setup(self):
         kvh = self.kv_heads or self.q_heads
@@ -585,11 +638,13 @@ class GroupedQueryAttention(nn.Module):
         )
         head_dim = self.dims // self.q_heads
         d = self.dtype
-        self.q_proj = nn.DenseGeneral((self.q_heads, head_dim), use_bias=False, dtype=d,
-                                      name="q_proj")
-        self.k_proj = nn.DenseGeneral((kvh, head_dim), use_bias=False, dtype=d, name="k_proj")
-        self.v_proj = nn.DenseGeneral((kvh, head_dim), use_bias=False, dtype=d, name="v_proj")
-        self.out_proj = nn.Dense(self.dims, use_bias=False, dtype=d, name="out_proj")
+        dg = QuantizedDenseGeneral if self.weights_int8 else nn.DenseGeneral
+        dense = QuantizedDense if self.weights_int8 else nn.Dense
+        self.q_proj = dg((self.q_heads, head_dim), use_bias=False, dtype=d,
+                         name="q_proj")
+        self.k_proj = dg((kvh, head_dim), use_bias=False, dtype=d, name="k_proj")
+        self.v_proj = dg((kvh, head_dim), use_bias=False, dtype=d, name="v_proj")
+        self.out_proj = dense(self.dims, use_bias=False, dtype=d, name="out_proj")
 
     def kv(self, xa: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Precompute (rotated) cross-attention K/V from encoder output.

@@ -44,6 +44,15 @@ def quantize_embed_params(p: dict) -> dict:
     return {"embedding_q": q, "embedding_scale": scale}
 
 
+def quantize_dense_general_params(p: dict) -> dict:
+    """{kernel (in, h, hd)} -> {kernel_q, kernel_scale} (per (h, hd))."""
+    kernel = jnp.asarray(p["kernel"], jnp.float32)
+    scale = jnp.max(jnp.abs(kernel), axis=0, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(kernel / scale), -127, 127).astype(jnp.int8)
+    return {"kernel_q": q, "kernel_scale": scale}
+
+
 _DENSE_NAMES = ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2")
 
 
@@ -66,6 +75,38 @@ def quantize_whisper_decoder(variables: dict) -> dict:
                     if leaf_name in _DENSE_NAMES:
                         new_sub[leaf_name] = quantize_dense_params(leaf)
                 new_block[sub_name] = new_sub
+        dec[name] = new_block
+
+    out["decoder"] = dec
+    return {"params": out} if "params" in variables else out
+
+
+def quantize_yoho_decoder(variables: dict) -> dict:
+    """Param tree for ``YOHOModel(...)`` -> tree for
+    ``YOHOModel(..., weights_int8=True)``. GQA q/k/v are DenseGeneral
+    ((in, h, hd) kernels); out_proj / SwiGLU / voiceprint_head are plain
+    bias-free Dense; the tied embedding gets per-row scales."""
+    params = variables["params"] if "params" in variables else variables
+    out = dict(params)
+    dec = dict(params["decoder"])
+
+    dec["token_embedding"] = quantize_embed_params(dec["token_embedding"])
+    dec["voiceprint_head"] = quantize_dense_params(dec["voiceprint_head"])
+    for name, block in list(dec.items()):
+        if not name.startswith("blocks_"):
+            continue
+        new_block = dict(block)
+        for sub_name, sub in block.items():
+            if sub_name in ("attn", "cross_attn"):
+                new_sub = dict(sub)
+                for leaf in ("q_proj", "k_proj", "v_proj"):
+                    new_sub[leaf] = quantize_dense_general_params(sub[leaf])
+                new_sub["out_proj"] = quantize_dense_params(sub["out_proj"])
+                new_block[sub_name] = new_sub
+            elif sub_name == "mlp":
+                new_block[sub_name] = {
+                    leaf: quantize_dense_params(p) for leaf, p in sub.items()
+                }
         dec[name] = new_block
 
     out["decoder"] = dec

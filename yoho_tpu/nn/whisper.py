@@ -23,7 +23,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from yoho_tpu.core.config import WhisperConfig
-from yoho_tpu.nn.layers import KVCache, MLP, MultiHeadAttention, causal_mask
+from yoho_tpu.nn.layers import (
+    KVCache,
+    MLP,
+    MultiHeadAttention,
+    QuantizedEmbed,
+    causal_mask,
+)
 
 
 def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
@@ -111,34 +117,6 @@ class AudioEncoder(nn.Module):
             x = EncoderBlock(c.n_audio_state, c.n_audio_head, dtype=d,
                              use_flash=self.use_flash, name=f"blocks_{i}")(x)
         return nn.LayerNorm(epsilon=1e-5, dtype=d, name="ln_post")(x)
-
-
-class QuantizedEmbed(nn.Module):
-    """Tied embedding stored int8 with per-row (per-token) scales; serves
-    both the lookup and the tied-logits matmul with exact per-row
-    semantics. Params come from ``yoho_tpu.nn.quantize``."""
-
-    num_embeddings: int
-    features: int
-    dtype: jnp.dtype = jnp.bfloat16
-
-    def setup(self):
-        self.embedding_q = self.param(
-            "embedding_q", nn.initializers.zeros,
-            (self.num_embeddings, self.features), jnp.int8)
-        self.embedding_scale = self.param(
-            "embedding_scale", nn.initializers.ones,
-            (self.num_embeddings, 1), jnp.float32)
-
-    def __call__(self, ids):
-        vec = jnp.take(self.embedding_q, ids, axis=0).astype(self.dtype)
-        scale = jnp.take(self.embedding_scale, ids, axis=0)
-        return vec * scale.astype(self.dtype)
-
-    def logits(self, x, dtype):
-        y = jnp.einsum("bsd,vd->bsv", x, self.embedding_q.astype(dtype),
-                       preferred_element_type=jnp.float32)
-        return y * self.embedding_scale[:, 0][None, None, :]
 
 
 class TextDecoder(nn.Module):

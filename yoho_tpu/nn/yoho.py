@@ -54,20 +54,24 @@ class YOHODecoderBlock(nn.Module):
     kv_heads: int
     dims: int
     dtype: jnp.dtype = jnp.float32
+    weights_int8: bool = False
 
     def setup(self):
         d = self.dtype
+        w8 = self.weights_int8
         self.ln1 = nn.RMSNorm(dtype=d, name="ln1")
         self.attn = GroupedQueryAttention(self.q_heads, self.dims, self.kv_heads,
-                                          dtype=d, name="attn")
+                                          dtype=d, weights_int8=w8, name="attn")
         self.ln2 = nn.RMSNorm(dtype=d, name="ln2")
         # The reference RMSNorms the encoder output inside every decoder
         # block before cross-attention (``layers.py:131-132``); we keep that.
         self.ln_kv = nn.RMSNorm(dtype=d, name="ln_kv")
         self.cross_attn = GroupedQueryAttention(self.q_heads, self.dims, self.kv_heads,
-                                                dtype=d, name="cross_attn")
+                                                dtype=d, weights_int8=w8,
+                                                name="cross_attn")
         self.ln3 = nn.RMSNorm(dtype=d, name="ln3")
-        self.mlp = SwiGLU(int(self.dims * 1.5), dtype=d, name="mlp")
+        self.mlp = SwiGLU(int(self.dims * 1.5), dtype=d, weights_int8=w8,
+                          name="mlp")
 
     def __call__(self, x, xa, mask):
         x = x + self.attn(self.ln1(x), mask=mask)
@@ -116,19 +120,31 @@ class YOHOTextDecoder(nn.Module):
     vocab_size: int
     voiceprint_dim: int = 256
     dtype: jnp.dtype = jnp.float32
+    weights_int8: bool = False
 
     def setup(self):
         c = self.cfg
-        self.token_embedding = nn.Embed(self.vocab_size, c.dims, dtype=self.dtype,
-                                        name="token_embedding")
+        if self.weights_int8:
+            from yoho_tpu.nn.layers import QuantizedDense, QuantizedEmbed
+
+            self.token_embedding = QuantizedEmbed(self.vocab_size, c.dims,
+                                                  dtype=self.dtype,
+                                                  name="token_embedding")
+            vp_dense = QuantizedDense
+        else:
+            self.token_embedding = nn.Embed(self.vocab_size, c.dims,
+                                            dtype=self.dtype,
+                                            name="token_embedding")
+            vp_dense = nn.Dense
         self.blocks = [
             YOHODecoderBlock(c.n_text_heads, max(1, c.n_text_heads // 2), c.dims,
-                             dtype=self.dtype, name=f"blocks_{i}")
+                             dtype=self.dtype, weights_int8=self.weights_int8,
+                             name=f"blocks_{i}")
             for i in range(c.n_text_blocks)
         ]
         self.ln = nn.RMSNorm(dtype=self.dtype, name="ln")
         # Voiceprint head: hidden -> speaker embedding (L2-normalized).
-        self.voiceprint_head = nn.Dense(self.voiceprint_dim, use_bias=False,
+        self.voiceprint_head = vp_dense(self.voiceprint_dim, use_bias=False,
                                         dtype=self.dtype, name="voiceprint_head")
 
     def _hidden(self, tokens, xa):
@@ -140,6 +156,8 @@ class YOHOTextDecoder(nn.Module):
         return self.ln(x)
 
     def _logits(self, h):
+        if self.weights_int8:
+            return self.token_embedding.logits(h, self.dtype)
         emb = self.token_embedding.embedding.astype(self.dtype)
         return jnp.einsum("bsd,vd->bsv", h, emb, preferred_element_type=jnp.float32)
 
@@ -192,11 +210,16 @@ class YOHOModel(nn.Module):
     vocab_size: int
     voiceprint_dim: int = 256
     dtype: jnp.dtype = jnp.float32
+    # Serve the decoder with int8 kernels (see Whisper.weights_int8 and
+    # yoho_tpu.nn.quantize.quantize_yoho_decoder).
+    weights_int8: bool = False
 
     def setup(self):
         self.encoder = YOHOAudioEncoder(self.cfg, dtype=self.dtype, name="encoder")
         self.decoder = YOHOTextDecoder(self.cfg, self.vocab_size, self.voiceprint_dim,
-                                       dtype=self.dtype, name="decoder")
+                                       dtype=self.dtype,
+                                       weights_int8=self.weights_int8,
+                                       name="decoder")
 
     def __call__(self, tokens: jnp.ndarray, mel: jnp.ndarray) -> jnp.ndarray:
         # Argument order (text, audio) matches the reference Model.__call__
