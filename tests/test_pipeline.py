@@ -208,3 +208,44 @@ def test_transcriber_speculative_matches_plain():
         Transcriber(model, variables, family="whisper", token_table=table,
                     timestamps=True, draft_model=draft,
                     draft_variables=draft_vars)
+
+
+def test_initial_prompt_conditioning():
+    """<|startofprev|> context tokens land at the head of the decode
+    prompt and the transcript still comes back cleanly."""
+    import jax
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    class FakeBPE:
+        def encode(self, text, add_special_tokens=False):
+            return [ord(c) % 200 for c in text]
+
+        def decode(self, ids):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=32, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True, text_backend=FakeBPE())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=1, timestamps=False,
+                    initial_prompt="Hello YOHO")
+    ids = t._prompt_ids()
+    assert ids[0] == table.sot_prev
+    assert ids[-1] == table.sot_sequence("en", "transcribe", False)[-1]
+    # Context truncated to half the text context.
+    assert len(ids) <= cfg.n_text_ctx // 2 - 1 + 1 + 4
+
+    res = t.transcribe(np.zeros(cfg.n_samples, np.float32))
+    assert isinstance(res.text, str)
+
+    plain = Transcriber(model, variables, family="whisper", token_table=table,
+                        batch_size=1, timestamps=False)
+    assert plain._prompt_ids()[0] != table.sot_prev

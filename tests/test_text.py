@@ -179,3 +179,27 @@ def test_whisper_token_table_v3_and_en():
     assert en.eot == 50256
     assert en.n_vocab == 51864
     assert en.sot_sequence(timestamps=False) == [50257, en.no_timestamps]
+
+
+def test_compose_vtt_and_segment_conversion():
+    from yoho_tpu.infer.longform import Segment
+    from yoho_tpu.text.srt import (
+        compose_srt,
+        compose_vtt,
+        parse_srt,
+        segments_to_subtitles,
+    )
+
+    segs = [Segment(0.5, 2.25, "hello world"), Segment(3.0, 4.5, "again")]
+    segs[1].speaker = 2
+    subs = segments_to_subtitles(segs)
+    assert subs[0].index == 1 and subs[1].content.startswith("[speaker 2]")
+
+    vtt = compose_vtt(subs)
+    assert vtt.startswith("WEBVTT")
+    assert "00:00:00.500 --> 00:00:02.250" in vtt
+
+    srt_text = compose_srt(subs)
+    rt = list(parse_srt(srt_text))
+    assert [s.content for s in rt] == [s.content for s in subs]
+    assert abs(rt[0].start.total_seconds() - 0.5) < 1e-3

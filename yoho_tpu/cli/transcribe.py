@@ -19,7 +19,8 @@ import json as jsonlib
 def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: str,
                               timestamps: bool, quantized: bool = False,
                               word_timestamps: bool = False,
-                              temperatures=(0.0,), int8_weights: bool = False):
+                              temperatures=(0.0,), int8_weights: bool = False,
+                              initial_prompt=None):
     import jax.numpy as jnp
 
     from yoho_tpu.infer.pipeline import Transcriber
@@ -48,6 +49,7 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
         cache_dtype=jnp.bfloat16, timestamps=timestamps,
         quantized_cross_kv=quantized, quantized_cache=quantized,
         word_timestamps=word_timestamps, temperatures=temperatures,
+        initial_prompt=initial_prompt,
     )
 
 
@@ -117,6 +119,13 @@ def main(argv=None):
     parser.add_argument("--word-timestamps", action="store_true")
     parser.add_argument("--temperature-fallback", action="store_true",
                         help="retry low-quality windows at higher temperatures")
+    parser.add_argument("--initial-prompt", type=str, default=None,
+                        help="context text for <|startofprev|> conditioning "
+                             "(spelling/vocabulary steering; whisper only)")
+    parser.add_argument("--srt", type=str, default=None, metavar="DIR",
+                        help="also write <stem>.srt per input into DIR")
+    parser.add_argument("--vtt", type=str, default=None, metavar="DIR",
+                        help="also write <stem>.vtt per input into DIR")
     args = parser.parse_args(argv)
 
     temps = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if args.temperature_fallback else (0.0,)
@@ -126,13 +135,33 @@ def main(argv=None):
                                       quantized=args.int8_kv,
                                       word_timestamps=args.word_timestamps,
                                       temperatures=temps,
-                                      int8_weights=args.int8_weights)
+                                      int8_weights=args.int8_weights,
+                                      initial_prompt=args.initial_prompt)
     else:
         t = build_yoho_transcriber(args.session, args.root, args.beams,
                                    args.batch, int8_weights=args.int8_weights)
 
     for f in args.files:
         result = t.transcribe(f)
+        if args.srt or args.vtt:
+            from pathlib import Path
+
+            from yoho_tpu.text.srt import (
+                compose_srt,
+                compose_vtt,
+                segments_to_subtitles,
+            )
+
+            subs = segments_to_subtitles(result.segments)
+            stem = Path(f).stem
+            if args.srt:
+                out = Path(args.srt) / f"{stem}.srt"
+                out.parent.mkdir(parents=True, exist_ok=True)
+                out.write_text(compose_srt(subs), encoding="utf-8")
+            if args.vtt:
+                out = Path(args.vtt) / f"{stem}.vtt"
+                out.parent.mkdir(parents=True, exist_ok=True)
+                out.write_text(compose_vtt(subs), encoding="utf-8")
         if args.json:
             print(jsonlib.dumps({
                 "file": f,

@@ -92,7 +92,8 @@ class WhisperConfig(BaseModel):
         return self.n_samples // self.hop_length  # 3000
 
 
-def _wcfg(mels, ctx, state, head, layer, vocab=51865, tctx=448) -> WhisperConfig:
+def _wcfg(mels, ctx, state, head, layer, vocab=51865, tctx=448,
+          text_layer=None) -> WhisperConfig:
     return WhisperConfig(
         n_mels=mels,
         n_audio_ctx=ctx,
@@ -103,7 +104,7 @@ def _wcfg(mels, ctx, state, head, layer, vocab=51865, tctx=448) -> WhisperConfig
         n_text_ctx=tctx,
         n_text_state=state,
         n_text_head=head,
-        n_text_layer=layer,
+        n_text_layer=text_layer if text_layer is not None else layer,
     )
 
 
@@ -118,6 +119,9 @@ WHISPER_PRESETS: dict[str, WhisperConfig] = {
     "medium.en": _wcfg(80, 1500, 1024, 16, 24, vocab=51864),
     "large-v2": _wcfg(80, 1500, 1280, 20, 32),
     "large-v3": _wcfg(128, 1500, 1280, 20, 32, vocab=51866),
+    # Distilled serving variant: full encoder, 4-layer decoder.
+    "large-v3-turbo": _wcfg(128, 1500, 1280, 20, 32, vocab=51866,
+                            text_layer=4),
 }
 
 

@@ -65,6 +65,7 @@ class Transcriber:
         draft_model=None,
         draft_variables=None,
         speculative_gamma: int = 4,
+        initial_prompt: Optional[str] = None,
     ):
         # Whisper-style quality fallback: windows whose greedy decode fails
         # the logprob/compression checks are re-decoded at increasing
@@ -86,6 +87,9 @@ class Transcriber:
         self.draft_model = draft_model
         self.draft_variables = draft_variables
         self.speculative_gamma = speculative_gamma
+        # Whisper prompt conditioning (<|startofprev|> context) — steers
+        # spelling/vocabulary; whisper family only, needs a text backend.
+        self.initial_prompt = initial_prompt
         if draft_model is not None:
             if beams and beams > 1:
                 raise ValueError("speculative decoding is greedy-only "
@@ -152,9 +156,17 @@ class Transcriber:
     # ------------------------------------------------------------------
     def _prompt_ids(self) -> List[int]:
         if self.family == "whisper":
-            return self.token_table.sot_sequence(
+            sot = self.token_table.sot_sequence(
                 self.language, "transcribe", timestamps=self.timestamps
             )
+            if self.initial_prompt:
+                # Whisper prompt conditioning: <|startofprev|> + context
+                # tokens (truncated to half the text context) + SOT seq.
+                tt = self.token_table
+                ctx = tt.encode_text(" " + self.initial_prompt.strip())
+                ctx = ctx[-(self.model.cfg.n_text_ctx // 2 - 1):]
+                return [tt.sot_prev] + list(map(int, ctx)) + sot
+            return sot
         return [self.tokenizer.sot_id]
 
     def _suppress_ids(self):

@@ -73,3 +73,38 @@ def compose_srt(subs: Iterable[Subtitle]) -> str:
         idx = s.index if s.index else i + 1
         parts.append(f"{idx}\n{_fmt_ts(s.start)} --> {_fmt_ts(s.end)}\n{s.content}\n")
     return "\n".join(parts)
+
+
+def _fmt_ts_vtt(td: dt.timedelta) -> str:
+    total_ms = round(td.total_seconds() * 1000)
+    h, rem = divmod(total_ms, 3_600_000)
+    m, rem = divmod(rem, 60_000)
+    s, ms = divmod(rem, 1000)
+    return f"{h:02d}:{m:02d}:{s:02d}.{ms:03d}"
+
+
+def compose_vtt(subs: Iterable[Subtitle]) -> str:
+    """WebVTT composer (same cue model as SRT; dot millisecond separator,
+    WEBVTT header, no numeric indices required)."""
+    parts = ["WEBVTT\n"]
+    for s in subs:
+        parts.append(f"{_fmt_ts_vtt(s.start)} --> {_fmt_ts_vtt(s.end)}\n{s.content}\n")
+    return "\n".join(parts)
+
+
+def segments_to_subtitles(segments) -> List[Subtitle]:
+    """Transcription ``Segment``s (start/end seconds, text, optional
+    speaker) -> Subtitle cues, speaker-prefixed when diarized."""
+    subs = []
+    for i, seg in enumerate(segments):
+        text = seg.text
+        speaker = getattr(seg, "speaker", None)
+        if speaker is not None:
+            text = f"[speaker {speaker}] {text}"
+        subs.append(Subtitle(
+            index=i + 1,
+            start=dt.timedelta(seconds=float(seg.start)),
+            end=dt.timedelta(seconds=float(max(seg.end, seg.start))),
+            content=text,
+        ))
+    return subs

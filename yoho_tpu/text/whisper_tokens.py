@@ -85,6 +85,22 @@ class WhisperTokenTable:
         and the timestamps except EOT itself and task context tokens)."""
         return [t for t in range(self.eot + 1, self.timestamp_begin)]
 
+    def encode_text(self, text: str) -> List[int]:
+        """Tokenize plain text (no specials). Needs a text backend; used
+        for ``initial_prompt`` conditioning (<|startofprev|> context)."""
+        if self.text_backend is None:
+            raise RuntimeError(
+                "No BPE vocab available to encode text. "
+                "Pass text_backend= (a tiktoken Encoding or HF tokenizer)."
+            )
+        if hasattr(self.text_backend, "encode"):
+            try:  # HF tokenizers add specials unless told not to
+                return list(self.text_backend.encode(text,
+                                                     add_special_tokens=False))
+            except TypeError:  # tiktoken Encoding
+                return list(self.text_backend.encode(text))
+        raise RuntimeError("text backend has no encode()")
+
     def decode_text(self, ids: Sequence[int]) -> str:
         """Render ids to text. Needs a text backend (HF/tiktoken tokenizer)
         for the BPE part; specials are rendered from the table."""
