@@ -51,6 +51,11 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--json", action="store_true")
+    parser.add_argument("--int8-kv", action="store_true",
+                        help="evaluate with int8 KV caches")
+    parser.add_argument("--int8-weights", action="store_true",
+                        help="evaluate with the weight-only int8 decoder "
+                             "(measure the quantization quality delta)")
     args = parser.parse_args(argv)
 
     from yoho_tpu.cli.transcribe import (
@@ -61,9 +66,13 @@ def main(argv=None):
 
     if args.hf:
         t = build_whisper_transcriber(args.hf, args.beams, args.batch,
-                                      args.language, True)
+                                      args.language, True,
+                                      quantized=args.int8_kv,
+                                      int8_weights=args.int8_weights)
     else:
-        t = build_yoho_transcriber(args.session, args.root, args.beams, args.batch)
+        t = build_yoho_transcriber(args.session, args.root, args.beams,
+                                   args.batch,
+                                   int8_weights=args.int8_weights)
 
     pairs = collect_pairs(Path(args.dataset), args.limit)
     if not pairs:
