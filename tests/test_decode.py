@@ -167,3 +167,40 @@ def test_fused_decode_path_matches_xla(setup, monkeypatch):
                                   np.asarray(tokens_fused))
     np.testing.assert_array_equal(np.asarray(lengths_xla),
                                   np.asarray(lengths_fused))
+
+
+def test_beam_search_with_quantized_cross_kv(setup):
+    """Beam search over int8 (padded, kv_len-masked) cross-KV: structure
+    survives tile_beams (static fields preserved) and beam=1 == greedy."""
+    from yoho_tpu.infer.beam import beam_search, tile_beams
+    from yoho_tpu.nn.layers import QuantizedKV
+
+    cfg, model, variables, mel, xa = setup
+    prompt = jnp.asarray([[1, 2], [1, 3]], jnp.int32)
+    max_len = 12
+
+    def run(k):
+        ckv = model.apply(variables, xa[:2], True, method=Whisper.cross_kvs)
+        assert isinstance(ckv[0], QuantizedKV)
+        assert ckv[0].kv_len in (None, cfg.n_audio_ctx)
+        tiled = tile_beams(ckv, k)
+        assert tiled[0].kv_len == ckv[0].kv_len  # static field preserved
+        caches = model.apply(variables, 2 * k, jnp.float32, 128, True,
+                             method=Whisper.init_caches)
+        from yoho_tpu.infer.decode import make_whisper_step_fn
+
+        step = make_whisper_step_fn(model, variables, tiled)
+        return beam_search(step, caches, prompt, max_len, EOT, beams=k)
+
+    tokens1, lengths1, _ = jax.jit(lambda: run(1))()
+    tokens2, lengths2, _ = jax.jit(lambda: run(2))()
+    assert tokens1.shape == (2, max_len) and tokens2.shape == (2, max_len)
+
+    # beam=1 must equal plain greedy over the same quantized KV.
+    ckv = model.apply(variables, xa[:2], True, method=Whisper.cross_kvs)
+    caches = model.apply(variables, 2, jnp.float32, 128, True,
+                         method=Whisper.init_caches)
+    step = make_whisper_step_fn(model, variables, ckv)
+    tokens_g, _ = jax.jit(lambda: greedy_decode(
+        step, caches, prompt, max_len, EOT))()
+    np.testing.assert_array_equal(np.asarray(tokens1), np.asarray(tokens_g))
