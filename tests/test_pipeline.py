@@ -249,3 +249,48 @@ def test_initial_prompt_conditioning():
     plain = Transcriber(model, variables, family="whisper", token_table=table,
                         batch_size=1, timestamps=False)
     assert plain._prompt_ids()[0] != table.sot_prev
+
+
+def test_condition_on_previous_text_sequential():
+    """Conditioned long-form: single-window output equals the batched
+    path; multi-window audio threads history with at most TWO compiled
+    prompt signatures; high-temp fallback would reset context."""
+    import jax
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=32, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+
+    plain = Transcriber(model, variables, family="whisper", token_table=table,
+                        batch_size=1, timestamps=False)
+    cond = Transcriber(model, variables, family="whisper", token_table=table,
+                       batch_size=1, timestamps=False,
+                       condition_on_previous_text=True)
+
+    g = np.random.default_rng(0)
+    short = (0.1 * g.standard_normal(cfg.n_samples)).astype(np.float32)
+    r_plain = plain.transcribe(short)
+    r_cond = cond.transcribe(short)
+    assert [s.text for s in r_plain.segments] == [s.text for s in r_cond.segments]
+
+    long = (0.1 * g.standard_normal(int(cfg.n_samples * 3.4))).astype(np.float32)
+    r_long = cond.transcribe(long)
+    assert isinstance(r_long.text, str)
+    # Static-shape discipline: decode programs for at most 2 prompt lengths
+    # (base + fixed-budget conditioned) per temperature.
+    prompt_lens = {k[3] for k in cond._jitted if isinstance(k, tuple)
+                   and len(k) == 4}
+    assert len(prompt_lens) <= 2, prompt_lens
+
+    with pytest.raises(ValueError):
+        Transcriber(model, variables, family="whisper", token_table=table,
+                    beams=3, condition_on_previous_text=True)

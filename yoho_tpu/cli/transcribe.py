@@ -20,7 +20,8 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
                               timestamps: bool, quantized: bool = False,
                               word_timestamps: bool = False,
                               temperatures=(0.0,), int8_weights: bool = False,
-                              initial_prompt=None):
+                              initial_prompt=None,
+                              condition_on_previous_text: bool = False):
     import jax.numpy as jnp
 
     from yoho_tpu.infer.pipeline import Transcriber
@@ -50,6 +51,7 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
         quantized_cross_kv=quantized, quantized_cache=quantized,
         word_timestamps=word_timestamps, temperatures=temperatures,
         initial_prompt=initial_prompt,
+        condition_on_previous_text=condition_on_previous_text,
     )
 
 
@@ -122,6 +124,9 @@ def main(argv=None):
     parser.add_argument("--initial-prompt", type=str, default=None,
                         help="context text for <|startofprev|> conditioning "
                              "(spelling/vocabulary steering; whisper only)")
+    parser.add_argument("--condition-on-previous-text", action="store_true",
+                        help="sequential long-form decoding conditioned on "
+                             "prior windows (quality over throughput)")
     parser.add_argument("--srt", type=str, default=None, metavar="DIR",
                         help="also write <stem>.srt per input into DIR")
     parser.add_argument("--vtt", type=str, default=None, metavar="DIR",
@@ -136,7 +141,9 @@ def main(argv=None):
                                       word_timestamps=args.word_timestamps,
                                       temperatures=temps,
                                       int8_weights=args.int8_weights,
-                                      initial_prompt=args.initial_prompt)
+                                      initial_prompt=args.initial_prompt,
+                                      condition_on_previous_text=(
+                                          args.condition_on_previous_text))
     else:
         t = build_yoho_transcriber(args.session, args.root, args.beams,
                                    args.batch, int8_weights=args.int8_weights)

@@ -66,6 +66,7 @@ class Transcriber:
         draft_variables=None,
         speculative_gamma: int = 4,
         initial_prompt: Optional[str] = None,
+        condition_on_previous_text: bool = False,
     ):
         # Whisper-style quality fallback: windows whose greedy decode fails
         # the logprob/compression checks are re-decoded at increasing
@@ -90,6 +91,21 @@ class Transcriber:
         # Whisper prompt conditioning (<|startofprev|> context) — steers
         # spelling/vocabulary; whisper family only, needs a text backend.
         self.initial_prompt = initial_prompt
+        # OpenAI's default long-form mode: each window's prompt carries the
+        # previous windows' generated tokens. Inherently SEQUENTIAL, so it
+        # trades the batched-window throughput design for quality — use it
+        # for accuracy-critical single files, not bulk serving. TPU-first:
+        # exactly two compiled signatures (base prompt, and conditioned
+        # with a fixed context budget), never one per context length.
+        self.condition_on_previous_text = condition_on_previous_text
+        if condition_on_previous_text:
+            if family != "whisper":
+                raise ValueError("condition_on_previous_text is a whisper "
+                                 "family feature")
+            if beams and beams > 1:
+                raise ValueError("condition_on_previous_text currently "
+                                 "supports greedy (+temperature fallback) "
+                                 "decoding only")
         if draft_model is not None:
             if beams and beams > 1:
                 raise ValueError("speculative decoding is greedy-only "
@@ -188,15 +204,18 @@ class Transcriber:
             return make_whisper_step_fn(self.model, variables, cross_kvs)
         return make_yoho_step_fn(self.model, variables, cross_kvs)
 
-    def _decode_fn(self, batch: int, temperature: float = 0.0):
-        """One jitted program: mel windows -> (tokens, lengths, aux)."""
-        key = (batch, self.beams, float(temperature))
+    def _decode_fn(self, batch: int, temperature: float = 0.0,
+                   prompt_len: Optional[int] = None):
+        """One jitted program: (mel windows, prompt) -> (tokens, lengths,
+        aux). The prompt rides as a traced argument so one compiled
+        program serves every prompt of the same LENGTH (language switches,
+        per-window previous-text conditioning)."""
+        prompt_len = prompt_len or len(self._prompt_ids())
+        key = (batch, self.beams, float(temperature), prompt_len)
         if key in self._jitted:
             return self._jitted[key]
 
-        model, variables = self.model, self.variables
-        prompt_ids = self._prompt_ids()
-        prompt = np.asarray([prompt_ids] * batch, np.int32)
+        model = self.model
         suppress = self._suppress_ids()
         k = self.beams if self.beams > 1 else 0
 
@@ -204,13 +223,13 @@ class Transcriber:
         if self.family == "whisper" and self.timestamps:
             from yoho_tpu.infer.whisper_rules import make_timestamp_rules
 
-            logits_fn = make_timestamp_rules(self.token_table, len(prompt_ids))
+            logits_fn = make_timestamp_rules(self.token_table, prompt_len)
 
         quantize = self.quantized_cross_kv if self.family == "whisper" else False
 
         # NB: draft weights also ride as a traced jit argument (d_vars) —
         # closing over them would bake them into the program as constants.
-        def run(variables, d_vars, mel):
+        def run(variables, d_vars, mel, prompt):
             xa = model.apply(variables, mel, method=type(model).encode_audio)
             if quantize:
                 ckv = model.apply(variables, xa, quantize,
@@ -294,9 +313,15 @@ class Transcriber:
             return tokens, lengths, aux
 
         jfn = jax.jit(run)
+        default_prompt = np.asarray([self._prompt_ids()] * batch, np.int32)
 
-        def fn(variables, mel):
-            return jfn(variables, self.draft_variables, mel)
+        def fn(variables, mel, prompt=None):
+            if prompt is None:
+                prompt = default_prompt
+            assert prompt.shape == (batch, prompt_len), (
+                f"prompt {prompt.shape} != ({batch}, {prompt_len})")
+            return jfn(variables, self.draft_variables, mel,
+                       jnp.asarray(prompt, jnp.int32))
 
         self._jitted[key] = fn
         return fn
@@ -365,20 +390,25 @@ class Transcriber:
             return 0.0
         return len(data) / max(len(zlib.compress(data)), 1)
 
-    def _decode_with_fallback(self, b: int, mel):
+    def _decode_with_fallback(self, b: int, mel, prompt=None):
         """Greedy first; windows failing the whisper quality checks (low
         mean logprob, pathological compression ratio) are replaced by
-        higher-temperature re-decodes (parity with OpenAI's fallback)."""
-        tokens, lengths, aux = self._decode_fn(b, self.temperatures[0])(
-            self.variables, mel
-        )
+        higher-temperature re-decodes (parity with OpenAI's fallback).
+        ``prompt`` (B, P) overrides the default prompt (previous-text
+        conditioning); ``aux["used_temperature"]`` records the ladder rung
+        each window ended on."""
+        prompt_len = None if prompt is None else prompt.shape[1]
+        tokens, lengths, aux = self._decode_fn(
+            b, self.temperatures[0], prompt_len)(self.variables, mel, prompt)
         tokens = np.array(tokens)  # writable host copies
         lengths = np.array(lengths)
         aux = {k: np.array(v) for k, v in aux.items()}
+        aux["used_temperature"] = np.full((b,), self.temperatures[0],
+                                          np.float32)
         if len(self.temperatures) <= 1 or self.family != "whisper" or self.beams > 1:
             return tokens, lengths, aux
 
-        n_prompt = len(self._prompt_ids())
+        n_prompt = prompt_len if prompt_len is not None else len(self._prompt_ids())
         for temp in self.temperatures[1:]:
             gen = np.maximum(lengths - n_prompt, 1)
             avg_lp = aux["sum_logprob"] / gen
@@ -392,13 +422,15 @@ class Transcriber:
             failed &= ~self._silent_mask(lengths, aux)
             if not failed.any():
                 break
-            t2, l2, a2 = self._decode_fn(b, temp)(self.variables, mel)
+            t2, l2, a2 = self._decode_fn(b, temp, prompt_len)(
+                self.variables, mel, prompt)
             t2, l2 = np.asarray(t2), np.asarray(l2)
             a2 = {k: np.asarray(v) for k, v in a2.items()}
             tokens[failed] = t2[failed]
             lengths[failed] = l2[failed]
-            for k in aux:
+            for k in a2:
                 aux[k][failed] = a2[k][failed]
+            aux["used_temperature"][failed] = temp
         return tokens, lengths, aux
 
     def _silent_mask(self, lengths: np.ndarray, aux) -> np.ndarray:
@@ -420,9 +452,13 @@ class Transcriber:
         return jnp.asarray(batch)
 
     # ------------------------------------------------------------------
-    def _tokens_to_segments(self, tokens: np.ndarray, length: int) -> List[Segment]:
-        """Parse one stream's tokens into timestamped segments."""
-        toks = [int(t) for t in tokens[:length]]
+    def _tokens_to_segments(self, tokens: np.ndarray, length: int,
+                            n_prompt: Optional[int] = None) -> List[Segment]:
+        """Parse one stream's tokens into timestamped segments.
+        ``n_prompt`` skips a conditioned prompt (its context tokens must
+        not re-enter the transcript); specials in the default prompt are
+        skipped by the parser anyway."""
+        toks = [int(t) for t in tokens[n_prompt or 0: length]]
         segs: List[Segment] = []
         if self.family == "whisper":
             tt = self.token_table
@@ -517,7 +553,63 @@ class Transcriber:
         sample_rate: Optional[int] = None,
     ) -> TranscriptionResult:
         """Transcribe one audio source of any length."""
+        if self.condition_on_previous_text:
+            return self._transcribe_sequential(
+                self._prepare_audio(audio, sample_rate))
         return self.transcribe_many([audio], sample_rate)[0]
+
+    def _transcribe_sequential(self, audio: np.ndarray) -> TranscriptionResult:
+        """Window-by-window decoding with previous-text conditioning.
+
+        Prompt per window: ``<|startofprev|>`` + the last C generated
+        tokens + the SOT sequence, where C is a FIXED budget (so this
+        compiles exactly two programs, not one per history length);
+        windows before enough history accumulates use the base prompt.
+        The context resets after a high-temperature fallback (>0.5), the
+        standard guard against feeding a degenerate window forward."""
+        tt = self.token_table
+        base_ids = self._prompt_ids()
+        sot_seq = tt.sot_sequence(self.language, "transcribe",
+                                  timestamps=self.timestamps)
+        ctx_budget = max(8, self.max_len // 2 - len(sot_seq) - 1)
+
+        init_ctx: List[int] = []
+        if self.initial_prompt:
+            init_ctx = list(map(int, tt.encode_text(
+                " " + self.initial_prompt.strip())))
+
+        windows, starts = chunk_audio(audio, self.chunk_samples,
+                                      self.stride_samples)
+        history: List[int] = []
+        per_window: List[List[Segment]] = []
+        for w in range(len(windows)):
+            mel = self._features(self._to_device(windows[w][None]))
+            ctx = init_ctx + history
+            if len(ctx) >= ctx_budget:
+                ids = ([tt.sot_prev] + ctx[-ctx_budget:] + sot_seq)
+            else:
+                ids = base_ids
+            prompt = np.asarray([ids], np.int32)
+            tokens, lengths, aux = self._decode_with_fallback(1, mel, prompt)
+            silent = self._silent_mask(lengths, aux)
+            segs = ([] if silent[0]
+                    else self._tokens_to_segments(tokens[0], int(lengths[0]),
+                                                  n_prompt=len(ids)))
+            self._attach_words(mel[:1], tokens[:1], lengths[:1], [segs])
+            per_window.append(segs)
+
+            if aux["used_temperature"][0] > 0.5:
+                history = []  # degenerate window — don't condition on it
+            elif not silent[0]:
+                gen = tokens[0, len(ids): int(lengths[0])]
+                history += [int(t) for t in gen if t < tt.eot
+                            or tt.is_timestamp(int(t))]
+
+        segments = stitch_segments(per_window, starts, self.sample_rate,
+                                   self.chunk_samples, self.stride_samples)
+        text = " ".join(s.text for s in segments if s.text).strip()
+        return TranscriptionResult(text=text, segments=segments,
+                                   language=self.language)
 
     def transcribe_many(
         self,
