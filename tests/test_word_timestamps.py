@@ -102,3 +102,54 @@ def test_pipeline_word_timestamps_integration():
             for w in seg.words:
                 assert w.end >= w.start >= 0
                 assert isinstance(w.word, str) and w.word
+
+
+def test_forced_alignment_api():
+    """Transcriber.align: monotonic, in-range word timings for a given
+    transcript (random weights — structural properties only)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.infer.pipeline import Transcriber
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    class FakeBPE:
+        def encode(self, text, add_special_tokens=False):
+            return [ord(c) % 100 for c in text]
+
+        def decode(self, ids):
+            return "".join(" ab"[i % 3] for i in ids)
+
+        def convert_ids_to_tokens(self, ids):
+            return ["x"] * len(ids)
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=48, n_text_state=32, n_text_head=4,
+                        n_text_layer=2, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True, text_backend=FakeBPE())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=1, timestamps=False)
+
+    audio = (0.1 * np.random.default_rng(0).standard_normal(cfg.n_samples)
+             ).astype(np.float32)
+    words = t.align(audio, "hello world again")
+    assert words, "no word timings returned"
+    dur = cfg.n_samples / cfg.sample_rate
+    last_start = -1.0
+    for w in words:
+        assert 0.0 <= w.start <= w.end <= dur + 1e-6
+        assert w.start >= last_start  # monotonic
+        last_start = w.start
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.align(np.zeros(cfg.n_samples * 2, np.float32), "too long")

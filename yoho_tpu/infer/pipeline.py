@@ -381,6 +381,51 @@ class Transcriber:
                 seg.words = [w for w in words
                              if seg.start <= (w.start + w.end) / 2 <= seg.end]
 
+    def align(self, audio: Union[str, Path, np.ndarray], text: str,
+              sample_rate: Optional[int] = None):
+        """Forced alignment: word timings for a KNOWN transcript.
+
+        Teacher-forces the given text through the decoder and DTWs the
+        cross-attention map (same machinery as word_timestamps, but for a
+        caller-supplied reference — subtitle/karaoke alignment). Audio
+        must fit one chunk window (30 s for whisper); split longer
+        material at sentence boundaries first (cli/split_tracks.py).
+        Returns a list of WordTiming. Whisper family; needs a text
+        backend on the token table."""
+        from yoho_tpu.infer.word_timestamps import (
+            token_frame_alignment,
+            words_from_alignment,
+        )
+
+        assert self.family == "whisper", "align() is a whisper feature"
+        audio = self._prepare_audio(audio, sample_rate)
+        if len(audio) > self.chunk_samples:
+            raise ValueError(
+                f"align() takes one window (<= {self.chunk_samples / self.sample_rate:.0f} s); "
+                "split longer audio at utterance boundaries first")
+        window = np.zeros((1, self.chunk_samples), np.float32)
+        window[0, : len(audio)] = audio
+        mel = self._features(self._to_device(window))
+
+        tt = self.token_table
+        text_ids = [int(t) for t in tt.encode_text(" " + text.strip())]
+        sot = tt.sot_sequence(self.language, "transcribe", timestamps=False)
+        ids = sot + text_ids + [tt.eot]
+        if len(ids) > self.max_len:
+            raise ValueError(f"text too long ({len(ids)} tokens > {self.max_len})")
+        pad = np.full((1, self.max_len), self.eot, np.int32)
+        pad[0, : len(ids)] = ids
+        amap = np.asarray(self._align_fn(1)(self.variables, mel,
+                                            jnp.asarray(pad)))
+        frames = token_frame_alignment(amap[0, : len(ids)])
+        text_pos = list(range(len(sot), len(sot) + len(text_ids)))
+        spf = 2 * self.hop / self.sample_rate
+        return words_from_alignment(
+            text_ids, frames[text_pos], spf,
+            lambda ii: "".join(self._decode_piece(t) for t in ii),
+            max_duration=len(audio) / self.sample_rate,
+        )
+
     @staticmethod
     def _compression_ratio(text: str) -> float:
         import zlib
