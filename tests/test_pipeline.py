@@ -294,3 +294,38 @@ def test_condition_on_previous_text_sequential():
     with pytest.raises(ValueError):
         Transcriber(model, variables, family="whisper", token_table=table,
                     beams=3, condition_on_previous_text=True)
+
+
+def test_auto_language_detection_transcribe():
+    """language=None: the detected language lands in the prompt and the
+    result, with no extra compiled decode programs (prompt is a traced
+    argument)."""
+    import jax
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=16, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=2, timestamps=False, language=None)
+
+    g = np.random.default_rng(0)
+    a1 = (0.1 * g.standard_normal(cfg.n_samples)).astype(np.float32)
+    a2 = (0.1 * g.standard_normal(cfg.n_samples * 2)).astype(np.float32)
+    r1, r2 = t.transcribe_many([a1, a2])
+    assert r1.language in table.languages
+    assert r2.language in table.languages
+
+    # Explicit language still honored.
+    t_de = Transcriber(model, variables, family="whisper", token_table=table,
+                       batch_size=1, timestamps=False, language="de")
+    assert t_de.transcribe(a1).language == "de"
+    assert table.language_token("de") in t_de._prompt_ids()

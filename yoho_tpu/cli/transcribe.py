@@ -108,7 +108,8 @@ def main(argv=None):
     src.add_argument("--hf", type=str, help="HF Whisper checkpoint path/repo")
     src.add_argument("--session", type=str, help="YOHO training session name")
     parser.add_argument("--root", type=str, default="./sessions")
-    parser.add_argument("--language", type=str, default="en")
+    parser.add_argument("--language", type=str, default="en",
+                        help='ISO code, or "auto" to detect per file')
     parser.add_argument("--beams", type=int, default=0)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--no-timestamps", action="store_true")
@@ -134,9 +135,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     temps = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if args.temperature_fallback else (0.0,)
+    language = None if args.language == "auto" else args.language
     if args.hf:
         t = build_whisper_transcriber(args.hf, args.beams, args.batch,
-                                      args.language, not args.no_timestamps,
+                                      language, not args.no_timestamps,
                                       quantized=args.int8_kv,
                                       word_timestamps=args.word_timestamps,
                                       temperatures=temps,

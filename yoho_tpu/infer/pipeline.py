@@ -52,7 +52,7 @@ class Transcriber:
         beams: int = 0,  # 0/1 = greedy
         overlap_seconds: float = 5.0,
         cache_dtype=jnp.float32,
-        language: str = "en",
+        language: Optional[str] = "en",  # None = auto-detect (whisper)
         timestamps: bool = True,
         mesh=None,
         quantized_cross_kv=False,  # False | True/"int8" | "int4"
@@ -170,10 +170,14 @@ class Transcriber:
         self._jitted = {}
 
     # ------------------------------------------------------------------
-    def _prompt_ids(self) -> List[int]:
+    def _prompt_ids(self, language: Optional[str] = None) -> List[int]:
+        """Prompt for one stream. ``language`` overrides the configured
+        one (auto-detection); prompt LENGTH is language-independent, so
+        every language shares the same compiled decode program."""
         if self.family == "whisper":
             sot = self.token_table.sot_sequence(
-                self.language, "transcribe", timestamps=self.timestamps
+                language or self.language or "en", "transcribe",
+                timestamps=self.timestamps,
             )
             if self.initial_prompt:
                 # Whisper prompt conditioning: <|startofprev|> + context
@@ -613,8 +617,9 @@ class Transcriber:
         The context resets after a high-temperature fallback (>0.5), the
         standard guard against feeding a degenerate window forward."""
         tt = self.token_table
-        base_ids = self._prompt_ids()
-        sot_seq = tt.sot_sequence(self.language, "transcribe",
+        lang = self.language or self.detect_language(audio)[0]
+        base_ids = self._prompt_ids(lang)
+        sot_seq = tt.sot_sequence(lang, "transcribe",
                                   timestamps=self.timestamps)
         ctx_budget = max(8, self.max_len // 2 - len(sot_seq) - 1)
 
@@ -654,7 +659,7 @@ class Transcriber:
                                    self.chunk_samples, self.stride_samples)
         text = " ".join(s.text for s in segments if s.text).strip()
         return TranscriptionResult(text=text, segments=segments,
-                                   language=self.language)
+                                   language=lang)
 
     def transcribe_many(
         self,
@@ -669,18 +674,30 @@ class Transcriber:
         for the HTTP server; see ``yoho_tpu.infer.batching``).
         """
         prepared = [self._prepare_audio(a, sample_rate) for a in audios]
+        # Auto language ID (whisper, language=None): detect per request on
+        # its first window. The prompt rides as a traced argument with a
+        # language-independent length, so mixed-language batches share one
+        # compiled program.
+        if self.language is None and self.family == "whisper":
+            req_langs = [self.detect_language(a)[0] for a in prepared]
+        else:
+            req_langs = [self.language] * len(prepared)
+
         all_starts: List[List[int]] = []
         window_list = []
-        for audio in prepared:
+        win_prompts: List[List[int]] = []
+        for audio, lang in zip(prepared, req_langs):
             w, s = chunk_audio(audio, self.chunk_samples, self.stride_samples)
             window_list.append(w)
             all_starts.append(s)
+            win_prompts += [self._prompt_ids(lang)] * len(w)
         windows = (np.concatenate(window_list) if window_list
                    else np.zeros((0, self.chunk_samples), np.float32))
         n_win = len(windows)
         per_window: List[List[Segment]] = []
 
         b = self.batch_size
+        filler = self._prompt_ids(req_langs[0] if req_langs else None)
         for i in range(0, n_win, b):
             batch = windows[i : i + b]
             actual = len(batch)
@@ -688,8 +705,10 @@ class Transcriber:
                 batch = np.concatenate(
                     [batch, np.zeros((b - actual, self.chunk_samples), np.float32)]
                 )
+            prompt = np.asarray(
+                win_prompts[i : i + actual] + [filler] * (b - actual), np.int32)
             mel = self._features(self._to_device(batch))
-            tokens, lengths, aux = self._decode_with_fallback(b, mel)
+            tokens, lengths, aux = self._decode_with_fallback(b, mel, prompt)
             silent = self._silent_mask(lengths, aux)
             segs = [
                 [] if silent[j] else self._tokens_to_segments(tokens[j], int(lengths[j]))
@@ -701,7 +720,7 @@ class Transcriber:
 
         results = []
         off = 0
-        for starts in all_starts:
+        for starts, req_lang in zip(all_starts, req_langs):
             k = len(starts)
             segments = stitch_segments(per_window[off : off + k], starts,
                                        self.sample_rate, self.chunk_samples,
@@ -716,7 +735,7 @@ class Transcriber:
                     seg.speaker = spk
             text = " ".join(s.text for s in segments if s.text).strip()
             results.append(TranscriptionResult(text=text, segments=segments,
-                                               language=self.language))
+                                               language=req_lang))
         return results
 
     def detect_language(self, audio: Union[str, Path, np.ndarray]):
