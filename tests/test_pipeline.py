@@ -204,10 +204,18 @@ def test_transcriber_speculative_matches_plain():
     r_spec = spec.transcribe(audio)
     assert [s.text for s in r_plain.segments] == [s.text for s in r_spec.segments]
 
-    with pytest.raises(ValueError):
-        Transcriber(model, variables, family="whisper", token_table=table,
-                    timestamps=True, draft_model=draft,
-                    draft_variables=draft_vars)
+    # With timestamp rules enabled the equivalence must also hold (the
+    # speculative work buffer feeds the rules the same context greedy sees).
+    plain_ts = Transcriber(model, variables, family="whisper",
+                           token_table=table, batch_size=1, timestamps=True)
+    spec_ts = Transcriber(model, variables, family="whisper",
+                          token_table=table, batch_size=1, timestamps=True,
+                          draft_model=draft, draft_variables=draft_vars,
+                          speculative_gamma=3)
+    r_plain_ts = plain_ts.transcribe(audio)
+    r_spec_ts = spec_ts.transcribe(audio)
+    assert ([(round(s.start, 3), s.text) for s in r_plain_ts.segments]
+            == [(round(s.start, 3), s.text) for s in r_spec_ts.segments])
 
 
 def test_initial_prompt_conditioning():

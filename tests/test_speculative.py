@@ -171,9 +171,52 @@ def test_streaming_with_draft_matches_plain(setup):
         for i in range(0, len(audio), 4000):
             segs += st.push(audio[i : i + 4000])
         segs += st.flush()
-        return [(round(s.start, 3), s.text) for s in segs]
+        # Compare token ids, not rendered text — with no BPE backend every
+        # text renders "", which would hide real divergence.
+        return [(round(s.start, 3), tuple(s.tokens or ())) for s in segs]
 
     plain = run()
     spec = run(draft_model=d_model, draft_variables=d_vars,
                speculative_gamma=3)
     assert plain == spec
+    assert any(toks for _s, toks in plain), "no tokens decoded at all"
+
+
+def test_speculative_with_logits_fn_equals_greedy(setup):
+    """A stateful logits post-processor (here: a parity rule reading the
+    token buffer, like the timestamp rules do) must keep speculative ==
+    greedy — the work buffer feeds it the same context."""
+    _cfg_t, _cfg_d, target, draft = setup
+    prompt = jnp.asarray([[1, 2], [1, 2], [1, 3]], jnp.int32)
+
+    def rules(logits, tokens, pos):
+        # After an even token, suppress all odd tokens (buffer-dependent).
+        last = jnp.take_along_axis(
+            tokens, jnp.full((tokens.shape[0], 1), pos - 1), axis=1)[:, 0]
+        odd_vocab = (jnp.arange(logits.shape[1]) % 2 == 1)[None, :]
+        mask = (last % 2 == 0)[:, None] & odd_vocab
+        return jnp.where(mask, jnp.finfo(jnp.float32).min, logits)
+
+    model, variables, xa = target
+    ckv = model.apply(variables, xa, method=Whisper.cross_kvs)
+    caches = model.apply(variables, 3, jnp.float32, method=Whisper.init_caches)
+    step = make_whisper_step_fn(model, variables, ckv)
+    tokens_g, lengths_g = jax.jit(lambda c, p: greedy_decode(
+        step, c, p, MAX_LEN, EOT, logits_fn=rules))(caches, prompt)
+
+    t_model, t_vars, t_xa = target
+    d_model, d_vars, d_xa = draft
+    t_ckv = t_model.apply(t_vars, t_xa, method=Whisper.cross_kvs)
+    d_ckv = d_model.apply(d_vars, d_xa, method=Whisper.cross_kvs)
+    t_caches = t_model.apply(t_vars, 3, jnp.float32, MAX_LEN + GAMMA + 2,
+                             method=Whisper.init_caches)
+    d_caches = d_model.apply(d_vars, 3, jnp.float32, MAX_LEN + GAMMA + 2,
+                             method=Whisper.init_caches)
+    tokens_s, lengths_s = jax.jit(lambda tc, dc, p: speculative_greedy_decode(
+        make_verify_step_fn(t_model, t_vars, t_ckv),
+        make_verify_step_fn(d_model, d_vars, d_ckv),
+        tc, dc, p, MAX_LEN, EOT, gamma=GAMMA, logits_fn=rules,
+    ))(t_caches, d_caches, prompt)
+
+    np.testing.assert_array_equal(np.asarray(tokens_g), np.asarray(tokens_s))
+    np.testing.assert_array_equal(np.asarray(lengths_g), np.asarray(lengths_s))

@@ -106,14 +106,9 @@ class Transcriber:
                 raise ValueError("condition_on_previous_text currently "
                                  "supports greedy (+temperature fallback) "
                                  "decoding only")
-        if draft_model is not None:
-            if beams and beams > 1:
-                raise ValueError("speculative decoding is greedy-only "
-                                 "(beams must be 0/1)")
-            if timestamps:
-                raise ValueError(
-                    "speculative decoding does not support timestamp rules "
-                    "yet — construct the Transcriber with timestamps=False")
+        if draft_model is not None and beams and beams > 1:
+            raise ValueError("speculative decoding is greedy-only "
+                             "(beams must be 0/1)")
         self.model = model
         self.mesh = mesh
         if mesh is not None:
@@ -292,6 +287,7 @@ class Transcriber:
                     t_caches, d_caches, jnp.asarray(prompt), self.max_len,
                     self.eot, gamma=gamma, suppress_ids=suppress,
                     return_aux=True, no_speech_id=ns_id,
+                    logits_fn=logits_fn,
                 )
                 aux.setdefault("no_speech_prob", jnp.zeros((batch,), jnp.float32))
                 return tokens, lengths, aux

@@ -31,7 +31,7 @@ accept 70-90%, i.e. ~3-4 tokens per cache sweep at gamma=4.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -68,6 +68,7 @@ def speculative_greedy_decode(
     suppress_ids: Sequence[int] = (),
     return_aux: bool = False,
     no_speech_id=None,
+    logits_fn: Optional[Callable] = None,
 ):
     """Returns ``(tokens (B, max_len) int32, lengths (B,) int32)`` with
     exactly the semantics of ``greedy_decode`` on the target model.
@@ -77,6 +78,13 @@ def speculative_greedy_decode(
     dict with ``no_speech_prob`` (target prefill logits, like
     ``greedy_decode``) and a zero ``sum_logprob`` placeholder — the
     quality-fallback ladder needs non-speculative decoding.
+
+    ``logits_fn(logits (B, V), tokens, pos)`` is the same post-processor
+    contract as ``greedy_decode`` (timestamp rules etc.). During drafting
+    and verification it sees a WORK buffer with the proposals written in:
+    on the accepted prefix those equal the committed tokens, so the
+    greedy-equivalence guarantee is preserved; rejected rows only ever
+    influence discarded picks.
     """
     b, p = prompt.shape
     assert p >= 1 and p < max_len
@@ -84,7 +92,16 @@ def speculative_greedy_decode(
 
     sup = jnp.asarray(list(suppress_ids), jnp.int32) if len(suppress_ids) else None
 
-    def greedy_pick(logits):  # (B, S, V) f32 -> (B, S) int32
+    def pick_one(logits, work, pos):  # (B, V) -> (B,) int32
+        logits = logits.astype(jnp.float32)
+        if sup is not None:
+            neg = jnp.full(sup.shape, jnp.finfo(jnp.float32).min, jnp.float32)
+            logits = logits.at[:, sup].set(neg[None, :])
+        if logits_fn is not None:
+            logits = logits_fn(logits, work, pos)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    def greedy_pick(logits):  # rules-free (B, S, V) -> (B, S) (prefill)
         logits = logits.astype(jnp.float32)
         if sup is not None:
             neg = jnp.full(sup.shape, jnp.finfo(jnp.float32).min, jnp.float32)
@@ -103,7 +120,7 @@ def speculative_greedy_decode(
     if no_speech_id is not None:
         probs0 = jax.nn.softmax(t_logits[:, -1].astype(jnp.float32), axis=-1)
         no_speech_prob = probs0[:, no_speech_id]
-    first = greedy_pick(t_logits[:, -1:])[:, 0]
+    first = pick_one(t_logits[:, -1], tokens, jnp.int32(p))
     tokens = tokens.at[:, p].set(first)
     finished0 = first == eot_id
     c0 = jnp.int32(p + 1)  # committed token count
@@ -118,20 +135,32 @@ def speculative_greedy_decode(
         # --- draft phase: propose gamma tokens --------------------------
         # First step S=2 at c-2: idempotent re-write of position c-2 plus
         # the (possible) gap at c-1 left by a fully-accepted round.
+        # Proposals are also written into a WORK buffer so logits_fn
+        # (timestamp rules) sees the same token context target greedy
+        # would see on the accepted prefix.
+        work = tokens
         first_in = jax.lax.dynamic_slice(tokens, (0, c - 2), (b, 2))
         d_logits, d_caches = draft_step(first_in, d_caches, c - 2)
-        props = [greedy_pick(d_logits[:, -1:])[:, 0]]
-        for _j in range(gamma - 1):
+        props = [pick_one(d_logits[:, -1], work, c)]
+        work = jax.lax.dynamic_update_slice(work, props[0][:, None], (0, c))
+        for j in range(1, gamma):
             d_logits, d_caches = draft_step(props[-1][:, None], d_caches,
-                                            c - 1 + len(props))
-            props.append(greedy_pick(d_logits[:, -1:])[:, 0])
+                                            c - 1 + j)
+            props.append(pick_one(d_logits[:, -1], work, c + j))
+            work = jax.lax.dynamic_update_slice(work, props[-1][:, None],
+                                                (0, c + j))
         proposals = jnp.stack(props, axis=1)  # (B, gamma)
 
         # --- verify phase: one target step over [last, p_0..p_{g-1}] ----
         last = jax.lax.dynamic_slice(tokens, (0, c - 1), (b, 1))
         verify_in = jnp.concatenate([last, proposals], axis=1)  # (B, g+1)
         t_logits, t_caches = target_step(verify_in, t_caches, c - 1)
-        greedy = greedy_pick(t_logits)  # (B, g+1): row i predicts pos c+i
+        # Row i predicts position c+i; its rules context (positions < c+i
+        # in `work`) is exactly the proposal prefix p_0..p_{i-1}.
+        greedy = jnp.stack(
+            [pick_one(t_logits[:, i], work, c + i) for i in range(gamma + 1)],
+            axis=1,
+        )  # (B, g+1)
 
         # --- lockstep acceptance -----------------------------------------
         agree = greedy[:, :-1] == proposals  # (B, gamma)

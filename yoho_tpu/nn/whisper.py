@@ -234,7 +234,11 @@ class TextDecoder(nn.Module):
         s = tokens.shape[1]
         x = self.token_embedding(tokens)
         pos_emb = jnp.asarray(self.positional_embedding, self.dtype)
-        x = x + jnp.take(pos_emb, pos + jnp.arange(s), axis=0)
+        # mode="clip": speculative verification writes a few stale-workspace
+        # rows past n_text_ctx whose outputs are discarded — but jnp.take's
+        # default OOB fill is NaN, and a NaN K/V poisons every row through
+        # masked attention (0 * NaN). Clipped rows stay finite and unused.
+        x = x + jnp.take(pos_emb, pos + jnp.arange(s), axis=0, mode="clip")
         new_caches = []
         for blk, cache, ckv in zip(self.blocks, caches, cross_kvs):
             x, nc = blk.step(x, cache, ckv, pos)
