@@ -5,3 +5,5 @@ from yoho_tpu.infer.pipeline import Transcriber, TranscriptionResult  # noqa: F4
 from yoho_tpu.infer.streaming import StreamingTranscriber  # noqa: F401
 from yoho_tpu.infer.diarize import cluster_voiceprints, identify_speaker  # noqa: F401
 from yoho_tpu.infer.word_timestamps import WordTiming  # noqa: F401
+from yoho_tpu.infer.speculative import speculative_greedy_decode, make_verify_step_fn  # noqa: F401
+from yoho_tpu.infer.batching import MicroBatcher  # noqa: F401

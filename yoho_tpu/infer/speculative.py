@@ -101,13 +101,6 @@ def speculative_greedy_decode(
             logits = logits_fn(logits, work, pos)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
-    def greedy_pick(logits):  # rules-free (B, S, V) -> (B, S) (prefill)
-        logits = logits.astype(jnp.float32)
-        if sup is not None:
-            neg = jnp.full(sup.shape, jnp.finfo(jnp.float32).min, jnp.float32)
-            logits = logits.at[:, :, sup].set(neg[None, None, :])
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
     tokens = jnp.full((b, ext), eot_id, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
 
