@@ -337,3 +337,18 @@ def test_auto_language_detection_transcribe():
                        batch_size=1, timestamps=False, language="de")
     assert t_de.transcribe(a1).language == "de"
     assert table.language_token("de") in t_de._prompt_ids()
+
+
+def test_custom_suppress_tokens(yoho_setup):
+    """User-supplied suppress_tokens never appear in the decode output
+    (both families share the suppression plumbing)."""
+    cfg, model, variables, tok = yoho_setup
+    banned = tuple(range(300, 340))
+    t = Transcriber(model, variables, family="yoho", tokenizer=tok,
+                    batch_size=1, suppress_tokens=banned)
+    assert set(banned) <= set(t._suppress_ids())
+    audio = (0.1 * np.random.default_rng(0).standard_normal(cfg.n_samples)
+             ).astype(np.float32)
+    res = t.transcribe(audio)
+    for seg in res.segments:
+        assert not set(seg.tokens) & set(banned)

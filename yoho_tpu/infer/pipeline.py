@@ -67,6 +67,7 @@ class Transcriber:
         speculative_gamma: int = 4,
         initial_prompt: Optional[str] = None,
         condition_on_previous_text: bool = False,
+        suppress_tokens: Sequence[int] = (),
     ):
         # Whisper-style quality fallback: windows whose greedy decode fails
         # the logprob/compression checks are re-decoded at increasing
@@ -91,6 +92,8 @@ class Transcriber:
         # Whisper prompt conditioning (<|startofprev|> context) — steers
         # spelling/vocabulary; whisper family only, needs a text backend.
         self.initial_prompt = initial_prompt
+        # User-supplied token ids to suppress on top of the built-ins.
+        self.suppress_tokens = tuple(int(t) for t in suppress_tokens)
         # OpenAI's default long-form mode: each window's prompt carries the
         # previous windows' generated tokens. Inherently SEQUENTIAL, so it
         # trades the batched-window throughput design for quality — use it
@@ -185,6 +188,7 @@ class Transcriber:
         return [self.tokenizer.sot_id]
 
     def _suppress_ids(self):
+        extra = list(self.suppress_tokens)
         if self.family == "whisper":
             sup = list(self.token_table.non_speech_tokens)
             if not self.timestamps:
@@ -192,8 +196,8 @@ class Transcriber:
                     range(self.token_table.timestamp_begin, self.token_table.n_vocab)
                 )
             # never emit SOT again / we keep sot in non_speech already
-            return tuple(sup)
-        return ()
+            return tuple(dict.fromkeys(sup + extra))
+        return tuple(dict.fromkeys(extra))
 
     def _make_step(self, variables, cross_kvs):
         # NB: ``variables`` must be the traced jit argument, not
