@@ -352,3 +352,38 @@ def test_custom_suppress_tokens(yoho_setup):
     res = t.transcribe(audio)
     for seg in res.segments:
         assert not set(seg.tokens) & set(banned)
+
+
+def test_initial_prompt_does_not_leak_into_transcript():
+    """Context text tokens in the prompt must never appear in segments
+    (regression: the batched segment parser used to parse from index 0)."""
+    import jax
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    class FakeBPE:
+        def encode(self, text, add_special_tokens=False):
+            return [777] * 5  # recognizable context ids
+
+        def decode(self, ids):
+            return "CTX" if 777 in ids else "x" * len(ids)
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=32, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True, text_backend=FakeBPE())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=1, timestamps=False,
+                    initial_prompt="some known context")
+    audio = (0.1 * np.random.default_rng(2).standard_normal(cfg.n_samples)
+             ).astype(np.float32)
+    res = t.transcribe(audio)
+    for seg in res.segments:
+        assert 777 not in seg.tokens, "prompt context leaked into transcript"
+        assert "CTX" not in seg.text

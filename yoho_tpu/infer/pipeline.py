@@ -350,9 +350,12 @@ class Transcriber:
         return piece.replace("\u0120", " ").replace("Ġ", " ")
 
     def _attach_words(self, mel, tokens: np.ndarray, lengths: np.ndarray,
-                      per_window) -> None:
+                      per_window, n_prompt: Optional[int] = None) -> None:
         """Word-level timestamps: DTW over teacher-forced cross-attention
-        (whisper family; needs a text backend for word grouping)."""
+        (whisper family; needs a text backend for word grouping).
+        ``n_prompt`` excludes prompt positions from word grouping — with
+        initial_prompt/conditioning the prompt contains TEXT tokens that
+        must not become words."""
         if (not self.word_timestamps or self.family != "whisper"
                 or self.token_table.text_backend is None):
             return
@@ -361,6 +364,7 @@ class Transcriber:
             words_from_alignment,
         )
 
+        skip = n_prompt if n_prompt is not None else len(self._prompt_ids())
         b = tokens.shape[0]
         pad = np.full((b, self.max_len), self.eot, np.int32)
         pad[:, : tokens.shape[1]] = tokens[:, : self.max_len]
@@ -369,7 +373,8 @@ class Transcriber:
         for j, segs in enumerate(per_window):
             L = int(lengths[j])
             ids = [int(t) for t in tokens[j, :L]]
-            text_pos = [i for i, t in enumerate(ids) if t < self.token_table.eot]
+            text_pos = [i for i, t in enumerate(ids)
+                        if i >= skip and t < self.token_table.eot]
             if not text_pos or not segs:
                 continue
             frames = token_frame_alignment(amap[j, :L])
@@ -504,10 +509,15 @@ class Transcriber:
     def _tokens_to_segments(self, tokens: np.ndarray, length: int,
                             n_prompt: Optional[int] = None) -> List[Segment]:
         """Parse one stream's tokens into timestamped segments.
-        ``n_prompt`` skips a conditioned prompt (its context tokens must
-        not re-enter the transcript); specials in the default prompt are
-        skipped by the parser anyway."""
-        toks = [int(t) for t in tokens[n_prompt or 0: length]]
+
+        The first ``n_prompt`` positions (default: the configured prompt
+        length) are skipped — with initial_prompt / previous-text
+        conditioning the prompt contains TEXT tokens that must not
+        re-enter the transcript (plain prompts hold only specials, which
+        the parser would skip anyway)."""
+        if n_prompt is None:
+            n_prompt = len(self._prompt_ids())
+        toks = [int(t) for t in tokens[n_prompt:length]]
         segs: List[Segment] = []
         if self.family == "whisper":
             tt = self.token_table
