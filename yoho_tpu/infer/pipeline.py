@@ -473,7 +473,7 @@ class Transcriber:
                 if self._compression_ratio(text) > self.compression_ratio_threshold:
                     failed[j] = True
             # Silent windows are handled by the no-speech rule, not retried.
-            failed &= ~self._silent_mask(lengths, aux)
+            failed &= ~self._silent_mask(lengths, aux, n_prompt)
             if not failed.any():
                 break
             t2, l2, a2 = self._decode_fn(b, temp, prompt_len)(
@@ -487,11 +487,13 @@ class Transcriber:
             aux["used_temperature"][failed] = temp
         return tokens, lengths, aux
 
-    def _silent_mask(self, lengths: np.ndarray, aux) -> np.ndarray:
+    def _silent_mask(self, lengths: np.ndarray, aux,
+                     n_prompt: Optional[int] = None) -> np.ndarray:
         """Whisper no-speech rule: high p(<|nospeech|>) + low mean logprob."""
         ns = np.asarray(aux["no_speech_prob"])[: len(lengths)]
         sum_lp = np.asarray(aux["sum_logprob"])[: len(lengths)]
-        n_prompt = len(self._prompt_ids())
+        if n_prompt is None:
+            n_prompt = len(self._prompt_ids())
         gen = np.maximum(lengths - n_prompt, 1)
         avg_lp = sum_lp / gen
         if self.family != "whisper" or self.beams > 1:
@@ -651,11 +653,12 @@ class Transcriber:
                 ids = base_ids
             prompt = np.asarray([ids], np.int32)
             tokens, lengths, aux = self._decode_with_fallback(1, mel, prompt)
-            silent = self._silent_mask(lengths, aux)
+            silent = self._silent_mask(lengths, aux, n_prompt=len(ids))
             segs = ([] if silent[0]
                     else self._tokens_to_segments(tokens[0], int(lengths[0]),
                                                   n_prompt=len(ids)))
-            self._attach_words(mel[:1], tokens[:1], lengths[:1], [segs])
+            self._attach_words(mel[:1], tokens[:1], lengths[:1], [segs],
+                               n_prompt=len(ids))
             per_window.append(segs)
 
             if aux["used_temperature"][0] > 0.5:
