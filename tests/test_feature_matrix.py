@@ -1,0 +1,106 @@
+"""Option-combination smokes: serving features must compose.
+
+Each Transcriber option is tested on its own elsewhere; the bugs hide in
+the cross-products (prompt-context leak, silence-rule denominators, cache
+horizons...). This sweeps a grid of real combinations through short
+multi-window audio and checks structural sanity of the results.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yoho_tpu.core.config import WhisperConfig
+from yoho_tpu.infer.pipeline import Transcriber
+from yoho_tpu.nn.quantize import quantize_whisper_decoder
+from yoho_tpu.nn.whisper import Whisper
+from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+
+class _FakeBPE:
+    def encode(self, text, add_special_tokens=False):
+        return [ord(c) % 150 for c in text]
+
+    def decode(self, ids):
+        return "".join(chr(97 + (i % 26)) for i in ids)
+
+    def convert_ids_to_tokens(self, ids):
+        return [" w"] * len(ids)
+
+
+KW = dict(n_mels=8, n_audio_ctx=16, n_vocab=51865, n_text_ctx=32,
+          chunk_seconds=0.32)
+CFG_T = WhisperConfig(n_audio_state=32, n_audio_head=4, n_audio_layer=1,
+                      n_text_state=32, n_text_head=4, n_text_layer=1, **KW)
+CFG_D = WhisperConfig(n_audio_state=16, n_audio_head=2, n_audio_layer=1,
+                      n_text_state=16, n_text_head=2, n_text_layer=1, **KW)
+
+
+@pytest.fixture(scope="module")
+def models():
+    def init(cfg, seed, **mkw):
+        m = Whisper(cfg, **mkw)
+        v = Whisper(cfg).init(jax.random.PRNGKey(seed),
+                              jnp.zeros((1, cfg.n_frames, cfg.n_mels),
+                                        jnp.float32),
+                              jnp.zeros((1, 4), jnp.int32))
+        return m, v
+
+    t_model, t_vars = init(CFG_T, 0)
+    d_model, d_vars = init(CFG_D, 1)
+    q_model = Whisper(CFG_T, weights_int8=True)
+    q_vars = quantize_whisper_decoder(t_vars)
+    g = np.random.default_rng(0)
+    audio = (0.1 * g.standard_normal(int(CFG_T.n_samples * 2.3))
+             ).astype(np.float32)
+    return dict(t=(t_model, t_vars), d=(d_model, d_vars),
+                q=(q_model, q_vars), audio=audio)
+
+
+def _check(res, chunk_s):
+    assert isinstance(res.text, str)
+    for seg in res.segments:
+        assert 0.0 <= seg.start <= seg.end + 1e-6
+        assert all(int(t) >= 0 for t in seg.tokens)
+
+
+MATRIX = [
+    # (label, kwargs-builder)
+    ("beam2+int8kv", lambda M: dict(beams=2, quantized_cross_kv=True,
+                                    quantized_cache=True)),
+    ("beam2+int8weights", lambda M: dict(beams=2, _model="q")),
+    ("int4kv+timestamps", lambda M: dict(quantized_cross_kv="int4",
+                                         timestamps=True)),
+    ("int8weights+int4kv+fallback", lambda M: dict(
+        _model="q", quantized_cross_kv="int4", temperatures=(0.0, 0.5))),
+    ("draft+int8kv+timestamps", lambda M: dict(
+        draft_model=M["d"][0], draft_variables=M["d"][1],
+        quantized_cross_kv=True, quantized_cache=True, timestamps=True)),
+    ("draft+int8weights", lambda M: dict(
+        _model="q", draft_model=M["d"][0], draft_variables=M["d"][1],
+        timestamps=False)),
+    ("conditioned+draft", lambda M: dict(
+        condition_on_previous_text=True,
+        draft_model=M["d"][0], draft_variables=M["d"][1])),
+    ("conditioned+initialprompt+words", lambda M: dict(
+        condition_on_previous_text=True, initial_prompt="known words",
+        word_timestamps=True)),
+    ("autolang+int8kv", lambda M: dict(language=None,
+                                       quantized_cross_kv=True)),
+    ("suppress+beam2", lambda M: dict(beams=2,
+                                      suppress_tokens=tuple(range(100, 140)))),
+]
+
+
+@pytest.mark.parametrize("label,build", MATRIX, ids=[m[0] for m in MATRIX])
+def test_feature_combination(models, label, build):
+    kw = build(models)
+    which = kw.pop("_model", "t")
+    model, variables = models[which]
+    table = WhisperTokenTable(multilingual=True, text_backend=_FakeBPE())
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=2, **kw)
+    res = t.transcribe(models["audio"])
+    _check(res, CFG_T.chunk_seconds)

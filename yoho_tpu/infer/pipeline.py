@@ -538,7 +538,10 @@ class Transcriber:
                 else:
                     cur.append(t)
             if cur:
-                end = self.chunk_samples / self.sample_rate
+                # Truncated tail (no closing timestamp): close at the window
+                # end, clamped — the opening timestamp may exceed the window
+                # (models can emit any of the 1500 timestamp tokens).
+                end = max(self.chunk_samples / self.sample_rate, start or 0.0)
                 segs.append(Segment(start or 0.0, end, self._render(cur), cur))
         else:
             tok = self.tokenizer
@@ -559,8 +562,8 @@ class Transcriber:
                 else:
                     cur.append(t)
             if cur and start is not None:
-                segs.append(Segment(start, self.chunk_samples / self.sample_rate,
-                                    self._render(cur), cur))
+                end = max(self.chunk_samples / self.sample_rate, start)
+                segs.append(Segment(start, end, self._render(cur), cur))
         return segs
 
     def _render(self, ids: Sequence[int]) -> str:
