@@ -173,12 +173,12 @@ def _fused_decode_mode() -> str:
     """How to route decode attention to the fused Pallas kernel.
 
     Env ``YOHO_FUSED_DECODE``:
-      "auto" (default) — kernel only where measured to beat XLA: the
-          nibble-packed int4 cross-KV read (XLA has no non-materializing
-          int4 lowering). XLA's own batched-GEMV lowering of the int8/bf16
-          reads already runs at ~90% of HBM peak
-          (experiments/decode_kernel_bench.py, decode_ablation.py), so
-          those stay on XLA.
+      "auto" (default) — XLA everywhere: every measured configuration
+          (int8/bf16 at ~90% of HBM peak; int4 via the materializing
+          unpack at 9.9 ms vs the kernel's 15.6 ms for the whisper-small
+          B=128 cross stack) has XLA ahead. See
+          experiments/decode_kernel_bench.py, decode_ablation.py and the
+          PERFORMANCE.md speed-of-light audit.
       "on" — kernel for every eligible cross read (A/B experiments).
       "off" — always XLA.
       "force" — kernel even off-TPU (interpreted; tests).
@@ -210,9 +210,7 @@ def attend_quantized(q: jnp.ndarray, qkv: QuantizedKV, mask, dtype,
     t = qkv.k_q.shape[3]
     s = q.shape[2]
     eligible = (t % 128 == 0 and s <= 32 and mask is None and pos is None)
-    use_kernel = eligible and (
-        mode in ("on", "force") or (mode == "auto" and qkv.packing == 2)
-    )
+    use_kernel = eligible and mode in ("on", "force")
     if use_kernel:
         from yoho_tpu.ops.decode_attention import fused_decode_attention
 
