@@ -387,3 +387,32 @@ def test_initial_prompt_does_not_leak_into_transcript():
     for seg in res.segments:
         assert 777 not in seg.tokens, "prompt context leaked into transcript"
         assert "CTX" not in seg.text
+
+
+def test_translate_task_prompt_and_smoke():
+    """task="translate" puts the translate token in the prompt and decodes."""
+    import jax
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=16, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=1, timestamps=False, language="de",
+                    task="translate")
+    ids = t._prompt_ids()
+    assert table.translate in ids and table.transcribe not in ids
+    res = t.transcribe(np.zeros(cfg.n_samples, np.float32))
+    assert isinstance(res.text, str)
+
+    with pytest.raises(ValueError):
+        Transcriber(model, variables, family="whisper", token_table=table,
+                    task="summarize")

@@ -21,7 +21,8 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
                               word_timestamps: bool = False,
                               temperatures=(0.0,), int8_weights: bool = False,
                               initial_prompt=None,
-                              condition_on_previous_text: bool = False):
+                              condition_on_previous_text: bool = False,
+                              task: str = "transcribe"):
     import jax.numpy as jnp
 
     from yoho_tpu.infer.pipeline import Transcriber
@@ -52,6 +53,7 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
         word_timestamps=word_timestamps, temperatures=temperatures,
         initial_prompt=initial_prompt,
         condition_on_previous_text=condition_on_previous_text,
+        task=task,
     )
 
 
@@ -110,6 +112,9 @@ def main(argv=None):
     parser.add_argument("--root", type=str, default="./sessions")
     parser.add_argument("--language", type=str, default="en",
                         help='ISO code, or "auto" to detect per file')
+    parser.add_argument("--task", type=str, default="transcribe",
+                        choices=("transcribe", "translate"),
+                        help="translate = X -> English (whisper)")
     parser.add_argument("--beams", type=int, default=0)
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--no-timestamps", action="store_true")
@@ -145,7 +150,8 @@ def main(argv=None):
                                       int8_weights=args.int8_weights,
                                       initial_prompt=args.initial_prompt,
                                       condition_on_previous_text=(
-                                          args.condition_on_previous_text))
+                                          args.condition_on_previous_text),
+                                      task=args.task)
     else:
         t = build_yoho_transcriber(args.session, args.root, args.beams,
                                    args.batch, int8_weights=args.int8_weights)

@@ -53,6 +53,7 @@ class Transcriber:
         overlap_seconds: float = 5.0,
         cache_dtype=jnp.float32,
         language: Optional[str] = "en",  # None = auto-detect (whisper)
+        task: str = "transcribe",  # or "translate" (whisper: X -> English)
         timestamps: bool = True,
         mesh=None,
         quantized_cross_kv=False,  # False | True/"int8" | "int4"
@@ -127,6 +128,9 @@ class Transcriber:
         self.batch_size = batch_size
         self.beams = max(0, beams)
         self.language = language
+        if task not in ("transcribe", "translate"):
+            raise ValueError(f"unknown task {task!r}")
+        self.task = task
         self.timestamps = timestamps
         self.cache_dtype = cache_dtype
 
@@ -174,7 +178,7 @@ class Transcriber:
         every language shares the same compiled decode program."""
         if self.family == "whisper":
             sot = self.token_table.sot_sequence(
-                language or self.language or "en", "transcribe",
+                language or self.language or "en", self.task,
                 timestamps=self.timestamps,
             )
             if self.initial_prompt:
@@ -634,7 +638,7 @@ class Transcriber:
         tt = self.token_table
         lang = self.language or self.detect_language(audio)[0]
         base_ids = self._prompt_ids(lang)
-        sot_seq = tt.sot_sequence(lang, "transcribe",
+        sot_seq = tt.sot_sequence(lang, self.task,
                                   timestamps=self.timestamps)
         ctx_budget = max(8, self.max_len // 2 - len(sot_seq) - 1)
 
