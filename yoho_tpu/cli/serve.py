@@ -131,7 +131,8 @@ def main(argv=None):
 
     if args.hf:
         t = build_whisper_transcriber(args.hf, args.beams, args.batch,
-                                      args.language, True,
+                                      None if args.language == "auto" else args.language,
+                                      True,
                                       quantized=args.int8_kv,
                                       int8_weights=args.int8_weights)
     else:
