@@ -674,6 +674,9 @@ class Transcriber:
                 gen = tokens[0, len(ids): int(lengths[0])]
                 history += [int(t) for t in gen if t < tt.eot
                             or tt.is_timestamp(int(t))]
+                # Only the last ctx_budget tokens are ever used; cap the
+                # list so hour-long files don't grow it unboundedly.
+                history = history[-4 * ctx_budget:]
 
         segments = stitch_segments(per_window, starts, self.sample_rate,
                                    self.chunk_samples, self.stride_samples)
