@@ -23,6 +23,13 @@ def test_whisper_presets():
     assert small.n_samples == 480_000 and small.n_frames == 3000
     assert WHISPER_PRESETS["large-v3"].n_mels == 128
     assert WHISPER_PRESETS["large-v3"].n_vocab == 51866
+    # Asymmetric encoder/decoder depths (turbo + distil-whisper family).
+    turbo = WHISPER_PRESETS["large-v3-turbo"]
+    assert turbo.n_audio_layer == 32 and turbo.n_text_layer == 4
+    distil = WHISPER_PRESETS["distil-large-v3"]
+    assert distil.n_audio_layer == 32 and distil.n_text_layer == 2
+    assert distil.n_mels == 128 and distil.n_vocab == 51866
+    assert WHISPER_PRESETS["distil-small.en"].n_vocab == 51864
 
 
 def test_session_config_roundtrip(tmp_path: Path):

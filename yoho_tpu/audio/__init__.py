@@ -8,3 +8,9 @@ from yoho_tpu.audio.frontend import (  # noqa: F401
     normalize_whisper,
 )
 from yoho_tpu.audio.io import load_audio, load_audio_f32, save_audio, resample  # noqa: F401
+from yoho_tpu.audio.vad import (  # noqa: F401
+    VadOptions,
+    SpeechMap,
+    detect_speech,
+    collapse_silence,
+)

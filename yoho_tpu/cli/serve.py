@@ -122,6 +122,8 @@ def main(argv=None):
                         help="int8 KV caches (faster, argmax-identical)")
     parser.add_argument("--int8-weights", action="store_true",
                         help="weight-only int8 decoder (near-lossless)")
+    parser.add_argument("--vad", action="store_true",
+                        help="collapse silence on the host before decoding")
     args = parser.parse_args(argv)
 
     from yoho_tpu.cli.transcribe import (
@@ -134,9 +136,11 @@ def main(argv=None):
                                       None if args.language == "auto" else args.language,
                                       True,
                                       quantized=args.int8_kv,
-                                      int8_weights=args.int8_weights)
+                                      int8_weights=args.int8_weights,
+                                      vad_filter=args.vad)
     else:
-        t = build_yoho_transcriber(args.session, args.root, args.beams, args.batch)
+        t = build_yoho_transcriber(args.session, args.root, args.beams,
+                                   args.batch, vad_filter=args.vad)
 
     server = serve(t, args.port, args.host, args.max_wait_ms)
     print(f"serving on http://{args.host}:{args.port} "

@@ -22,7 +22,8 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
                               temperatures=(0.0,), int8_weights: bool = False,
                               initial_prompt=None,
                               condition_on_previous_text: bool = False,
-                              task: str = "transcribe"):
+                              task: str = "transcribe",
+                              vad_filter: bool = False):
     import jax.numpy as jnp
 
     from yoho_tpu.infer.pipeline import Transcriber
@@ -53,12 +54,13 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
         word_timestamps=word_timestamps, temperatures=temperatures,
         initial_prompt=initial_prompt,
         condition_on_previous_text=condition_on_previous_text,
-        task=task,
+        task=task, vad_filter=vad_filter,
     )
 
 
 def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
-                           int8_weights: bool = False):
+                           int8_weights: bool = False,
+                           vad_filter: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -97,7 +99,8 @@ def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
         model = YOHOModel(config.yoho, tok.vocab_size, voiceprint_dim=vp_dim,
                           dtype=jnp.bfloat16, weights_int8=True)
     return Transcriber(model, {"params": params}, family="yoho", tokenizer=tok,
-                       batch_size=batch, beams=beams, cache_dtype=jnp.bfloat16)
+                       batch_size=batch, beams=beams, cache_dtype=jnp.bfloat16,
+                       vad_filter=vad_filter)
 
 
 def main(argv=None):
@@ -133,6 +136,10 @@ def main(argv=None):
     parser.add_argument("--condition-on-previous-text", action="store_true",
                         help="sequential long-form decoding conditioned on "
                              "prior windows (quality over throughput)")
+    parser.add_argument("--vad", action="store_true",
+                        help="voice-activity filter: collapse silence on the "
+                             "host so the chip only decodes speech; "
+                             "timestamps stay on the source timeline")
     parser.add_argument("--srt", type=str, default=None, metavar="DIR",
                         help="also write <stem>.srt per input into DIR")
     parser.add_argument("--vtt", type=str, default=None, metavar="DIR",
@@ -151,10 +158,11 @@ def main(argv=None):
                                       initial_prompt=args.initial_prompt,
                                       condition_on_previous_text=(
                                           args.condition_on_previous_text),
-                                      task=args.task)
+                                      task=args.task, vad_filter=args.vad)
     else:
         t = build_yoho_transcriber(args.session, args.root, args.beams,
-                                   args.batch, int8_weights=args.int8_weights)
+                                   args.batch, int8_weights=args.int8_weights,
+                                   vad_filter=args.vad)
 
     for f in args.files:
         result = t.transcribe(f)

@@ -122,6 +122,15 @@ WHISPER_PRESETS: dict[str, WhisperConfig] = {
     # Distilled serving variant: full encoder, 4-layer decoder.
     "large-v3-turbo": _wcfg(128, 1500, 1280, 20, 32, vocab=51866,
                             text_layer=4),
+    # distil-whisper family (Gandhi et al.): full teacher encoder, 2-layer
+    # decoder — the cheapest serving decoders of the lineup.
+    "distil-large-v2": _wcfg(80, 1500, 1280, 20, 32, text_layer=2),
+    "distil-large-v3": _wcfg(128, 1500, 1280, 20, 32, vocab=51866,
+                             text_layer=2),
+    "distil-medium.en": _wcfg(80, 1500, 1024, 16, 24, vocab=51864,
+                              text_layer=2),
+    "distil-small.en": _wcfg(80, 1500, 768, 12, 12, vocab=51864,
+                             text_layer=4),
 }
 
 

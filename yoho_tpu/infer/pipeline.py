@@ -69,6 +69,8 @@ class Transcriber:
         initial_prompt: Optional[str] = None,
         condition_on_previous_text: bool = False,
         suppress_tokens: Sequence[int] = (),
+        vad_filter: bool = False,
+        vad_options=None,
     ):
         # Whisper-style quality fallback: windows whose greedy decode fails
         # the logprob/compression checks are re-decoded at increasing
@@ -95,6 +97,11 @@ class Transcriber:
         self.initial_prompt = initial_prompt
         # User-supplied token ids to suppress on top of the built-ins.
         self.suppress_tokens = tuple(int(t) for t in suppress_tokens)
+        # Host-side VAD: collapse silence before windowing so the chip
+        # only encodes/decodes speech; timestamps are mapped back to the
+        # original timeline afterwards (yoho_tpu.audio.vad).
+        self.vad_filter = vad_filter
+        self.vad_options = vad_options
         # OpenAI's default long-form mode: each window's prompt carries the
         # previous windows' generated tokens. Inherently SEQUENTIAL, so it
         # trades the batched-window throughput design for quality — use it
@@ -615,6 +622,27 @@ class Transcriber:
             audio = resample(audio, sample_rate, self.sample_rate)
         return audio
 
+    def _apply_vad(self, audio: np.ndarray):
+        """Collapse silence (vad_filter on); returns (audio, SpeechMap|None)."""
+        if not self.vad_filter:
+            return audio, None
+        from yoho_tpu.audio.vad import collapse_silence
+
+        return collapse_silence(audio, self.sample_rate, self.vad_options)
+
+    @staticmethod
+    def _remap_segments(segments: List[Segment], vmap) -> List[Segment]:
+        """Map condensed-timeline times back to the source audio."""
+        if vmap is None:
+            return segments
+        for seg in segments:
+            seg.start = vmap.to_original(seg.start)
+            seg.end = vmap.to_original(seg.end)
+            for w in seg.words or []:
+                w.start = vmap.to_original(w.start)
+                w.end = vmap.to_original(w.end)
+        return segments
+
     def transcribe(
         self,
         audio: Union[str, Path, np.ndarray],
@@ -636,6 +664,10 @@ class Transcriber:
         The context resets after a high-temperature fallback (>0.5), the
         standard guard against feeding a degenerate window forward."""
         tt = self.token_table
+        audio, vmap = self._apply_vad(audio)
+        if len(audio) == 0:  # all-silent after VAD
+            return TranscriptionResult(text="", segments=[],
+                                       language=self.language)
         lang = self.language or self.detect_language(audio)[0]
         base_ids = self._prompt_ids(lang)
         sot_seq = tt.sot_sequence(lang, self.task,
@@ -680,6 +712,7 @@ class Transcriber:
 
         segments = stitch_segments(per_window, starts, self.sample_rate,
                                    self.chunk_samples, self.stride_samples)
+        segments = self._remap_segments(segments, vmap)
         text = " ".join(s.text for s in segments if s.text).strip()
         return TranscriptionResult(text=text, segments=segments,
                                    language=lang)
@@ -697,12 +730,21 @@ class Transcriber:
         for the HTTP server; see ``yoho_tpu.infer.batching``).
         """
         prepared = [self._prepare_audio(a, sample_rate) for a in audios]
+        # Host VAD: collapse silence per request before windowing (fewer
+        # windows hit the chip); vad_maps restore source-timeline times.
+        vad_maps = []
+        if self.vad_filter:
+            prepared, vad_maps = map(list, zip(*[
+                self._apply_vad(a) for a in prepared])) if prepared else ([], [])
+        else:
+            vad_maps = [None] * len(prepared)
         # Auto language ID (whisper, language=None): detect per request on
         # its first window. The prompt rides as a traced argument with a
         # language-independent length, so mixed-language batches share one
         # compiled program.
         if self.language is None and self.family == "whisper":
-            req_langs = [self.detect_language(a)[0] for a in prepared]
+            req_langs = [self.detect_language(a)[0] if len(a) else "en"
+                         for a in prepared]
         else:
             req_langs = [self.language] * len(prepared)
 
@@ -710,6 +752,9 @@ class Transcriber:
         window_list = []
         win_prompts: List[List[int]] = []
         for audio, lang in zip(prepared, req_langs):
+            if len(audio) == 0:  # all-silent after VAD: nothing to decode
+                all_starts.append([])
+                continue
             w, s = chunk_audio(audio, self.chunk_samples, self.stride_samples)
             window_list.append(w)
             all_starts.append(s)
@@ -743,11 +788,12 @@ class Transcriber:
 
         results = []
         off = 0
-        for starts, req_lang in zip(all_starts, req_langs):
+        for starts, req_lang, vmap in zip(all_starts, req_langs, vad_maps):
             k = len(starts)
             segments = stitch_segments(per_window[off : off + k], starts,
                                        self.sample_rate, self.chunk_samples,
                                        self.stride_samples)
+            segments = self._remap_segments(segments, vmap)
             off += k
             if self.family == "yoho":
                 # Diarization: cluster per-segment voiceprints into speakers.
