@@ -1,1 +1,8 @@
 from yoho_tpu.eval.wer import cer, edit_distance, normalize_for_wer, wer  # noqa: F401
+from yoho_tpu.eval.diarization import (  # noqa: F401
+    SpeakerTurn,
+    cosine_scores,
+    diarization_error_rate,
+    equal_error_rate,
+    verification_pairs,
+)
