@@ -104,6 +104,58 @@ def test_der_breakdown_math():
     assert b.der == pytest.approx(0.5)
 
 
+# ------------------------------------------------------------------ RTTM
+def test_rttm_roundtrip():
+    from yoho_tpu.eval.diarization import compose_rttm, parse_rttm
+
+    turns = [T(0.0, 12.5, "alice"), T(12.5, 30.0, "bob"), T(28.0, 35.0, "alice")]
+    text = compose_rttm(turns, "meeting1")
+    assert text.startswith("SPEAKER meeting1 1 0.000 12.500")
+    parsed = parse_rttm(text)
+    assert list(parsed) == ["meeting1"]
+    got = parsed["meeting1"]
+    assert [(t.start, t.end, t.speaker) for t in got] == \
+        [(0.0, 12.5, "alice"), (12.5, 30.0, "bob"), (28.0, 35.0, "alice")]
+    # Round-tripped turns score DER 0 against the originals.
+    assert diarization_error_rate(turns, got).der == 0.0
+
+
+def test_rttm_parses_comments_and_multiple_files():
+    from yoho_tpu.eval.diarization import parse_rttm
+
+    data = """;; a comment
+SPEAKER fileA 1 0.00 5.00 <NA> <NA> spk1 <NA> <NA>
+SPEAKER fileB 1 1.00 2.00 <NA> <NA> spk9 <NA>
+SPKR-INFO fileA 1 <NA> <NA> <NA> unknown spk1 <NA>
+"""
+    parsed = parse_rttm(data)
+    assert set(parsed) == {"fileA", "fileB"}
+    assert parsed["fileB"][0].speaker == "spk9"
+    assert parsed["fileB"][0].end == pytest.approx(3.0)
+
+
+def test_rttm_rejects_short_lines():
+    from yoho_tpu.eval.diarization import parse_rttm
+
+    with pytest.raises(ValueError):
+        parse_rttm("SPEAKER f 1 0.0 1.0 <NA>")
+
+
+def test_segments_to_turns():
+    from dataclasses import dataclass
+
+    from yoho_tpu.eval.diarization import segments_to_turns
+
+    @dataclass
+    class Seg:
+        start: float
+        end: float
+        speaker: object = None
+
+    turns = segments_to_turns([Seg(0, 1, 2), Seg(1, 2)])
+    assert turns[0].speaker == 2 and turns[1].speaker == 0
+
+
 # ------------------------------------------------------------------ EER
 def test_cosine_scores():
     a = np.asarray([[1.0, 0.0], [1.0, 0.0], [2.0, 0.0]])

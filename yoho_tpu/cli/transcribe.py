@@ -144,6 +144,9 @@ def main(argv=None):
                         help="also write <stem>.srt per input into DIR")
     parser.add_argument("--vtt", type=str, default=None, metavar="DIR",
                         help="also write <stem>.vtt per input into DIR")
+    parser.add_argument("--rttm", type=str, default=None, metavar="DIR",
+                        help="also write <stem>.rttm diarization per input "
+                             "into DIR (score with cli.score_diarization)")
     args = parser.parse_args(argv)
 
     temps = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if args.temperature_fallback else (0.0,)
@@ -185,6 +188,20 @@ def main(argv=None):
                 out = Path(args.vtt) / f"{stem}.vtt"
                 out.parent.mkdir(parents=True, exist_ok=True)
                 out.write_text(compose_vtt(subs), encoding="utf-8")
+        if args.rttm:
+            from pathlib import Path
+
+            from yoho_tpu.eval.diarization import (
+                compose_rttm,
+                segments_to_turns,
+            )
+
+            stem = Path(f).stem
+            out = Path(args.rttm) / f"{stem}.rttm"
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_text(
+                compose_rttm(segments_to_turns(result.segments), stem),
+                encoding="utf-8")
         if args.json:
             print(jsonlib.dumps({
                 "file": f,

@@ -130,6 +130,52 @@ def diarization_error_rate(
     return DERBreakdown(missed, false_alarm, confusion, total_ref)
 
 
+# ---------------------------------------------------------------- RTTM
+def parse_rttm(data: str) -> Dict[str, List[SpeakerTurn]]:
+    """Parse RTTM (the NIST diarization interchange format) into
+    per-recording turn lists.
+
+    Only SPEAKER lines are consumed: ``SPEAKER <file> <chan> <tbeg> <tdur>
+    <ortho> <stype> <name> <conf> [<slat>]``. Returns {file_id: [turns]}.
+    """
+    out: Dict[str, List[SpeakerTurn]] = {}
+    for lineno, line in enumerate(data.splitlines(), 1):
+        line = line.strip()
+        if not line or line.startswith((";;", "#")):
+            continue
+        parts = line.split()
+        if parts[0].upper() != "SPEAKER":
+            continue
+        if len(parts) < 8:
+            raise ValueError(f"RTTM line {lineno}: expected >=8 fields")
+        file_id, tbeg, tdur, name = parts[1], parts[3], parts[4], parts[7]
+        start = float(tbeg)
+        out.setdefault(file_id, []).append(
+            SpeakerTurn(start, start + float(tdur), name))
+    for turns in out.values():
+        turns.sort(key=lambda t: (t.start, t.end))
+    return out
+
+
+def compose_rttm(turns: Sequence[SpeakerTurn], file_id: str,
+                 channel: int = 1) -> str:
+    """Serialize turns as RTTM SPEAKER lines (speaker label via str())."""
+    lines = [
+        f"SPEAKER {file_id} {channel} {t.start:.3f} {t.duration:.3f} "
+        f"<NA> <NA> {t.speaker} <NA> <NA>"
+        for t in sorted(turns, key=lambda t: (t.start, t.end))
+    ]
+    return "\n".join(lines) + ("\n" if lines else "")
+
+
+def segments_to_turns(segments) -> List[SpeakerTurn]:
+    """Transcriber output -> scoring turns (segments with a diarization
+    ``speaker`` label; unlabeled segments collapse to one speaker)."""
+    return [SpeakerTurn(s.start, s.end,
+                        s.speaker if s.speaker is not None else 0)
+            for s in segments]
+
+
 # ----------------------------------------------------------------- EER
 def cosine_scores(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Row-wise cosine similarity between paired embedding matrices."""
