@@ -106,3 +106,36 @@ def test_streaming_stitching_with_synthetic_segments(setup, monkeypatch):
     # offline vs streaming cover the same time span with the same text
     assert all(x.text == "hello world" for x in collected)
     assert len(collected) >= len(offline.segments) - 1
+
+
+def test_streaming_vad_gate_skips_silent_windows(setup, monkeypatch):
+    """vad_filter on the wrapped Transcriber gates silent stream windows
+    away from the device without shifting the timeline."""
+    cfg, t_plain = setup
+    t = Transcriber(t_plain.model, t_plain.variables, family="yoho",
+                    tokenizer=t_plain.tokenizer, batch_size=1,
+                    overlap_seconds=0.05, vad_filter=True)
+    calls = {"n": 0}
+    orig = t._decode_with_fallback
+
+    def counting(b, mel, prompt=None):
+        calls["n"] += 1
+        return orig(b, mel, prompt)
+
+    t._decode_with_fallback = counting
+    s = StreamingTranscriber(t)
+
+    sr = cfg.sample_rate
+    g = np.random.default_rng(2)
+    speech = (0.3 * np.sin(2 * np.pi * 440 * np.arange(cfg.n_samples) / sr)
+              ).astype(np.float32)
+    silence = np.zeros(cfg.n_samples, np.float32)
+    # speech window, then several pure-silence windows, then speech.
+    for chunk in (speech, silence, silence, silence, speech):
+        s.push(chunk)
+    s.flush()
+    # 5 windows' worth of audio was pushed but only ~the 2 speech windows
+    # (plus overlap spill) hit the device.
+    assert calls["n"] < 5
+    for seg in s.segments:
+        assert seg.start <= seg.end

@@ -196,3 +196,19 @@ def test_transcriber_vad_all_silence_no_decode():
                                   cfg.sample_rate))
     assert result.text == ""
     assert result.segments == []
+
+
+def test_all_speech_window_detected():
+    """A window that is entirely speech must not be rejected by the
+    adaptive threshold (regression: the noise-floor percentile lands on
+    speech energy when no silence exists to estimate from)."""
+    spans = detect_speech(tone(0.335), SR)
+    assert len(spans) == 1
+    s, e = spans[0]
+    assert s == 0 and e == len(tone(0.335))
+
+
+def test_loud_frames_always_speech_quiet_always_silence():
+    # -13 dBFS tone -> speech even without contrast; digital silence never.
+    assert detect_speech(tone(2.0, amp=0.3), SR)
+    assert detect_speech(silence(2.0), SR) == []

@@ -47,6 +47,12 @@ class VadOptions:
     absolute_floor_db: frames below this dBFS are always silence (guards
                        against an "adaptive" threshold chasing digital
                        silence down to -inf).
+    speech_ceiling_db: frames above this dBFS are always speech. Caps the
+                       adaptive threshold so an ALL-speech signal (where
+                       the "noise floor" percentile lands on speech
+                       energy) is not rejected wholesale — the failure
+                       mode of purely adaptive energy VADs on short
+                       windows (e.g. the streaming per-window gate).
     noise_percentile:  percentile of frame energies used as the noise
                        floor estimate.
     min_speech_ms:     drop speech runs shorter than this (clicks).
@@ -60,6 +66,7 @@ class VadOptions:
     hop_ms: float = 10.0
     margin_db: float = 6.0
     absolute_floor_db: float = -55.0
+    speech_ceiling_db: float = -35.0
     noise_percentile: float = 10.0
     min_speech_ms: float = 250.0
     min_silence_ms: float = 1000.0
@@ -93,7 +100,8 @@ def detect_speech(audio: np.ndarray, sample_rate: int,
     energies, hop = frame_energies_db(audio, sample_rate, opts)
 
     noise_floor = float(np.percentile(energies, opts.noise_percentile))
-    threshold = max(noise_floor + opts.margin_db, opts.absolute_floor_db)
+    threshold = max(min(noise_floor + opts.margin_db, opts.speech_ceiling_db),
+                    opts.absolute_floor_db)
     active = energies > threshold
     if not active.any():
         return []

@@ -31,6 +31,16 @@ class StreamingTranscriber:
     # ------------------------------------------------------------------
     def _decode_window(self, window_start: int, audio: np.ndarray, final: bool):
         t = self.t
+        if getattr(t, "vad_filter", False):
+            # Streaming VAD gate: a window with no detected speech never
+            # touches the device (live streams are mostly silence). Unlike
+            # offline vad_filter this only *skips* windows — it never
+            # collapses time, so the stream's timeline is untouched.
+            from yoho_tpu.audio.vad import detect_speech
+
+            if not detect_speech(audio, t.sample_rate, t.vad_options):
+                self._pending.append((window_start, []))
+                return
         batch = np.zeros((1, t.chunk_samples), np.float32)
         n = min(len(audio), t.chunk_samples)
         batch[0, :n] = audio[:n]
