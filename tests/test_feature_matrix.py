@@ -91,6 +91,15 @@ MATRIX = [
                                        quantized_cross_kv=True)),
     ("suppress+beam2", lambda M: dict(beams=2,
                                       suppress_tokens=tuple(range(100, 140)))),
+    ("vad+int8kv+words", lambda M: dict(vad_filter=True,
+                                        quantized_cross_kv=True,
+                                        quantized_cache=True,
+                                        word_timestamps=True)),
+    ("vad+conditioned", lambda M: dict(vad_filter=True,
+                                       condition_on_previous_text=True)),
+    ("vad+autolang+draft", lambda M: dict(
+        vad_filter=True, language=None,
+        draft_model=M["d"][0], draft_variables=M["d"][1])),
 ]
 
 

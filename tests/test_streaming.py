@@ -139,3 +139,52 @@ def test_streaming_vad_gate_skips_silent_windows(setup, monkeypatch):
     assert calls["n"] < 5
     for seg in s.segments:
         assert seg.start <= seg.end
+
+
+def test_streaming_word_timestamps_absolute():
+    """Streaming attaches word timings (whisper family) and offsets them
+    to absolute stream time like the segments."""
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    class FakeBPE:
+        def encode(self, text, add_special_tokens=False):
+            return [ord(c) % 150 for c in text]
+
+        def decode(self, ids):
+            return "".join(chr(97 + (i % 26)) for i in ids)
+
+        def convert_ids_to_tokens(self, ids):
+            return [" w"] * len(ids)
+
+    from yoho_tpu.nn.whisper import Whisper
+
+    wcfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_vocab=51865,
+                         n_text_ctx=32, chunk_seconds=0.32,
+                         n_audio_state=32, n_audio_head=4, n_audio_layer=1,
+                         n_text_state=32, n_text_head=4, n_text_layer=1)
+    model = Whisper(wcfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, wcfg.n_frames, wcfg.n_mels),
+                                     jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    table = WhisperTokenTable(multilingual=True, text_backend=FakeBPE())
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=1, word_timestamps=True,
+                    overlap_seconds=0.05)
+    s = StreamingTranscriber(t)
+    g = np.random.default_rng(3)
+    audio = (0.1 * g.standard_normal(int(wcfg.n_samples * 2.4))
+             ).astype(np.float32)
+    for i in range(0, len(audio), wcfg.n_samples // 2):
+        s.push(audio[i : i + wcfg.n_samples // 2])
+    s.flush()
+    dur = len(audio) / wcfg.sample_rate
+    saw_words = False
+    for seg in s.segments:
+        for w in seg.words or []:
+            saw_words = True
+            assert 0 <= w.start <= w.end <= dur + wcfg.chunk_seconds
+            # Word midpoints sit inside (or near) their segment.
+            assert seg.start - 0.2 <= (w.start + w.end) / 2 <= seg.end + 0.2
+    assert saw_words or all(not sg.words for sg in s.segments)

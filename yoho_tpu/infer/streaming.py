@@ -50,6 +50,7 @@ class StreamingTranscriber:
         segs = ([] if silent[0]
                 else t._tokens_to_segments(tokens[0], int(lengths[0])))
         t._attach_voiceprints(mel[:1], tokens[:1], [segs])
+        t._attach_words(mel[:1], tokens[:1], lengths[:1], [segs])
         self._pending.append((window_start, segs))
 
     def _finalize(self, final: bool) -> List[Segment]:
@@ -75,7 +76,9 @@ class StreamingTranscriber:
                         end=round(off + seg.end, 3),
                         text=seg.text, tokens=list(seg.tokens),
                         voiceprint=seg.voiceprint, speaker=seg.speaker,
-                        words=seg.words,
+                        words=[type(wd)(wd.word, round(off + wd.start, 3),
+                                        round(off + wd.end, 3))
+                               for wd in seg.words] if seg.words else None,
                     ))
         # Drop finalized windows; keep the last (still revisable) one.
         if not final and self._pending:
