@@ -1,0 +1,102 @@
+"""Whisper-style English WER normalization (yoho_tpu.eval.english_normalizer).
+
+Golden expectations follow the OpenAI EnglishTextNormalizer behavior shape
+(lowercase, fillers out, contractions expanded, spelled numbers -> digits,
+titles expanded, punctuation stripped); divergences are documented in the
+module docstring.
+"""
+
+import pytest
+
+from yoho_tpu.eval.english_normalizer import normalize_english as N
+
+
+def test_basic_cleanup():
+    assert N("Hello, World!") == "hello world"
+    assert N("  multiple   spaces\tand\nnewlines ") == \
+        "multiple spaces and newlines"
+
+
+def test_fillers_and_asides_removed():
+    assert N("um, I think (cough) it's, uh, fine [laughter]") == \
+        "i think it is fine"
+    assert N("Mhm. Mmm. Er... yes") == "yes"
+
+
+def test_contractions():
+    assert N("I won't, she can't, they don't") == \
+        "i will not she cannot they do not"
+    assert N("we're, you've, he'll, I'd, I'm") == \
+        "we are you have he will i would i am"
+    assert N("let's go, y'all") == "let us go you all"
+    assert N("it’s fine") == "it is fine"  # typographic apostrophe
+
+
+def test_possessives_keep_apostrophe_content():
+    # 's is NOT expanded blindly; "it's" -> "it is" via the 's being part
+    # of no suffix rule here — we keep john's as john's -> johns? No:
+    # word-internal apostrophes survive punctuation strip.
+    assert N("john's book") == "john's book"
+
+
+def test_titles():
+    assert N("Mr. Smith met Dr. Jones and Mrs. Lee") == \
+        "mister smith met doctor jones and missus lee"
+    assert N("Col Mustard, Sgt Pepper") == "colonel mustard sergeant pepper"
+
+
+@pytest.mark.parametrize("spoken,expected", [
+    ("one", "1"),
+    ("twenty three", "23"),
+    ("twenty-three", "23"),
+    ("one hundred", "100"),
+    ("one hundred and five", "105"),
+    ("five hundred twenty one", "521"),
+    ("two thousand and twenty one", "2021"),
+    ("three million", "3000000"),
+    ("one hundred thousand", "100000"),
+    ("nineteen eighty four", "19 84"),  # year-speak stays two numbers
+    ("three point one four", "3.14"),
+    ("zero point five", "0.5"),
+])
+def test_numbers(spoken, expected):
+    assert N(spoken) == expected
+
+
+def test_ordinals():
+    assert N("the first and the twenty-first") == "the 1st and the 21st"
+    assert N("third time") == "3rd time"
+    assert N("the hundredth try") == "the 100th try"
+
+
+def test_numbers_in_context():
+    assert N("He bought twenty three apples and one melon.") == \
+        "he bought 23 apples and 1 melon"
+    # digit references already in digits are untouched
+    assert N("chapter 7, page 123") == "chapter 7 page 123"
+
+
+def test_percent_and_ampersand():
+    assert N("50% of A&B") == "50 percent of a and b"
+
+
+def test_wer_equalizes_spelling_of_numbers():
+    from yoho_tpu.eval.wer import wer
+
+    ref = ["he bought 23 apples"]
+    hyp = ["He bought twenty-three apples."]
+    # Basic normalization counts 2 errors; english normalization counts 0.
+    rate_plain, _ = wer(ref, hyp)
+    assert rate_plain > 0
+    rate_en, _ = wer([N(r) for r in ref], [N(h) for h in hyp])
+    assert rate_en == 0.0
+
+
+def test_idempotent():
+    samples = [
+        "Mr. Smith won't pay twenty three dollars!",
+        "one hundred and five, third time, 3.14",
+    ]
+    for s in samples:
+        once = N(s)
+        assert N(once) == once

@@ -56,6 +56,11 @@ def main(argv=None):
     parser.add_argument("--int8-weights", action="store_true",
                         help="evaluate with the weight-only int8 decoder "
                              "(measure the quantization quality delta)")
+    parser.add_argument("--normalizer", choices=("basic", "english"),
+                        default="basic",
+                        help="'english' applies whisper-style normalization "
+                             "(contractions, spelled numbers -> digits) so "
+                             "WER is comparable to published numbers")
     args = parser.parse_args(argv)
 
     from yoho_tpu.cli.transcribe import (
@@ -80,15 +85,22 @@ def main(argv=None):
         print("no (audio, transcript) pairs found")
         return 1
 
+    if args.normalizer == "english":
+        from yoho_tpu.eval.english_normalizer import normalize_english as norm
+    else:
+        norm = normalize_for_wer
+
     refs, hyps, exact = [], [], 0
     for audio_path, ref in pairs:
         hyp = t.transcribe(str(audio_path)).text
-        refs.append(ref)
-        hyps.append(hyp)
-        exact += normalize_for_wer(ref) == normalize_for_wer(hyp)
+        refs.append(norm(ref))
+        hyps.append(norm(hyp))
+        exact += refs[-1] == hyps[-1]
 
-    wer_rate, wst = wer(refs, hyps)
-    cer_rate, _ = cer(refs, hyps)
+    # refs/hyps are already normalized above; don't re-normalize inside
+    # (the basic pass would split english-normalized decimals like 3.14).
+    wer_rate, wst = wer(refs, hyps, normalize=False)
+    cer_rate, _ = cer(refs, hyps, normalize=False)
     report = {
         "utterances": len(pairs),
         "wer": round(wer_rate, 4),

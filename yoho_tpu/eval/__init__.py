@@ -1,4 +1,5 @@
 from yoho_tpu.eval.wer import cer, edit_distance, normalize_for_wer, wer  # noqa: F401
+from yoho_tpu.eval.english_normalizer import normalize_english  # noqa: F401
 from yoho_tpu.eval.diarization import (  # noqa: F401
     SpeakerTurn,
     cosine_scores,
