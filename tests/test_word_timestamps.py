@@ -153,3 +153,55 @@ def test_forced_alignment_api():
 
     with pytest.raises(ValueError):
         t.align(np.zeros(cfg.n_samples * 2, np.float32), "too long")
+
+
+def test_align_many_matches_single():
+    """Batched forced alignment equals per-pair align() word for word."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.infer.pipeline import Transcriber
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    class FakeBPE:
+        def encode(self, text, add_special_tokens=False):
+            return [ord(c) % 100 for c in text]
+
+        def decode(self, ids):
+            return "".join(" ab"[i % 3] for i in ids)
+
+        def convert_ids_to_tokens(self, ids):
+            return ["x"] * len(ids)
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=48, n_text_state=32, n_text_head=4,
+                        n_text_layer=2, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True, text_backend=FakeBPE())
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=2, timestamps=False)
+
+    g = np.random.default_rng(1)
+    pairs = [
+        ((0.1 * g.standard_normal(cfg.n_samples)).astype(np.float32),
+         "hello world"),
+        ((0.1 * g.standard_normal(cfg.n_samples // 2)).astype(np.float32),
+         "short clip here"),
+        ((0.1 * g.standard_normal(cfg.n_samples)).astype(np.float32),
+         "a third utterance"),  # spills into a second padded batch
+    ]
+    batched = t.align_many(pairs)
+    assert len(batched) == 3
+    for (audio, text), words in zip(pairs, batched):
+        single = t.align(audio, text)
+        assert [w.word for w in words] == [w.word for w in single]
+        for wb, ws in zip(words, single):
+            assert abs(wb.start - ws.start) < 1e-4
+            assert abs(wb.end - ws.end) < 1e-4

@@ -446,6 +446,61 @@ class Transcriber:
             max_duration=len(audio) / self.sample_rate,
         )
 
+    def align_many(self, pairs: Sequence[tuple],
+                   sample_rate: Optional[int] = None) -> List[list]:
+        """Batched forced alignment: [(audio, text), ...] -> [[WordTiming]].
+
+        Same contract as :meth:`align` per pair (one window each), but
+        pools all pairs into padded ``batch_size`` batches over ONE
+        compiled teacher-forcing program — the bulk path for subtitle /
+        karaoke alignment jobs.
+        """
+        from yoho_tpu.infer.word_timestamps import (
+            token_frame_alignment,
+            words_from_alignment,
+        )
+
+        assert self.family == "whisper", "align() is a whisper feature"
+        tt = self.token_table
+        sot = tt.sot_sequence(self.language, "transcribe", timestamps=False)
+        spf = 2 * self.hop / self.sample_rate
+
+        prepped = []
+        for audio, text in pairs:
+            audio = self._prepare_audio(audio, sample_rate)
+            if len(audio) > self.chunk_samples:
+                raise ValueError(
+                    "align_many() takes one window per pair; split longer "
+                    "audio at utterance boundaries first")
+            text_ids = [int(t) for t in tt.encode_text(" " + text.strip())]
+            ids = sot + text_ids + [tt.eot]
+            if len(ids) > self.max_len:
+                raise ValueError(
+                    f"text too long ({len(ids)} tokens > {self.max_len})")
+            prepped.append((audio, text_ids, ids))
+
+        results: List[list] = []
+        b = self.batch_size
+        for i in range(0, len(prepped), b):
+            group = prepped[i : i + b]
+            window = np.zeros((b, self.chunk_samples), np.float32)
+            pad = np.full((b, self.max_len), self.eot, np.int32)
+            for j, (audio, _text_ids, ids) in enumerate(group):
+                window[j, : len(audio)] = audio
+                pad[j, : len(ids)] = ids
+            mel = self._features(self._to_device(window))
+            amap = np.asarray(self._align_fn(b)(self.variables, mel,
+                                                jnp.asarray(pad)))
+            for j, (audio, text_ids, ids) in enumerate(group):
+                frames = token_frame_alignment(amap[j, : len(ids)])
+                text_pos = list(range(len(sot), len(sot) + len(text_ids)))
+                results.append(words_from_alignment(
+                    text_ids, frames[text_pos], spf,
+                    lambda ii: "".join(self._decode_piece(t) for t in ii),
+                    max_duration=len(audio) / self.sample_rate,
+                ))
+        return results
+
     @staticmethod
     def _compression_ratio(text: str) -> float:
         import zlib
