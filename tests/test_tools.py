@@ -91,3 +91,21 @@ def test_structured_logger(capsys):
     rec = json.loads(buf.getvalue())
     assert rec["event"] == "update" and rec["step"] == 3
     assert rec["level"] == "info" and "ts" in rec
+
+
+def test_compilation_cache_config(tmp_path, monkeypatch):
+    import jax
+
+    from yoho_tpu.utils.platform import enable_compilation_cache
+
+    target = tmp_path / "xla_cache"
+    enable_compilation_cache(str(target))
+    assert target.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(target)
+    # Env kill-switch wins over the default path.
+    monkeypatch.setenv("YOHO_COMPILE_CACHE", "off")
+    other = tmp_path / "nope"
+    jax.config.update("jax_compilation_cache_dir", None)
+    enable_compilation_cache(str(other))
+    assert not other.exists()
+    assert jax.config.jax_compilation_cache_dir is None

@@ -75,7 +75,13 @@ class VadOptions:
 
 def frame_energies_db(audio: np.ndarray, sample_rate: int,
                       opts: VadOptions) -> Tuple[np.ndarray, int]:
-    """Per-frame RMS energy in dBFS. Returns (energies, hop_samples)."""
+    """Per-frame RMS energy in dBFS. Returns (energies, hop_samples).
+
+    O(n) via a cumulative sum of squares (exact for the rectangular RMS
+    window) — a materialized (frames, frame_len) gather costs ~100x more
+    memory traffic and made hour-scale VAD slower than the decode it was
+    meant to save (measured: 15 s for 16 min of audio; this runs in ms).
+    """
     audio = np.asarray(audio, np.float32)
     frame = max(int(sample_rate * opts.frame_ms / 1000.0), 1)
     hop = max(int(sample_rate * opts.hop_ms / 1000.0), 1)
@@ -84,9 +90,10 @@ def frame_energies_db(audio: np.ndarray, sample_rate: int,
         pad[: len(audio)] = audio
         audio = pad
     n = 1 + (len(audio) - frame) // hop
-    idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
-    frames = audio[idx]
-    rms = np.sqrt(np.mean(frames * frames, axis=1) + 1e-12)
+    csq = np.concatenate(([0.0], np.cumsum(np.square(audio, dtype=np.float64))))
+    starts = hop * np.arange(n)
+    sums = csq[starts + frame] - csq[starts]
+    rms = np.sqrt(sums / frame + 1e-12)
     return 20.0 * np.log10(rms + 1e-12), hop
 
 

@@ -56,6 +56,9 @@ def main(argv=None):
     parser.add_argument("--int8-weights", action="store_true",
                         help="evaluate with the weight-only int8 decoder "
                              "(measure the quantization quality delta)")
+    parser.add_argument("--vad", action="store_true",
+                        help="collapse silence before decoding (measures "
+                             "the quality impact of VAD on this corpus)")
     parser.add_argument("--normalizer", choices=("basic", "english"),
                         default="basic",
                         help="'english' applies whisper-style normalization "
@@ -74,11 +77,13 @@ def main(argv=None):
                                       None if args.language == "auto" else args.language,
                                       True,
                                       quantized=args.int8_kv,
-                                      int8_weights=args.int8_weights)
+                                      int8_weights=args.int8_weights,
+                                      vad_filter=args.vad)
     else:
         t = build_yoho_transcriber(args.session, args.root, args.beams,
                                    args.batch,
-                                   int8_weights=args.int8_weights)
+                                   int8_weights=args.int8_weights,
+                                   vad_filter=args.vad)
 
     pairs = collect_pairs(Path(args.dataset), args.limit)
     if not pairs:

@@ -14,12 +14,45 @@ import os
 
 def apply_platform_env() -> None:
     plat = os.environ.get("JAX_PLATFORMS")
-    if not plat:
+    if plat:
+        import jax
+
+        try:
+            if jax.config.jax_platforms != plat:
+                jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
+    if os.environ.get("YOHO_COMPILE_CACHE"):
+        enable_compilation_cache()
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persist XLA compilations across process restarts (OPT-IN).
+
+    Big jits (the serving decode program, the training step) take minutes
+    to compile on a cold TPU process; a disk cache makes restarts pay
+    only a hash lookup. Enable with env ``YOHO_COMPILE_CACHE=1`` (default
+    path ``~/.cache/yoho_tpu/xla``) or ``YOHO_COMPILE_CACHE=/dir``, or
+    call this directly. Deliberately NOT on by default: setting the cache
+    dir makes jax enumerate every registered platform at first compile
+    (plugin backends initialize eagerly), which a pure-CPU run should
+    never pay. Applies to standard local-compile platforms (tpu/gpu/cpu);
+    remote-compile relays (e.g. the experimental ``axon`` tunnel, which
+    compiles server-side) bypass the local cache — measured: zero cache
+    entries written there.
+    """
+    env = os.environ.get("YOHO_COMPILE_CACHE", "")
+    if env.lower() in ("0", "off", "none"):
         return
+    cache_dir = path or (env if env not in ("", "1", "true", "on")
+                         else "") or os.path.join(
+        os.path.expanduser("~"), ".cache", "yoho_tpu", "xla")
     import jax
 
     try:
-        if jax.config.jax_platforms != plat:
-            jax.config.update("jax_platforms", plat)
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # Cache everything that takes meaningful time, not only >1 min.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
-        pass
+        pass  # older jax or read-only home: run uncached
