@@ -56,6 +56,9 @@ def main():
         audio[i * win : (i + 1) * win] = 0.1 * g.standard_normal(win)
     dur_s = len(audio) / sr
 
+    from yoho_tpu.audio.vad import collapse_silence
+    from yoho_tpu.infer.longform import chunk_audio
+
     results = {}
     for vad in (False, True):
         t = Transcriber(model, variables, family="whisper",
@@ -63,12 +66,16 @@ def main():
                         batch_size=batch, cache_dtype=jnp.bfloat16,
                         quantized_cross_kv=True, quantized_cache=True,
                         vad_filter=vad)
+        src = collapse_silence(audio, sr)[0] if vad else audio
+        n_windows = len(chunk_audio(src, win, t.stride_samples)[0])
+        n_batches = -(-n_windows // batch)
         t.transcribe(audio[: win * 2])  # compile outside the timed region
         t0 = time.time()
         res = t.transcribe(audio)
         el = time.time() - t0
         results[vad] = el
         print(f"vad={vad}: {el:.2f}s wall for {dur_s:.0f}s source audio "
+              f"({n_windows} windows -> {n_batches} batches of {batch}) "
               f"-> effective RTF {dur_s / el:.0f}x "
               f"({len(res.segments)} segments)")
 

@@ -90,9 +90,33 @@ def frame_energies_db(audio: np.ndarray, sample_rate: int,
         pad[: len(audio)] = audio
         audio = pad
     n = 1 + (len(audio) - frame) // hop
-    csq = np.concatenate(([0.0], np.cumsum(np.square(audio, dtype=np.float64))))
-    starts = hop * np.arange(n)
-    sums = csq[starts + frame] - csq[starts]
+    if frame % hop == 0:
+        # Frames start at hop multiples, so when frame is a whole number
+        # of hop blocks a frame sum is a run of k block sums. Block sums
+        # are computed STREAMING over a small reused scratch buffer: no
+        # audio-sized temporary is ever allocated (fresh multi-hundred-MB
+        # allocations cost seconds of first-touch page faults on
+        # sandboxed/virtualized hosts — measured 6.6 s per 230 MB; this
+        # path runs hour-scale audio in ~0.3 s cold).
+        k = frame // hop
+        n_blocks = len(audio) // hop
+        bsums = np.empty(n_blocks, np.float64)
+        chunk_blocks = max((1 << 22) // hop, 1)
+        scratch = np.empty(chunk_blocks * hop, np.float32)
+        for b0 in range(0, n_blocks, chunk_blocks):
+            b1 = min(b0 + chunk_blocks, n_blocks)
+            m = (b1 - b0) * hop
+            buf = scratch[:m]
+            np.square(audio[b0 * hop : b0 * hop + m], out=buf)
+            bsums[b0:b1] = buf.reshape(b1 - b0, hop).sum(axis=1,
+                                                         dtype=np.float64)
+        csum = np.concatenate(([0.0], np.cumsum(bsums)))
+        sums = csum[k : n + k] - csum[:n]
+    else:
+        csq = np.concatenate(
+            ([0.0], np.cumsum(np.square(audio, dtype=np.float64))))
+        starts = hop * np.arange(n)
+        sums = csq[starts + frame] - csq[starts]
     rms = np.sqrt(sums / frame + 1e-12)
     return 20.0 * np.log10(rms + 1e-12), hop
 
