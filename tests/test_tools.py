@@ -109,3 +109,23 @@ def test_compilation_cache_config(tmp_path, monkeypatch):
     enable_compilation_cache(str(other))
     assert not other.exists()
     assert jax.config.jax_compilation_cache_dir is None
+
+
+def test_umbrella_cli_dispatch(tmp_path, capsys):
+    """`yoho <command>` dispatches to the per-task CLI mains; every
+    advertised command resolves to a module with a main(argv)."""
+    import importlib
+
+    from yoho_tpu.cli.__main__ import COMMANDS, main
+
+    assert main([]) == 0
+    assert "transcribe" in capsys.readouterr().out
+    assert main(["--help"]) == 0
+    capsys.readouterr()
+    assert main(["definitely-not-a-command"]) == 2
+    assert "unknown command" in capsys.readouterr().err
+    for mod_name, _desc in COMMANDS.values():
+        assert callable(getattr(importlib.import_module(mod_name), "main"))
+    # end-to-end through the dispatcher: create a session
+    assert main(["create-session", "disp", "--root", str(tmp_path)]) == 0
+    assert (tmp_path / "disp" / "config.toml").exists()

@@ -1,0 +1,55 @@
+"""Umbrella CLI: ``yoho <command> ...`` (also ``python -m yoho_tpu.cli``).
+
+One dispatcher over the per-task CLIs so the framework installs a single
+discoverable command (the reference drives everything through bare
+scripts — ``train/run_train_session.py:7-27``); each subcommand is also
+installed as its own ``yoho-<command>`` console script.
+"""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+COMMANDS = {
+    "transcribe": ("yoho_tpu.cli.transcribe", "Transcribe audio files"),
+    "serve": ("yoho_tpu.cli.serve", "HTTP transcription server"),
+    "evaluate": ("yoho_tpu.cli.evaluate", "WER/CER evaluation over a corpus"),
+    "create-session": ("yoho_tpu.cli.create_session",
+                       "Scaffold a training session"),
+    "run-session": ("yoho_tpu.cli.run_session", "Run a training stage (0-4)"),
+    "plot-metrics": ("yoho_tpu.cli.plot_metrics",
+                     "Live metrics dashboard for a session"),
+    "split-tracks": ("yoho_tpu.cli.split_tracks",
+                     "Split long (audio, SRT) pairs into chunks"),
+    "summary": ("yoho_tpu.cli.summary", "Model/param summary"),
+    "score-diarization": ("yoho_tpu.cli.score_diarization",
+                          "DER between reference and hypothesis RTTM"),
+}
+
+
+def _usage() -> str:
+    lines = ["usage: yoho <command> [args...]", "", "commands:"]
+    width = max(map(len, COMMANDS))
+    for name, (_mod, desc) in COMMANDS.items():
+        lines.append(f"  {name:<{width}}  {desc}")
+    lines.append("")
+    lines.append("run 'yoho <command> --help' for command arguments")
+    return "\n".join(lines)
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(_usage())
+        return 0
+    name = argv[0]
+    if name not in COMMANDS:
+        print(f"yoho: unknown command {name!r}\n\n{_usage()}", file=sys.stderr)
+        return 2
+    module = importlib.import_module(COMMANDS[name][0])
+    return module.main(argv[1:]) or 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
