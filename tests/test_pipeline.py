@@ -416,3 +416,32 @@ def test_translate_task_prompt_and_smoke():
     with pytest.raises(ValueError):
         Transcriber(model, variables, family="whisper", token_table=table,
                     task="summarize")
+
+
+def test_segment_quality_signals():
+    """Whisper-family segments carry window-level quality signals
+    (avg_logprob / no_speech_prob / temperature / compression_ratio) —
+    the per-segment metadata OpenAI's verbose_json exposes."""
+    import jax
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=16, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=1)
+    g = np.random.default_rng(0)
+    res = t.transcribe(0.1 * g.standard_normal(cfg.n_samples).astype(np.float32))
+    for seg in res.segments:
+        assert seg.avg_logprob is not None and seg.avg_logprob <= 0.0
+        assert seg.no_speech_prob is not None and 0.0 <= seg.no_speech_prob <= 1.0
+        assert seg.temperature == 0.0
+        assert seg.compression_ratio is not None and seg.compression_ratio >= 0.0

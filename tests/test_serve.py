@@ -168,3 +168,97 @@ def test_server_concurrent_requests_batch(server):
     with urllib.request.urlopen(server + "/statz") as r:
         stats = json.load(r)
     assert stats["requests_served"] >= 4
+
+
+# ----------------------------------------------------- OpenAI-compatible API
+def _wav_bytes(n=5360, sr=16000):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(np.zeros(n, np.int16).tobytes())
+    return buf.getvalue()
+
+
+def _multipart(fields):
+    """fields: {name: (filename|None, bytes)} -> (content_type, body)."""
+    boundary = "yohoboundary123"
+    parts = []
+    for name, (filename, data) in fields.items():
+        disp = f'form-data; name="{name}"'
+        if filename:
+            disp += f'; filename="{filename}"'
+        parts.append(
+            (f"--{boundary}\r\nContent-Disposition: {disp}\r\n\r\n").encode()
+            + data + b"\r\n")
+    body = b"".join(parts) + f"--{boundary}--\r\n".encode()
+    return f"multipart/form-data; boundary={boundary}", body
+
+
+def _post_openai(server, fields, path="/v1/audio/transcriptions"):
+    ctype, body = _multipart(fields)
+    req = urllib.request.Request(server + path, data=body,
+                                 headers={"Content-Type": ctype})
+    return urllib.request.urlopen(req)
+
+
+def test_openai_transcriptions_json(server):
+    with _post_openai(server, {"file": ("a.wav", _wav_bytes()),
+                               "model": (None, b"whisper-1")}) as r:
+        payload = json.load(r)
+    assert set(payload) == {"text"}
+
+
+def test_openai_transcriptions_verbose_json(server):
+    with _post_openai(server, {
+        "file": ("a.wav", _wav_bytes()),
+        "response_format": (None, b"verbose_json"),
+    }) as r:
+        payload = json.load(r)
+    assert payload["task"] == "transcribe"
+    assert abs(payload["duration"] - 5360 / 16000) < 1e-3
+    for seg in payload["segments"]:
+        assert {"id", "seek", "start", "end", "text", "tokens", "temperature",
+                "avg_logprob", "compression_ratio",
+                "no_speech_prob"} <= set(seg)
+
+
+def test_openai_transcriptions_text_and_srt(server):
+    with _post_openai(server, {"file": ("a.wav", _wav_bytes()),
+                               "response_format": (None, b"text")}) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        r.read()
+    with _post_openai(server, {"file": ("a.wav", _wav_bytes()),
+                               "response_format": (None, b"srt")}) as r:
+        body = r.read().decode()
+    assert body == "" or "-->" in body
+
+
+def test_openai_translations_rejected_on_transcribe_server(server):
+    try:
+        _post_openai(server, {"file": ("a.wav", _wav_bytes())},
+                     path="/v1/audio/translations")
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "transcribe" in json.load(e)["error"]["message"]
+
+
+def test_openai_bad_requests(server):
+    try:
+        _post_openai(server, {"model": (None, b"whisper-1")})
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 400 and "file" in json.load(e)["error"]["message"]
+    try:
+        _post_openai(server, {"file": ("a.wav", _wav_bytes()),
+                              "response_format": (None, b"yaml")})
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    try:
+        _post_openai(server, {"file": ("a.bin", b"\x00\x01garbage")})
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 415

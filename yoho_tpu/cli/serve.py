@@ -1,10 +1,22 @@
 """Minimal HTTP serving daemon for batched transcription.
 
 The serving layer the reference lacks entirely (SURVEY.md §1). Stdlib-only:
-POST /transcribe with a WAV (or raw f32 PCM) body -> JSON segments;
-GET /healthz for liveness, GET /statz for batcher counters. Concurrent
-requests are MICRO-BATCHED (yoho_tpu.infer.batching): their 30 s windows
-share the fixed-batch decode programs instead of serializing behind a lock.
+
+* ``POST /transcribe`` with a WAV (or raw f32 PCM) body -> JSON segments.
+* ``POST /v1/audio/transcriptions`` (and ``/v1/audio/translations`` when
+  started with ``--task translate``): OpenAI-compatible multipart
+  endpoint — drop-in for existing OpenAI/faster-whisper clients.
+  ``response_format`` json | text | verbose_json | srt | vtt; per-segment
+  quality signals (avg_logprob, no_speech_prob, compression_ratio,
+  temperature) ride in verbose_json. ``model``/``language``/``prompt``/
+  ``temperature`` fields are accepted; decode policy is fixed by the
+  server's flags (one compiled program serves every request), so they do
+  not override it per-request.
+* ``GET /healthz`` liveness, ``GET /statz`` batcher counters.
+
+Concurrent requests are MICRO-BATCHED (yoho_tpu.infer.batching): their
+30 s windows share the fixed-batch decode programs instead of serializing
+behind a lock.
 
 Usage: ``python -m yoho_tpu.cli.serve (--hf ... | --session ...)
 [--port 8000] [--batch 8] [--max-wait-ms 25]``
@@ -16,6 +28,8 @@ import argparse
 import io
 import json
 import wave
+from email.parser import BytesParser
+from email.policy import HTTP as _HTTP_POLICY
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -32,6 +46,95 @@ def _decode_wav_bytes(body: bytes, target_sr: int) -> np.ndarray:
     if n_ch > 1:
         data = data.reshape(-1, n_ch).mean(axis=1)
     return resample(data, sr, target_sr)
+
+
+def _parse_multipart(body: bytes, content_type: str):
+    """multipart/form-data -> {field: (filename | None, bytes)} (stdlib)."""
+    msg = BytesParser(policy=_HTTP_POLICY).parsebytes(
+        b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body)
+    if not msg.is_multipart():
+        raise ValueError("expected multipart/form-data")
+    fields = {}
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if name:
+            fields[name] = (part.get_filename(), part.get_payload(decode=True))
+    return fields
+
+
+def _audio_from_upload(filename, data: bytes, target_sr: int) -> np.ndarray:
+    """Decode an uploaded audio file body. WAV natively; other containers
+    via the ffmpeg-backed loader when available."""
+    if data[:4] == b"RIFF":
+        return _decode_wav_bytes(data, target_sr)
+    import tempfile
+    from pathlib import Path
+
+    from yoho_tpu.audio.io import load_audio_f32
+
+    suffix = Path(filename or "upload.bin").suffix or ".bin"
+    with tempfile.NamedTemporaryFile(suffix=suffix) as f:
+        f.write(data)
+        f.flush()
+        return load_audio_f32(f.name, target_sr)
+
+
+def _segment_payload(s, index: int) -> dict:
+    payload = {
+        "id": index,
+        "seek": 0,
+        "start": s.start,
+        "end": s.end,
+        "text": s.text,
+        "tokens": list(map(int, s.tokens)),
+        "temperature": s.temperature,
+        "avg_logprob": s.avg_logprob,
+        "compression_ratio": s.compression_ratio,
+        "no_speech_prob": s.no_speech_prob,
+    }
+    if s.speaker is not None:
+        payload["speaker"] = s.speaker
+    if s.words:
+        payload["words"] = [
+            {"word": w.word, "start": w.start, "end": w.end} for w in s.words
+        ]
+    return payload
+
+
+def _render_openai(result, response_format: str, duration: float, task: str):
+    """-> (content_type, bytes) per the OpenAI audio API response formats."""
+    if response_format == "text":
+        return "text/plain; charset=utf-8", (result.text + "\n").encode()
+    if response_format in ("srt", "vtt"):
+        from yoho_tpu.text.srt import (
+            compose_srt,
+            compose_vtt,
+            segments_to_subtitles,
+        )
+
+        subs = segments_to_subtitles(result.segments)
+        out = compose_srt(subs) if response_format == "srt" else compose_vtt(subs)
+        return "text/plain; charset=utf-8", out.encode()
+    if response_format == "verbose_json":
+        payload = {
+            "task": task,
+            "language": result.language,
+            "duration": round(duration, 3),
+            "text": result.text,
+            "segments": [
+                _segment_payload(s, i) for i, s in enumerate(result.segments)
+            ],
+        }
+        words = [w for s in result.segments for w in (s.words or [])]
+        if words:
+            payload["words"] = [
+                {"word": w.word, "start": w.start, "end": w.end} for w in words
+            ]
+        return ("application/json",
+                json.dumps(payload, ensure_ascii=False).encode())
+    # default: "json"
+    return ("application/json",
+            json.dumps({"text": result.text}, ensure_ascii=False).encode())
 
 
 def make_handler(transcriber, batcher):
@@ -58,7 +161,70 @@ def make_handler(transcriber, batcher):
             else:
                 self._json(404, {"error": "not found"})
 
+        def _send(self, code: int, ctype: str, body: bytes) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _openai_audio(self, task: str) -> None:
+            server_task = getattr(transcriber, "task", "transcribe")
+            if task != server_task:
+                self._json(400, {"error": {
+                    "message": (f"this server decodes task={server_task!r}; "
+                                f"start it with --task {task} to serve this "
+                                "endpoint"),
+                    "type": "invalid_request_error"}})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(length)
+                ctype = self.headers.get("Content-Type", "")
+                if "multipart/form-data" not in ctype:
+                    self._json(400, {"error": {
+                        "message": "expected multipart/form-data with a "
+                                   "'file' field",
+                        "type": "invalid_request_error"}})
+                    return
+                fields = _parse_multipart(body, ctype)
+                if "file" not in fields:
+                    self._json(400, {"error": {
+                        "message": "missing required field 'file'",
+                        "type": "invalid_request_error"}})
+                    return
+                filename, data = fields["file"]
+                try:
+                    audio = _audio_from_upload(filename, data,
+                                               transcriber.sample_rate)
+                except Exception as e:  # noqa: BLE001 — codec failure
+                    self._json(415, {"error": {
+                        "message": f"could not decode {filename!r}: {e}",
+                        "type": "invalid_request_error"}})
+                    return
+                fmt = (fields.get("response_format", (None, b"json"))[1]
+                       .decode().strip() or "json")
+                if fmt not in ("json", "text", "verbose_json", "srt", "vtt"):
+                    self._json(400, {"error": {
+                        "message": f"unsupported response_format {fmt!r}",
+                        "type": "invalid_request_error"}})
+                    return
+                result = batcher.submit(audio)
+                duration = len(audio) / transcriber.sample_rate
+                ctype_out, out = _render_openai(result, fmt, duration, task)
+                self._send(200, ctype_out, out)
+            except Exception as e:  # noqa: BLE001 — report, keep serving
+                self._json(500, {"error": {
+                    "message": f"{type(e).__name__}: {e}",
+                    "type": "server_error"}})
+
         def do_POST(self):
+            if self.path.rstrip("/") == "/v1/audio/transcriptions":
+                self._openai_audio("transcribe")
+                return
+            if self.path.rstrip("/") == "/v1/audio/translations":
+                self._openai_audio("translate")
+                return
             if self.path not in ("/transcribe", "/transcribe/"):
                 self._json(404, {"error": "not found"})
                 return
@@ -118,6 +284,10 @@ def main(argv=None):
                         help="micro-batching window for concurrent requests")
     parser.add_argument("--beams", type=int, default=0)
     parser.add_argument("--language", type=str, default="en")
+    parser.add_argument("--task", type=str, default="transcribe",
+                        choices=("transcribe", "translate"),
+                        help="whisper task (translate also enables the "
+                             "OpenAI /v1/audio/translations endpoint)")
     parser.add_argument("--int8-kv", action="store_true",
                         help="int8 KV caches (faster, argmax-identical)")
     parser.add_argument("--int8-weights", action="store_true",
@@ -137,6 +307,7 @@ def main(argv=None):
                                       True,
                                       quantized=args.int8_kv,
                                       int8_weights=args.int8_weights,
+                                      task=args.task,
                                       vad_filter=args.vad)
     else:
         t = build_yoho_transcriber(args.session, args.root, args.beams,

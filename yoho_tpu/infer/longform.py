@@ -26,6 +26,14 @@ class Segment:
     voiceprint: Optional[np.ndarray] = None
     speaker: Optional[int] = None  # diarization label (yoho family)
     words: Optional[list] = None  # List[WordTiming] when word_timestamps on
+    # Decode-quality signals, stamped per source window (whisper family):
+    # mean logprob of the window's generated tokens, p(<|nospeech|>) at the
+    # transcript start, the temperature-ladder rung the window ended on,
+    # and gzip compression ratio of the window text (repetition signal).
+    avg_logprob: Optional[float] = None
+    no_speech_prob: Optional[float] = None
+    temperature: Optional[float] = None
+    compression_ratio: Optional[float] = None
 
 
 def chunk_audio(
@@ -91,6 +99,10 @@ def stitch_segments(
                         words=[type(w)(w.word, round(off + w.start, 3),
                                        round(off + w.end, 3))
                                for w in seg.words] if seg.words else None,
+                        avg_logprob=seg.avg_logprob,
+                        no_speech_prob=seg.no_speech_prob,
+                        temperature=seg.temperature,
+                        compression_ratio=seg.compression_ratio,
                     )
                 )
     out.sort(key=lambda s: (s.start, s.end))

@@ -566,6 +566,33 @@ class Transcriber:
             return np.zeros(len(lengths), bool)
         return (ns > self.no_speech_threshold) & (avg_lp < self.logprob_threshold)
 
+    def _attach_quality(self, segs: List[List[Segment]], lengths: np.ndarray,
+                        aux, n_prompt: Optional[int] = None) -> None:
+        """Stamp window-level decode-quality signals onto each window's
+        segments (the signals OpenAI/faster-whisper expose per segment:
+        avg_logprob, no_speech_prob, temperature, compression_ratio).
+        Signals are per decoded window — every segment parsed from the
+        same window shares them."""
+        if n_prompt is None:
+            n_prompt = len(self._prompt_ids())
+        sum_lp = aux.get("sum_logprob")
+        ns = aux.get("no_speech_prob")
+        temps = aux.get("used_temperature")
+        for j, window_segs in enumerate(segs):
+            if not window_segs:
+                continue
+            gen = max(int(lengths[j]) - n_prompt, 1)
+            text = " ".join(s.text for s in window_segs if s.text).strip()
+            ratio = self._compression_ratio(text)
+            for s in window_segs:
+                if sum_lp is not None:
+                    s.avg_logprob = float(sum_lp[j]) / gen
+                if ns is not None:
+                    s.no_speech_prob = float(ns[j])
+                if temps is not None:
+                    s.temperature = float(temps[j])
+                s.compression_ratio = ratio
+
     def _to_device(self, batch: np.ndarray):
         if self.mesh is not None:
             from yoho_tpu.parallel.mesh import shard_batch
@@ -751,6 +778,7 @@ class Transcriber:
             segs = ([] if silent[0]
                     else self._tokens_to_segments(tokens[0], int(lengths[0]),
                                                   n_prompt=len(ids)))
+            self._attach_quality([segs], lengths, aux, n_prompt=len(ids))
             self._attach_words(mel[:1], tokens[:1], lengths[:1], [segs],
                                n_prompt=len(ids))
             per_window.append(segs)
@@ -837,6 +865,7 @@ class Transcriber:
                 [] if silent[j] else self._tokens_to_segments(tokens[j], int(lengths[j]))
                 for j in range(actual)
             ]
+            self._attach_quality(segs, lengths, aux)
             self._attach_voiceprints(mel[:actual], tokens[:actual], segs)
             self._attach_words(mel[:actual], tokens[:actual], lengths[:actual], segs)
             per_window.extend(segs)
@@ -917,6 +946,7 @@ class Transcriber:
                 [] if silent[j] else self._tokens_to_segments(tokens[j], int(lengths[j]))
                 for j in range(len(group))
             ]
+            self._attach_quality(segs, lengths, aux)
             self._attach_voiceprints(mel[: len(group)], tokens[: len(group)], segs)
             for s in segs:
                 text = " ".join(x.text for x in s if x.text).strip()
