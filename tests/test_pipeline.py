@@ -445,3 +445,31 @@ def test_segment_quality_signals():
         assert seg.no_speech_prob is not None and 0.0 <= seg.no_speech_prob <= 1.0
         assert seg.temperature == 0.0
         assert seg.compression_ratio is not None and seg.compression_ratio >= 0.0
+
+
+def test_detect_language_many_matches_single():
+    """Batched language ID returns exactly the per-request results of
+    detect_language (padding slots must not perturb real rows)."""
+    import jax
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=16, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=2)
+    g = np.random.default_rng(1)
+    audios = [0.1 * g.standard_normal(cfg.n_samples).astype(np.float32)
+              for _ in range(3)] + [np.zeros(0, np.float32)]
+    many = t.detect_language_many(audios)
+    singles = [t.detect_language(a)[0] for a in audios[:3]]
+    assert many[:3] == singles
+    assert many[3] == "en"  # empty audio defaults without a device call

@@ -821,13 +821,12 @@ class Transcriber:
                 self._apply_vad(a) for a in prepared])) if prepared else ([], [])
         else:
             vad_maps = [None] * len(prepared)
-        # Auto language ID (whisper, language=None): detect per request on
-        # its first window. The prompt rides as a traced argument with a
-        # language-independent length, so mixed-language batches share one
-        # compiled program.
+        # Auto language ID (whisper, language=None): all requests' first
+        # windows share batched detection calls. The decode prompt rides as
+        # a traced argument with a language-independent length, so
+        # mixed-language batches share one compiled program.
         if self.language is None and self.family == "whisper":
-            req_langs = [self.detect_language(a)[0] if len(a) else "en"
-                         for a in prepared]
+            req_langs = self.detect_language_many(prepared)
         else:
             req_langs = [self.language] * len(prepared)
 
@@ -891,6 +890,30 @@ class Transcriber:
                                                language=req_lang))
         return results
 
+    def _language_logits(self, windows: np.ndarray) -> np.ndarray:
+        """One decoder step after <|startoftranscript|> for a (b, samples)
+        batch of first windows -> (b, vocab) logits. One compiled program
+        per batch size b (callers pad to a fixed b to share it)."""
+        tt = self.token_table
+        model = self.model
+        b = len(windows)
+
+        key = f"detect_language_{b}"
+        if key not in self._jitted:
+            def run(variables, mel):
+                xa = model.apply(variables, mel, method=type(model).encode_audio)
+                ckv = model.apply(variables, xa, method=type(model).cross_kvs)
+                caches = model.apply(variables, b, self.cache_dtype, 128,
+                                     method=type(model).init_caches)
+                prompt = jnp.full((b, 1), tt.sot, jnp.int32)
+                logits, _ = model.apply(variables, prompt, caches, ckv, 0,
+                                        method=type(model).decode_step)
+                return logits[:, -1]
+
+            self._jitted[key] = jax.jit(run)
+        return np.asarray(self._jitted[key](
+            self.variables, self._features(self._to_device(windows))))
+
     def detect_language(self, audio: Union[str, Path, np.ndarray]):
         """Whisper language ID: one decoder step after <|startoftranscript|>,
         argmax over the language tokens (parity with the reference's
@@ -903,22 +926,7 @@ class Transcriber:
         window[0, : len(clip)] = clip
 
         tt = self.token_table
-        model = self.model
-
-        if "detect_language" not in self._jitted:
-            def run(variables, mel):
-                xa = model.apply(variables, mel, method=type(model).encode_audio)
-                ckv = model.apply(variables, xa, method=type(model).cross_kvs)
-                caches = model.apply(variables, 1, self.cache_dtype, 128,
-                                     method=type(model).init_caches)
-                prompt = jnp.asarray([[tt.sot]], jnp.int32)
-                logits, _ = model.apply(variables, prompt, caches, ckv, 0,
-                                        method=type(model).decode_step)
-                return logits[0, -1]
-
-            self._jitted["detect_language"] = jax.jit(run)
-        logits = np.asarray(self._jitted["detect_language"](
-            self.variables, self._features(self._to_device(window))))
+        logits = self._language_logits(window)[0]
         lang_ids = np.arange(tt.language_base, tt.language_base + len(tt.languages))
         lang_logits = logits[lang_ids]
         probs = np.exp(lang_logits - lang_logits.max())
@@ -927,6 +935,36 @@ class Transcriber:
         return tt.languages[best], {
             lang: float(p) for lang, p in zip(tt.languages, probs)
         }
+
+    def detect_language_many(
+        self, audios: Sequence[Union[str, Path, np.ndarray]],
+    ) -> List[str]:
+        """Batched language ID: all requests' first windows share
+        ``batch_size``-padded device calls instead of one B=1 call each
+        (the auto-language path of ``transcribe_many`` — N concurrent
+        requests cost ceil(N / batch_size) encoder passes, not N)."""
+        assert self.family == "whisper", "language detection is a whisper feature"
+        tt = self.token_table
+        prepared: List[np.ndarray] = []
+        for a in audios:
+            if isinstance(a, (str, Path)):
+                a = load_audio_f32(a, self.sample_rate)
+            prepared.append(np.asarray(a, np.float32))
+
+        langs = ["en"] * len(prepared)
+        todo = [i for i, a in enumerate(prepared) if len(a)]
+        lang_ids = np.arange(tt.language_base, tt.language_base + len(tt.languages))
+        b = self.batch_size
+        for g in range(0, len(todo), b):
+            group = todo[g : g + b]
+            windows = np.zeros((b, self.chunk_samples), np.float32)
+            for j, i in enumerate(group):
+                clip = prepared[i][: self.chunk_samples]
+                windows[j, : len(clip)] = clip
+            logits = self._language_logits(windows)
+            for j, i in enumerate(group):
+                langs[i] = tt.languages[int(np.argmax(logits[j][lang_ids]))]
+        return langs
 
     def transcribe_batch(self, audios: Sequence[np.ndarray]) -> List[TranscriptionResult]:
         """Multi-stream serving: decode up to batch_size independent clips
