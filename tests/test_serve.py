@@ -262,3 +262,128 @@ def test_openai_bad_requests(server):
         assert False
     except urllib.error.HTTPError as e:
         assert e.code == 415
+
+
+# ------------------------------------------------------------ websocket /stream
+def test_websocket_framing_roundtrip():
+    """Protocol unit test: masked client frames (incl. fragmentation and
+    ping) parse into messages; server frames encode all length forms."""
+    import io as _io
+    import struct
+
+    from yoho_tpu.utils import websocket as ws
+
+    def client_frame(opcode, payload, fin=True, mask=b"\x01\x02\x03\x04"):
+        b0 = (0x80 if fin else 0) | opcode
+        n = len(payload)
+        if n < 126:
+            hdr = bytes([b0, 0x80 | n])
+        elif n < 1 << 16:
+            hdr = bytes([b0, 0x80 | 126]) + struct.pack(">H", n)
+        else:
+            hdr = bytes([b0, 0x80 | 127]) + struct.pack(">Q", n)
+        body = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
+        return hdr + mask + body
+
+    out = _io.BytesIO()
+    stream = _io.BytesIO(
+        client_frame(ws.OP_PING, b"hi")
+        + client_frame(ws.OP_TEXT, b"hel", fin=False)
+        + client_frame(ws.OP_CONT, b"lo")
+        + client_frame(ws.OP_BINARY, b"\x00" * 200)  # 126-form length
+        + client_frame(ws.OP_CLOSE, b""))
+    assert ws.read_message(stream, out) == (ws.OP_TEXT, b"hello")
+    assert out.getvalue()[0] & 0x0F == ws.OP_PONG  # ping answered first
+    assert ws.read_message(stream, out) == (ws.OP_BINARY, b"\x00" * 200)
+    assert ws.read_message(stream, out) is None  # close
+    # server-side writer: long frame uses the 8-byte length form
+    big = _io.BytesIO()
+    ws.send_binary(big, b"x" * 70000)
+    assert big.getvalue()[1] == 127
+    assert ws.accept_key("dGhlIHNhbXBsZSBub25jZQ==") == \
+        "s3pPLMBiTxaQ9kYGzzhZRbK+xOo="  # RFC 6455 §1.3 example
+
+
+def _ws_connect(addr):
+    import socket
+
+    host, port = addr
+    s = socket.create_connection((host, port), timeout=60)
+    req = ("GET /stream HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n"
+           "Connection: Upgrade\r\nSec-WebSocket-Key: AAAAAAAAAAAAAAAAAAAAAA==\r\n"
+           "Sec-WebSocket-Version: 13\r\n\r\n")
+    s.sendall(req.encode())
+    resp = b""
+    while b"\r\n\r\n" not in resp:
+        resp += s.recv(4096)
+    assert resp.split(b"\r\n", 1)[0].split()[1] == b"101", resp
+    return s
+
+
+def _ws_send(s, payload, opcode):
+    import struct
+
+    mask = b"\x0a\x0b\x0c\x0d"
+    n = len(payload)
+    if n < 126:
+        hdr = bytes([0x80 | opcode, 0x80 | n])
+    elif n < 1 << 16:
+        hdr = bytes([0x80 | opcode, 0x80 | 126]) + struct.pack(">H", n)
+    else:
+        hdr = bytes([0x80 | opcode, 0x80 | 127]) + struct.pack(">Q", n)
+    s.sendall(hdr + mask + bytes(c ^ mask[i % 4] for i, c in enumerate(payload)))
+
+
+def _ws_recv(s):
+    import struct
+
+    def rx(n):
+        buf = b""
+        while len(buf) < n:
+            d = s.recv(n - len(buf))
+            assert d, "server closed mid-frame"
+            buf += d
+        return buf
+
+    b0, b1 = rx(2)
+    ln = b1 & 0x7F
+    if ln == 126:
+        (ln,) = struct.unpack(">H", rx(2))
+    elif ln == 127:
+        (ln,) = struct.unpack(">Q", rx(8))
+    return b0 & 0x0F, rx(ln)
+
+
+def test_websocket_stream_session(server):
+    """Live /stream session: push PCM in binary frames, end, get a final
+    JSON message whose segments mirror an offline transcribe."""
+    host, port = server.replace("http://", "").split(":")
+    s = _ws_connect((host, int(port)))
+    try:
+        audio = np.zeros(5360 * 2, np.float32)
+        half = audio[: len(audio) // 2]
+        _ws_send(s, half.tobytes(), opcode=2)
+        _ws_send(s, audio[len(audio) // 2:].tobytes(), opcode=2)
+        _ws_send(s, b'{"op": "end"}', opcode=1)
+        final = None
+        while True:
+            op, payload = _ws_recv(s)
+            if op == 8:  # close
+                break
+            msg = json.loads(payload)
+            if msg.get("final"):
+                final = msg
+        assert final is not None
+        assert isinstance(final["text"], str)
+        for seg in final["segments"]:
+            assert {"start", "end", "text"} <= set(seg)
+    finally:
+        s.close()
+
+
+def test_websocket_bad_upgrade(server):
+    try:
+        urllib.request.urlopen(server + "/stream")
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

@@ -12,6 +12,12 @@ The serving layer the reference lacks entirely (SURVEY.md §1). Stdlib-only:
   ``temperature`` fields are accepted; decode policy is fixed by the
   server's flags (one compiled program serves every request), so they do
   not override it per-request.
+* ``GET /stream``: WebSocket real-time transcription (RFC 6455, stdlib
+  framing in ``yoho_tpu/utils/websocket.py``). Client streams binary
+  little-endian float32 mono PCM frames at the server sample rate;
+  finalized segments arrive as JSON text messages as soon as a later
+  window can no longer revise them (same ownership rule as offline
+  stitching); ``{"op": "flush"}`` / ``{"op": "end"}`` force/terminate.
 * ``GET /healthz`` liveness, ``GET /statz`` batcher counters.
 
 Concurrent requests are MICRO-BATCHED (yoho_tpu.infer.batching): their
@@ -150,8 +156,66 @@ def make_handler(transcriber, batcher):
             self.end_headers()
             self.wfile.write(body)
 
+        def _stream(self) -> None:
+            """WebSocket real-time transcription (RFC 6455, stdlib).
+
+            Client sends BINARY frames of little-endian float32 mono PCM
+            at the server's sample rate; the server replies with a TEXT
+            JSON message whenever segments finalize. A TEXT frame
+            ``{"op": "flush"}`` forces pending windows out;
+            ``{"op": "end"}`` (or closing) flushes and ends the session
+            with ``{"final": true, ...}``."""
+            from yoho_tpu.infer.streaming import StreamingTranscriber
+            from yoho_tpu.utils import websocket as ws
+
+            if not ws.perform_handshake(self):
+                self._json(400, {"error": "expected a websocket upgrade"})
+                return
+            stream = StreamingTranscriber(transcriber)
+
+            def emit(segments, final: bool) -> None:
+                if not segments and not final:
+                    return
+                payload = {
+                    "segments": [_segment_payload(s, i)
+                                 for i, s in enumerate(segments)],
+                }
+                if final:
+                    payload["final"] = True
+                    payload["text"] = stream.text()
+                ws.send_text(self.wfile, json.dumps(payload,
+                                                    ensure_ascii=False))
+
+            try:
+                while True:
+                    msg = ws.read_message(self.rfile, self.wfile)
+                    if msg is None:  # peer closed without "end"
+                        return
+                    opcode, payload = msg
+                    if opcode == ws.OP_BINARY:
+                        audio = np.frombuffer(payload, dtype="<f4")
+                        emit(stream.push(audio), final=False)
+                        continue
+                    try:
+                        op = json.loads(payload.decode() or "{}").get("op")
+                    except ValueError:
+                        op = None
+                    if op == "flush":
+                        emit(stream.flush(), final=False)
+                    elif op == "end":
+                        emit(stream.flush(), final=True)
+                        ws.send_close(self.wfile)
+                        return
+                    else:
+                        ws.send_text(self.wfile, json.dumps(
+                            {"error": f"unknown op {op!r}"}))
+            except (ConnectionError, OSError):
+                return  # peer went away; nothing to answer
+
         def do_GET(self):
-            if self.path == "/healthz":
+            if self.path == "/stream":
+                self._stream()
+            elif self.path == "/healthz":
                 self._json(200, {"status": "ok"})
             elif self.path == "/statz":
                 self._json(200, {
@@ -294,6 +358,9 @@ def main(argv=None):
                         help="weight-only int8 decoder (near-lossless)")
     parser.add_argument("--vad", action="store_true",
                         help="collapse silence on the host before decoding")
+    parser.add_argument("--word-timestamps", action="store_true",
+                        help="attach word-level timings (cross-attention "
+                             "DTW); surfaces as 'words' in verbose_json")
     args = parser.parse_args(argv)
 
     from yoho_tpu.cli.transcribe import (
@@ -308,6 +375,7 @@ def main(argv=None):
                                       quantized=args.int8_kv,
                                       int8_weights=args.int8_weights,
                                       task=args.task,
+                                      word_timestamps=args.word_timestamps,
                                       vad_filter=args.vad)
     else:
         t = build_yoho_transcriber(args.session, args.root, args.beams,

@@ -49,6 +49,7 @@ class StreamingTranscriber:
         silent = t._silent_mask(lengths, aux)
         segs = ([] if silent[0]
                 else t._tokens_to_segments(tokens[0], int(lengths[0])))
+        t._attach_quality([segs], lengths, aux)
         t._attach_voiceprints(mel[:1], tokens[:1], [segs])
         t._attach_words(mel[:1], tokens[:1], lengths[:1], [segs])
         self._pending.append((window_start, segs))
@@ -79,6 +80,10 @@ class StreamingTranscriber:
                         words=[type(wd)(wd.word, round(off + wd.start, 3),
                                         round(off + wd.end, 3))
                                for wd in seg.words] if seg.words else None,
+                        avg_logprob=seg.avg_logprob,
+                        no_speech_prob=seg.no_speech_prob,
+                        temperature=seg.temperature,
+                        compression_ratio=seg.compression_ratio,
                     ))
         # Drop finalized windows; keep the last (still revisable) one.
         if not final and self._pending:

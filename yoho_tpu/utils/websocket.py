@@ -1,0 +1,132 @@
+"""Minimal server-side WebSocket (RFC 6455) over stdlib file objects.
+
+Backs the ``/stream`` real-time transcription endpoint in
+``yoho_tpu/cli/serve.py`` — the serving layer is stdlib-only (no
+``websockets``/``aiohttp`` dependency), so the framing lives here.
+Scope: server side of the protocol only — handshake, frame read/write
+with client masking, fragmented messages, ping/pong, close.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import struct
+from typing import Optional, Tuple
+
+_GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
+
+OP_CONT = 0x0
+OP_TEXT = 0x1
+OP_BINARY = 0x2
+OP_CLOSE = 0x8
+OP_PING = 0x9
+OP_PONG = 0xA
+
+
+def accept_key(client_key: str) -> str:
+    digest = hashlib.sha1((client_key + _GUID).encode()).digest()
+    return base64.b64encode(digest).decode()
+
+
+def is_upgrade_request(headers) -> bool:
+    upgrade = (headers.get("Upgrade") or "").lower()
+    connection = (headers.get("Connection") or "").lower()
+    return upgrade == "websocket" and "upgrade" in connection
+
+
+def perform_handshake(handler) -> bool:
+    """Upgrade a BaseHTTPRequestHandler connection. True on success."""
+    key = handler.headers.get("Sec-WebSocket-Key")
+    if not key or not is_upgrade_request(handler.headers):
+        return False
+    handler.send_response_only(101, "Switching Protocols")
+    handler.send_header("Upgrade", "websocket")
+    handler.send_header("Connection", "Upgrade")
+    handler.send_header("Sec-WebSocket-Accept", accept_key(key))
+    handler.end_headers()
+    handler.wfile.flush()
+    return True
+
+
+def _read_exact(rfile, n: int) -> bytes:
+    buf = b""
+    while len(buf) < n:
+        chunk = rfile.read(n - len(buf))
+        if not chunk:
+            raise ConnectionError("websocket peer closed mid-frame")
+        buf += chunk
+    return buf
+
+
+def _read_frame(rfile) -> Tuple[bool, int, bytes]:
+    b0, b1 = _read_exact(rfile, 2)
+    fin = bool(b0 & 0x80)
+    opcode = b0 & 0x0F
+    masked = bool(b1 & 0x80)
+    length = b1 & 0x7F
+    if length == 126:
+        (length,) = struct.unpack(">H", _read_exact(rfile, 2))
+    elif length == 127:
+        (length,) = struct.unpack(">Q", _read_exact(rfile, 8))
+    mask = _read_exact(rfile, 4) if masked else None
+    payload = _read_exact(rfile, length)
+    if mask:
+        payload = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
+    return fin, opcode, payload
+
+
+def read_message(rfile, wfile) -> Optional[Tuple[int, bytes]]:
+    """Next complete message as (opcode, payload); None once closed.
+
+    Reassembles fragmented messages and answers pings transparently.
+    """
+    message = b""
+    message_op = None
+    while True:
+        fin, opcode, payload = _read_frame(rfile)
+        if opcode == OP_CLOSE:
+            try:
+                send_close(wfile)
+            except OSError:
+                pass
+            return None
+        if opcode == OP_PING:
+            _write_frame(wfile, OP_PONG, payload)
+            continue
+        if opcode == OP_PONG:
+            continue
+        if opcode in (OP_TEXT, OP_BINARY):
+            message_op = opcode
+            message = payload
+        elif opcode == OP_CONT and message_op is not None:
+            message += payload
+        else:
+            raise ValueError(f"unexpected websocket opcode {opcode:#x}")
+        if fin and message_op is not None:
+            return message_op, message
+
+
+def _write_frame(wfile, opcode: int, payload: bytes) -> None:
+    header = bytes([0x80 | opcode])
+    n = len(payload)
+    if n < 126:
+        header += bytes([n])
+    elif n < (1 << 16):
+        header += bytes([126]) + struct.pack(">H", n)
+    else:
+        header += bytes([127]) + struct.pack(">Q", n)
+    wfile.write(header + payload)
+    wfile.flush()
+
+
+def send_text(wfile, text: str) -> None:
+    _write_frame(wfile, OP_TEXT, text.encode())
+
+
+def send_binary(wfile, data: bytes) -> None:
+    _write_frame(wfile, OP_BINARY, data)
+
+
+def send_close(wfile, code: int = 1000) -> None:
+    _write_frame(wfile, OP_CLOSE, struct.pack(">H", code))
