@@ -204,3 +204,29 @@ def test_beam_search_with_quantized_cross_kv(setup):
     tokens_g, _ = jax.jit(lambda: greedy_decode(
         step, caches, prompt, max_len, EOT))()
     np.testing.assert_array_equal(np.asarray(tokens1), np.asarray(tokens_g))
+
+
+def test_beam_aux_quality_signals(setup):
+    """Beam search with return_aux reports the RAW cumulative logprob of
+    the winning beam (recomputable by teacher-forcing) and a no-speech
+    probability in [0, 1]."""
+    cfg, model, variables, mel, xa = setup
+    prompt = jnp.asarray([[1, 2], [4, 2], [1, 3]], jnp.int32)
+    max_len = 14
+    k = 3
+
+    cross_kvs = model.apply(variables, xa, method=Whisper.cross_kvs)
+    ckv = tile_beams(cross_kvs, k)
+    stepk = make_whisper_step_fn(model, variables, ckv)
+    cachesk = model.apply(variables, 3 * k, jnp.float32, method=Whisper.init_caches)
+    tokens, lengths, scores, aux = beam_search(
+        stepk, cachesk, prompt, max_len, EOT, beams=k, length_penalty=0.7,
+        return_aux=True, no_speech_id=5,
+    )
+    raw = _seq_logprob(model, variables, xa, np.asarray(tokens),
+                       np.asarray(lengths), 2)
+    np.testing.assert_allclose(np.asarray(aux["sum_logprob"]), raw, atol=1e-3)
+    ns = np.asarray(aux["no_speech_prob"])
+    assert ns.shape == (3,) and np.all((ns >= 0) & (ns <= 1))
+    # penalized selection scores differ from raw when length_penalty != 0
+    assert not np.allclose(np.asarray(scores), raw)

@@ -44,11 +44,20 @@ def beam_search(
     length_penalty: float = 1.0,
     suppress_ids: Sequence[int] = (),
     logits_fn=None,
+    return_aux: bool = False,
+    no_speech_id=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns ``(tokens (B, max_len), lengths (B,), best scores (B,))``.
 
     ``step_fn`` must operate on a folded (B*K) batch — tile ``cross_kvs``
     with :func:`tile_beams` before closing over them.
+
+    ``return_aux=True`` additionally returns the quality-signal dict of
+    :func:`yoho_tpu.infer.decode.greedy_decode`: ``sum_logprob`` is the
+    best beam's RAW cumulative logprob (unpenalized — the returned
+    ``scores`` stay length-penalized, they drive selection), and
+    ``no_speech_prob`` (when ``no_speech_id`` is given) is measured on
+    beam 0 at the first generated position.
     """
     b, p = prompt.shape
     k = beams
@@ -62,6 +71,14 @@ def beam_search(
 
     logits, caches = step_fn(v_prompt.astype(jnp.int32), caches, 0)  # (B*K, V)
     vocab = logits.shape[-1]
+
+    no_speech_prob = None
+    if no_speech_id is not None:
+        # Whisper silence signal at the transcript start, beam 0 (all
+        # beams are identical before the first expansion).
+        probs0 = jax.nn.softmax(
+            logits.reshape(b, k, vocab)[:, 0].astype(jnp.float32), axis=-1)
+        no_speech_prob = probs0[:, no_speech_id]
 
     if len(suppress_ids):
         sup = jnp.asarray(list(suppress_ids), jnp.int32)
@@ -132,4 +149,10 @@ def beam_search(
     best_tokens = jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
     best_lengths = jnp.take_along_axis(lengths, best[:, None], axis=1)[:, 0]
     best_scores = jnp.take_along_axis(final, best[:, None], axis=1)[:, 0]
+    if return_aux:
+        aux = {"sum_logprob":
+               jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]}
+        if no_speech_prob is not None:
+            aux["no_speech_prob"] = no_speech_prob
+        return best_tokens, best_lengths.astype(jnp.int32), best_scores, aux
     return best_tokens, best_lengths.astype(jnp.int32), best_scores

@@ -255,14 +255,14 @@ class Transcriber:
                 caches = model.apply(variables, batch * k, self.cache_dtype,
                                      method=type(model).init_caches)
                 step = self._make_step(variables, ckv)
-                tokens, lengths, _ = beam_search(
+                ns_id = (self.token_table.no_speech
+                         if self.family == "whisper" else None)
+                tokens, lengths, _scores, aux = beam_search(
                     step, caches, jnp.asarray(prompt), self.max_len, self.eot,
                     beams=k, suppress_ids=suppress, logits_fn=logits_fn,
+                    return_aux=True, no_speech_id=ns_id,
                 )
-                aux = {
-                    "sum_logprob": jnp.zeros((batch,), jnp.float32),
-                    "no_speech_prob": jnp.zeros((batch,), jnp.float32),
-                }
+                aux.setdefault("no_speech_prob", jnp.zeros((batch,), jnp.float32))
             elif (self.draft_model is not None and float(temperature) == 0.0):
                 from yoho_tpu.infer.speculative import (
                     make_verify_step_fn,
@@ -562,7 +562,7 @@ class Transcriber:
             n_prompt = len(self._prompt_ids())
         gen = np.maximum(lengths - n_prompt, 1)
         avg_lp = sum_lp / gen
-        if self.family != "whisper" or self.beams > 1:
+        if self.family != "whisper":
             return np.zeros(len(lengths), bool)
         return (ns > self.no_speech_threshold) & (avg_lp < self.logprob_threshold)
 
