@@ -159,3 +159,33 @@ def test_yoho_quantized_matches_structure_and_logits():
     toks, lens = jax.jit(lambda c: greedy_decode(
         step, c, jnp.asarray([[1], [2]], jnp.int32), 8, 5))(caches)
     assert toks.shape == (2, 8)
+
+
+def test_quantize_kv_time_major_bit_identical():
+    """quantize_kv/quantize_kv4 on (B, T, H, D) inputs with
+    time_major=True produce byte-identical codes and scales to the
+    time-minor path (absmax is a selection — layout cannot change it)."""
+    import numpy as np
+    from yoho_tpu.nn.layers import quantize_kv, quantize_kv4
+
+    g = np.random.default_rng(7)
+    k_tm = jnp.asarray(g.standard_normal((2, 10, 3, 8)).astype(np.float32))
+    v_tm = jnp.asarray(g.standard_normal((2, 10, 3, 8)).astype(np.float32))
+    k_mn = jnp.transpose(k_tm, (0, 2, 3, 1))
+    v_mn = jnp.transpose(v_tm, (0, 2, 3, 1))
+
+    for fn, pad in ((quantize_kv, None), (quantize_kv, 16),
+                    (quantize_kv4, 16)):
+        a = fn(k_mn, v_mn, pad_to=pad)
+        b = fn(k_tm, v_tm, pad_to=pad, time_major=True)
+        np.testing.assert_array_equal(np.asarray(a.k_q), np.asarray(b.k_q))
+        np.testing.assert_array_equal(np.asarray(a.v_q), np.asarray(b.v_q))
+        assert a.kv_len == b.kv_len
+        # scales agree on REAL positions (padding differs: the legacy
+        # path quantizes padded zeros -> 1e-8 scale, the time-major path
+        # pads the scale tensor with zeros; consumers mask via kv_len)
+        t = a.kv_len or a.k_q.shape[3]
+        np.testing.assert_array_equal(np.asarray(a.k_scale)[..., :t],
+                                      np.asarray(b.k_scale)[..., :t])
+        np.testing.assert_array_equal(np.asarray(a.v_scale)[..., :t],
+                                      np.asarray(b.v_scale)[..., :t])

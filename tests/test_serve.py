@@ -387,3 +387,13 @@ def test_websocket_bad_upgrade(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_query_strings_ignored_in_routing(server):
+    with urllib.request.urlopen(server + "/healthz?probe=1") as r:
+        assert json.load(r)["status"] == "ok"
+    req = urllib.request.Request(
+        server + "/transcribe?sync=1", data=np.zeros(800, np.float32).tobytes(),
+        headers={"Content-Type": "application/octet-stream"})
+    with urllib.request.urlopen(req) as r:
+        assert "text" in json.load(r)

@@ -213,11 +213,12 @@ def make_handler(transcriber, batcher):
                 return  # peer went away; nothing to answer
 
         def do_GET(self):
-            if self.path == "/stream":
+            path = self.path.split("?", 1)[0]
+            if path == "/stream":
                 self._stream()
-            elif self.path == "/healthz":
+            elif path == "/healthz":
                 self._json(200, {"status": "ok"})
-            elif self.path == "/statz":
+            elif path == "/statz":
                 self._json(200, {
                     "requests_served": batcher.requests_served,
                     "batches_dispatched": batcher.batches_dispatched,
@@ -283,13 +284,14 @@ def make_handler(transcriber, batcher):
                     "type": "server_error"}})
 
         def do_POST(self):
-            if self.path.rstrip("/") == "/v1/audio/transcriptions":
+            path = self.path.split("?", 1)[0].rstrip("/")
+            if path == "/v1/audio/transcriptions":
                 self._openai_audio("transcribe")
                 return
-            if self.path.rstrip("/") == "/v1/audio/translations":
+            if path == "/v1/audio/translations":
                 self._openai_audio("translate")
                 return
-            if self.path not in ("/transcribe", "/transcribe/"):
+            if path != "/transcribe":
                 self._json(404, {"error": "not found"})
                 return
             try:

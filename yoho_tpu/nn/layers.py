@@ -96,68 +96,100 @@ class QuantizedKV:
 
 
 def quantize_kv(k: jnp.ndarray, v: jnp.ndarray,
-                pad_to: Optional[int] = None) -> QuantizedKV:
-    """Quantize time-minor (B, H, D, T) K/V to int8, absmax per position.
+                pad_to: Optional[int] = None,
+                time_major: bool = False) -> QuantizedKV:
+    """Quantize K/V to int8, absmax per (batch, head, position).
+
+    Inputs are time-minor (B, H, D, T), or time-MAJOR (B, T, H, D) with
+    ``time_major=True`` — the layout projections produce before the
+    decode-layout transpose. Quantizing first and transposing the int8
+    codes moves 4x less data through the layout copy than transposing
+    f32/bf16 and quantizing after (the f32 (B, 1500, 768) copies were
+    ~3 GB of HLO temps at B=352 whisper-small — the difference between
+    OOM and fitting). Both layouts produce bit-identical codes: absmax is
+    a selection, so the reduce picks the same elements either way, and
+    the f32 upcast for the rounding fuses into the quantize loop.
 
     ``pad_to`` zero-pads T up to a multiple (TPU lane alignment for the
-    fused decode kernel); the original length is recorded as ``kv_len`` and
-    padded positions are masked by every consumer.
+    fused decode kernel); the original length is recorded as ``kv_len``
+    and padded positions are masked by every consumer. Output is always
+    time-minor: q (B, H, D, T) int8, scale (B, H, 1, T) bf16.
     """
+    d_axis = 3 if time_major else 2
 
     def _q(x):
-        scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2, keepdims=True) / 127.0
+        # Reduce BEFORE converting: max is a selection, so a bf16-input
+        # reduce picks the identical element as an f32 one, and keeping
+        # the big tensor in its source dtype lets XLA fuse the f32
+        # upcast into the quantize loop instead of materializing an f32
+        # copy of the whole K/V.
+        scale = jnp.max(jnp.abs(x), axis=d_axis,
+                        keepdims=True).astype(jnp.float32) / 127.0
         scale = jnp.maximum(scale, 1e-8)
         q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
-        return q.astype(jnp.int8), scale.astype(jnp.bfloat16)
+        q, scale = q.astype(jnp.int8), scale.astype(jnp.bfloat16)
+        if time_major:  # (B, T, H, D|1) -> (B, H, D|1, T) on int8/bf16
+            q = jnp.transpose(q, (0, 2, 3, 1))
+            scale = jnp.transpose(scale, (0, 2, 3, 1))
+        return q, scale
 
     kv_len = None
-    t = k.shape[3]
+    t = k.shape[1] if time_major else k.shape[3]
+    k_q, k_scale = _q(k)
+    v_q, v_scale = _q(v)
     if pad_to is not None and t % pad_to:
         pad = pad_to - t % pad_to
         widths = [(0, 0), (0, 0), (0, 0), (0, pad)]
-        k = jnp.pad(k, widths)
-        v = jnp.pad(v, widths)
+        k_q, v_q = jnp.pad(k_q, widths), jnp.pad(v_q, widths)
+        k_scale, v_scale = jnp.pad(k_scale, widths), jnp.pad(v_scale, widths)
         kv_len = t
-
-    k_q, k_scale = _q(k)
-    v_q, v_scale = _q(v)
     return QuantizedKV(k_q=k_q, v_q=v_q, k_scale=k_scale, v_scale=v_scale,
                        kv_len=kv_len)
 
 
 def quantize_kv4(k: jnp.ndarray, v: jnp.ndarray,
-                 pad_to: Optional[int] = None) -> QuantizedKV:
+                 pad_to: Optional[int] = None,
+                 time_major: bool = False) -> QuantizedKV:
     """Int4 variant of :func:`quantize_kv`: absmax per position over D,
     4-bit codes in [-8, 7] stored two-per-byte along D — k_q/v_q become
     (B, H, D//2, T) uint8 with D[0:D/2] in the low nibbles and D[D/2:D]
     in the high nibbles (a sublane concat at unpack time, no interleave).
+    ``time_major=True`` takes (B, T, H, D) inputs and transposes the
+    packed codes instead of the floats (see quantize_kv).
 
     Quarters the dominant decode HBM term vs bf16 (half of int8). Unlike
     int8 (argmax-identical in tests) int4 is a real approximation —
     serving exposes it as an opt-in quality/throughput trade.
     """
+    d_axis = 3 if time_major else 2
 
     def _q(x):
-        scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2,
-                        keepdims=True) / 7.0
+        # Selection-reduce in the source dtype, upcast after (see
+        # quantize_kv: identical result, no f32 copy of the full K/V).
+        scale = jnp.max(jnp.abs(x), axis=d_axis,
+                        keepdims=True).astype(jnp.float32) / 7.0
         scale = jnp.maximum(scale, 1e-8)
         q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -8, 7) + 8.0
         q = q.astype(jnp.uint8)
-        d = q.shape[2]
+        d = q.shape[d_axis]
+        if time_major:
+            lo, hi = q[..., : d // 2], q[..., d // 2:]
+            packed = jnp.transpose(lo | (hi << 4), (0, 2, 3, 1))
+            return packed, jnp.transpose(scale.astype(jnp.bfloat16),
+                                         (0, 2, 3, 1))
         lo, hi = q[:, :, : d // 2], q[:, :, d // 2:]
         return lo | (hi << 4), scale.astype(jnp.bfloat16)
 
     kv_len = None
-    t = k.shape[3]
+    t = k.shape[1] if time_major else k.shape[3]
+    k_q, k_scale = _q(k)
+    v_q, v_scale = _q(v)
     if pad_to is not None and t % pad_to:
         pad = pad_to - t % pad_to
         widths = [(0, 0), (0, 0), (0, 0), (0, pad)]
-        k = jnp.pad(k, widths)
-        v = jnp.pad(v, widths)
+        k_q, v_q = jnp.pad(k_q, widths), jnp.pad(v_q, widths)
+        k_scale, v_scale = jnp.pad(k_scale, widths), jnp.pad(v_scale, widths)
         kv_len = t
-
-    k_q, k_scale = _q(k)
-    v_q, v_scale = _q(v)
     return QuantizedKV(k_q=k_q, v_q=v_q, k_scale=k_scale, v_scale=v_scale,
                        kv_len=kv_len, packing=2)
 
@@ -393,6 +425,16 @@ class MultiHeadAttention(nn.Module):
         scale = (self.n_state // self.n_head) ** -0.25
         k = _bhdt(self._split(self.k_proj(xa)) * scale)
         v = _bhdt(self._split(self.v_proj(xa)))
+        return k, v
+
+    def kv_tm(self, xa: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Cross K/V still in projection (time-major) layout (B, T, H, D)
+        — for consumers that quantize before the decode-layout transpose
+        so the layout copy moves int8 codes, not floats (quantize_kv
+        time_major=True)."""
+        scale = (self.n_state // self.n_head) ** -0.25
+        k = self._split(self.k_proj(xa)) * scale
+        v = self._split(self.v_proj(xa))
         return k, v
 
     def __call__(

@@ -97,6 +97,9 @@ class DecoderBlock(nn.Module):
     def cross_kv(self, xa):
         return self.cross_attn.kv(xa)
 
+    def cross_kv_tm(self, xa):
+        return self.cross_attn.kv_tm(xa)
+
 
 class AudioEncoder(nn.Module):
     cfg: WhisperConfig
@@ -193,19 +196,23 @@ class TextDecoder(nn.Module):
         )
 
         mode = {False: None, True: "int8"}.get(quantize, quantize)
-        kvs = [blk.cross_kv(xa) for blk in self.blocks]
         if mode == "int8":
-            # T lane-padded to 128 so the fused decode kernel engages (the
-            # valid length rides along as static metadata). Only when the
-            # kernel will actually run: the XLA fallback pays ~12% for the
-            # pad+mask (experiments/decode_kernel_bench.py).
+            # Quantize in projection layout, transpose the int8 codes
+            # (layers.quantize_kv time_major) — the decode-layout copy
+            # then moves 1/4 the bytes. T lane-padded to 128 so the fused
+            # decode kernel engages (the valid length rides along as
+            # static metadata). Only when the kernel will actually run:
+            # the XLA fallback pays ~12% for the pad+mask
+            # (experiments/decode_kernel_bench.py).
             pad_to = 128 if _fused_decode_enabled() else None
-            kvs = [quantize_kv(k, v, pad_to=pad_to) for k, v in kvs]
-        elif mode == "int4":
-            kvs = [quantize_kv4(k, v, pad_to=128) for k, v in kvs]
-        elif mode is not None:
+            return [quantize_kv(*blk.cross_kv_tm(xa), pad_to=pad_to,
+                                time_major=True) for blk in self.blocks]
+        if mode == "int4":
+            return [quantize_kv4(*blk.cross_kv_tm(xa), pad_to=128,
+                                 time_major=True) for blk in self.blocks]
+        if mode is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
-        return kvs
+        return [blk.cross_kv(xa) for blk in self.blocks]
 
     def cross_attention_map(self, tokens: jnp.ndarray, xa: jnp.ndarray) -> jnp.ndarray:
         """Teacher-forced forward collecting the alignment signal: mean
