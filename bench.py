@@ -27,7 +27,7 @@ def main():
     from yoho_tpu.text.whisper_tokens import WhisperTokenTable
 
     model_name = os.environ.get("BENCH_MODEL", "small")
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    batch = int(os.environ.get("BENCH_BATCH", "320"))  # B=384 OOMs (HBM)
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "224"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     # BENCH_QUANTIZED_KV: 0 = bf16, 1 = int8 (argmax-identical), 4 = int4
