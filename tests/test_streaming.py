@@ -188,3 +188,20 @@ def test_streaming_word_timestamps_absolute():
             # Word midpoints sit inside (or near) their segment.
             assert seg.start - 0.2 <= (w.start + w.end) / 2 <= seg.end + 0.2
     assert saw_words or all(not sg.words for sg in s.segments)
+
+
+def test_partial_segments_absolute_timeline(setup):
+    """partial_segments exposes the still-revisable window's hypotheses on
+    the absolute timeline; finalized + partial covers everything decoded."""
+    cfg, t = setup
+
+    st = StreamingTranscriber(t)
+    g = np.random.default_rng(0)
+    win = cfg.n_samples
+    st.push(0.1 * g.standard_normal(win + win // 2).astype(np.float32))
+    partials = st.partial_segments()
+    for seg in partials:
+        assert seg.end >= seg.start >= 0.0
+    final = st.flush()
+    assert st.partial_segments() == []  # flush finalizes everything
+    assert isinstance(final, list)

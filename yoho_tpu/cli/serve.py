@@ -17,7 +17,9 @@ The serving layer the reference lacks entirely (SURVEY.md §1). Stdlib-only:
   little-endian float32 mono PCM frames at the server sample rate;
   finalized segments arrive as JSON text messages as soon as a later
   window can no longer revise them (same ownership rule as offline
-  stitching); ``{"op": "flush"}`` / ``{"op": "end"}`` force/terminate.
+  stitching), and ``{"partial": true}`` messages carry the
+  still-revisable live-caption hypotheses (clients replace, not append);
+  ``{"op": "flush"}`` / ``{"op": "end"}`` force/terminate.
 * ``GET /healthz`` liveness, ``GET /statz`` batcher counters.
 
 Concurrent requests are MICRO-BATCHED (yoho_tpu.infer.batching): their
@@ -194,7 +196,19 @@ def make_handler(transcriber, batcher):
                     opcode, payload = msg
                     if opcode == ws.OP_BINARY:
                         audio = np.frombuffer(payload, dtype="<f4")
-                        emit(stream.push(audio), final=False)
+                        finalized = stream.push(audio)
+                        emit(finalized, final=False)
+                        # Live-caption partials: the still-revisable last
+                        # window's hypotheses. Clients REPLACE their
+                        # partial display with each message (a later
+                        # window may revise these; finals are additive).
+                        partials = stream.partial_segments()
+                        if partials:
+                            ws.send_text(self.wfile, json.dumps({
+                                "partial": True,
+                                "segments": [_segment_payload(s, i)
+                                             for i, s in enumerate(partials)],
+                            }, ensure_ascii=False))
                         continue
                     try:
                         op = json.loads(payload.decode() or "{}").get("op")
@@ -311,6 +325,11 @@ def make_handler(transcriber, batcher):
                     "language": result.language,
                     "segments": [
                         {"start": s.start, "end": s.end, "text": s.text,
+                         "avg_logprob": s.avg_logprob,
+                         "no_speech_prob": s.no_speech_prob,
+                         "temperature": s.temperature,
+                         "compression_ratio": s.compression_ratio,
+                         "speaker": s.speaker,
                          "voiceprint": (s.voiceprint.tolist()
                                         if s.voiceprint is not None else None)}
                         for s in result.segments

@@ -131,5 +131,28 @@ class StreamingTranscriber:
         """All segments finalized so far."""
         return list(self._emitted)
 
+    def partial_segments(self) -> List[Segment]:
+        """Current UNFINALIZED hypotheses: segments of the last decoded,
+        still-revisable window, on the absolute timeline. Live captions
+        show these immediately; a later overlapping window may revise
+        them, so they must be replaced (not appended) by the next partial
+        or final batch."""
+        out: List[Segment] = []
+        for start, segs in self._pending:
+            off = start / self.t.sample_rate
+            for seg in segs:
+                out.append(Segment(
+                    start=round(off + seg.start, 3),
+                    end=round(off + seg.end, 3),
+                    text=seg.text, tokens=list(seg.tokens),
+                    voiceprint=seg.voiceprint, speaker=seg.speaker,
+                    words=seg.words,
+                    avg_logprob=seg.avg_logprob,
+                    no_speech_prob=seg.no_speech_prob,
+                    temperature=seg.temperature,
+                    compression_ratio=seg.compression_ratio,
+                ))
+        return out
+
     def text(self) -> str:
         return " ".join(s.text for s in self._emitted if s.text).strip()
