@@ -986,6 +986,8 @@ class Transcriber:
             ]
             self._attach_quality(segs, lengths, aux)
             self._attach_voiceprints(mel[: len(group)], tokens[: len(group)], segs)
+            self._attach_words(mel[: len(group)], tokens[: len(group)],
+                               lengths[: len(group)], segs)
             for s in segs:
                 text = " ".join(x.text for x in s if x.text).strip()
                 results.append(TranscriptionResult(text=text, segments=s,
