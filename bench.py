@@ -28,6 +28,7 @@ def main():
 
     model_name = os.environ.get("BENCH_MODEL", "small")
     batch = int(os.environ.get("BENCH_BATCH", "320"))  # B=384 OOMs (HBM)
+    beams = int(os.environ.get("BENCH_BEAMS", "0"))  # 0/1 = greedy
     decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "224"))
     iters = int(os.environ.get("BENCH_ITERS", "3"))
     # BENCH_QUANTIZED_KV: 0 = bf16, 1 = int8 (argmax-identical), 4 = int4
@@ -71,6 +72,17 @@ def main():
         # Cache sized to the actual decode horizon (rounded up to a lane
         # multiple), not the full 448-token context: halves self-KV traffic.
         cache_len = -(-max_len // 128) * 128
+        if beams > 1:  # BASELINE.json config #3: beam-search serving
+            from yoho_tpu.infer.beam import beam_search, tile_beams
+
+            ckv = tile_beams(ckv, beams)
+            caches = model.apply(variables, batch * beams, jnp.bfloat16,
+                                 cache_len, quantized_cache,
+                                 method=Whisper.init_caches)
+            step = make_whisper_step_fn(model, variables, ckv)
+            tokens, lengths, _ = beam_search(step, caches, prompt, max_len,
+                                             table.eot, beams=beams)
+            return tokens, lengths
         caches = model.apply(variables, batch, jnp.bfloat16, cache_len,
                              quantized_cache, method=Whisper.init_caches)
         step = make_whisper_step_fn(model, variables, ckv)
@@ -114,6 +126,7 @@ def main():
     result = {
         "metric": f"whisper-{model_name} audio-seconds transcribed /sec/chip "
                   f"(B={batch}, {decode_tokens} decode tokens"
+                  f"{f', beam={beams}' if beams > 1 else ''}"
                   f"{', int4 cross-KV' if quantized_kv == 'int4' else ', int8 cross-KV' if quantized_kv else ''}"
                   f"{', int8 cache' if quantized_cache else ''}; "
                   f"{tok_per_sec:.0f} tok/s)",
@@ -125,4 +138,7 @@ def main():
 
 
 if __name__ == "__main__":
+    from yoho_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     main()
