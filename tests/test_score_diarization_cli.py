@@ -70,3 +70,23 @@ def test_transcribe_cli_rttm_output(tmp_path, monkeypatch, capsys):
                        str(out_dir / "meeting.rttm"), "--json"]) == 0
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["der"] == 0.0
+
+
+def test_transcribe_cli_profile_capture(tmp_path, monkeypatch):
+    """--profile DIR wraps transcription in a jax.profiler trace and the
+    TensorBoard-compatible artifacts land in DIR."""
+    import jax.numpy as jnp
+
+    import yoho_tpu.cli.transcribe as tcli
+    from yoho_tpu.infer.pipeline import TranscriptionResult
+
+    class StubTranscriber:
+        def transcribe(self, f):
+            jnp.square(jnp.arange(8.0)).block_until_ready()  # traced work
+            return TranscriptionResult(text="", segments=[], language="en")
+
+    monkeypatch.setattr(tcli, "build_yoho_transcriber",
+                        lambda *a, **k: StubTranscriber())
+    prof = tmp_path / "trace"
+    assert tcli.main(["a.wav", "--session", "x", "--profile", str(prof)]) == 0
+    assert prof.exists() and any(prof.rglob("*"))  # trace artifacts written

@@ -147,6 +147,9 @@ def main(argv=None):
     parser.add_argument("--rttm", type=str, default=None, metavar="DIR",
                         help="also write <stem>.rttm diarization per input "
                              "into DIR (score with cli.score_diarization)")
+    parser.add_argument("--profile", type=str, default=None, metavar="DIR",
+                        help="capture a TensorBoard-compatible device trace "
+                             "of the transcription into DIR (jax.profiler)")
     args = parser.parse_args(argv)
 
     temps = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if args.temperature_fallback else (0.0,)
@@ -167,72 +170,75 @@ def main(argv=None):
                                    args.batch, int8_weights=args.int8_weights,
                                    vad_filter=args.vad)
 
-    for f in args.files:
-        result = t.transcribe(f)
-        if args.srt or args.vtt:
-            from pathlib import Path
+    from yoho_tpu.utils.profiling import trace
 
-            from yoho_tpu.text.srt import (
-                compose_srt,
-                compose_vtt,
-                segments_to_subtitles,
-            )
+    with trace(args.profile):
+        for f in args.files:
+            result = t.transcribe(f)
+            if args.srt or args.vtt:
+                from pathlib import Path
 
-            subs = segments_to_subtitles(result.segments)
-            stem = Path(f).stem
-            if args.srt:
-                out = Path(args.srt) / f"{stem}.srt"
+                from yoho_tpu.text.srt import (
+                    compose_srt,
+                    compose_vtt,
+                    segments_to_subtitles,
+                )
+
+                subs = segments_to_subtitles(result.segments)
+                stem = Path(f).stem
+                if args.srt:
+                    out = Path(args.srt) / f"{stem}.srt"
+                    out.parent.mkdir(parents=True, exist_ok=True)
+                    out.write_text(compose_srt(subs), encoding="utf-8")
+                if args.vtt:
+                    out = Path(args.vtt) / f"{stem}.vtt"
+                    out.parent.mkdir(parents=True, exist_ok=True)
+                    out.write_text(compose_vtt(subs), encoding="utf-8")
+            if args.rttm:
+                from pathlib import Path
+
+                from yoho_tpu.eval.diarization import (
+                    compose_rttm,
+                    segments_to_turns,
+                )
+
+                stem = Path(f).stem
+                out = Path(args.rttm) / f"{stem}.rttm"
                 out.parent.mkdir(parents=True, exist_ok=True)
-                out.write_text(compose_srt(subs), encoding="utf-8")
-            if args.vtt:
-                out = Path(args.vtt) / f"{stem}.vtt"
-                out.parent.mkdir(parents=True, exist_ok=True)
-                out.write_text(compose_vtt(subs), encoding="utf-8")
-        if args.rttm:
-            from pathlib import Path
-
-            from yoho_tpu.eval.diarization import (
-                compose_rttm,
-                segments_to_turns,
-            )
-
-            stem = Path(f).stem
-            out = Path(args.rttm) / f"{stem}.rttm"
-            out.parent.mkdir(parents=True, exist_ok=True)
-            out.write_text(
-                compose_rttm(segments_to_turns(result.segments), stem),
-                encoding="utf-8")
-        if args.json:
-            print(jsonlib.dumps({
-                "file": f,
-                "text": result.text,
-                "language": result.language,
-                "segments": [
-                    {"start": s.start, "end": s.end, "text": s.text,
-                     "avg_logprob": s.avg_logprob,
-                     "no_speech_prob": s.no_speech_prob,
-                     "temperature": s.temperature,
-                     "compression_ratio": s.compression_ratio,
-                     "speaker": s.speaker,
-                     "words": ([{"word": w.word, "start": w.start,
-                                 "end": w.end} for w in s.words]
-                               if s.words else None),
-                     "voiceprint": (s.voiceprint.tolist()
-                                    if s.voiceprint is not None else None)}
-                    for s in result.segments
-                ],
-            }, ensure_ascii=False))
-        else:
-            print(f"== {f}")
-            for s in result.segments:
-                vp = " 🎙️" if s.voiceprint is not None else ""
-                spk = f" [spk{s.speaker}]" if s.speaker is not None else ""
-                print(f"[{s.start:7.2f} - {s.end:7.2f}]{vp}{spk} {s.text}")
-                if s.words:
-                    print("    " + " ".join(f"{w.word}({w.start:.2f})"
-                                            for w in s.words))
-            if not result.segments:
-                print(result.text or "(no speech detected)")
+                out.write_text(
+                    compose_rttm(segments_to_turns(result.segments), stem),
+                    encoding="utf-8")
+            if args.json:
+                print(jsonlib.dumps({
+                    "file": f,
+                    "text": result.text,
+                    "language": result.language,
+                    "segments": [
+                        {"start": s.start, "end": s.end, "text": s.text,
+                         "avg_logprob": s.avg_logprob,
+                         "no_speech_prob": s.no_speech_prob,
+                         "temperature": s.temperature,
+                         "compression_ratio": s.compression_ratio,
+                         "speaker": s.speaker,
+                         "words": ([{"word": w.word, "start": w.start,
+                                     "end": w.end} for w in s.words]
+                                   if s.words else None),
+                         "voiceprint": (s.voiceprint.tolist()
+                                        if s.voiceprint is not None else None)}
+                        for s in result.segments
+                    ],
+                }, ensure_ascii=False))
+            else:
+                print(f"== {f}")
+                for s in result.segments:
+                    vp = " 🎙️" if s.voiceprint is not None else ""
+                    spk = f" [spk{s.speaker}]" if s.speaker is not None else ""
+                    print(f"[{s.start:7.2f} - {s.end:7.2f}]{vp}{spk} {s.text}")
+                    if s.words:
+                        print("    " + " ".join(f"{w.word}({w.start:.2f})"
+                                                for w in s.words))
+                if not result.segments:
+                    print(result.text or "(no speech detected)")
     return 0
 
 
