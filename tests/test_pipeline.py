@@ -473,3 +473,19 @@ def test_detect_language_many_matches_single():
     singles = [t.detect_language(a)[0] for a in audios[:3]]
     assert many[:3] == singles
     assert many[3] == "en"  # empty audio defaults without a device call
+
+
+def test_prepare_audio_downmixes_stereo(yoho_setup):
+    """Stereo arrays are downmixed to mono instead of being silently
+    treated as a sample sequence of rows; junk ranks raise."""
+    cfg, model, variables, tok = yoho_setup
+    t = Transcriber(model, variables, family="yoho", tokenizer=tok, batch_size=1)
+    g = np.random.default_rng(0)
+    mono = 0.1 * g.standard_normal(cfg.n_samples).astype(np.float32)
+    stereo = np.stack([mono, mono], axis=1)          # (N, 2)
+    planar = np.stack([mono, mono], axis=0)          # (2, N)
+    np.testing.assert_allclose(t._prepare_audio(stereo, None), mono, atol=1e-6)
+    np.testing.assert_allclose(t._prepare_audio(planar, None), mono, atol=1e-6)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="1-D mono"):
+        t._prepare_audio(np.zeros((2, 3, 4), np.float32), None)

@@ -698,6 +698,11 @@ class Transcriber:
         if isinstance(audio, (str, Path)):
             return load_audio_f32(audio, self.sample_rate)
         audio = np.asarray(audio, np.float32)
+        if audio.ndim == 2:  # (samples, channels) or (channels, samples)
+            audio = audio.mean(axis=1 if audio.shape[0] > audio.shape[1] else 0)
+        elif audio.ndim != 1:
+            raise ValueError(f"audio must be 1-D mono or 2-D multi-channel, "
+                             f"got shape {audio.shape}")
         if sample_rate is not None and sample_rate != self.sample_rate:
             from yoho_tpu.audio.io import resample
 
