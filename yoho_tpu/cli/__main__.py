@@ -40,15 +40,19 @@ def _usage() -> str:
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-    if not argv or argv[0] in ("-h", "--help"):
-        print(_usage())
+    try:
+        if not argv or argv[0] in ("-h", "--help"):
+            print(_usage())
+            return 0
+        name = argv[0]
+        if name not in COMMANDS:
+            print(f"yoho: unknown command {name!r}\n\n{_usage()}",
+                  file=sys.stderr)
+            return 2
+        module = importlib.import_module(COMMANDS[name][0])
+        return module.main(argv[1:]) or 0
+    except BrokenPipeError:  # e.g. `yoho --help | head`
         return 0
-    name = argv[0]
-    if name not in COMMANDS:
-        print(f"yoho: unknown command {name!r}\n\n{_usage()}", file=sys.stderr)
-        return 2
-    module = importlib.import_module(COMMANDS[name][0])
-    return module.main(argv[1:]) or 0
 
 
 if __name__ == "__main__":
