@@ -397,3 +397,26 @@ def test_query_strings_ignored_in_routing(server):
         headers={"Content-Type": "application/octet-stream"})
     with urllib.request.urlopen(req) as r:
         assert "text" in json.load(r)
+
+
+def test_websocket_malformed_binary_frame(server):
+    """A binary frame that isn't whole float32 samples gets an error
+    message, and the session keeps working afterwards."""
+    host, port = server.replace("http://", "").split(":")
+    s = _ws_connect((host, int(port)))
+    try:
+        _ws_send(s, b"\x00\x01\x02", opcode=2)  # 3 bytes: not a sample
+        op, payload = _ws_recv(s)
+        assert op == 1 and "error" in json.loads(payload)
+        _ws_send(s, np.zeros(5360, np.float32).tobytes(), opcode=2)
+        _ws_send(s, b'{"op": "end"}', opcode=1)
+        got_final = False
+        while True:
+            op, payload = _ws_recv(s)
+            if op == 8:
+                break
+            if json.loads(payload).get("final"):
+                got_final = True
+        assert got_final
+    finally:
+        s.close()

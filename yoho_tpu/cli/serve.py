@@ -95,10 +95,7 @@ def _segment_payload(s, index: int) -> dict:
         "end": s.end,
         "text": s.text,
         "tokens": list(map(int, s.tokens)),
-        "temperature": s.temperature,
-        "avg_logprob": s.avg_logprob,
-        "compression_ratio": s.compression_ratio,
-        "no_speech_prob": s.no_speech_prob,
+        **s.quality_payload(),
     }
     if s.speaker is not None:
         payload["speaker"] = s.speaker
@@ -195,20 +192,30 @@ def make_handler(transcriber, batcher):
                         return
                     opcode, payload = msg
                     if opcode == ws.OP_BINARY:
+                        if len(payload) % 4:
+                            ws.send_text(self.wfile, json.dumps({
+                                "error": "binary frames must contain whole "
+                                         "little-endian float32 samples"}))
+                            continue
                         audio = np.frombuffer(payload, dtype="<f4")
-                        finalized = stream.push(audio)
-                        emit(finalized, final=False)
+                        windows_before = stream._next_window_start
+                        emit(stream.push(audio), final=False)
                         # Live-caption partials: the still-revisable last
                         # window's hypotheses. Clients REPLACE their
                         # partial display with each message (a later
                         # window may revise these; finals are additive).
-                        partials = stream.partial_segments()
-                        if partials:
-                            ws.send_text(self.wfile, json.dumps({
-                                "partial": True,
-                                "segments": [_segment_payload(s, i)
-                                             for i, s in enumerate(partials)],
-                            }, ensure_ascii=False))
+                        # Only re-sent when this push actually decoded a
+                        # new window — small frames between window
+                        # boundaries would otherwise re-send identical
+                        # partials at the client's frame rate.
+                        if stream._next_window_start != windows_before:
+                            partials = stream.partial_segments()
+                            if partials:
+                                ws.send_text(self.wfile, json.dumps({
+                                    "partial": True,
+                                    "segments": [_segment_payload(s, i)
+                                                 for i, s in enumerate(partials)],
+                                }, ensure_ascii=False))
                         continue
                     try:
                         op = json.loads(payload.decode() or "{}").get("op")
@@ -225,6 +232,16 @@ def make_handler(transcriber, batcher):
                             {"error": f"unknown op {op!r}"}))
             except (ConnectionError, OSError):
                 return  # peer went away; nothing to answer
+            except Exception as e:  # noqa: BLE001 — protocol violation /
+                # decode failure: report + close instead of a bare
+                # traceback and a dropped connection.
+                try:
+                    ws.send_text(self.wfile, json.dumps(
+                        {"error": f"{type(e).__name__}: {e}"}))
+                    ws.send_close(self.wfile)
+                except OSError:
+                    pass
+                return
 
         def do_GET(self):
             path = self.path.split("?", 1)[0]
@@ -325,10 +342,7 @@ def make_handler(transcriber, batcher):
                     "language": result.language,
                     "segments": [
                         {"start": s.start, "end": s.end, "text": s.text,
-                         "avg_logprob": s.avg_logprob,
-                         "no_speech_prob": s.no_speech_prob,
-                         "temperature": s.temperature,
-                         "compression_ratio": s.compression_ratio,
+                         **s.quality_payload(),
                          "speaker": s.speaker,
                          "voiceprint": (s.voiceprint.tolist()
                                         if s.voiceprint is not None else None)}

@@ -215,10 +215,7 @@ def main(argv=None):
                     "language": result.language,
                     "segments": [
                         {"start": s.start, "end": s.end, "text": s.text,
-                         "avg_logprob": s.avg_logprob,
-                         "no_speech_prob": s.no_speech_prob,
-                         "temperature": s.temperature,
-                         "compression_ratio": s.compression_ratio,
+                         **s.quality_payload(),
                          "speaker": s.speaker,
                          "words": ([{"word": w.word, "start": w.start,
                                      "end": w.end} for w in s.words]

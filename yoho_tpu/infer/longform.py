@@ -35,6 +35,17 @@ class Segment:
     temperature: Optional[float] = None
     compression_ratio: Optional[float] = None
 
+    def quality_payload(self) -> dict:
+        """The decode-quality fields every JSON surface exposes (CLI
+        --json, HTTP /transcribe, OpenAI verbose_json, WebSocket) — one
+        source so a new signal propagates to all of them."""
+        return {
+            "avg_logprob": self.avg_logprob,
+            "no_speech_prob": self.no_speech_prob,
+            "temperature": self.temperature,
+            "compression_ratio": self.compression_ratio,
+        }
+
 
 def chunk_audio(
     audio: np.ndarray,

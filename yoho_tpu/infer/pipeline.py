@@ -17,6 +17,7 @@ Two model families share the machinery:
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass
 from pathlib import Path
 from typing import List, Optional, Sequence, Union
@@ -177,6 +178,11 @@ class Transcriber:
         self.stride_samples = self.chunk_samples - overlap
         assert 0 < self.stride_samples <= self.chunk_samples
         self._jitted = {}
+        # Serializes program construction: concurrent server threads
+        # (HTTP batcher + WebSocket streams) asking for the same (batch,
+        # temperature, prompt_len) program must share ONE jit object —
+        # duplicates would each pay a minutes-long TPU compile.
+        self._compile_lock = threading.RLock()
 
     # ------------------------------------------------------------------
     def _prompt_ids(self, language: Optional[str] = None) -> List[int]:
@@ -228,7 +234,14 @@ class Transcriber:
         key = (batch, self.beams, float(temperature), prompt_len)
         if key in self._jitted:
             return self._jitted[key]
+        with self._compile_lock:
+            if key in self._jitted:
+                return self._jitted[key]
+            return self._build_decode_fn(key, batch, temperature, prompt_len)
 
+    def _build_decode_fn(self, key, batch: int, temperature,
+                         prompt_len: int):
+        """Build + memoize one decode program (caller holds _compile_lock)."""
         model = self.model
         suppress = self._suppress_ids()
         k = self.beams if self.beams > 1 else 0
@@ -352,7 +365,8 @@ class Transcriber:
             return model.apply(variables, tokens, xa,
                                method=type(model).cross_attention_map)
 
-        self._jitted[key] = jax.jit(run)
+        with self._compile_lock:
+            self._jitted.setdefault(key, jax.jit(run))
         return self._jitted[key]
 
     def _decode_piece(self, tid: int) -> str:
@@ -679,11 +693,12 @@ class Transcriber:
         key = ("voiceprints", tokens.shape[0])
         if key not in self._jitted:
             model = self.model
-            self._jitted[key] = jax.jit(
-                lambda v, t, m: model.apply(
-                    v, t, m, method=type(model).forward_with_voiceprints
-                )[1]
-            )
+            with self._compile_lock:
+                self._jitted.setdefault(key, jax.jit(
+                    lambda v, t, m: model.apply(
+                        v, t, m, method=type(model).forward_with_voiceprints
+                    )[1]
+                ))
         vp = np.asarray(self._jitted[key](self.variables, jnp.asarray(pad), mel))
         vp_id = self.tokenizer.voiceprint_id
         for w, segs in enumerate(per_window):
@@ -915,7 +930,8 @@ class Transcriber:
                                         method=type(model).decode_step)
                 return logits[:, -1]
 
-            self._jitted[key] = jax.jit(run)
+            with self._compile_lock:
+                self._jitted.setdefault(key, jax.jit(run))
         return np.asarray(self._jitted[key](
             self.variables, self._features(self._to_device(windows))))
 

@@ -146,7 +146,9 @@ class StreamingTranscriber:
                     end=round(off + seg.end, 3),
                     text=seg.text, tokens=list(seg.tokens),
                     voiceprint=seg.voiceprint, speaker=seg.speaker,
-                    words=seg.words,
+                    words=[type(w)(w.word, round(off + w.start, 3),
+                                   round(off + w.end, 3))
+                           for w in seg.words] if seg.words else None,
                     avg_logprob=seg.avg_logprob,
                     no_speech_prob=seg.no_speech_prob,
                     temperature=seg.temperature,
