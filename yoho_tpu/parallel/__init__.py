@@ -13,3 +13,4 @@ from yoho_tpu.parallel.sharding import (  # noqa: F401
     partition_specs,
     shard_params,
 )
+from yoho_tpu.parallel.ring_attention import ring_attention  # noqa: F401
