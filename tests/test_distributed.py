@@ -142,3 +142,41 @@ def test_ring_attention_bf16_stats_in_f32():
     w = w / w.sum(-1, keepdims=True)
     ref = np.einsum("bhst,bhtd->bhsd", w, v)
     np.testing.assert_allclose(out_bf16, ref, atol=0.05, rtol=0.05)
+
+
+def test_yoho_long_encoder_matches_single_device():
+    """Sequence-parallel YOHO encoding (ring attention + global RoPE
+    offsets, time axis sharded 8 ways) equals the single-device encode of
+    the same long sequence — same checkpoint, same function."""
+    from jax.sharding import Mesh
+
+    from yoho_tpu.core.config import YOHOConfig
+    from yoho_tpu.nn.yoho import YOHOModel
+    from yoho_tpu.parallel.long_encoder import yoho_encode_long
+
+    cfg = YOHOConfig(
+        n_mel_bands=8, max_audio_len=32, max_text_len=8, dims=32,
+        n_audio_heads=4, n_audio_blocks=2, n_text_heads=4, n_text_blocks=1,
+    )
+    model = YOHOModel(cfg, vocab_size=300)
+    g = np.random.default_rng(0)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8), jnp.int32),
+                           jnp.zeros((1, cfg.max_audio_len, 8), jnp.float32))
+
+    # 4x the trained window: RoPE extends, learned tables would not.
+    long_mel = jnp.asarray(
+        g.standard_normal((2, cfg.max_audio_len * 4, 8)).astype(np.float32))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("seq",))
+    sharded = np.asarray(yoho_encode_long(model, variables, long_mel, mesh))
+
+    ref = np.asarray(model.apply(variables, long_mel,
+                                 method=YOHOModel.encode_audio))
+    assert sharded.shape == ref.shape == (2, cfg.max_audio_len * 2, cfg.dims)
+    np.testing.assert_allclose(sharded, ref, atol=2e-5)
+
+    # Divisibility guard: a length the axis cannot split evenly raises.
+    import pytest as _pytest
+    bad = jnp.zeros((1, cfg.max_audio_len + 2, 8), jnp.float32)
+    with _pytest.raises(ValueError, match="must divide"):
+        yoho_encode_long(model, variables, bad, mesh)

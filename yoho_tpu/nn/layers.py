@@ -25,7 +25,7 @@ Design notes vs the reference (cited per SURVEY.md §2.1):
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -667,6 +667,12 @@ class GroupedQueryAttention(nn.Module):
     rope_variant: str = "standard"
     dtype: jnp.dtype = jnp.float32
     weights_int8: bool = False
+    # Optional replacement for the softmax contraction: f(q, k, v) with
+    # (B, Hq, S, D) pre-scaled q and group-expanded k/v, returning
+    # (B, Hq, S, D). Used by the sequence-parallel long encoder to swap
+    # in ring attention (parallel/ring_attention.py) — parameters are
+    # unaffected, so the same checkpoint serves both constructions.
+    attention_fn: Optional[Callable] = None
 
     def setup(self):
         kvh = self.kv_heads or self.q_heads
@@ -736,7 +742,16 @@ class GroupedQueryAttention(nn.Module):
             v = jnp.repeat(v, groups, axis=1)
 
         q = _bhsd(q) * (head_dim**-0.5)
-        out = _attend(q, k.astype(q.dtype), v.astype(q.dtype), mask, self.dtype)
+        if self.attention_fn is not None and cache is None and cross_kv is None:
+            # Hook expects (B, H, T, D) k/v (time-MAJOR); the module's
+            # internal layout is time-minor (B, H, D, T).
+            out = self.attention_fn(q,
+                                    jnp.swapaxes(k, 2, 3).astype(q.dtype),
+                                    jnp.swapaxes(v, 2, 3).astype(q.dtype))
+            out = jnp.swapaxes(out, 1, 2)  # (B, S, Hq, D) like _attend
+        else:
+            out = _attend(q, k.astype(q.dtype), v.astype(q.dtype), mask,
+                          self.dtype)
         out = self.out_proj(out.reshape(b, s, self.q_heads * head_dim))
         if cache is not None:
             return out, new_cache

@@ -35,16 +35,21 @@ class YOHOEncoderBlock(nn.Module):
     kv_heads: int
     dims: int
     dtype: jnp.dtype = jnp.float32
+    attention_fn: object = None  # see GroupedQueryAttention.attention_fn
 
     def setup(self):
         self.ln1 = nn.RMSNorm(dtype=self.dtype, name="ln1")
         self.attn = GroupedQueryAttention(self.q_heads, self.dims, self.kv_heads,
-                                          dtype=self.dtype, name="attn")
+                                          dtype=self.dtype,
+                                          attention_fn=self.attention_fn,
+                                          name="attn")
         self.ln2 = nn.RMSNorm(dtype=self.dtype, name="ln2")
         self.mlp = SwiGLU(int(self.dims * 3), dtype=self.dtype, name="mlp")
 
-    def __call__(self, x):
-        x = x + self.attn(self.ln1(x))
+    def __call__(self, x, pos=None):
+        # ``pos``: global RoPE offset of this (possibly time-sharded)
+        # chunk — the sequence-parallel encoder passes the shard start.
+        x = x + self.attn(self.ln1(x), pos=pos)
         x = x + self.mlp(self.ln2(x))
         return x
 
@@ -93,26 +98,45 @@ class YOHODecoderBlock(nn.Module):
 class YOHOAudioEncoder(nn.Module):
     cfg: YOHOConfig
     dtype: jnp.dtype = jnp.float32
+    attention_fn: object = None  # swap in ring attention (long encoder)
 
-    @nn.compact
-    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
-        """(B, max_audio_len, n_mels) -> (B, max_audio_len // 2, dims)."""
+    def setup(self):
         c = self.cfg
         d = self.dtype
-        x = nn.Conv(c.dims, (3,), dtype=d, name="conv1")(mel.astype(d))
-        x = nn.RMSNorm(dtype=d, name="norm1")(x)
-        x = nn.silu(x)
+        self.conv1 = nn.Conv(c.dims, (3,), dtype=d, name="conv1")
+        self.norm1 = nn.RMSNorm(dtype=d, name="norm1")
+        self.conv2 = nn.Conv(c.dims, (3,), dtype=d, name="conv2")
+        self.norm2 = nn.RMSNorm(dtype=d, name="norm2")
+        self.blocks = [
+            YOHOEncoderBlock(
+                c.n_audio_heads, max(1, c.n_audio_heads // 2), c.dims,
+                dtype=d, attention_fn=self.attention_fn, name=f"blocks_{i}",
+            )
+            for i in range(c.n_audio_blocks)
+        ]
+
+    def stem(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """Conv front: (B, S_frames, n_mels) -> (B, S_frames // 2, dims).
+
+        Linear in sequence length — the long encoder runs it unsharded and
+        shards only the quadratic transformer stack (run_blocks)."""
+        x = self.conv1(mel.astype(self.dtype))
+        x = nn.silu(self.norm1(x))
         # Halve time: (1,2) max-pool, parity with model.py:21.
         x = nn.max_pool(x, (2,), strides=(2,))
-        x = nn.Conv(c.dims, (3,), dtype=d, name="conv2")(x)
-        x = nn.RMSNorm(dtype=d, name="norm2")(x)
-        x = nn.silu(x)
-        for i in range(c.n_audio_blocks):
-            x = YOHOEncoderBlock(
-                c.n_audio_heads, max(1, c.n_audio_heads // 2), c.dims,
-                dtype=d, name=f"blocks_{i}",
-            )(x)
+        x = self.conv2(x)
+        return nn.silu(self.norm2(x))
+
+    def run_blocks(self, x: jnp.ndarray, pos=None) -> jnp.ndarray:
+        """Transformer stack; ``pos`` = global RoPE offset of this chunk
+        (sequence-parallel shards pass their start position)."""
+        for blk in self.blocks:
+            x = blk(x, pos=pos)
         return x
+
+    def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """(B, max_audio_len, n_mels) -> (B, max_audio_len // 2, dims)."""
+        return self.run_blocks(self.stem(mel))
 
 
 class YOHOTextDecoder(nn.Module):

@@ -1,0 +1,71 @@
+"""Sequence-parallel long-audio encoding for the YOHO (RoPE) encoder.
+
+Single-pass encoding of audio LONGER than the trained window — the
+capability SURVEY.md §2.3 lists as the TPU-native answer to long context
+(the reference bounds context by construction; Whisper cannot leave its
+1500 learned positions, but the YOHO encoder is RoPE-only and
+length-agnostic). The quadratic transformer stack is sharded over the
+TIME axis of a mesh and attends globally via
+:func:`yoho_tpu.parallel.ring_attention.ring_attention`; the linear conv
+stem runs unsharded (O(S) memory, no S^2 term).
+
+Exactness: every shard passes its global frame offset as the RoPE
+position base, so the sharded computation is the SAME function as a
+single-device encode of the full sequence (tested to f32 tolerance on
+the faked 8-device mesh).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.shard_map import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from yoho_tpu.parallel.ring_attention import ring_attention
+
+
+def yoho_encode_long(
+    model,
+    variables,
+    mel: jnp.ndarray,  # (B, S_frames, n_mels); S_frames may exceed cfg.max_audio_len
+    mesh: Mesh,
+    axis_name: str = "seq",
+):
+    """Encode a long mel sequence with the time axis sharded over ``mesh``.
+
+    ``model`` is a :class:`yoho_tpu.nn.yoho.YOHOModel` (its checkpoint
+    ``variables`` are reused as-is — the ring construction has the same
+    parameter tree). S_frames // 2 (the post-pool length) must divide
+    evenly by the mesh axis size. Returns (B, S_frames // 2, dims).
+    """
+    from yoho_tpu.nn.yoho import YOHOAudioEncoder
+
+    n = mesh.shape[axis_name]
+    enc_params = {"params": variables["params"]["encoder"]}
+
+    plain = YOHOAudioEncoder(model.cfg, dtype=model.dtype)
+    x = plain.apply(enc_params, mel, method=YOHOAudioEncoder.stem)
+    s2 = x.shape[1]
+    if s2 % n:
+        raise ValueError(
+            f"post-stem length {s2} must divide by the {axis_name} axis ({n}); "
+            f"pad the audio to a multiple of {2 * n} frames")
+    s_local = s2 // n
+
+    ring = YOHOAudioEncoder(
+        model.cfg, dtype=model.dtype,
+        attention_fn=partial(ring_attention, axis_name=axis_name, scale=1.0),
+    )
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(None, axis_name, None)),
+             out_specs=P(None, axis_name, None))
+    def run(params, x):
+        pos = jax.lax.axis_index(axis_name) * s_local
+        return ring.apply(params, x, pos, method=YOHOAudioEncoder.run_blocks)
+
+    return run(enc_params, x)
