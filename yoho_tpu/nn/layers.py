@@ -736,22 +736,26 @@ class GroupedQueryAttention(nn.Module):
                 k, v = new_cache.k, new_cache.v
                 mask = decode_mask(k.shape[3], pos, s)
 
+        if self.attention_fn is not None and cache is None and cross_kv is None:
+            # Hook gets (B, Hq, S, D) pre-scaled q and the UNEXPANDED
+            # (B, Hkv, T, D) time-MAJOR k/v (ring attention broadcasts
+            # query groups itself — group-expanding first would multiply
+            # the ring's ICI traffic by `groups` for identical results).
+            assert mask is None, "attention_fn hook does not support masks"
+            qh = _bhsd(q) * (head_dim**-0.5)
+            out = self.attention_fn(qh,
+                                    jnp.swapaxes(k, 2, 3).astype(qh.dtype),
+                                    jnp.swapaxes(v, 2, 3).astype(qh.dtype))
+            out = jnp.swapaxes(out, 1, 2)  # (B, S, Hq, D) like _attend
+            return self.out_proj(out.reshape(b, s, self.q_heads * head_dim))
+
         # Expand KV heads across query groups: (B, Hkv, T, D) -> (B, Hq, T, D).
         if groups > 1:
             k = jnp.repeat(k, groups, axis=1)
             v = jnp.repeat(v, groups, axis=1)
 
         q = _bhsd(q) * (head_dim**-0.5)
-        if self.attention_fn is not None and cache is None and cross_kv is None:
-            # Hook expects (B, H, T, D) k/v (time-MAJOR); the module's
-            # internal layout is time-minor (B, H, D, T).
-            out = self.attention_fn(q,
-                                    jnp.swapaxes(k, 2, 3).astype(q.dtype),
-                                    jnp.swapaxes(v, 2, 3).astype(q.dtype))
-            out = jnp.swapaxes(out, 1, 2)  # (B, S, Hq, D) like _attend
-        else:
-            out = _attend(q, k.astype(q.dtype), v.astype(q.dtype), mask,
-                          self.dtype)
+        out = _attend(q, k.astype(q.dtype), v.astype(q.dtype), mask, self.dtype)
         out = self.out_proj(out.reshape(b, s, self.q_heads * head_dim))
         if cache is not None:
             return out, new_cache

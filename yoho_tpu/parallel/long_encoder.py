@@ -53,10 +53,26 @@ def yoho_encode_long(
         raise ValueError(
             f"post-stem length {s2} must divide by the {axis_name} axis ({n}); "
             f"pad the audio to a multiple of {2 * n} frames")
-    s_local = s2 // n
+
+    run = _block_runner(model.cfg, model.dtype, mesh, axis_name, s2 // n)
+    return run(enc_params, x)
+
+
+_RUNNERS: dict = {}
+
+
+def _block_runner(cfg, dtype, mesh: Mesh, axis_name: str, s_local: int):
+    """Memoized jitted shard_map runner — repeated calls with the same
+    (config, dtype, mesh, shard length) reuse one compiled executable
+    instead of paying a fresh multi-minute TPU compile per call."""
+    key = (repr(cfg), jnp.dtype(dtype).name, mesh, axis_name, s_local)
+    if key in _RUNNERS:
+        return _RUNNERS[key]
+
+    from yoho_tpu.nn.yoho import YOHOAudioEncoder
 
     ring = YOHOAudioEncoder(
-        model.cfg, dtype=model.dtype,
+        cfg, dtype=dtype,
         attention_fn=partial(ring_attention, axis_name=axis_name, scale=1.0),
     )
 
@@ -68,4 +84,5 @@ def yoho_encode_long(
         pos = jax.lax.axis_index(axis_name) * s_local
         return ring.apply(params, x, pos, method=YOHOAudioEncoder.run_blocks)
 
-    return run(enc_params, x)
+    _RUNNERS[key] = run
+    return run
