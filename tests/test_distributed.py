@@ -180,3 +180,53 @@ def test_yoho_long_encoder_matches_single_device():
     bad = jnp.zeros((1, cfg.max_audio_len + 2, 8), jnp.float32)
     with _pytest.raises(ValueError, match="must divide"):
         yoho_encode_long(model, variables, bad, mesh)
+
+
+def test_long_context_train_step_grads_match_single_device():
+    """One long-context training step (ring-encoder under shard_map) takes
+    EXACTLY the step the single-device program takes: identical loss and
+    updated params (ppermute's transpose is the reverse permutation)."""
+    import optax
+    from flax.training.train_state import TrainState
+    from jax.sharding import Mesh
+
+    from yoho_tpu.core.config import YOHOConfig
+    from yoho_tpu.nn.yoho import YOHOModel
+    from yoho_tpu.parallel.long_encoder import make_long_context_train_step
+    from yoho_tpu.train.trainer import masked_ce_loss
+
+    cfg = YOHOConfig(
+        n_mel_bands=8, max_audio_len=32, max_text_len=8, dims=32,
+        n_audio_heads=4, n_audio_blocks=1, n_text_heads=4, n_text_blocks=1,
+    )
+    model = YOHOModel(cfg, vocab_size=64)
+    g = np.random.default_rng(0)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 8), jnp.int32),
+                        jnp.zeros((1, cfg.max_audio_len, 8), jnp.float32))["params"]
+    # 2x the trained window, sharded 4 ways.
+    mel = jnp.asarray(g.standard_normal((2, cfg.max_audio_len * 2, 8))
+                      .astype(np.float32))
+    tokens = jnp.asarray(g.integers(0, 64, size=(2, 8)).astype(np.int32))
+    mask = jnp.ones((2, 8), jnp.uint8)
+
+    tx = optax.sgd(0.1)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+    step = make_long_context_train_step(model, mesh)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    new_state, loss = step(state, mel, tokens, mask)
+
+    # Single-device reference step on the same long clip.
+    def ref_loss(p):
+        logits = model.apply({"params": p}, tokens, mel)
+        return masked_ce_loss(logits, tokens, mask)
+
+    ref_l, ref_grads = jax.value_and_grad(ref_loss)(params)
+    ref_state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    ref_state = ref_state.apply_gradients(grads=ref_grads)
+
+    np.testing.assert_allclose(float(loss), float(ref_l), atol=1e-5)
+    flat_a = jax.tree_util.tree_leaves(new_state.params)
+    flat_b = jax.tree_util.tree_leaves(ref_state.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)

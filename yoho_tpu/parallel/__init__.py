@@ -14,4 +14,7 @@ from yoho_tpu.parallel.sharding import (  # noqa: F401
     shard_params,
 )
 from yoho_tpu.parallel.ring_attention import ring_attention  # noqa: F401
-from yoho_tpu.parallel.long_encoder import yoho_encode_long  # noqa: F401
+from yoho_tpu.parallel.long_encoder import (  # noqa: F401
+    make_long_context_train_step,
+    yoho_encode_long,
+)

@@ -86,3 +86,59 @@ def _block_runner(cfg, dtype, mesh: Mesh, axis_name: str, s_local: int):
 
     _RUNNERS[key] = run
     return run
+
+
+def make_long_context_train_step(model, mesh: Mesh,
+                                 axis_name: str = "seq"):
+    """Training step for clips LONGER than one device can attend alone.
+
+    Returns ``step(state, mel, tokens, loss_mask) -> (state, loss)`` where
+    ``mel`` is (B, S_frames, n_mels) with the post-stem length divisible
+    by the mesh's ``axis_name`` size. The encoder's quadratic attention
+    runs sequence-parallel (ring); ppermute differentiates to the reverse
+    permutation, so gradients are EXACT vs the single-device step (tested
+    on the faked mesh). The linear pieces (stem, decoder, loss) run
+    replicated — the decoder cross-attends the gathered encoder output,
+    which is O(S·D), not O(S^2).
+
+    The reference caps training clips at ``max_input_seconds`` by
+    construction (``dataloaders.py:100-106``); this removes the cap for
+    the RoPE model family the TPU-native way.
+    """
+    from yoho_tpu.nn.yoho import YOHOAudioEncoder, YOHOModel
+
+    n = mesh.shape[axis_name]
+
+    def loss_fn(params, mel, tokens, loss_mask):
+        from yoho_tpu.train.trainer import masked_ce_loss
+
+        enc_params = {"params": params["encoder"]}
+        plain = YOHOAudioEncoder(model.cfg, dtype=model.dtype)
+        x = plain.apply(enc_params, mel, method=YOHOAudioEncoder.stem)
+        s_local = x.shape[1] // n
+
+        ring = YOHOAudioEncoder(
+            model.cfg, dtype=model.dtype,
+            attention_fn=partial(ring_attention, axis_name=axis_name,
+                                 scale=1.0),
+        )
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(), P(None, axis_name, None)),
+                 out_specs=P(None, axis_name, None))
+        def blocks(p, xs):
+            pos = jax.lax.axis_index(axis_name) * s_local
+            return ring.apply(p, xs, pos, method=YOHOAudioEncoder.run_blocks)
+
+        xa = blocks(enc_params, x)
+        logits = model.apply({"params": params}, tokens, xa,
+                             method=YOHOModel.decode_text)
+        return masked_ce_loss(logits, tokens, loss_mask)
+
+    @jax.jit
+    def step(state, mel, tokens, loss_mask):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, mel, tokens,
+                                                  loss_mask)
+        return state.apply_gradients(grads=grads), loss
+
+    return step
