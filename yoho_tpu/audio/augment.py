@@ -40,12 +40,17 @@ def air_absorption(audio, sr, rng, min_distance=10.0, max_distance=100.0):
 
 
 def aliasing(audio, sr, rng, min_rate=4000, max_rate=12000):
-    """Downsample without a proper anti-alias filter, then back up."""
-    target = int(rng.uniform(min_rate, max_rate))
-    step = max(1, sr // target)
-    decimated = audio[::step]
-    idx = np.minimum((np.arange(len(audio)) // step), len(decimated) - 1)
-    return decimated[idx].astype(np.float32)
+    """Downsample without a proper anti-alias filter, then back up.
+
+    Fractional resample (linear interp, deliberately NO filter — the
+    aliasing is the point); integer-step decimation would be a silent
+    no-op for every target rate above sr/2."""
+    target = rng.uniform(min_rate, max_rate)
+    n = len(audio)
+    n_down = max(int(n * target / sr), 2)
+    down = np.interp(np.linspace(0.0, n - 1, n_down), np.arange(n), audio)
+    up = np.interp(np.linspace(0.0, n_down - 1, n), np.arange(n_down), down)
+    return up.astype(np.float32)
 
 
 def band_pass(audio, sr, rng, min_center=200.0, max_center=4000.0):
@@ -109,15 +114,21 @@ def peaking_filter(audio, sr, rng, min_center=50.0, max_center=7000.0,
 
 def pitch_shift(audio, sr, rng, min_semitones=-4.0, max_semitones=4.0):
     """Duration-preserving pitch shift: STFT phase-vocoder time stretch
-    followed by resampling (librosa-style, self-contained)."""
+    followed by resampling (librosa-style, self-contained).
+
+    For +s semitones: stretch LONGER by 2^(s/12) at constant pitch
+    (``rate`` < 1), then play the long signal back over the original
+    duration — the speed-up raises pitch by exactly 2^(s/12). (The
+    opposite rate convention silently shifts DOWN for positive
+    semitones; caught by the spectral test in tests/test_augment.py.)"""
     semitones = rng.uniform(min_semitones, max_semitones)
     if abs(semitones) < 1e-3:
         return audio
-    rate = 2.0 ** (semitones / 12.0)
+    rate = 2.0 ** (-semitones / 12.0)
     stretched = _time_stretch(audio, rate)
-    idx = np.clip((np.arange(len(audio)) * (len(stretched) - 1) /
-                   max(len(audio) - 1, 1)).astype(np.int64), 0, len(stretched) - 1)
-    return stretched[idx].astype(np.float32)
+    n, m = len(audio), len(stretched)
+    out = np.interp(np.linspace(0.0, m - 1, n), np.arange(m), stretched)
+    return out.astype(np.float32)
 
 
 def _time_stretch(audio, rate, n_fft=1024, hop=256):
