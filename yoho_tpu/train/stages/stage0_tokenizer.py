@@ -62,12 +62,14 @@ def main(config: SessionConfig) -> None:
     if n_sentences == 0:
         import warnings
 
+        corpora = ", ".join(str(d) for d in (config.dataset.noisy,
+                                             config.dataset.clean,
+                                             config.dataset.finetune))
         warnings.warn(
-            "stage 0 found NO transcripts under "
-            f"{config.dataset.noisy}/{config.dataset.clean}/"
-            f"{config.dataset.finetune} (expected <dir>/transcripts/*.srt) — "
-            "the tokenizer was trained on an empty corpus (byte fallback "
-            "vocab only)", stacklevel=1,
+            f"stage 0 found NO transcripts under any of: {corpora} "
+            "(expected <dir>/transcripts/*.srt) — the tokenizer was "
+            "trained on an empty corpus (byte fallback vocab only)",
+            stacklevel=1,
         )
     else:
         print(f"Trained on {n_sentences} standardized sentences")
