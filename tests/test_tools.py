@@ -129,3 +129,19 @@ def test_umbrella_cli_dispatch(tmp_path, capsys):
     # end-to-end through the dispatcher: create a session
     assert main(["create-session", "disp", "--root", str(tmp_path)]) == 0
     assert (tmp_path / "disp" / "config.toml").exists()
+
+
+def test_plot_metrics_once_renders_png(tmp_path):
+    """--once renders a headless PNG dashboard next to the CSV."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from yoho_tpu.cli.plot_metrics import main as plot_main
+
+    csv = tmp_path / "s" / "stages" / "1" / "metrics.csv"
+    csv.parent.mkdir(parents=True)
+    csv.write_text("update,learning_rate,loss,val_loss\n"
+                   "1,0.001,5.0,\n2,0.0009,4.2,4.5\n3,0.0008,3.9,\n")
+    assert plot_main(["s", "1", "--root", str(tmp_path), "--once"]) == 0
+    png = csv.with_suffix(".png")
+    assert png.exists() and png.stat().st_size > 1000
