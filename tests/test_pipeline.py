@@ -489,3 +489,36 @@ def test_prepare_audio_downmixes_stereo(yoho_setup):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="1-D mono"):
         t._prepare_audio(np.zeros((2, 3, 4), np.float32), None)
+
+
+def test_orphan_text_between_timestamps_gets_gap_segment():
+    """Text between a closing and the next opening timestamp (model
+    skipped the paired double) becomes its OWN segment over the gap —
+    neither dropped (old yoho branch) nor mis-timed into the next
+    segment (old whisper branch)."""
+    import jax
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=48, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=8.0)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=1)
+    ts = table.timestamp_begin
+    word = 9000  # arbitrary text token id
+    # <|0.00|> w <|2.00|> w <|4.00|> w <|6.00|>   (single ts separators)
+    stream = t._prompt_ids() + [ts + 0, word, ts + 100, word, ts + 200,
+                                word, ts + 300, table.eot]
+    toks = np.asarray(stream, np.int32)
+    segs = t._tokens_to_segments(toks, len(toks))
+    spans = [(s.start, s.end) for s in segs]
+    assert spans == [(0.0, 2.0), (2.0, 4.0), (4.0, 6.0)], spans
+    assert all(s.tokens == [word] for s in segs)

@@ -220,3 +220,38 @@ def test_speculative_with_logits_fn_equals_greedy(setup):
 
     np.testing.assert_array_equal(np.asarray(tokens_g), np.asarray(tokens_s))
     np.testing.assert_array_equal(np.asarray(lengths_g), np.asarray(lengths_s))
+
+
+def test_speculative_aux_sum_logprob_matches_greedy(setup):
+    """return_aux sum_logprob is the REAL cumulative logprob of the
+    committed tokens — identical (f32 tolerance) to greedy's, so the
+    no-speech rule and quality fallback work with a draft attached."""
+    _cfg_t, _cfg_d, target, draft = setup
+    prompt = jnp.asarray([[1, 2], [4, 5], [1, 3]], jnp.int32)
+
+    t_model, t_vars, t_xa = target
+    b = prompt.shape[0]
+    ckv = t_model.apply(t_vars, t_xa, method=Whisper.cross_kvs)
+    caches = t_model.apply(t_vars, b, jnp.float32, method=Whisper.init_caches)
+    step = make_whisper_step_fn(t_model, t_vars, ckv)
+    tok_g, len_g, aux_g = greedy_decode(step, caches, prompt, MAX_LEN, EOT,
+                                        return_aux=True, no_speech_id=5)
+
+    d_model, d_vars, d_xa = draft
+    t_ckv = t_model.apply(t_vars, t_xa, method=Whisper.cross_kvs)
+    d_ckv = d_model.apply(d_vars, d_xa, method=Whisper.cross_kvs)
+    t_caches = t_model.apply(t_vars, b, jnp.float32, MAX_LEN + GAMMA + 2,
+                             method=Whisper.init_caches)
+    d_caches = d_model.apply(d_vars, b, jnp.float32, MAX_LEN + GAMMA + 2,
+                             method=Whisper.init_caches)
+    tok_s, len_s, aux_s = speculative_greedy_decode(
+        make_verify_step_fn(t_model, t_vars, t_ckv),
+        make_verify_step_fn(d_model, d_vars, d_ckv),
+        t_caches, d_caches, prompt, MAX_LEN, EOT, gamma=GAMMA,
+        return_aux=True, no_speech_id=5)
+
+    np.testing.assert_array_equal(np.asarray(tok_g), np.asarray(tok_s))
+    np.testing.assert_allclose(np.asarray(aux_s["sum_logprob"]),
+                               np.asarray(aux_g["sum_logprob"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(aux_s["no_speech_prob"]),
+                               np.asarray(aux_g["no_speech_prob"]), atol=1e-5)

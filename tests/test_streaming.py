@@ -63,8 +63,11 @@ def test_streaming_incremental_finalization(setup):
     s.push(np.zeros(cfg.n_samples * 2, np.float32))
     final = s.flush()
     assert isinstance(final, list)
-    # flush resets buffered audio
-    assert s.push(np.zeros(10, np.float32)) == []
+    # flush is TERMINAL: the decoded tail can't be reconstructed, so a
+    # later push would silently decode corrupted windows — it raises.
+    assert s.flush() == []  # idempotent re-flush
+    with pytest.raises(RuntimeError, match="already flushed"):
+        s.push(np.zeros(10, np.float32))
 
 
 def test_streaming_stitching_with_synthetic_segments(setup, monkeypatch):

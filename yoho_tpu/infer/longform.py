@@ -46,6 +46,28 @@ class Segment:
             "compression_ratio": self.compression_ratio,
         }
 
+    def shifted(self, off: float) -> "Segment":
+        """Copy with window-relative times rebased by ``off`` seconds
+        (segment bounds AND word timings) — the one place the
+        field-by-field rebase lives (stitching, streaming finalize,
+        streaming partials all use it; a per-site copy silently drops
+        newly added fields)."""
+        return Segment(
+            start=round(off + self.start, 3),
+            end=round(off + self.end, 3),
+            text=self.text,
+            tokens=list(self.tokens),
+            voiceprint=self.voiceprint,
+            speaker=self.speaker,
+            words=[type(w)(w.word, round(off + w.start, 3),
+                           round(off + w.end, 3))
+                   for w in self.words] if self.words else None,
+            avg_logprob=self.avg_logprob,
+            no_speech_prob=self.no_speech_prob,
+            temperature=self.temperature,
+            compression_ratio=self.compression_ratio,
+        )
+
 
 def chunk_audio(
     audio: np.ndarray,
@@ -62,10 +84,10 @@ def chunk_audio(
         out = np.zeros((1, chunk_samples), np.float32)
         out[0, :n] = audio
         return out, [0]
+    # The half-open stop guarantees tail coverage: the interval
+    # [n - chunk, n - chunk + stride) contains exactly one multiple of
+    # stride, so the last window always reaches the end of the audio.
     starts = list(range(0, n - chunk_samples + stride_samples, stride_samples))
-    # Ensure the tail is covered.
-    if starts[-1] + chunk_samples < n:
-        starts.append(n - chunk_samples)
     windows = np.zeros((len(starts), chunk_samples), np.float32)
     for i, s in enumerate(starts):
         seg = audio[s : s + chunk_samples]
@@ -99,22 +121,6 @@ def stitch_segments(
         for seg in segs:
             mid = off + (seg.start + seg.end) / 2
             if lo <= mid < hi:
-                out.append(
-                    Segment(
-                        start=round(off + seg.start, 3),
-                        end=round(off + seg.end, 3),
-                        text=seg.text,
-                        tokens=list(seg.tokens),
-                        voiceprint=seg.voiceprint,
-                        speaker=seg.speaker,
-                        words=[type(w)(w.word, round(off + w.start, 3),
-                                       round(off + w.end, 3))
-                               for w in seg.words] if seg.words else None,
-                        avg_logprob=seg.avg_logprob,
-                        no_speech_prob=seg.no_speech_prob,
-                        temperature=seg.temperature,
-                        compression_ratio=seg.compression_ratio,
-                    )
-                )
+                out.append(seg.shifted(off))
     out.sort(key=lambda s: (s.start, s.end))
     return out

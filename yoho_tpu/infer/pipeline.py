@@ -265,8 +265,13 @@ class Transcriber:
                 ckv = model.apply(variables, xa, method=type(model).cross_kvs)
             if k:
                 ckv = tile_beams(ckv, k)
-                caches = model.apply(variables, batch * k, self.cache_dtype,
-                                     method=type(model).init_caches)
+                if self.family == "whisper":
+                    caches = model.apply(variables, batch * k, self.cache_dtype,
+                                         None, self.quantized_cache,
+                                         method=type(model).init_caches)
+                else:
+                    caches = model.apply(variables, batch * k, self.cache_dtype,
+                                         method=type(model).init_caches)
                 step = self._make_step(variables, ckv)
                 ns_id = (self.token_table.no_speech
                          if self.family == "whisper" else None)
@@ -443,7 +448,10 @@ class Transcriber:
 
         tt = self.token_table
         text_ids = [int(t) for t in tt.encode_text(" " + text.strip())]
-        sot = tt.sot_sequence(self.language, "transcribe", timestamps=False)
+        # language=None (auto) has no token; align against English —
+        # forced alignment is language-insensitive up to tokenizer text.
+        sot = tt.sot_sequence(self.language or "en", "transcribe",
+                              timestamps=False)
         ids = sot + text_ids + [tt.eot]
         if len(ids) > self.max_len:
             raise ValueError(f"text too long ({len(ids)} tokens > {self.max_len})")
@@ -476,7 +484,10 @@ class Transcriber:
 
         assert self.family == "whisper", "align() is a whisper feature"
         tt = self.token_table
-        sot = tt.sot_sequence(self.language, "transcribe", timestamps=False)
+        # language=None (auto) has no token; align against English —
+        # forced alignment is language-insensitive up to tokenizer text.
+        sot = tt.sot_sequence(self.language or "en", "transcribe",
+                              timestamps=False)
         spf = 2 * self.hop / self.sample_rate
 
         prepped = []
@@ -628,18 +639,34 @@ class Transcriber:
             n_prompt = len(self._prompt_ids())
         toks = [int(t) for t in tokens[n_prompt:length]]
         segs: List[Segment] = []
+
+        def close(start, end, cur):
+            segs.append(Segment(start, end, self._render(cur), cur))
+
+        def open_segment(new_start, cur, prev_end):
+            """Text between a closing and the next opening timestamp (the
+            model skipped the paired double) becomes its OWN segment over
+            the gap [prev_end, new_start] — it was spoken there. Keeping
+            it attached to the next segment mis-times it; dropping it
+            loses words."""
+            if cur:
+                close(prev_end, new_start, cur)
+            return new_start
+
         if self.family == "whisper":
             tt = self.token_table
             cur: List[int] = []
             start: Optional[float] = None
+            prev_end = 0.0
             for t in toks:
                 if tt.is_timestamp(t):
+                    ts = tt.timestamp_seconds(t)
                     if start is None:
-                        start = tt.timestamp_seconds(t)
+                        start = open_segment(ts, cur, prev_end)
+                        cur = []
                     else:
-                        segs.append(Segment(start, tt.timestamp_seconds(t),
-                                            self._render(cur), cur))
-                        cur, start = [], None
+                        close(start, ts, cur)
+                        cur, start, prev_end = [], None, ts
                 elif t == tt.eot or t >= tt.eot:
                     continue  # specials
                 else:
@@ -648,29 +675,31 @@ class Transcriber:
                 # Truncated tail (no closing timestamp): close at the window
                 # end, clamped — the opening timestamp may exceed the window
                 # (models can emit any of the 1500 timestamp tokens).
-                end = max(self.chunk_samples / self.sample_rate, start or 0.0)
-                segs.append(Segment(start or 0.0, end, self._render(cur), cur))
+                end = max(self.chunk_samples / self.sample_rate,
+                          start if start is not None else prev_end)
+                close(start if start is not None else prev_end, end, cur)
         else:
             tok = self.tokenizer
             frame_s = self.hop / self.sample_rate
             cur = []
             start = None
+            prev_end = 0.0
             for t in toks:
                 if tok.is_timestamp(t):
+                    ts = (t - tok.timestamp_base) * frame_s
                     if start is None:
-                        start = (t - tok.timestamp_base) * frame_s
+                        start = open_segment(ts, cur, prev_end)
                         cur = []
                     else:
-                        segs.append(Segment(start, (t - tok.timestamp_base) * frame_s,
-                                            self._render(cur), cur))
-                        cur, start = [], None
+                        close(start, ts, cur)
+                        cur, start, prev_end = [], None, ts
                 elif t in (tok.sot_id, tok.eot_id, tok.voiceprint_id):
                     continue
                 else:
                     cur.append(t)
             if cur and start is not None:
                 end = max(self.chunk_samples / self.sample_rate, start)
-                segs.append(Segment(start, end, self._render(cur), cur))
+                close(start, end, cur)
         return segs
 
     def _render(self, ids: Sequence[int]) -> str:
@@ -885,8 +914,11 @@ class Transcriber:
                 for j in range(actual)
             ]
             self._attach_quality(segs, lengths, aux)
-            self._attach_voiceprints(mel[:actual], tokens[:actual], segs)
-            self._attach_words(mel[:actual], tokens[:actual], lengths[:actual], segs)
+            # Pass the FULL padded batch: slicing to the remainder would
+            # compile a fresh program per distinct final-batch size (both
+            # helpers only read rows with a per_window entry).
+            self._attach_voiceprints(mel, tokens, segs)
+            self._attach_words(mel, tokens, lengths, segs)
             per_window.extend(segs)
 
         results = []
@@ -1006,9 +1038,10 @@ class Transcriber:
                 for j in range(len(group))
             ]
             self._attach_quality(segs, lengths, aux)
-            self._attach_voiceprints(mel[: len(group)], tokens[: len(group)], segs)
-            self._attach_words(mel[: len(group)], tokens[: len(group)],
-                               lengths[: len(group)], segs)
+            # Full padded batch: a remainder-sized slice would compile a
+            # fresh program per distinct final-group size.
+            self._attach_voiceprints(mel, tokens, segs)
+            self._attach_words(mel, tokens, lengths, segs)
             for s in segs:
                 text = " ".join(x.text for x in s if x.text).strip()
                 results.append(TranscriptionResult(text=text, segments=s,

@@ -84,8 +84,13 @@ def speculative_greedy_decode(
     Both cache sets must be long enough for ``max_len + gamma`` positions
     (stale-overwrite workspace past the horizon). ``return_aux`` adds a
     dict with ``no_speech_prob`` (target prefill logits, like
-    ``greedy_decode``) and a zero ``sum_logprob`` placeholder — the
-    quality-fallback ladder needs non-speculative decoding.
+    ``greedy_decode``) and ``sum_logprob`` — the REAL cumulative logprob
+    of the committed tokens under the (processed) target logits, same
+    convention as greedy (EOT included, nothing after, horizon-clipped),
+    so the no-speech rule and quality-fallback signals keep working with
+    a draft model attached. A committed token is always the target
+    argmax of its row, so its logprob is max(logits) - logsumexp(logits)
+    of the processed verify logits — no extra softmax materialization.
 
     ``logits_fn(logits (B, V), tokens, pos)`` is the same post-processor
     contract as ``greedy_decode`` (timestamp rules etc.). During drafting
@@ -100,14 +105,23 @@ def speculative_greedy_decode(
 
     sup = jnp.asarray(list(suppress_ids), jnp.int32) if len(suppress_ids) else None
 
-    def pick_one(logits, work, pos):  # (B, V) -> (B,) int32
+    def _processed(logits, work, pos):
         logits = logits.astype(jnp.float32)
         if sup is not None:
             neg = jnp.full(sup.shape, jnp.finfo(jnp.float32).min, jnp.float32)
             logits = logits.at[:, sup].set(neg[None, :])
         if logits_fn is not None:
             logits = logits_fn(logits, work, pos)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return logits
+
+    def pick_one(logits, work, pos):  # (B, V) -> (B,) int32
+        return jnp.argmax(_processed(logits, work, pos), axis=-1).astype(jnp.int32)
+
+    def pick_lp(logits, work, pos):  # -> ((B,) int32, (B,) f32 logprob)
+        pl = _processed(logits, work, pos)
+        choice = jnp.argmax(pl, axis=-1).astype(jnp.int32)
+        lp = jnp.max(pl, axis=-1) - jax.nn.logsumexp(pl, axis=-1)
+        return choice, lp
 
     tokens = jnp.full((b, ext), eot_id, jnp.int32)
     tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
@@ -121,17 +135,17 @@ def speculative_greedy_decode(
     if no_speech_id is not None:
         probs0 = jax.nn.softmax(t_logits[:, -1].astype(jnp.float32), axis=-1)
         no_speech_prob = probs0[:, no_speech_id]
-    first = pick_one(t_logits[:, -1], tokens, jnp.int32(p))
+    first, lp0 = pick_lp(t_logits[:, -1], tokens, jnp.int32(p))
     tokens = tokens.at[:, p].set(first)
     finished0 = first == eot_id
     c0 = jnp.int32(p + 1)  # committed token count
 
     def cond(state):
-        c, _tokens, _tc, _dc, finished = state
+        c, _tokens, _tc, _dc, finished, _lp = state
         return jnp.logical_and(c < max_len, ~jnp.all(finished))
 
     def body(state):
-        c, tokens, t_caches, d_caches, finished = state
+        c, tokens, t_caches, d_caches, finished, sum_lp = state
 
         # --- draft phase: propose gamma tokens --------------------------
         # First step S=2 at c-2: idempotent re-write of position c-2 plus
@@ -158,10 +172,10 @@ def speculative_greedy_decode(
         t_logits, t_caches = target_step(verify_in, t_caches, c - 1)
         # Row i predicts position c+i; its rules context (positions < c+i
         # in `work`) is exactly the proposal prefix p_0..p_{i-1}.
-        greedy = jnp.stack(
-            [pick_one(t_logits[:, i], work, c + i) for i in range(gamma + 1)],
-            axis=1,
-        )  # (B, g+1)
+        picks = [pick_lp(t_logits[:, i], work, c + i)
+                 for i in range(gamma + 1)]
+        greedy = jnp.stack([ch for ch, _ in picks], axis=1)  # (B, g+1)
+        lp_rows = jnp.stack([lp for _, lp in picks], axis=1)  # (B, g+1)
 
         # --- lockstep acceptance -----------------------------------------
         agree = greedy[:, :-1] == proposals  # (B, gamma)
@@ -181,15 +195,27 @@ def speculative_greedy_decode(
 
         tokens = jax.lax.dynamic_update_slice(tokens, block, (0, c))
 
+        # Quality signal: committed tokens are target argmaxes, so their
+        # logprobs are lp_rows. Greedy's convention: count tokens up to
+        # and INCLUDING a stream's first EOT, nothing after, and nothing
+        # past the max_len horizon (the final round may commit into the
+        # workspace slack that the caller truncates away).
+        blk_eot = (block == eot_id).astype(jnp.int32) * (idx[None, :] < m)
+        prior_eot = jnp.cumsum(blk_eot, axis=1) - blk_eot
+        alive = ((idx[None, :] < m) & (prior_eot == 0)
+                 & ~finished[:, None] & ((c + idx)[None, :] < max_len))
+        sum_lp = sum_lp + jnp.sum(jnp.where(alive, lp_rows, 0.0), axis=1)
+
         # EOT tracking over the committed region only (first m entries).
         committed_eot = jnp.any(
             jnp.logical_and(idx[None, :] < m, block == eot_id), axis=1
         )
         finished = jnp.logical_or(finished, committed_eot)
-        return c + m, tokens, t_caches, d_caches, finished
+        return c + m, tokens, t_caches, d_caches, finished, sum_lp
 
-    _c, tokens, _tc, _dc, _fin = jax.lax.while_loop(
-        cond, body, (c0, tokens, target_caches, draft_caches, finished0)
+    _c, tokens, _tc, _dc, _fin, sum_lp = jax.lax.while_loop(
+        cond, body,
+        (c0, tokens, target_caches, draft_caches, finished0, lp0),
     )
 
     tokens = tokens[:, :max_len]
@@ -202,7 +228,7 @@ def speculative_greedy_decode(
     pos_idx = jnp.arange(max_len)[None, :]
     tokens = jnp.where(pos_idx >= lengths[:, None], eot_id, tokens)
     if return_aux:
-        aux = {"sum_logprob": jnp.zeros((b,), jnp.float32)}
+        aux = {"sum_logprob": sum_lp}
         if no_speech_prob is not None:
             aux["no_speech_prob"] = no_speech_prob
         return tokens, lengths, aux

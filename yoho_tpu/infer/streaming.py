@@ -27,9 +27,10 @@ class StreamingTranscriber:
         self._emitted: List[Segment] = []
         self._pending: List[tuple] = []  # (window_start, [Segment])
         self._consumed = 0  # absolute samples consumed into buffer
+        self._flushed = False
 
     # ------------------------------------------------------------------
-    def _decode_window(self, window_start: int, audio: np.ndarray, final: bool):
+    def _decode_window(self, window_start: int, audio: np.ndarray):
         t = self.t
         if getattr(t, "vad_filter", False):
             # Streaming VAD gate: a window with no detected speech never
@@ -72,19 +73,7 @@ class StreamingTranscriber:
             for seg in segs:
                 mid = off + (seg.start + seg.end) / 2
                 if lo <= mid < hi:
-                    out.append(Segment(
-                        start=round(off + seg.start, 3),
-                        end=round(off + seg.end, 3),
-                        text=seg.text, tokens=list(seg.tokens),
-                        voiceprint=seg.voiceprint, speaker=seg.speaker,
-                        words=[type(wd)(wd.word, round(off + wd.start, 3),
-                                        round(off + wd.end, 3))
-                               for wd in seg.words] if seg.words else None,
-                        avg_logprob=seg.avg_logprob,
-                        no_speech_prob=seg.no_speech_prob,
-                        temperature=seg.temperature,
-                        compression_ratio=seg.compression_ratio,
-                    ))
+                    out.append(seg.shifted(off))
         # Drop finalized windows; keep the last (still revisable) one.
         if not final and self._pending:
             self._pending = self._pending[-1:]
@@ -97,6 +86,13 @@ class StreamingTranscriber:
     # ------------------------------------------------------------------
     def push(self, audio: np.ndarray) -> List[Segment]:
         """Feed more audio; returns newly finalized segments."""
+        if self._flushed:
+            # flush() decoded the final partial window and discarded the
+            # buffer; pushing afterwards would silently decode corrupted
+            # windows (the dropped tail cannot be reconstructed).
+            raise RuntimeError(
+                "stream already flushed — create a new StreamingTranscriber "
+                "for a new session")
         t = self.t
         audio = np.asarray(audio, np.float32).reshape(-1)
         self._buffer = np.concatenate([self._buffer, audio])
@@ -106,7 +102,7 @@ class StreamingTranscriber:
         while self._consumed - self._next_window_start >= t.chunk_samples:
             rel = self._next_window_start - (self._consumed - len(self._buffer))
             window = self._buffer[rel : rel + t.chunk_samples]
-            self._decode_window(self._next_window_start, window, final=False)
+            self._decode_window(self._next_window_start, window)
             self._next_window_start += t.stride_samples
             new.extend(self._finalize(final=False))
         # Trim buffer to what future windows still need.
@@ -116,12 +112,17 @@ class StreamingTranscriber:
         return new
 
     def flush(self) -> List[Segment]:
-        """End of stream: decode the remaining partial window, finalize all."""
+        """End of stream: decode the remaining partial window, finalize
+        all. TERMINAL: subsequent push() raises (idempotent re-flush is
+        allowed and returns nothing new)."""
+        if self._flushed:
+            return []
+        self._flushed = True
         t = self.t
         rel = self._next_window_start - (self._consumed - len(self._buffer))
         tail = self._buffer[max(rel, 0):]
         if len(tail) > 0:
-            self._decode_window(self._next_window_start, tail, final=True)
+            self._decode_window(self._next_window_start, tail)
         out = self._finalize(final=True)
         self._buffer = np.zeros((0,), np.float32)
         return out
@@ -137,24 +138,8 @@ class StreamingTranscriber:
         show these immediately; a later overlapping window may revise
         them, so they must be replaced (not appended) by the next partial
         or final batch."""
-        out: List[Segment] = []
-        for start, segs in self._pending:
-            off = start / self.t.sample_rate
-            for seg in segs:
-                out.append(Segment(
-                    start=round(off + seg.start, 3),
-                    end=round(off + seg.end, 3),
-                    text=seg.text, tokens=list(seg.tokens),
-                    voiceprint=seg.voiceprint, speaker=seg.speaker,
-                    words=[type(w)(w.word, round(off + w.start, 3),
-                                   round(off + w.end, 3))
-                           for w in seg.words] if seg.words else None,
-                    avg_logprob=seg.avg_logprob,
-                    no_speech_prob=seg.no_speech_prob,
-                    temperature=seg.temperature,
-                    compression_ratio=seg.compression_ratio,
-                ))
-        return out
+        return [seg.shifted(start / self.t.sample_rate)
+                for start, segs in self._pending for seg in segs]
 
     def text(self) -> str:
         return " ".join(s.text for s in self._emitted if s.text).strip()
