@@ -323,7 +323,7 @@ def test_sigterm_flushes_checkpoint(tmp_path):
         # block the writer so the pending snapshot survives until SIGTERM
         import threading
         ck._cv.acquire()  # starve the worker loop
-        ck._pending = (7, {{"w": np.ones(3, np.float32)}}, {{}})
+        ck._pending = (1, (7, {{"w": np.ones(3, np.float32)}}, {{}}))
         os.kill(os.getpid(), signal.SIGTERM)
     """)
     proc = subprocess.run([sys.executable, "-c", script], timeout=120,
@@ -335,3 +335,46 @@ def test_sigterm_flushes_checkpoint(tmp_path):
     step, p, _ = restored
     assert step == 7
     np.testing.assert_array_equal(p["w"], np.ones(3))
+
+
+def test_workers_see_epoch_reshuffle(session_config, tokenizer):
+    """Spawned workers hold a pickled-at-spawn copy of the loader; the
+    epoch tag on every task lets them re-derive each epoch's shuffle —
+    without it every epoch replays byte-identical batches."""
+    dl = TranscriptionDataloader((0, 1), session_config, tokenizer,
+                                 batch_size=4, shuffle=True,
+                                 use_multiprocessing=True, num_workers=1,
+                                 max_queued_batches=2, warmup_queue=False,
+                                 disable_warnings=True)
+    try:
+        n = dl.num_batches
+        epoch0 = [dl.get_prepared_batch() for _ in range(n)]
+        epoch1 = [dl.get_prepared_batch() for _ in range(n)]
+    finally:
+        dl.terminate()
+    flat0 = np.concatenate([b[1].ravel() for b in epoch0])  # token ids
+    flat1 = np.concatenate([b[1].ravel() for b in epoch1])
+    assert not np.array_equal(flat0, flat1), (
+        "epoch 2 replayed epoch 1 byte-for-byte — reshuffle not reaching "
+        "workers")
+
+
+class _ExplodingLoader(TranscriptionDataloader):
+    """Module-level so the spawn pickle can find it."""
+
+    def get_batch(self, idx):
+        raise ValueError("corrupt audio file")
+
+
+def test_worker_errors_surface_instead_of_hanging(session_config, tokenizer):
+    """A worker whose get_batch raises must surface the error to the
+    training loop, not die silently and hang the queue forever."""
+    dl = _ExplodingLoader((0, 1), session_config, tokenizer, batch_size=2,
+                   use_multiprocessing=True, num_workers=1,
+                   max_queued_batches=2, warmup_queue=False,
+                   disable_warnings=True)
+    try:
+        with pytest.raises(RuntimeError, match="corrupt audio file"):
+            dl.get_prepared_batch()
+    finally:
+        dl.terminate()

@@ -56,7 +56,17 @@ class AsyncCheckpointer:
     def __init__(self, path, install_sigterm: bool = False):
         self.path = Path(path)
         self._pending = None
-        self._cv = threading.Condition()
+        # RLock: the SIGTERM handler runs ON the main thread and may
+        # interrupt save() while it holds this lock — a plain Lock would
+        # deadlock the process exactly on the preemption path.
+        self._cv = threading.Condition(threading.RLock())
+        # Serializes the actual file write AND enforces snapshot ordering:
+        # flush() (signal path) and the writer thread must never write the
+        # same .tmp concurrently, and an older snapshot must never replace
+        # a newer one after the fact.
+        self._write_lock = threading.Lock()
+        self._seq = 0
+        self._written_seq = 0
         self._stop = False
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
@@ -65,9 +75,20 @@ class AsyncCheckpointer:
                 prev = signal.getsignal(signal.SIGTERM)
 
                 def _handler(signum, frame):
-                    self.flush()
+                    # blocking=False: if the handler interrupted a frame
+                    # that already holds the write lock (close()'s flush),
+                    # blocking would self-deadlock — and a write is in
+                    # flight anyway, so a snapshot reaches disk.
+                    self.flush(blocking=False)
                     if callable(prev):
                         prev(signum, frame)
+                    elif prev is not signal.SIG_IGN:
+                        # Default disposition: re-deliver so the process
+                        # actually terminates (swallowing SIGTERM forces
+                        # the supervisor to escalate to SIGKILL, which
+                        # would land mid-write on a later checkpoint).
+                        signal.signal(signum, signal.SIG_DFL)
+                        os.kill(os.getpid(), signum)
 
                 signal.signal(signal.SIGTERM, _handler)
             except ValueError:
@@ -78,8 +99,20 @@ class AsyncCheckpointer:
         # mutates (donates) the buffers next step.
         snapshot = (int(step), jax.device_get(params), jax.device_get(opt_state))
         with self._cv:
-            self._pending = snapshot
+            self._seq += 1
+            self._pending = (self._seq, snapshot)
             self._cv.notify()
+
+    def _write(self, seq: int, payload, blocking: bool = True) -> None:
+        if not self._write_lock.acquire(blocking=blocking):
+            return  # signal path: a write is already in flight
+        try:
+            if seq <= self._written_seq:
+                return  # a newer snapshot already reached disk
+            save_checkpoint(self.path, *payload)
+            self._written_seq = seq
+        finally:
+            self._write_lock.release()
 
     def _run(self) -> None:
         while True:
@@ -88,16 +121,19 @@ class AsyncCheckpointer:
                     self._cv.wait()
                 if self._stop and self._pending is None:
                     return
-                payload = self._pending
+                seq, payload = self._pending
                 self._pending = None
-            save_checkpoint(self.path, *payload)
+            self._write(seq, payload)
 
-    def flush(self) -> None:
-        """Write any pending snapshot synchronously."""
+    def flush(self, blocking: bool = True) -> None:
+        """Write any pending snapshot synchronously (signal-safe: never
+        interleaves with the writer thread, never regresses to an older
+        snapshot; ``blocking=False`` skips instead of waiting when a
+        write is already in flight — the signal-handler path)."""
         with self._cv:
-            payload, self._pending = self._pending, None
-        if payload is not None:
-            save_checkpoint(self.path, *payload)
+            item, self._pending = self._pending, None
+        if item is not None:
+            self._write(*item, blocking=blocking)
 
     def close(self) -> None:
         with self._cv:

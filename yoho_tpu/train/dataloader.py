@@ -19,6 +19,7 @@ import datetime as dt
 import multiprocessing as mp
 import warnings
 from abc import ABC, abstractmethod
+from collections import OrderedDict
 from pathlib import Path
 from typing import Any, List, Optional, Sequence, Tuple
 
@@ -55,6 +56,10 @@ class Dataloader(ABC):
         self.use_multiprocessing = use_multiprocessing
         self.disable_warnings = disable_warnings
         self.current_batch_idx = 0
+        # Epoch counter rides with every task so spawned workers (which
+        # hold a pickled-at-spawn copy of self) can re-derive the epoch's
+        # shuffle — on_epoch() must be a pure function of _epoch.
+        self._epoch = getattr(self, "_epoch", 0)
 
         if self.use_multiprocessing:
             # spawn, not fork: JAX is multithreaded and fork() deadlocks.
@@ -73,6 +78,24 @@ class Dataloader(ABC):
     def on_epoch(self) -> None:
         """Called when the batch index wraps."""
 
+    def _cached_audio(self, path: Path, sample_rate: int) -> np.ndarray:
+        """Per-process LRU over decoded corpus files: consecutive samples
+        overwhelmingly come from the same file (indices pack per-file
+        ranges), and a full re-decode per SAMPLE was most of the batch
+        cost for long files."""
+        cache = getattr(self, "_audio_cache", None)
+        if cache is None:
+            cache = self._audio_cache = OrderedDict()
+        hit = cache.get(path)
+        if hit is not None:
+            cache.move_to_end(path)
+            return hit
+        audio = load_audio_f32(path, sample_rate)
+        cache[path] = audio
+        while len(cache) > 2:  # ~2 hour-files ≈ 0.5 GB ceiling
+            cache.popitem(last=False)
+        return audio
+
     @property
     def num_batches(self) -> int:
         return self.get_num_batches()
@@ -85,17 +108,32 @@ class Dataloader(ABC):
     def __getstate__(self):
         # Workers (spawn) pickle self through the Process target; strip the
         # sibling Process handles — children only need the queues + dataset.
+        # The decoded-audio cache is per-process scratch (possibly hundreds
+        # of MB) and must not ride the spawn pickle.
         state = dict(self.__dict__)
         state.pop("_workers", None)
+        state.pop("_audio_cache", None)
         return state
 
     def _worker(self, idx: int) -> None:
         task_queue = self._task_queues[idx]
         while True:
-            batch_idx = task_queue.get()
-            if batch_idx is None:
+            task = task_queue.get()
+            if task is None:
                 return
-            self._batch_queue.put(self.get_batch(batch_idx))
+            epoch, batch_idx = task
+            if epoch != self._epoch:
+                # Catch up to the task's epoch (on_epoch is a pure
+                # function of _epoch, so skipped epochs don't matter).
+                self._epoch = epoch
+                self.on_epoch()
+            try:
+                batch = self.get_batch(batch_idx)
+            except Exception as e:  # noqa: BLE001 — surface, don't hang
+                self._batch_queue.put(
+                    {"__dataloader_error__": f"{type(e).__name__}: {e}"})
+                raise
+            self._batch_queue.put(batch)
 
     def _start_workers(self) -> None:
         for _ in range(self.max_queued_batches):
@@ -106,15 +144,20 @@ class Dataloader(ABC):
         ]
         for w in self._workers:
             w.start()
+        import time as _time
+
         while self.warmup_queue and not self._batch_queue.full():
-            pass
+            if not any(w.is_alive() for w in self._workers):
+                break  # the error sentinel surfaces on the first get
+            _time.sleep(0.02)
 
     def _enqueue_next_task(self) -> None:
         self._task_queues[self.current_batch_idx % self.num_workers].put(
-            self.current_batch_idx
+            (self._epoch, self.current_batch_idx)
         )
         self.current_batch_idx = int((self.current_batch_idx + 1) % self.num_batches)
         if self.current_batch_idx == 0:
+            self._epoch += 1
             self.on_epoch()
 
     def get_prepared_batch(self):
@@ -122,6 +165,7 @@ class Dataloader(ABC):
             batch = self.get_batch(self.current_batch_idx)
             self.current_batch_idx = int((self.current_batch_idx + 1) % self.num_batches)
             if self.current_batch_idx == 0:
+                self._epoch += 1
                 self.on_epoch()
             return batch
 
@@ -130,7 +174,20 @@ class Dataloader(ABC):
                 f"Batches aren't preparing fast enough; consider optimizing "
                 f"{type(self).__name__}.get_batch"
             )
-        batch = self._batch_queue.get()
+        import queue as _queue
+
+        while True:
+            try:
+                batch = self._batch_queue.get(timeout=60)
+                break
+            except _queue.Empty:
+                if not any(w.is_alive() for w in self._workers):
+                    raise RuntimeError(
+                        "all dataloader workers died without reporting an "
+                        "error — check worker stderr") from None
+        if isinstance(batch, dict) and "__dataloader_error__" in batch:
+            raise RuntimeError(
+                f"dataloader worker failed: {batch['__dataloader_error__']}")
         self._enqueue_next_task()
         return batch
 
@@ -230,11 +287,18 @@ class TranscriptionDataloader(Dataloader):
         self.sizes = np.cumsum(np.asarray(sizes, np.int64))
         self.paths = paths
         self.langs = langs
-        self.index_table = np.arange(self.sizes[-1], dtype=np.int64)
-        if self.shuffle:
-            np.random.default_rng(seed).shuffle(self.index_table)
+        self.index_table = self._epoch_table(0)
 
         super().__init__(batch_size, **kwargs)
+
+    def _epoch_table(self, epoch: int) -> np.ndarray:
+        """Sample order for ``epoch`` — a PURE function of (seed, epoch)
+        so spawned workers reconstruct it from the task's epoch tag even
+        if they never saw the intermediate epochs."""
+        if not self.shuffle:
+            return np.arange(self.sizes[-1], dtype=np.int64)
+        return np.random.default_rng(
+            (self.seed, epoch)).permutation(int(self.sizes[-1]))
 
     # ------------------------------------------------------------------
     def get_num_batches(self) -> int:
@@ -243,9 +307,10 @@ class TranscriptionDataloader(Dataloader):
         return max(1, int(self.sizes[-1] // self.batch_size))
 
     def on_epoch(self) -> None:
-        self._epoch += 1
-        if self.shuffle:
-            np.random.default_rng(self.seed + self._epoch).shuffle(self.index_table)
+        # The base increments _epoch (parent: on wrap; workers: from the
+        # task's epoch tag); the table is recomputed, never incrementally
+        # shuffled — see _epoch_table.
+        self.index_table = self._epoch_table(self._epoch)
 
     # ------------------------------------------------------------------
     def _randomize_padding(self, rng, start_time, end_time, speech_start, speech_end):
@@ -269,7 +334,7 @@ class TranscriptionDataloader(Dataloader):
         transcript_path, audio_path = self.paths[asset]
         lang = self.langs[asset]
         subs = list(parse_srt(transcript_path.read_text(encoding="utf-8")))
-        audio = load_audio_f32(audio_path, cfg.sample_rate)
+        audio = self._cached_audio(audio_path, cfg.sample_rate)
 
         rel = int(sample_idx - (0 if asset == 0 else self.sizes[asset - 1]))
         rel = min(rel, len(subs) - 1)
@@ -344,11 +409,20 @@ class TranscriptionDataloader(Dataloader):
                 samples.append(self._speechless_sample(rng))
                 continue
             sample_idx = int(self.index_table[(i + k) % len(self.index_table)])
-            while True:
+            # Reject-and-advance is bounded by one full corpus wrap — a
+            # corpus whose every candidate exceeds n_samples (e.g. long
+            # utterances + slowing augmentations) must fail loudly, not
+            # spin a worker forever.
+            for _attempt in range(int(self.sizes[-1])):
                 audio, utts = self._load_sample(rng, sample_idx)
                 if audio is not None:
                     break
                 sample_idx = int((sample_idx + 1) % self.sizes[-1])
+            else:
+                raise RuntimeError(
+                    "every sample in the corpus exceeded n_samples after "
+                    "augmentation — clips are too long for "
+                    f"max_input_seconds={cfg.max_input_seconds:.1f}s")
             samples.append((audio, utts))
 
         audio_batch = np.stack([s[0] for s in samples])
@@ -414,10 +488,11 @@ class AudioChunkDataloader(Dataloader):
             )
 
         self.files = files
-        # Chunk index: (file_idx, chunk_idx) pairs, computed from durations.
+        # Chunk index: (file_idx, chunk_idx) pairs, computed from durations
+        # (cached decode: get_batch re-reads the same files immediately).
         self.chunks: List[Tuple[int, int]] = []
         for fi, f in enumerate(files):
-            audio = load_audio_f32(f, cfg.sample_rate)
+            audio = self._cached_audio(f, cfg.sample_rate)
             n = max(1, len(audio) // cfg.n_samples)
             self.chunks += [(fi, ci) for ci in range(n)]
         super().__init__(batch_size, **kwargs)
@@ -431,7 +506,7 @@ class AudioChunkDataloader(Dataloader):
         out = np.zeros((self.batch_size, cfg.n_samples), np.float32)
         for k in range(self.batch_size):
             fi, ci = self.chunks[(idx * self.batch_size + k) % len(self.chunks)]
-            audio = load_audio_f32(self.files[fi], cfg.sample_rate)
+            audio = self._cached_audio(self.files[fi], cfg.sample_rate)
             start = ci * cfg.n_samples
             clip = audio[start : start + cfg.n_samples]
             if self.augment:

@@ -92,6 +92,9 @@ class ASRTrainer:
         dl_kwargs = dict(
             config=config,
             tokenizer=self.tokenizer,
+            # Each stage's OWN ratio (stage 4 has its own field; the
+            # dataloader default would silently read the stage-1 value).
+            speechless_ratio=getattr(self.hp, "speechless_sample_ratio", 0.0),
             batch_size=self.hp.batch_size,
             shuffle=True,
             use_multiprocessing=use_multiprocessing,
@@ -110,8 +113,13 @@ class ASRTrainer:
         # optax's decay_steps is the TOTAL schedule length INCLUDING warmup
         # (cosine runs for decay_steps - warmup_steps). Clamp so short runs
         # (updates <= warmup) still construct a valid schedule.
-        warmup = self.hp.warmup_updates * acc
-        total = max(self.hp.updates * acc, warmup + 1)
+        # Horizons are in APPLIED UPDATES: under optax.MultiSteps the inner
+        # optimizer (and therefore its schedule) steps once per applied
+        # update, not per accumulation micro-step — scaling by `acc` here
+        # would stretch warmup/decay by the accumulation factor (verified
+        # empirically: param deltas track sched(update_count)).
+        warmup = self.hp.warmup_updates
+        total = max(self.hp.updates, warmup + 1)
         self.lr_schedule = optax.schedules.warmup_cosine_decay_schedule(
             0.0,
             self.hp.learning_rate,
@@ -149,6 +157,16 @@ class ASRTrainer:
         if restored is not None:
             step, params, opt_state = restored
             params = shard_params(params, self.mesh, YOHO_RULES)
+            # Re-shard the optimizer state too: the freshly created
+            # state.opt_state carries the correct mesh placements (it was
+            # built under jit from sharded params), while the restored
+            # leaves are host arrays — without this the first step commits
+            # ~3x params of f32 optimizer state to one device.
+            opt_state = jax.tree_util.tree_map(
+                lambda ref, x: (jax.device_put(x, ref.sharding)
+                                if hasattr(ref, "sharding") else x),
+                state.opt_state, opt_state,
+            )
             state = TrainState(
                 step=jnp.asarray(step),
                 apply_fn=self.model.apply,
@@ -262,6 +280,7 @@ class ASRTrainer:
         profiling = False
 
         acc_loss, seen = 0.0, 0
+        completed = False
         try:
             while int(self.state.step) < target_steps:
                 step = int(self.state.step)
@@ -296,10 +315,20 @@ class ASRTrainer:
                         val_loss = self._validate(update)
                         ckpt.save(self.state.step, self.state.params,
                                   self.state.opt_state)
+                    # The schedule is indexed by APPLIED updates (see the
+                    # MultiSteps note at construction) — logging it at the
+                    # micro-step count would show a value the optimizer
+                    # never applies.
                     self.metrics.log(
-                        update, float(self.lr_schedule(self.state.step)),
+                        update, float(self.lr_schedule(update)),
                         batch_loss, val_loss,
                     )
+            # Export the cross-stage weights artifact only on SUCCESSFUL
+            # completion (this line is unreached on exceptions) — a
+            # crashed/interrupted re-run must not overwrite a previous
+            # good artifact with half-trained params; crash recovery is
+            # the checkpoint's job, saved in the finally either way.
+            completed = True
         finally:
             if profiling:
                 import jax.profiler
@@ -307,7 +336,8 @@ class ASRTrainer:
                 jax.profiler.stop_trace()
             ckpt.save(self.state.step, self.state.params, self.state.opt_state)
             ckpt.close()
-            self._export_weights()
+            if completed:
+                self._export_weights()
             if pbar is not None:
                 pbar.close()
 
