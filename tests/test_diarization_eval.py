@@ -207,3 +207,16 @@ def test_verification_pairs_balanced_and_separable():
     assert labels.sum() == (1 - labels).sum()  # balanced trials
     eer, _ = equal_error_rate(scores, labels)
     assert eer < 0.05
+
+
+def test_verification_pairs_single_speaker_raises():
+    """All-one-speaker input raises instead of spinning forever looking
+    for a different-speaker pair."""
+    import numpy as np
+    import pytest
+
+    from yoho_tpu.eval.diarization import verification_pairs
+
+    embs = np.random.default_rng(0).standard_normal((4, 8))
+    with pytest.raises(ValueError, match="speaker"):
+        verification_pairs(embs, ["a", "a", "a", "a"])

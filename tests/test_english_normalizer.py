@@ -100,3 +100,17 @@ def test_idempotent():
     for s in samples:
         once = N(s)
         assert N(once) == once
+
+
+def test_normalizer_regression_fixes():
+    """Cases reproduced as bugs: possessives with embedded contraction
+    keys, scale ordinals, digit-final periods, spoken zero sequences."""
+    from yoho_tpu.eval.english_normalizer import normalize_english as n
+
+    assert n("Hamlet's ghost") == "hamlet's ghost"
+    assert n("let's go") == "let us go"
+    assert n("the two hundredth anniversary") == "the 200th anniversary"
+    assert n("one thousandth time") == "1000th time"
+    assert n("born in 1990.") == "born in 1990"
+    assert n("room five zero five") == "room 5 0 5"
+    assert n("it costs 3.50 dollars") == "it costs 3.50 dollars"

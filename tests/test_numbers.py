@@ -143,3 +143,29 @@ def test_standardize_multilingual():
         "Es kostet einundzwanzig Euro"
     assert standardize_text("mám 2 psy (fakt)", "cs") == "mám dva psy"
     assert standardize_text("il a 80 ans", "fr") == "il a quatre-vingts ans"
+
+
+def test_verbalizer_agreement_fixes():
+    """Linguistic agreement cases that diverge from naive composition
+    (parity targets: num2words behavior)."""
+    from yoho_tpu.text.numbers import (
+        decimal_to_words,
+        int_to_words_cs,
+        int_to_words_es,
+        int_to_words_fr,
+    )
+
+    # French: plural -s drops before the numeral 'mille', stays before
+    # the nouns million/milliard.
+    assert int_to_words_fr(80000) == "quatre-vingt mille"
+    assert int_to_words_fr(200000) == "deux cent mille"
+    assert int_to_words_fr(200000000) == "deux cents millions"
+    # Spanish: 'uno' apocopates before mil/millones.
+    assert int_to_words_es(21000) == "veintiún mil"
+    assert int_to_words_es(31000) == "treinta y un mil"
+    assert int_to_words_es(21 * 10**6) == "veintiún millones"
+    # Czech: miliarda is feminine — 'dvě miliardy'.
+    assert int_to_words_cs(2 * 10**9) == "dvě miliardy"
+    assert int_to_words_cs(2 * 10**6) == "dva miliony"
+    # Negative fraction with zero integer part keeps its sign.
+    assert decimal_to_words("-0.5", "en") == "minus zero point five"

@@ -203,3 +203,16 @@ def test_compose_vtt_and_segment_conversion():
     rt = list(parse_srt(srt_text))
     assert [s.content for s in rt] == [s.content for s in subs]
     assert abs(rt[0].start.total_seconds() - 0.5) < 1e-3
+
+
+def test_parse_srt_positional_attributes():
+    """Real-world SRT cue-position attributes after the end stamp parse
+    (the srt package this module replaces tolerates them)."""
+    from yoho_tpu.text.srt import parse_srt
+
+    block = ("1\n00:00:01,000 --> 00:00:04,000 X1:100 X2:600\nHello\n\n"
+             "2\n00:00:05,000 --> 00:00:06,000\nWorld\n")
+    subs = list(parse_srt(block))
+    assert len(subs) == 2
+    assert subs[0].content == "Hello"
+    assert subs[0].end.total_seconds() == 4.0

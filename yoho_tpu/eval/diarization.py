@@ -242,6 +242,9 @@ def verification_pairs(
     by_spk: Dict[object, List[int]] = {}
     for i, s in enumerate(ids):
         by_spk.setdefault(s, []).append(i)
+    if len(by_spk) < 2:
+        raise ValueError("need both same- and different-speaker pairs "
+                         "(all embeddings share one speaker label)")
     pos: List[Tuple[int, int]] = []
     for members in by_spk.values():
         pos += [(a, b) for i, a in enumerate(members) for b in members[i + 1:]]

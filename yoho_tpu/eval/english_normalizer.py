@@ -127,6 +127,10 @@ class _NumberParser:
                 # handled by the caller as separate numbers).
                 if current % 10 in range(1, 10) and current % 100 not in range(10, 20):
                     break
+                if consumed_any and current == 0 and total == 0:
+                    # "five zero five" is a digit sequence: a consumed
+                    # "zero" ends its number instead of being absorbed.
+                    break
                 current += _UNITS[w]
                 j += 1
                 consumed_any = True
@@ -155,7 +159,11 @@ class _NumberParser:
                     j += 1
                 continue
             if w in _ORDINAL_UNITS and consumed_any:
-                ordinal_value = total + current + _ORDINAL_UNITS[w]
+                ov = _ORDINAL_UNITS[w]
+                if ov >= 100:  # scale ordinals multiply: "two hundredth" = 200th
+                    ordinal_value = total + max(current, 1) * ov
+                else:
+                    ordinal_value = total + current + ov
                 j += 1
                 break
             break
@@ -214,8 +222,11 @@ def normalize_english(text: str) -> str:
     # Keep word-internal apostrophes for contraction expansion; unify
     # typographic apostrophes first.
     text = text.replace("’", "'")
+    import re as _re
     for src, dst in _CONTRACTIONS.items():
-        text = text.replace(src, dst)
+        # \b-anchored: a bare str.replace mangles possessives that
+        # embed a contraction key ("hamlet's" -> "hamlet us" via "let's").
+        text = _re.sub(rf"\b{_re.escape(src)}\b", dst, text)
     for suf, repl in _SUFFIXES:
         text = re.sub(rf"(\w){re.escape(suf)}\b", rf"\1{repl}", text)
     # Titles: abbreviations with optional trailing period.
@@ -227,7 +238,9 @@ def normalize_english(text: str) -> str:
     text = text.replace("&", " and ")
     # Drop remaining punctuation (keep digits, letters, apostrophes inside
     # words, decimal points inside numbers, hyphens inside spelled tens).
-    text = re.sub(r"(?<!\d)\.(?!\d)", " ", text)
+    # Keep dots ONLY between digits (decimal points); a sentence-final
+    # dot after a digit ("born in 1990.") must go too.
+    text = re.sub(r"(?<!\d)\.|\.(?!\d)", " ", text)
     text = re.sub(r"[^\w\s'.\-]", " ", text)
     text = re.sub(r"(?<!\w)'|'(?!\w)", " ", text)
     text = re.sub(r"(?<!\w)-|-(?!\w)", " ", text)

@@ -127,6 +127,16 @@ def _es_below_1000(n: int) -> str:
     return _ES_HUNDREDS[hundreds] + (f" {_es_below_1000(rest)}" if rest else "")
 
 
+def _es_apocope(words: str) -> str:
+    """'uno' apocopates before a masculine noun/numeral: 'veintiún mil',
+    'treinta y un millones' (num2words parity)."""
+    if words.endswith("veintiuno"):
+        return words[: -len("veintiuno")] + "veintiún"
+    if words.endswith("uno"):
+        return words[: -len("uno")] + "un"
+    return words
+
+
 def int_to_words_es(n: int) -> str:
     if n < 0:
         return "menos " + int_to_words_es(-n)
@@ -138,10 +148,11 @@ def int_to_words_es(n: int) -> str:
         if n >= value:
             major, n = divmod(n, value)
             parts.append(one if major == 1
-                         else f"{int_to_words_es(major)} {many}")
+                         else f"{_es_apocope(int_to_words_es(major))} {many}")
     if n >= 1000:
         major, n = divmod(n, 1000)
-        parts.append("mil" if major == 1 else f"{_es_below_1000(major)} mil")
+        parts.append("mil" if major == 1
+                     else f"{_es_apocope(_es_below_1000(major))} mil")
     if n or not parts:
         parts.append(_es_below_1000(n))
     return " ".join(parts)
@@ -205,8 +216,14 @@ def int_to_words_fr(n: int) -> str:
                          else f"{int_to_words_fr(major)} {many}")
     if n >= 1000:
         major, n = divmod(n, 1000)
-        # 'mille' is invariant (never 'milles'); 1000 -> 'mille' not 'un mille'.
-        parts.append("mille" if major == 1 else f"{_fr_below_1000(major)} mille")
+        # 'mille' is invariant (never 'milles'); 1000 -> 'mille' not 'un
+        # mille'. cents/vingts drop their plural -s before the numeral
+        # mille ('quatre-vingt mille', 'deux cent mille') — the -s stays
+        # before the NOUNS million/milliard.
+        head = _fr_below_1000(major)
+        if head.endswith(("cents", "vingts")):
+            head = head[:-1]
+        parts.append("mille" if major == 1 else f"{head} mille")
     if n or not parts:
         parts.append(_fr_below_1000(n))
     return " ".join(parts)
@@ -234,12 +251,15 @@ def _cs_below_1000(n: int) -> str:
     return _CS_HUNDREDS[hundreds] + (f" {_cs_below_1000(rest)}" if rest else "")
 
 
-def _cs_scale(major: int, forms: tuple) -> str:
-    """Czech declension: 1 -> sg, 2-4 -> paucal, 5+ -> genitive plural."""
+def _cs_scale(major: int, forms: tuple, feminine: bool = False) -> str:
+    """Czech declension: 1 -> sg, 2-4 -> paucal, 5+ -> genitive plural.
+    ``feminine``: miliarda takes 'dvě' ('dvě miliardy', not 'dva')."""
     one, few, many = forms
     if major == 1:
         return one
     count = _cs_below_1000(major) if major < 1000 else int_to_words_cs(major)
+    if feminine and count.endswith("dva"):
+        count = count[:-3] + "dvě"
     last_two = major % 100
     last = major % 10
     if 2 <= last <= 4 and not 12 <= last_two <= 14:
@@ -259,7 +279,7 @@ def int_to_words_cs(n: int) -> str:
                          (10**3, ("tisíc", "tisíce", "tisíc"))):
         if n >= value:
             major, n = divmod(n, value)
-            parts.append(_cs_scale(major, forms))
+            parts.append(_cs_scale(major, forms, feminine=value == 10**9))
     if n or not parts:
         parts.append(_cs_below_1000(n))
     return " ".join(parts)
@@ -297,13 +317,21 @@ def int_to_words(n: int, lang: str) -> str:
     return _INT_VERBALIZERS[lang.split("-")[0]](n)
 
 
+_MINUS_WORD = {"en": "minus", "de": "minus", "es": "menos",
+               "fr": "moins", "cs": "minus"}
+
+
 def decimal_to_words(num_str: str, lang: str) -> str:
     """Verbalize ``"12.5"``-style numerals (fraction read digit-by-digit)."""
     base = lang.split("-")[0]
     fn = _INT_VERBALIZERS[base]
     if "." in num_str:
         whole, frac = num_str.split(".", 1)
-        words = fn(int(whole)) if whole else fn(0)
+        words = fn(int(whole)) if whole.lstrip("+-") else fn(0)
+        # int("-0") == 0 loses the sign — re-attach the language's minus.
+        if num_str.lstrip().startswith("-") and not words.startswith(
+                ("minus", "moins", "menos")):
+            words = f"{_MINUS_WORD[base]} {words}"
         if frac:
             digits = " ".join(_DIGIT_NAMES[base][int(d)]
                               for d in frac if d.isdigit())

@@ -54,7 +54,13 @@ def parse_srt(data: str) -> Iterator[Subtitle]:
             idx_line = 1
         if idx_line >= len(lines) or "-->" not in lines[idx_line]:
             continue
-        start_s, end_s = [p.strip() for p in lines[idx_line].split("-->")]
+        # Tolerate cue-position attributes after the end stamp
+        # ("... --> 00:00:04,000 X1:100") and stray '-->' later in the
+        # line — real-world SRT corpora carry both (the srt package this
+        # module replaces accepts them).
+        start_s, end_s = lines[idx_line].split("-->", 1)
+        start_s = start_s.strip()
+        end_s = end_s.strip().split(" ")[0].split("-->")[0].strip()
         content = "\n".join(lines[idx_line + 1 :]).strip()
         yield Subtitle(index=index, start=_parse_ts(start_s), end=_parse_ts(end_s),
                        content=content)
