@@ -44,13 +44,10 @@ def quantize_embed_params(p: dict) -> dict:
     return {"embedding_q": q, "embedding_scale": scale}
 
 
-def quantize_dense_general_params(p: dict) -> dict:
-    """{kernel (in, h, hd)} -> {kernel_q, kernel_scale} (per (h, hd))."""
-    kernel = jnp.asarray(p["kernel"], jnp.float32)
-    scale = jnp.max(jnp.abs(kernel), axis=0, keepdims=True) / 127.0
-    scale = jnp.maximum(scale, 1e-12)
-    q = jnp.clip(jnp.round(kernel / scale), -127, 127).astype(jnp.int8)
-    return {"kernel_q": q, "kernel_scale": scale}
+# DenseGeneral kernels (in, h, hd) quantize identically to Dense ones —
+# axis-0 absmax with keepdims covers any kernel rank, and DenseGeneral
+# projections carry no bias. One function so the scheme can't diverge.
+quantize_dense_general_params = quantize_dense_params
 
 
 _DENSE_NAMES = ("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2")

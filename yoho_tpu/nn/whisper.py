@@ -208,7 +208,10 @@ class TextDecoder(nn.Module):
             return [quantize_kv(*blk.cross_kv_tm(xa), pad_to=pad_to,
                                 time_major=True) for blk in self.blocks]
         if mode == "int4":
-            return [quantize_kv4(*blk.cross_kv_tm(xa), pad_to=128,
+            # Same pad gating as int8: the XLA fallback pays ~12% for the
+            # pad+mask, so only lane-pad when the fused kernel will run.
+            pad_to = 128 if _fused_decode_enabled() else None
+            return [quantize_kv4(*blk.cross_kv_tm(xa), pad_to=pad_to,
                                  time_major=True) for blk in self.blocks]
         if mode is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
@@ -226,11 +229,16 @@ class TextDecoder(nn.Module):
         align_from = len(self.blocks) // 2
         acc = None
         for i, blk in enumerate(self.blocks):
-            x_attn_in = blk.ln2(x + blk.attn(blk.ln1(x), mask=mask))
+            # One self-attention per block, shared by the residual AND
+            # the alignment tap (the block's own forward recomputes the
+            # sub-graph, so it is inlined here).
+            x = x + blk.attn(blk.ln1(x), mask=mask)
+            x_attn_in = blk.ln2(x)
             if i >= align_from:
                 w = blk.cross_attn.attention_map(x_attn_in, xa)
                 acc = w if acc is None else acc + w
-            x = blk(x, xa, mask)
+            x = x + blk.cross_attn(x_attn_in, xa=xa)
+            x = x + blk.mlp(blk.ln3(x))
         return acc / max(len(self.blocks) - align_from, 1)
 
     def decode_step(self, tokens, caches: List[KVCache], cross_kvs, pos):
@@ -281,7 +289,8 @@ class Whisper(nn.Module):
     def decode_text(self, tokens: jnp.ndarray, xa: jnp.ndarray) -> jnp.ndarray:
         return self.decoder(tokens, xa)
 
-    def cross_kvs(self, xa: jnp.ndarray, quantize: bool = False):
+    def cross_kvs(self, xa: jnp.ndarray, quantize=False):
+        """``quantize``: False | True/"int8" | "int4" (see TextDecoder)."""
         return self.decoder.cross_kvs(xa, quantize)
 
     def init_caches(self, batch: int, dtype=None, max_len=None,

@@ -119,6 +119,10 @@ def fused_log_mel(
     ``convention="scipy"``: boundary=None framing with 1/sum(win) scaling.
     """
     audio = jnp.asarray(audio, jnp.float32)
+    # Accept any (..., samples) shape like the XLA frontends (a 1-D
+    # waveform or nested batch would otherwise die on the 2-D unpack).
+    lead = audio.shape[:-1]
+    audio = audio.reshape(-1, audio.shape[-1])
     b, n_samples = audio.shape
 
     if convention == "whisper":
@@ -182,7 +186,7 @@ def fused_log_mel(
         interpret=interpret,
     )(audio, jnp.asarray(cos_c), jnp.asarray(sin_c), jnp.asarray(filt))
 
-    return out[:, :num_frames, :n_mels]
+    return out[:, :num_frames, :n_mels].reshape(*lead, num_frames, n_mels)
 
 
 def fused_whisper_log_mel(audio: jnp.ndarray, n_mels: int = 80) -> jnp.ndarray:
