@@ -212,3 +212,42 @@ def test_loud_frames_always_speech_quiet_always_silence():
     # -13 dBFS tone -> speech even without contrast; digital silence never.
     assert detect_speech(tone(2.0, amp=0.3), SR)
     assert detect_speech(silence(2.0), SR) == []
+
+
+def test_short_utterance_near_speech_is_kept():
+    """min_speech filtering runs AFTER merging: a short burst within
+    merge range of neighboring speech survives (an isolated click does
+    not)."""
+    import numpy as np
+
+    from yoho_tpu.audio.vad import VadOptions, detect_speech
+
+    sr = 16000
+    g = np.random.default_rng(0)
+    audio = 0.0005 * g.standard_normal(sr * 10).astype(np.float32)
+
+    def burst(t0, dur):
+        s = int(t0 * sr)
+        n = int(dur * sr)
+        audio[s:s + n] += (0.3 * g.standard_normal(n)).astype(np.float32)
+
+    burst(2.0, 1.0)     # main speech
+    burst(3.5, 0.15)    # short "yes" 500 ms after — inside merge range
+    opts = VadOptions(min_speech_ms=250.0, min_silence_ms=1000.0,
+                      speech_pad_ms=100.0)
+    spans = detect_speech(audio, sr, opts)
+    covered = any(s <= 3.5 * sr and e >= 3.65 * sr for s, e in spans)
+    assert covered, f"short utterance dropped: {[(s/sr, e/sr) for s, e in spans]}"
+
+
+def test_speechmap_boundary_end_resolves_to_previous_chunk():
+    """An end-timestamp landing exactly on a chunk boundary maps to the
+    PREVIOUS chunk's end, not across the removed silence gap."""
+    from yoho_tpu.audio.vad import SpeechMap
+
+    sr = 16000
+    smap = SpeechMap(chunks=[(0, 0, 10 * sr), (10 * sr, 100 * sr, 5 * sr)],
+                     sample_rate=sr, original_samples=110 * sr)
+    assert smap.to_original(10.0) == 100.0          # start: next chunk
+    assert smap.to_original(10.0, end=True) == 10.0  # end: previous chunk
+    assert smap.to_original(12.0, end=True) == 102.0  # interior unaffected

@@ -205,3 +205,43 @@ def test_align_many_matches_single():
         for wb, ws in zip(words, single):
             assert abs(wb.start - ws.start) < 1e-4
             assert abs(wb.end - ws.end) < 1e-4
+
+
+def test_native_dtw_matches_python():
+    """C++ DTW (native/dtw.cpp) is bit-identical to the Python DP."""
+    import numpy as np
+
+    from yoho_tpu.infer import word_timestamps as wt
+    from yoho_tpu.native import dtw_path_native
+
+    if dtw_path_native(np.zeros((2, 2), np.float32)) is None:
+        import pytest
+        pytest.skip("native toolchain unavailable")
+
+    g = np.random.default_rng(0)
+    for n, m in ((5, 9), (30, 80), (1, 7), (7, 1)):
+        cost = g.standard_normal((n, m)).astype(np.float32)
+        nat = dtw_path_native(cost)
+        # Force the pure-Python path for the reference.
+        import unittest.mock as mock
+        with mock.patch("yoho_tpu.native.dtw_path_native",
+                        return_value=None):
+            ref = wt.dtw_path(cost)
+        np.testing.assert_array_equal(nat[0], ref[0])
+        np.testing.assert_array_equal(nat[1], ref[1])
+
+
+def test_word_timing_clamped_both_ends():
+    """max_duration clamps start too — DTW drift into the padded tail
+    must not produce WordTiming(start > end)."""
+    import numpy as np
+
+    from yoho_tpu.infer.word_timestamps import words_from_alignment
+
+    frames = np.asarray([50, 60])  # both tokens deep in the padded tail
+    words = words_from_alignment(
+        [10, 11], frames, seconds_per_frame=0.5,
+        decode_pieces=lambda ii: " w" if ii == [10] else "x",
+        max_duration=10.0)
+    for w in words:
+        assert w.start <= w.end <= 10.0

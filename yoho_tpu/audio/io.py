@@ -86,10 +86,15 @@ def load_audio(path: Union[str, Path], sample_rate: int) -> np.ndarray:
         from yoho_tpu.native import wav_decode_native
 
         decoded = wav_decode_native(path)  # C++ fast path; None if lib unbuilt
-        if decoded is not None:
-            data, sr = decoded
-        else:
-            data, sr = _read_wav(path)
+        try:
+            if decoded is not None:
+                data, sr = decoded
+            else:
+                data, sr = _read_wav(path)
+        except Exception:  # noqa: BLE001 — 24-bit/float/mu-law WAVs etc.
+            if _FFMPEG is None:
+                raise  # no decoder can read it; surface the real error
+            return _ffmpeg_decode(path, sample_rate)
         data = resample(data, sr, sample_rate)
         return np.clip(data * 32768.0, -32768, 32767).astype(np.int16)
     return _ffmpeg_decode(path, sample_rate)

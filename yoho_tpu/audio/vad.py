@@ -147,12 +147,12 @@ def detect_speech(audio: np.ndarray, sample_rate: int,
         for s, e in zip(starts_f, ends_f)
     ]
 
-    # Drop raw runs shorter than min_speech_ms (clicks) BEFORE padding —
-    # padding a 50 ms click must not promote it past the threshold.
-    min_len = int(sample_rate * opts.min_speech_ms / 1000.0)
-    spans = [(s, e) for s, e in spans if e - s >= min_len]
-
-    # Merge spans separated by < min_silence_ms (natural pauses stay in).
+    # Merge spans separated by < min_silence_ms FIRST (natural pauses
+    # stay in), THEN drop still-short runs. Dropping before merging
+    # deleted genuine short utterances ("yes", ~200 ms) that sit within
+    # merge range of neighboring speech; an isolated click stays short
+    # after merging and is still rejected. Both orders run before
+    # padding — padding must never promote a click past the threshold.
     min_gap = int(sample_rate * opts.min_silence_ms / 1000.0)
     merged: List[Tuple[int, int]] = []
     for s, e in spans:
@@ -160,6 +160,8 @@ def detect_speech(audio: np.ndarray, sample_rate: int,
             merged[-1] = (merged[-1][0], e)
         else:
             merged.append((s, e))
+    min_len = int(sample_rate * opts.min_speech_ms / 1000.0)
+    merged = [(s, e) for s, e in merged if e - s >= min_len]
 
     # Pad each kept region (soft onsets/offsets), coalescing any overlap
     # the padding introduces between neighbors.
@@ -194,18 +196,23 @@ class SpeechMap:
     def speech_seconds(self) -> float:
         return self.condensed_samples / self.sample_rate
 
-    def to_original(self, t: float) -> float:
+    def to_original(self, t: float, end: bool = False) -> float:
         """Condensed-timeline seconds -> original-timeline seconds.
 
         Monotone piecewise-linear with jumps at chunk boundaries; times
         past the last chunk clamp to its end (segments the decoder closed
         at the padded window edge stay inside the source audio).
+        ``end=True`` resolves a time landing EXACTLY on a chunk boundary
+        to the PREVIOUS chunk's end — an end-timestamp mapped into the
+        next chunk's start would span the removed silence gap.
         """
         if not self.chunks:
             return 0.0
         pos = t * self.sample_rate
-        for c_start, o_start, length in reversed(self.chunks):
-            if pos >= c_start:
+        for i, (c_start, o_start, length) in enumerate(
+                reversed(self.chunks)):
+            at_boundary = pos == c_start and end and i < len(self.chunks) - 1
+            if pos >= c_start and not at_boundary:
                 return (o_start + min(pos - c_start, length)) / self.sample_rate
         return self.chunks[0][1] / self.sample_rate
 

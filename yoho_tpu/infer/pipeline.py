@@ -414,6 +414,7 @@ class Transcriber:
                 text_ids, text_frames, spf,
                 lambda ii: "".join(self._decode_piece(t) for t in ii),
                 max_duration=self.chunk_samples / self.sample_rate,
+                decode_group=self._render,
             )
             # Assign words to segments by midpoint time.
             for seg in segs:
@@ -466,6 +467,7 @@ class Transcriber:
             text_ids, frames[text_pos], spf,
             lambda ii: "".join(self._decode_piece(t) for t in ii),
             max_duration=len(audio) / self.sample_rate,
+            decode_group=self._render,
         )
 
     def align_many(self, pairs: Sequence[tuple],
@@ -523,6 +525,7 @@ class Transcriber:
                     text_ids, frames[text_pos], spf,
                     lambda ii: "".join(self._decode_piece(t) for t in ii),
                     max_duration=len(audio) / self.sample_rate,
+                    decode_group=self._render,
                 ))
         return results
 
@@ -768,10 +771,10 @@ class Transcriber:
             return segments
         for seg in segments:
             seg.start = vmap.to_original(seg.start)
-            seg.end = vmap.to_original(seg.end)
+            seg.end = vmap.to_original(seg.end, end=True)
             for w in seg.words or []:
                 w.start = vmap.to_original(w.start)
-                w.end = vmap.to_original(w.end)
+                w.end = vmap.to_original(w.end, end=True)
         return segments
 
     def transcribe(

@@ -32,7 +32,15 @@ def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
 
     Returns (text_indices, time_indices) of the optimal path with steps
     (i+1, j), (i, j+1), (i+1, j+1) — the standard whisper alignment DTW.
+    Dispatches to the C++ kernel (yoho_tpu/native/dtw.cpp — the Python DP
+    is ~670k iterations per 448x1500 window, the host bottleneck of
+    batched word-timestamp serving); bit-identical fallback below.
     """
+    from yoho_tpu.native import dtw_path_native
+
+    native = dtw_path_native(np.asarray(cost, np.float32))
+    if native is not None:
+        return native
     n, m = cost.shape
     acc = np.full((n + 1, m + 1), np.inf)
     acc[0, 0] = 0.0
@@ -92,23 +100,34 @@ def token_frame_alignment(attn: np.ndarray) -> np.ndarray:
     return frames
 
 
-def split_words(token_ids: Sequence[int], decode_pieces) -> List[Tuple[str, List[int]]]:
+def split_words(token_ids: Sequence[int], decode_pieces,
+                decode_group=None) -> List[Tuple[str, List[int]]]:
     """Group BPE token ids into words using the space-marker convention.
 
     ``decode_pieces(ids)`` must return the piece string of each id (with
-    leading spaces intact). Returns [(word, [token indices])].
+    leading spaces intact) — used only for BOUNDARY detection. Word TEXT
+    comes from ``decode_group(ids)`` when given: per-token pieces are
+    byte-level fragments, so concatenating them mojibakes any non-ASCII
+    word ('café' -> 'cafÃ©'); decoding the group's ids together
+    reassembles multi-byte characters. Returns [(word, [token indices])].
     """
-    words: List[Tuple[str, List[int]]] = []
-    cur_text, cur_idx = "", []
+    groups: List[List[int]] = []
+    cur_idx: List[int] = []
     for pos, tid in enumerate(token_ids):
         piece = decode_pieces([tid])
         if piece.startswith(" ") and cur_idx:
-            words.append((cur_text.strip(), cur_idx))
-            cur_text, cur_idx = "", []
-        cur_text += piece
+            groups.append(cur_idx)
+            cur_idx = []
         cur_idx.append(pos)
-    if cur_idx and cur_text.strip():
-        words.append((cur_text.strip(), cur_idx))
+    if cur_idx:
+        groups.append(cur_idx)
+
+    render = decode_group or decode_pieces
+    words: List[Tuple[str, List[int]]] = []
+    for idxs in groups:
+        text = render([token_ids[i] for i in idxs]).strip()
+        if text:
+            words.append((text, idxs))
     return words
 
 
@@ -118,17 +137,24 @@ def words_from_alignment(
     seconds_per_frame: float,
     decode_pieces,
     max_duration: Optional[float] = None,
+    decode_group=None,
 ) -> List[WordTiming]:
     """Combine the token->frame alignment with word grouping."""
-    words = split_words(token_ids, decode_pieces)
+    words = split_words(token_ids, decode_pieces, decode_group)
     out: List[WordTiming] = []
     n = len(token_ids)
     for word, idxs in words:
         start_f = frames[idxs[0]]
         end_f = frames[idxs[-1] + 1] if idxs[-1] + 1 < n else frames[idxs[-1]] + 1
         start = float(start_f) * seconds_per_frame
+        if max_duration is not None:
+            # Clamp BOTH ends: DTW can drift trailing tokens into the
+            # zero-padded tail, and clamping only the end produced
+            # WordTiming(start > end).
+            start = min(start, max(max_duration - seconds_per_frame, 0.0))
         end = max(float(end_f) * seconds_per_frame, start + seconds_per_frame)
         if max_duration is not None:
             end = min(end, max_duration)
+            end = max(end, start)
         out.append(WordTiming(word=word, start=round(start, 3), end=round(end, 3)))
     return out

@@ -7,6 +7,8 @@ capabilities directly:
   * ``wav.cpp``       — WAV/PCM decode (mono-mix + int16->f32).
   * ``bpe.cpp``       — byte-level BPE tokenizer: trainer + encoder
                         (the sentencepiece replacement).
+  * ``dtw.cpp``       — word-timestamp alignment DTW (the O(N*M) DP that
+                        bottlenecked host post-processing in Python).
 
 The shared library is compiled on first use with g++ (cached next to the
 sources, keyed on source hash). Every binding has a pure-Python fallback so
@@ -112,6 +114,12 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
     ]
 
+    lib.yoho_dtw_path.restype = ctypes.c_int32
+    lib.yoho_dtw_path.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+
 
 def wav_decode_native(path) -> Optional[tuple[np.ndarray, int]]:
     """C++ WAV decode -> (mono float32 [-1,1], sample_rate); None if the
@@ -129,6 +137,26 @@ def wav_decode_native(path) -> Optional[tuple[np.ndarray, int]]:
     finally:
         lib.yoho_free(data_ptr)
     return arr, int(sr.value)
+
+
+def dtw_path_native(cost: np.ndarray):
+    """C++ DTW over an (N, M) float32 cost matrix -> (text_idx, time_idx)
+    int arrays; None when the native lib is unavailable. Bit-identical to
+    the pure-Python DP in infer/word_timestamps.py (tested)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    c = np.ascontiguousarray(cost, np.float32)
+    n, m = c.shape
+    ti = np.empty(n + m, np.int32)
+    fj = np.empty(n + m, np.int32)
+    length = lib.yoho_dtw_path(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int32(n), ctypes.c_int32(m),
+        ti.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        fj.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return ti[:length].astype(np.int64), fj[:length].astype(np.int64)
 
 
 def bpe_train_native(corpus, vocab_size: int, max_token_len: int, specials) -> Optional[str]:

@@ -44,7 +44,9 @@ def enable_compilation_cache(path: str | None = None) -> None:
     env = os.environ.get("YOHO_COMPILE_CACHE", "")
     if env.lower() in ("0", "off", "none"):
         return
-    cache_dir = path or (env if env not in ("", "1", "true", "on")
+    # Case-insensitive truthy check (YOHO_COMPILE_CACHE=TRUE must not
+    # become a literal cache directory named "TRUE").
+    cache_dir = path or (env if env.lower() not in ("", "1", "true", "on")
                          else "") or os.path.join(
         os.path.expanduser("~"), ".cache", "yoho_tpu", "xla")
     import jax

@@ -16,6 +16,10 @@ from typing import Optional, Tuple
 
 _GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 
+# DoS guard: reject absurd declared frame lengths before allocating
+# (RFC 6455 also caps control-frame payloads at 125 bytes).
+MAX_FRAME_BYTES = 64 * 1024 * 1024
+
 OP_CONT = 0x0
 OP_TEXT = 0x1
 OP_BINARY = 0x2
@@ -50,13 +54,15 @@ def perform_handshake(handler) -> bool:
 
 
 def _read_exact(rfile, n: int) -> bytes:
-    buf = b""
-    while len(buf) < n:
-        chunk = rfile.read(n - len(buf))
+    parts = []
+    got = 0
+    while got < n:
+        chunk = rfile.read(n - got)
         if not chunk:
             raise ConnectionError("websocket peer closed mid-frame")
-        buf += chunk
-    return buf
+        parts.append(chunk)
+        got += len(chunk)
+    return b"".join(parts)
 
 
 def _read_frame(rfile) -> Tuple[bool, int, bytes]:
@@ -69,10 +75,20 @@ def _read_frame(rfile) -> Tuple[bool, int, bytes]:
         (length,) = struct.unpack(">H", _read_exact(rfile, 2))
     elif length == 127:
         (length,) = struct.unpack(">Q", _read_exact(rfile, 8))
+    if opcode >= OP_CLOSE and length > 125:
+        raise ValueError(f"control frame payload {length} > 125 (RFC 6455)")
+    if length > MAX_FRAME_BYTES:
+        raise ValueError(f"frame of {length} bytes exceeds the "
+                         f"{MAX_FRAME_BYTES}-byte limit")
     mask = _read_exact(rfile, 4) if masked else None
     payload = _read_exact(rfile, length)
     if mask:
-        payload = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
+        # numpy XOR: the per-byte Python loop ran at a few MB/s and
+        # throttled real-time audio upload.
+        import numpy as np
+
+        m = np.frombuffer(mask * (length // 4 + 1), np.uint8)[:length]
+        payload = (np.frombuffer(payload, np.uint8) ^ m).tobytes()
     return fin, opcode, payload
 
 
