@@ -70,3 +70,34 @@ def test_probability_rule_forces_timestamp():
     out = _apply([1, 2, 3, 4, ts, 700, 800], P + 3, logits)
     # with overwhelming ts mass, text must be suppressed
     assert np.all(out[:100] == NEG_INF)
+
+
+def test_text_follows_forced_initial_timestamp():
+    """OpenAI counts fewer-than-two sampled tokens as penultimate-was-
+    timestamp: after the forced initial <|t0|>, timestamps are suppressed
+    so TEXT follows (the inverted rule forced every window to open with
+    two timestamps)."""
+    ts0 = TABLE.timestamp_begin
+    out = _apply([1, 2, 3, 4, ts0], P + 1)
+    assert out[ts0 + 5] == NEG_INF   # another timestamp is blocked
+    assert out[500] > NEG_INF        # text may follow
+
+
+def test_zero_length_segment_blocked():
+    """A closing timestamp must STRICTLY exceed the opening one (OpenAI's
+    +1 floor, 'to prevent infinite looping')."""
+    ts = TABLE.timestamp_begin + 50
+    # <|t50|> text — the close is being decided now.
+    out = _apply([1, 2, 3, 4, ts, 500], P + 2)
+    assert out[ts] == NEG_INF        # equal close -> zero-length segment
+    assert out[ts + 1] > NEG_INF     # strictly later close allowed
+
+
+def test_pair_second_timestamp_may_repeat():
+    """The pairing's SECOND timestamp may equal the segment close (floor
+    without +1 exactly when the second-of-pair is due)."""
+    ts = TABLE.timestamp_begin + 50
+    # text <|t52|> — the pair's second timestamp is being decided.
+    out = _apply([1, 2, 3, 4, 500, ts + 2], P + 2)
+    assert out[ts + 2] > NEG_INF     # equality allowed here
+    assert out[ts + 1] == NEG_INF    # below the close is still blocked

@@ -98,7 +98,9 @@ class MicroBatcher:
                     results = self.transcriber.transcribe_many(
                         [r.audio for r in reqs], rate
                     )
-                    for req, res in zip(reqs, results):
+                    # strict: a transcribe_many contract bug must fail loudly,
+                    # not complete requests with result=None.
+                    for req, res in zip(reqs, results, strict=True):
                         req.result = res
                 except BaseException as e:  # noqa: BLE001 — deliver to callers
                     for req in reqs:

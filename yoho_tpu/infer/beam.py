@@ -86,14 +86,18 @@ def beam_search(
         sup = None
 
     def expand(logits, scores, finished, tokens, pos):
+        logits = logits.astype(jnp.float32)
+        if sup is not None:
+            # Suppress BEFORE the rules, matching greedy (decode.pick) and
+            # OpenAI's processor order — the timestamp probability rule's
+            # softmax must not see mass on suppressed specials.
+            neg = jnp.full(sup.shape, NEG_INF, jnp.float32)
+            logits = logits.at[:, sup].set(neg[None, :])
         if logits_fn is not None:
             # Per-beam logits processing (e.g. whisper timestamp rules);
             # sees the flattened (B*K, T) token buffer.
-            logits = logits_fn(logits.astype(jnp.float32),
-                               tokens.reshape(b * k, -1), pos)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        if sup is not None:
-            logp = logp.at[:, sup].set(NEG_INF)
+            logits = logits_fn(logits, tokens.reshape(b * k, -1), pos)
+        logp = jax.nn.log_softmax(logits, axis=-1)
         logp = logp.reshape(b, k, vocab)
         # Finished beams may only emit EOT, at no additional cost.
         eot_only = jnp.full((vocab,), NEG_INF).at[eot_id].set(0.0)

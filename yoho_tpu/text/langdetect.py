@@ -49,7 +49,8 @@ def detect_language(text: str) -> Detection:
     best_lang, best_hits = "und", 0
     for lang, profile in _PROFILES.items():
         hits = sum(c for w, c in counts.items() if w in profile)
-        # Diacritic tie-breaking nudges for languages sharing stopwords.
+        # Ties resolve to the FIRST profile in _PROFILES order (strict >):
+        # deterministic, but no diacritic disambiguation is attempted.
         if hits > best_hits:
             best_lang, best_hits = lang, hits
     return Detection(best_lang, best_hits / max(total, 1))

@@ -36,6 +36,7 @@ class YOHOTokenizer:
     def __init__(self, bpe: ByteBPE, use_native: bool = True):
         self.bpe = bpe
         self._native = None
+        self._use_native = use_native
         if use_native:
             try:
                 from yoho_tpu.native import NativeBPEEncoder
@@ -77,6 +78,11 @@ class YOHOTokenizer:
 
     def __setstate__(self, state):
         self.__dict__.update(state)
+        # Honor an explicit use_native=False across the pickle boundary
+        # (python-vs-native A/B comparisons run through spawn workers).
+        if not getattr(self, "_use_native", True):
+            self._native = None
+            return
         try:
             from yoho_tpu.native import NativeBPEEncoder
 

@@ -81,8 +81,11 @@ class WhisperTokenTable:
 
     @property
     def non_speech_tokens(self) -> List[int]:
-        """Specials to suppress during transcription (everything between EOT
-        and the timestamps except EOT itself and task context tokens)."""
+        """EVERY special id in (EOT, timestamp_begin) — sot, language,
+        task, sot_prev/lm, no_speech, no_timestamps. Used as the decode
+        suppress-list: none of these may ever be GENERATED (the prompt
+        supplies them). NB: unrelated to OpenAI's ``non_speech_tokens``
+        (a curated punctuation/music-symbol list)."""
         return [t for t in range(self.eot + 1, self.timestamp_begin)]
 
     def encode_text(self, text: str) -> List[int]:
