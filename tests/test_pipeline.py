@@ -522,3 +522,46 @@ def test_orphan_text_between_timestamps_gets_gap_segment():
     spans = [(s.start, s.end) for s in segs]
     assert spans == [(0.0, 2.0), (2.0, 4.0), (4.0, 6.0)], spans
     assert all(s.tokens == [word] for s in segs)
+
+
+def test_whisper_family_postpass_diarization():
+    """Whisper checkpoints have no speaker head; a VoiceprintEncoder
+    attached via diarize_encoder= embeds segment spans post-decode and
+    clusters them (the whisperX shape). Every non-empty segment gets a
+    speaker label and an L2-normalized voiceprint."""
+    import jax
+    from yoho_tpu.core.config import WhisperConfig, YOHOConfig
+    from yoho_tpu.nn.voiceprint import VoiceprintEncoder
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=16, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+
+    vp_cfg = YOHOConfig(n_mel_bands=16, max_audio_len=32, max_text_len=8,
+                        dims=32, n_audio_heads=4, n_audio_blocks=1,
+                        n_text_heads=4, n_text_blocks=1)
+    enc = VoiceprintEncoder(vp_cfg, embedding_dim=16)
+    enc_vars = enc.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, vp_cfg.max_audio_len, 16), jnp.float32),
+                        jnp.ones((1, vp_cfg.max_audio_len), jnp.float32))
+
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=1, diarize_encoder=enc,
+                    diarize_variables=enc_vars)
+    g = np.random.default_rng(0)
+    res = t.transcribe(0.1 * g.standard_normal(cfg.n_samples * 2)
+                       .astype(np.float32))
+    assert res.segments, "need segments to diarize"
+    for seg in res.segments:
+        assert seg.speaker is not None and isinstance(seg.speaker, int)
+        assert seg.voiceprint is not None
+        np.testing.assert_allclose(np.linalg.norm(seg.voiceprint), 1.0,
+                                   atol=1e-3)

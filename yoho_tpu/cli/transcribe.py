@@ -16,6 +16,32 @@ import argparse
 import json as jsonlib
 
 
+def load_voiceprint_encoder(session: str, root: str):
+    """Load a session's trained VoiceprintEncoder (stage 3 artifact) for
+    whisper-family post-pass diarization. Returns (encoder, variables)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yoho_tpu.core.config import load_session_config
+    from yoho_tpu.nn.voiceprint import VoiceprintEncoder
+    from yoho_tpu.train.checkpoint import load_params
+
+    config = load_session_config(session, root)
+    cfg = config.yoho
+    enc = VoiceprintEncoder(
+        cfg, embedding_dim=config.hyperparameters.voiceprint_finetune.embedding_dim)
+    template = enc.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.max_audio_len, cfg.n_mel_bands), jnp.float32),
+        jnp.ones((1, cfg.max_audio_len), jnp.float32))
+    params = load_params(config.weights.voiceprint, template["params"])
+    if params is None:
+        raise FileNotFoundError(
+            f"No trained voiceprint encoder at {config.weights.voiceprint} "
+            "(run stage 3 first)")
+    return enc, {"params": params}
+
+
 def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: str,
                               timestamps: bool, quantized: bool = False,
                               word_timestamps: bool = False,
@@ -23,7 +49,8 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
                               initial_prompt=None,
                               condition_on_previous_text: bool = False,
                               task: str = "transcribe",
-                              vad_filter: bool = False):
+                              vad_filter: bool = False,
+                              diarize=None):
     import jax.numpy as jnp
 
     from yoho_tpu.infer.pipeline import Transcriber
@@ -55,6 +82,8 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
         initial_prompt=initial_prompt,
         condition_on_previous_text=condition_on_previous_text,
         task=task, vad_filter=vad_filter,
+        diarize_encoder=diarize[0] if diarize else None,
+        diarize_variables=diarize[1] if diarize else None,
     )
 
 
@@ -147,6 +176,11 @@ def main(argv=None):
     parser.add_argument("--rttm", type=str, default=None, metavar="DIR",
                         help="also write <stem>.rttm diarization per input "
                              "into DIR (score with cli.score_diarization)")
+    parser.add_argument("--diarize-session", type=str, default=None,
+                        metavar="NAME",
+                        help="whisper-family speaker diarization: embed "
+                             "segment spans with this session's trained "
+                             "voiceprint encoder (stage 3) and cluster")
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="capture a TensorBoard-compatible device trace "
                              "of the transcription into DIR (jax.profiler)")
@@ -155,6 +189,8 @@ def main(argv=None):
     temps = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if args.temperature_fallback else (0.0,)
     language = None if args.language == "auto" else args.language
     if args.hf:
+        diarize = (load_voiceprint_encoder(args.diarize_session, args.root)
+                   if args.diarize_session else None)
         t = build_whisper_transcriber(args.hf, args.beams, args.batch,
                                       language, not args.no_timestamps,
                                       quantized=args.int8_kv,
@@ -164,7 +200,8 @@ def main(argv=None):
                                       initial_prompt=args.initial_prompt,
                                       condition_on_previous_text=(
                                           args.condition_on_previous_text),
-                                      task=args.task, vad_filter=args.vad)
+                                      task=args.task, vad_filter=args.vad,
+                                      diarize=diarize)
     else:
         t = build_yoho_transcriber(args.session, args.root, args.beams,
                                    args.batch, int8_weights=args.int8_weights,

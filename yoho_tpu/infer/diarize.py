@@ -84,3 +84,63 @@ def identify_speaker(
         if sim >= best_sim:
             best_name, best_sim = name, sim
     return best_name
+
+
+def diarize_segments(
+    segments,
+    audio: np.ndarray,
+    sample_rate: int,
+    encoder,
+    variables,
+    batch_size: int = 16,
+    threshold: float = 0.75,
+    _jit_cache: dict = {},  # noqa: B006 — intentional cross-call memo
+) -> None:
+    """Attach speaker labels to segments via an external VoiceprintEncoder.
+
+    The yoho family emits voiceprints in the decode forward pass; whisper
+    checkpoints have no speaker head, so whisper-family diarization runs
+    this post-pass instead (the whisperX shape): slice each segment's
+    audio span, embed the spans with a trained
+    :class:`yoho_tpu.nn.voiceprint.VoiceprintEncoder` (batched, padded
+    windows + frame masks — one compiled program per batch size), cluster
+    with :func:`cluster_voiceprints`, and set ``seg.voiceprint`` /
+    ``seg.speaker`` in place.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from yoho_tpu.audio.frontend import yoho_log_mel
+
+    if not segments:
+        return
+    cfg = encoder.cfg
+    n = cfg.n_samples
+    key = (id(encoder), batch_size)
+    if key not in _jit_cache:
+        def run(variables, windows, frame_mask):
+            mel = yoho_log_mel(windows, cfg)
+            return encoder.apply(variables, mel, frame_mask)
+
+        _jit_cache[key] = jax.jit(run)
+    fn = _jit_cache[key]
+
+    embs: List[np.ndarray] = []
+    for i in range(0, len(segments), batch_size):
+        group = segments[i : i + batch_size]
+        windows = np.zeros((batch_size, n), np.float32)
+        mask = np.zeros((batch_size, cfg.max_audio_len), np.float32)
+        for j, seg in enumerate(group):
+            s = max(int(seg.start * sample_rate), 0)
+            e = min(int(seg.end * sample_rate), len(audio))
+            span = audio[s:e][:n]
+            windows[j, : len(span)] = span
+            frames = max(len(span) // cfg.stft_hop, 1)
+            mask[j, : min(frames, cfg.max_audio_len)] = 1.0
+        out = np.asarray(fn(variables, jnp.asarray(windows), jnp.asarray(mask)))
+        embs.extend(out[: len(group)])
+
+    labels = cluster_voiceprints(embs, threshold=threshold)
+    for seg, emb, label in zip(segments, embs, labels):
+        seg.voiceprint = emb
+        seg.speaker = label

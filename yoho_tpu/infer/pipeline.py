@@ -72,6 +72,8 @@ class Transcriber:
         suppress_tokens: Sequence[int] = (),
         vad_filter: bool = False,
         vad_options=None,
+        diarize_encoder=None,  # VoiceprintEncoder (whisper-family diarization)
+        diarize_variables=None,
     ):
         # Whisper-style quality fallback: windows whose greedy decode fails
         # the logprob/compression checks are re-decoded at increasing
@@ -103,6 +105,10 @@ class Transcriber:
         # original timeline afterwards (yoho_tpu.audio.vad).
         self.vad_filter = vad_filter
         self.vad_options = vad_options
+        # Whisper-family diarization: a trained VoiceprintEncoder embeds
+        # segment spans post-decode (yoho embeds in the forward pass).
+        self.diarize_encoder = diarize_encoder
+        self.diarize_variables = diarize_variables
         # OpenAI's default long-form mode: each window's prompt carries the
         # previous windows' generated tokens. Inherently SEQUENTIAL, so it
         # trades the batched-window throughput design for quality — use it
@@ -865,6 +871,10 @@ class Transcriber:
         for the HTTP server; see ``yoho_tpu.infer.batching``).
         """
         prepared = [self._prepare_audio(a, sample_rate) for a in audios]
+        # Source-timeline audio per request (the post-pass diarizer slices
+        # segment spans from it; VAD replaces `prepared` with the
+        # condensed signal below).
+        originals = prepared
         # Host VAD: collapse silence per request before windowing (fewer
         # windows hit the chip); vad_maps restore source-timeline times.
         vad_maps = []
@@ -926,7 +936,8 @@ class Transcriber:
 
         results = []
         off = 0
-        for starts, req_lang, vmap in zip(all_starts, req_langs, vad_maps):
+        for req_i, (starts, req_lang, vmap) in enumerate(
+                zip(all_starts, req_langs, vad_maps)):
             k = len(starts)
             segments = stitch_segments(per_window[off : off + k], starts,
                                        self.sample_rate, self.chunk_samples,
@@ -940,6 +951,15 @@ class Transcriber:
                 labels = cluster_voiceprints([s.voiceprint for s in segments])
                 for seg, spk in zip(segments, labels):
                     seg.speaker = spk
+            elif self.diarize_encoder is not None:
+                # Whisper family has no speaker head: post-pass diarization
+                # embeds each segment's source-audio span with a trained
+                # VoiceprintEncoder and clusters (whisperX shape).
+                from yoho_tpu.infer.diarize import diarize_segments
+
+                diarize_segments(segments, originals[req_i],
+                                 self.sample_rate, self.diarize_encoder,
+                                 self.diarize_variables)
             text = " ".join(s.text for s in segments if s.text).strip()
             results.append(TranscriptionResult(text=text, segments=segments,
                                                language=req_lang))
