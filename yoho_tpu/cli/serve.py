@@ -396,14 +396,22 @@ def main(argv=None):
     parser.add_argument("--word-timestamps", action="store_true",
                         help="attach word-level timings (cross-attention "
                              "DTW); surfaces as 'words' in verbose_json")
+    parser.add_argument("--diarize-session", type=str, default=None,
+                        metavar="NAME",
+                        help="whisper-family diarization: embed segment "
+                             "spans with this session's trained voiceprint "
+                             "encoder and cluster ('speaker' per segment)")
     args = parser.parse_args(argv)
 
     from yoho_tpu.cli.transcribe import (
         build_whisper_transcriber,
         build_yoho_transcriber,
+        load_voiceprint_encoder,
     )
 
     if args.hf:
+        diarize = (load_voiceprint_encoder(args.diarize_session, "./sessions")
+                   if args.diarize_session else None)
         t = build_whisper_transcriber(args.hf, args.beams, args.batch,
                                       None if args.language == "auto" else args.language,
                                       True,
@@ -411,7 +419,7 @@ def main(argv=None):
                                       int8_weights=args.int8_weights,
                                       task=args.task,
                                       word_timestamps=args.word_timestamps,
-                                      vad_filter=args.vad)
+                                      vad_filter=args.vad, diarize=diarize)
     else:
         t = build_yoho_transcriber(args.session, args.root, args.beams,
                                    args.batch, vad_filter=args.vad)
