@@ -565,3 +565,38 @@ def test_whisper_family_postpass_diarization():
         assert seg.voiceprint is not None
         np.testing.assert_allclose(np.linalg.norm(seg.voiceprint), 1.0,
                                    atol=1e-3)
+
+
+def test_sequential_conditioning_diarizes_too():
+    """condition_on_previous_text must not silently drop requested
+    post-pass diarization."""
+    import jax
+    from yoho_tpu.core.config import WhisperConfig, YOHOConfig
+    from yoho_tpu.nn.voiceprint import VoiceprintEncoder
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=32, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    vp_cfg = YOHOConfig(n_mel_bands=16, max_audio_len=32, max_text_len=8,
+                        dims=32, n_audio_heads=4, n_audio_blocks=1,
+                        n_text_heads=4, n_text_blocks=1)
+    enc = VoiceprintEncoder(vp_cfg, embedding_dim=16)
+    enc_vars = enc.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, vp_cfg.max_audio_len, 16), jnp.float32),
+                        jnp.ones((1, vp_cfg.max_audio_len), jnp.float32))
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=1, condition_on_previous_text=True,
+                    diarize_encoder=enc, diarize_variables=enc_vars)
+    g = np.random.default_rng(0)
+    res = t.transcribe(0.1 * g.standard_normal(cfg.n_samples * 2)
+                       .astype(np.float32))
+    assert res.segments
+    assert all(s.speaker is not None for s in res.segments)

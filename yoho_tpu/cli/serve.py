@@ -410,7 +410,7 @@ def main(argv=None):
     )
 
     if args.hf:
-        diarize = (load_voiceprint_encoder(args.diarize_session, "./sessions")
+        diarize = (load_voiceprint_encoder(args.diarize_session, args.root)
                    if args.diarize_session else None)
         t = build_whisper_transcriber(args.hf, args.beams, args.batch,
                                       None if args.language == "auto" else args.language,

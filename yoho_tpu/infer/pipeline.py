@@ -804,6 +804,7 @@ class Transcriber:
         The context resets after a high-temperature fallback (>0.5), the
         standard guard against feeding a degenerate window forward."""
         tt = self.token_table
+        original_audio = audio  # source timeline (diarization spans)
         audio, vmap = self._apply_vad(audio)
         if len(audio) == 0:  # all-silent after VAD
             return TranscriptionResult(text="", segments=[],
@@ -854,6 +855,13 @@ class Transcriber:
         segments = stitch_segments(per_window, starts, self.sample_rate,
                                    self.chunk_samples, self.stride_samples)
         segments = self._remap_segments(segments, vmap)
+        if self.diarize_encoder is not None:
+            # Same post-pass as the batched path — sequential conditioning
+            # must not silently drop requested diarization.
+            from yoho_tpu.infer.diarize import diarize_segments
+
+            diarize_segments(segments, original_audio, self.sample_rate,
+                             self.diarize_encoder, self.diarize_variables)
         text = " ".join(s.text for s in segments if s.text).strip()
         return TranscriptionResult(text=text, segments=segments,
                                    language=lang)
