@@ -337,6 +337,74 @@ def test_sigterm_flushes_checkpoint(tmp_path):
     np.testing.assert_array_equal(p["w"], np.ones(3))
 
 
+def test_flush_waits_for_inflight_write(tmp_path, monkeypatch):
+    """The preemption path (ADVICE r1): if the writer thread is mid-write
+    of an OLDER snapshot when flush(timeout=...) runs, the flush must wait
+    for it and then write the NEWEST snapshot — not drop it."""
+    import threading
+    import time
+
+    import yoho_tpu.train.checkpoint as ckpt_mod
+
+    real_save = ckpt_mod.save_checkpoint
+    in_write = threading.Event()
+    release = threading.Event()
+
+    def slow_save(path, step, params, opt_state):
+        in_write.set()
+        release.wait(timeout=30)
+        real_save(path, step, params, opt_state)
+
+    monkeypatch.setattr(ckpt_mod, "save_checkpoint", slow_save)
+    ck = AsyncCheckpointer(tmp_path / "c.msgpack")
+    try:
+        ck.save(1, {"w": np.ones(3, np.float32)}, {})
+        assert in_write.wait(timeout=30)  # writer thread is mid-write of #1
+        ck.save(2, {"w": np.full(3, 2.0, np.float32)}, {})
+        t = threading.Thread(target=ck.flush, kwargs={"timeout": 30.0})
+        t.start()
+        time.sleep(0.1)  # flush is now blocked on the write lock
+        release.set()
+        t.join(timeout=30)
+        assert not t.is_alive()
+        restored = load_checkpoint(tmp_path / "c.msgpack",
+                                   {"w": np.zeros(3, np.float32)}, {})
+        step, p, _ = restored
+        assert step == 2
+        np.testing.assert_array_equal(p["w"], np.full(3, 2.0))
+    finally:
+        release.set()
+        ck.close()
+
+
+def test_flush_restages_on_self_deadlock(tmp_path):
+    """If the lock holder is the flushing thread itself (handler
+    interrupted a frame inside _write), flush re-stages the snapshot
+    instead of deadlocking or dropping it."""
+    import threading
+
+    ck = AsyncCheckpointer(tmp_path / "c.msgpack")
+    try:
+        # Freeze the worker loop so pending stays staged.
+        ck._cv.acquire()
+        ck._pending = (5, (5, {"w": np.ones(1, np.float32)}, {}))
+        ck._write_owner = threading.current_thread()  # simulate interrupt
+        ck.flush(timeout=1.0)
+        assert ck._pending is not None and ck._pending[0] == 5  # re-staged
+        ck._write_owner = None
+        ck.flush()
+        assert ck._pending is None
+        restored = load_checkpoint(tmp_path / "c.msgpack",
+                                   {"w": np.zeros(1, np.float32)}, {})
+        assert restored is not None and restored[0] == 5
+    finally:
+        try:
+            ck._cv.release()
+        except RuntimeError:
+            pass
+        ck.close()
+
+
 def test_workers_see_epoch_reshuffle(session_config, tokenizer):
     """Spawned workers hold a pickled-at-spawn copy of the loader; the
     epoch tag on every task lets them re-derive each epoch's shuffle —

@@ -35,6 +35,7 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import sys
 import wave
 from email.parser import BytesParser
 from email.policy import HTTP as _HTTP_POLICY
@@ -170,6 +171,11 @@ def make_handler(transcriber, batcher):
             if not ws.perform_handshake(self):
                 self._json(400, {"error": "expected a websocket upgrade"})
                 return
+            # The socket has switched protocols; it can never carry HTTP
+            # again. Without this, returning into BaseHTTPRequestHandler's
+            # keep-alive loop parses trailing client frames as HTTP
+            # (spurious 400s on half-open clients).
+            self.close_connection = True
             stream = StreamingTranscriber(transcriber)
 
             def emit(segments, final: bool) -> None:
@@ -421,6 +427,10 @@ def main(argv=None):
                                       word_timestamps=args.word_timestamps,
                                       vad_filter=args.vad, diarize=diarize)
     else:
+        if args.diarize_session:
+            print("warning: --diarize-session is ignored with --session — "
+                  "the yoho family emits voiceprints in the decode forward "
+                  "pass and diarizes natively", file=sys.stderr)
         t = build_yoho_transcriber(args.session, args.root, args.beams,
                                    args.batch, vad_filter=args.vad)
 

@@ -14,6 +14,7 @@ Usage: ``python -m yoho_tpu.cli.transcribe file1.wav [file2.wav ...]
 
 import argparse
 import json as jsonlib
+import sys
 
 
 def load_voiceprint_encoder(session: str, root: str):
@@ -67,12 +68,16 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
     v3 = cfg.n_vocab == 51866
     multilingual = cfg.n_vocab != 51864
     table = WhisperTokenTable(multilingual=multilingual, v3=v3)
-    try:  # text rendering needs the HF tokenizer files (optional)
-        from transformers import WhisperTokenizer
+    # Self-owned GPT-2 byte-BPE over the checkpoint dir's tokenizer files;
+    # transformers only as a hub-id fallback (gpt2_bpe.load_text_backend).
+    from yoho_tpu.text.gpt2_bpe import load_text_backend
 
-        table.text_backend = WhisperTokenizer.from_pretrained(hf_path)
-    except Exception:
-        pass
+    table.text_backend = load_text_backend(hf_path)
+    if table.text_backend is None:
+        print(f"warning: no tokenizer files found at {hf_path!r} — "
+              "transcripts will carry token ids with empty text. Add "
+              "vocab.json+merges.txt or tokenizer.json to the checkpoint "
+              "dir.", file=sys.stderr)
     return Transcriber(
         model, {"params": params}, family="whisper", token_table=table,
         batch_size=batch, beams=beams, language=language,
@@ -203,6 +208,10 @@ def main(argv=None):
                                       task=args.task, vad_filter=args.vad,
                                       diarize=diarize)
     else:
+        if args.diarize_session:
+            print("warning: --diarize-session is ignored with --session — "
+                  "the yoho family emits voiceprints in the decode forward "
+                  "pass and diarizes natively", file=sys.stderr)
         t = build_yoho_transcriber(args.session, args.root, args.beams,
                                    args.batch, int8_weights=args.int8_weights,
                                    vad_filter=args.vad)

@@ -9,9 +9,18 @@ deterministic, order-independent (centroid-based), no extra dependencies.
 
 from __future__ import annotations
 
+import weakref
 from typing import List, Optional, Sequence
 
 import numpy as np
+
+# id(encoder) -> {batch_size: jitted program}, with a weakref finalizer
+# evicting the entry when the encoder dies: a long-lived server that
+# rebuilds Transcribers does not accumulate dead compiled programs (each
+# closure pins its encoder params), and id() reuse is safe because the
+# finalizer runs before the id can be recycled.  (A WeakKeyDictionary
+# would be cleaner, but flax Modules are not hashable.)
+_JIT_CACHE: dict = {}
 
 
 def cluster_voiceprints(
@@ -94,7 +103,6 @@ def diarize_segments(
     variables,
     batch_size: int = 16,
     threshold: float = 0.75,
-    _jit_cache: dict = {},  # noqa: B006 — intentional cross-call memo
 ) -> None:
     """Attach speaker labels to segments via an external VoiceprintEncoder.
 
@@ -116,14 +124,21 @@ def diarize_segments(
         return
     cfg = encoder.cfg
     n = cfg.n_samples
-    key = (id(encoder), batch_size)
-    if key not in _jit_cache:
+    key = id(encoder)
+    per_encoder = _JIT_CACHE.get(key)
+    if per_encoder is None:
+        per_encoder = _JIT_CACHE[key] = {}
+        try:
+            weakref.finalize(encoder, _JIT_CACHE.pop, key, None)
+        except TypeError:  # not weakref-able: entry simply persists
+            pass
+    fn = per_encoder.get(batch_size)
+    if fn is None:
         def run(variables, windows, frame_mask):
             mel = yoho_log_mel(windows, cfg)
             return encoder.apply(variables, mel, frame_mask)
 
-        _jit_cache[key] = jax.jit(run)
-    fn = _jit_cache[key]
+        fn = per_encoder[batch_size] = jax.jit(run)
 
     embs: List[np.ndarray] = []
     for i in range(0, len(segments), batch_size):

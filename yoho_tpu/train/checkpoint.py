@@ -65,6 +65,7 @@ class AsyncCheckpointer:
         # same .tmp concurrently, and an older snapshot must never replace
         # a newer one after the fact.
         self._write_lock = threading.Lock()
+        self._write_owner = None  # thread currently inside _write
         self._seq = 0
         self._written_seq = 0
         self._stop = False
@@ -75,11 +76,15 @@ class AsyncCheckpointer:
                 prev = signal.getsignal(signal.SIGTERM)
 
                 def _handler(signum, frame):
-                    # blocking=False: if the handler interrupted a frame
-                    # that already holds the write lock (close()'s flush),
-                    # blocking would self-deadlock — and a write is in
-                    # flight anyway, so a snapshot reaches disk.
-                    self.flush(blocking=False)
+                    # Bounded-blocking: if the writer thread holds the
+                    # write lock (writing an OLDER snapshot), wait for it
+                    # and then write the newest one — unbounded grace is
+                    # not guaranteed under preemption, hence the timeout.
+                    # flush() itself detects the self-deadlock case (the
+                    # handler interrupted a frame on THIS thread that
+                    # holds the lock, e.g. close()'s flush) and re-stages
+                    # instead of waiting.
+                    self.flush(timeout=30.0)
                     if callable(prev):
                         prev(signum, frame)
                     elif prev is not signal.SIG_IGN:
@@ -103,15 +108,23 @@ class AsyncCheckpointer:
             self._pending = (self._seq, snapshot)
             self._cv.notify()
 
-    def _write(self, seq: int, payload, blocking: bool = True) -> None:
-        if not self._write_lock.acquire(blocking=blocking):
-            return  # signal path: a write is already in flight
+    def _write(self, seq: int, payload, blocking: bool = True,
+               timeout: float | None = None) -> bool:
+        if timeout is not None:
+            acquired = self._write_lock.acquire(timeout=timeout)
+        else:
+            acquired = self._write_lock.acquire(blocking=blocking)
+        if not acquired:
+            return False  # a write is already in flight (or timed out)
+        self._write_owner = threading.current_thread()
         try:
             if seq <= self._written_seq:
-                return  # a newer snapshot already reached disk
+                return True  # a newer snapshot already reached disk
             save_checkpoint(self.path, *payload)
             self._written_seq = seq
+            return True
         finally:
+            self._write_owner = None
             self._write_lock.release()
 
     def _run(self) -> None:
@@ -125,15 +138,33 @@ class AsyncCheckpointer:
                 self._pending = None
             self._write(seq, payload)
 
-    def flush(self, blocking: bool = True) -> None:
+    def _restage(self, item) -> None:
+        """Put an un-written snapshot back as pending (unless a newer one
+        was staged meanwhile) so it is never silently dropped."""
+        with self._cv:
+            if self._pending is None or self._pending[0] < item[0]:
+                self._pending = item
+                self._cv.notify()
+
+    def flush(self, blocking: bool = True,
+              timeout: float | None = None) -> None:
         """Write any pending snapshot synchronously (signal-safe: never
         interleaves with the writer thread, never regresses to an older
-        snapshot; ``blocking=False`` skips instead of waiting when a
-        write is already in flight — the signal-handler path)."""
+        snapshot). ``timeout`` bounds the wait on an in-flight write (the
+        signal-handler path: wait for the writer thread to finish its
+        older snapshot, then write the newest). If the lock holder is
+        THIS thread — the handler interrupted a frame inside ``_write``
+        — waiting would self-deadlock, so the snapshot is re-staged
+        instead; likewise on a timeout or a ``blocking=False`` miss."""
         with self._cv:
             item, self._pending = self._pending, None
-        if item is not None:
-            self._write(*item, blocking=blocking)
+        if item is None:
+            return
+        if self._write_owner is threading.current_thread():
+            self._restage(item)
+            return
+        if not self._write(*item, blocking=blocking, timeout=timeout):
+            self._restage(item)
 
     def close(self) -> None:
         with self._cv:
