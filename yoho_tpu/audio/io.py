@@ -1,11 +1,19 @@
 """Host-side audio I/O: decode, resample, encode.
 
 The reference shells out to ffmpeg for everything
-(``yoho/src/preprocessing/audio.py:11-29``). Here the common path (WAV/PCM)
-is decoded natively — stdlib parsing with an optional C++ fast path
-(``yoho_tpu.native``) — and ffmpeg is used only as a gated fallback for
-compressed containers, keeping the contract: mono int16 PCM at the target
-rate (callers divide by 32768 for float, exactly like ``whisper.py:249``).
+(``yoho/src/preprocessing/audio.py:11-29``). Here no decode path requires
+ffmpeg:
+
+  * WAV/PCM and FLAC — this framework's own decoders (C++ fast paths in
+    ``yoho_tpu/native/wav.cpp`` / ``flac.cpp``, pure-Python fallbacks);
+    FLAC is also the native *encode* target (lossless corpus cache,
+    ``yoho_tpu.audio.flac``).
+  * mp3 and ogg/vorbis — in-process ctypes bindings to the system codec
+    libraries (``yoho_tpu.audio.codecs``), no subprocess per file.
+  * anything else (m4a/opus/...) — ffmpeg as the last-resort fallback.
+
+Contract everywhere: mono int16 PCM at the target rate (callers divide by
+32768 for float, exactly like the reference ``whisper.py:249``).
 """
 
 from __future__ import annotations
@@ -82,6 +90,33 @@ def load_audio(path: Union[str, Path], sample_rate: int) -> np.ndarray:
         if arr.dtype != np.int16:
             arr = np.clip(arr * 32768.0, -32768, 32767).astype(np.int16)
         return arr
+    if suffix == ".flac":
+        from yoho_tpu.audio.flac import decode_flac
+        from yoho_tpu.native import flac_decode_native
+
+        raw = path.read_bytes()
+        decoded = flac_decode_native(raw)  # C++ fast path; None if unbuilt
+        if decoded is None:
+            decoded = decode_flac(raw)
+        pcm, sr, bps = decoded
+        data = pcm.astype(np.float32) / float(1 << (bps - 1))
+        if data.shape[1] > 1:
+            data = data.mean(axis=1)
+        else:
+            data = data[:, 0]
+        data = resample(data, sr, sample_rate)
+        return np.clip(data * 32768.0, -32768, 32767).astype(np.int16)
+    if suffix in (".mp3", ".ogg", ".oga"):
+        from yoho_tpu.audio import codecs
+
+        decoded = (codecs.decode_mp3(path) if suffix == ".mp3"
+                   else codecs.decode_ogg(path))
+        if decoded is not None:  # else: codec lib absent -> ffmpeg below
+            pcm, sr = decoded
+            data = pcm.astype(np.float32) / 32768.0
+            data = data.mean(axis=1) if pcm.shape[1] > 1 else data[:, 0]
+            data = resample(data, sr, sample_rate)
+            return np.clip(data * 32768.0, -32768, 32767).astype(np.int16)
     if suffix in (".wav", ".wave"):
         from yoho_tpu.native import wav_decode_native
 
@@ -114,6 +149,12 @@ def save_audio(audio: np.ndarray, path: Union[str, Path], sample_rate: int) -> P
     path = Path(path)
     if audio.dtype != np.int16:
         audio = np.clip(audio * 32768.0, -32768, 32767).astype(np.int16)
+
+    if path.suffix.lower() == ".flac":
+        from yoho_tpu.audio.flac import encode_flac
+
+        path.write_bytes(encode_flac(audio.reshape(-1, 1).astype(np.int32), sample_rate))
+        return path
 
     if path.suffix.lower() in ("", ".wav") or _FFMPEG is None:
         path = path.with_suffix(".wav")

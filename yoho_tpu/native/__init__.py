@@ -114,6 +114,15 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
     ]
 
+    lib.yoho_flac_decode.restype = ctypes.c_int64
+    lib.yoho_flac_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+
     lib.yoho_dtw_path.restype = ctypes.c_int32
     lib.yoho_dtw_path.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
@@ -137,6 +146,34 @@ def wav_decode_native(path) -> Optional[tuple[np.ndarray, int]]:
     finally:
         lib.yoho_free(data_ptr)
     return arr, int(sr.value)
+
+
+def flac_decode_native(data: bytes):
+    """C++ FLAC decode -> ((n, channels) int32, sample_rate, bps); None if
+    the native lib is unavailable. Raises ValueError on a corrupt stream
+    (parse or CRC failure)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pcm_ptr = ctypes.POINTER(ctypes.c_int32)()
+    sr = ctypes.c_int32(0)
+    nch = ctypes.c_int32(0)
+    bps = ctypes.c_int32(0)
+    n = lib.yoho_flac_decode(data, len(data), ctypes.byref(pcm_ptr),
+                             ctypes.byref(sr), ctypes.byref(nch),
+                             ctypes.byref(bps))
+    if n < 0:
+        raise ValueError("corrupt FLAC stream (parse or CRC failure)")
+    try:
+        total = int(n) * nch.value
+        if total == 0:
+            arr = np.zeros((0, max(nch.value, 1)), np.int32)
+        else:
+            arr = np.ctypeslib.as_array(pcm_ptr, shape=(total,)).copy()
+            arr = arr.reshape(int(n), nch.value)
+    finally:
+        lib.yoho_free(pcm_ptr)
+    return arr, int(sr.value), int(bps.value)
 
 
 def dtw_path_native(cost: np.ndarray):
