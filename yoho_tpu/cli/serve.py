@@ -8,10 +8,13 @@ The serving layer the reference lacks entirely (SURVEY.md §1). Stdlib-only:
   endpoint — drop-in for existing OpenAI/faster-whisper clients.
   ``response_format`` json | text | verbose_json | srt | vtt; per-segment
   quality signals (avg_logprob, no_speech_prob, compression_ratio,
-  temperature) ride in verbose_json. ``model``/``language``/``prompt``/
-  ``temperature`` fields are accepted; decode policy is fixed by the
-  server's flags (one compiled program serves every request), so they do
-  not override it per-request.
+  temperature) ride in verbose_json. ``language`` IS honored per request
+  (it only changes the decode prompt's content, never its length, so
+  mixed-language requests share one compiled program and one batch;
+  ``POST /transcribe`` takes it as a ``?language=`` query parameter).
+  ``model``/``prompt``/``temperature`` fields are accepted but decode
+  policy is fixed by the server's flags (one compiled program serves
+  every request), so those do not override it per-request.
 * ``GET /stream``: WebSocket real-time transcription (RFC 6455, stdlib
   framing in ``yoho_tpu/utils/websocket.py``). Client streams binary
   little-endian float32 mono PCM frames at the server sample rate;
@@ -42,6 +45,24 @@ from email.policy import HTTP as _HTTP_POLICY
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
+
+
+def _validate_language(transcriber, language) -> str:
+    """'' when OK; an error message for an unknown whisper language code.
+
+    yoho-family and English-only models accept (and ignore) the field —
+    matching OpenAI's lenient handling — but a multilingual whisper
+    server rejects unknown codes instead of silently transcribing in the
+    wrong language."""
+    if language is None or transcriber.family != "whisper":
+        return ""
+    table = transcriber.token_table
+    if language in table.languages:
+        return ""
+    if not table.multilingual:
+        return ""  # English-only model: field is advisory
+    return (f"unknown language {language!r}; expected an ISO 639-1 code "
+            "the model was trained on (e.g. 'en', 'de', 'ja')")
 
 
 def _decode_wav_bytes(body: bytes, target_sr: int) -> np.ndarray:
@@ -311,7 +332,14 @@ def make_handler(transcriber, batcher):
                         "message": f"unsupported response_format {fmt!r}",
                         "type": "invalid_request_error"}})
                     return
-                result = batcher.submit(audio)
+                language = (fields.get("language", (None, b""))[1]
+                            .decode().strip().lower() or None)
+                err = _validate_language(transcriber, language)
+                if err:
+                    self._json(400, {"error": {
+                        "message": err, "type": "invalid_request_error"}})
+                    return
+                result = batcher.submit(audio, language=language)
                 duration = len(audio) / transcriber.sample_rate
                 ctype_out, out = _render_openai(result, fmt, duration, task)
                 self._send(200, ctype_out, out)
@@ -321,7 +349,11 @@ def make_handler(transcriber, batcher):
                     "type": "server_error"}})
 
         def do_POST(self):
-            path = self.path.split("?", 1)[0].rstrip("/")
+            from urllib.parse import parse_qs, urlsplit
+
+            split = urlsplit(self.path)
+            query = parse_qs(split.query)
+            path = split.path.rstrip("/")
             if path == "/v1/audio/transcriptions":
                 self._openai_audio("transcribe")
                 return
@@ -342,7 +374,12 @@ def make_handler(transcriber, batcher):
                 else:
                     self._json(415, {"error": f"unsupported content type {ctype!r}"})
                     return
-                result = batcher.submit(audio)
+                language = (query.get("language", [None])[0] or None)
+                err = _validate_language(transcriber, language)
+                if err:
+                    self._json(400, {"error": err})
+                    return
+                result = batcher.submit(audio, language=language)
                 self._json(200, {
                     "text": result.text,
                     "language": result.language,

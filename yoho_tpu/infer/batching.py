@@ -25,6 +25,7 @@ from typing import Any, List, Optional
 class _Pending:
     audio: Any
     sample_rate: Optional[int]
+    language: Optional[str] = None
     done: threading.Event = field(default_factory=threading.Event)
     result: Any = None
     error: Optional[BaseException] = None
@@ -47,9 +48,14 @@ class MicroBatcher:
         self._worker.start()
 
     # ------------------------------------------------------------------
-    def submit(self, audio, sample_rate: Optional[int] = None):
-        """Enqueue one request and block until its result is ready."""
-        req = _Pending(audio, sample_rate)
+    def submit(self, audio, sample_rate: Optional[int] = None,
+               language: Optional[str] = None):
+        """Enqueue one request and block until its result is ready.
+
+        ``language`` is a per-request override: language changes only the
+        decode prompt's content, not its length, so requests in different
+        languages still share one batch and one compiled program."""
+        req = _Pending(audio, sample_rate, language)
         with self._cv:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
@@ -95,8 +101,14 @@ class MicroBatcher:
                 by_rate.setdefault(req.sample_rate, []).append(req)
             for rate, reqs in by_rate.items():
                 try:
+                    # Only pass languages= when a request set one, so
+                    # plain transcribe_many(audios, rate) implementations
+                    # (tests, custom backends) keep working unchanged.
+                    kwargs = {}
+                    if any(r.language is not None for r in reqs):
+                        kwargs["languages"] = [r.language for r in reqs]
                     results = self.transcriber.transcribe_many(
-                        [r.audio for r in reqs], rate
+                        [r.audio for r in reqs], rate, **kwargs
                     )
                     # strict: a transcribe_many contract bug must fail loudly,
                     # not complete requests with result=None.

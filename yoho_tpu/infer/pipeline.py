@@ -803,14 +803,23 @@ class Transcriber:
         self,
         audio: Union[str, Path, np.ndarray],
         sample_rate: Optional[int] = None,
+        language: Optional[str] = None,
     ) -> TranscriptionResult:
-        """Transcribe one audio source of any length."""
+        """Transcribe one audio source of any length.
+
+        ``language`` overrides the configured language for THIS call only
+        (whisper family). The decode prompt rides as a traced argument
+        with a language-independent length, so the override reuses the
+        already-compiled program — no recompile per language."""
         if self.condition_on_previous_text:
             return self._transcribe_sequential(
-                self._prepare_audio(audio, sample_rate))
-        return self.transcribe_many([audio], sample_rate)[0]
+                self._prepare_audio(audio, sample_rate), language=language)
+        return self.transcribe_many([audio], sample_rate,
+                                    languages=[language])[0]
 
-    def _transcribe_sequential(self, audio: np.ndarray) -> TranscriptionResult:
+    def _transcribe_sequential(self, audio: np.ndarray,
+                               language: Optional[str] = None,
+                               ) -> TranscriptionResult:
         """Window-by-window decoding with previous-text conditioning.
 
         Prompt per window: ``<|startofprev|>`` + the last C generated
@@ -825,7 +834,7 @@ class Transcriber:
         if len(audio) == 0:  # all-silent after VAD
             return TranscriptionResult(text="", segments=[],
                                        language=self.language)
-        lang = self.language or self.detect_language(audio)[0]
+        lang = language or self.language or self.detect_language(audio)[0]
         base_ids = self._prompt_ids(lang)
         sot_seq = tt.sot_sequence(lang, self.task,
                                   timestamps=self.timestamps)
@@ -886,6 +895,7 @@ class Transcriber:
         self,
         audios: Sequence[Union[str, Path, np.ndarray]],
         sample_rate: Optional[int] = None,
+        languages: Optional[Sequence[Optional[str]]] = None,
     ) -> List[TranscriptionResult]:
         """Transcribe several audio sources through SHARED decode batches.
 
@@ -893,6 +903,12 @@ class Transcriber:
         ``batch_size`` at a time — concurrent short requests fill batches a
         single request would leave padded (the micro-batching entry point
         for the HTTP server; see ``yoho_tpu.infer.batching``).
+
+        ``languages`` (optional, one entry per audio; ``None`` entries
+        fall back to the configured language / auto-detection) carries
+        per-request language overrides. Language only changes the prompt
+        CONTENT, never its length, so mixed-language requests share one
+        compiled decode program and even one decode batch.
         """
         prepared = [self._prepare_audio(a, sample_rate) for a in audios]
         # Source-timeline audio per request (the post-pass diarizer slices
@@ -911,10 +927,17 @@ class Transcriber:
         # windows share batched detection calls. The decode prompt rides as
         # a traced argument with a language-independent length, so
         # mixed-language batches share one compiled program.
-        if self.language is None and self.family == "whisper":
-            req_langs = self.detect_language_many(prepared)
+        if languages is not None and len(languages) != len(audios):
+            raise ValueError(f"languages has {len(languages)} entries for "
+                             f"{len(audios)} audios")
+        overrides = list(languages) if languages is not None \
+            else [None] * len(prepared)
+        if (self.language is None and self.family == "whisper"
+                and any(o is None for o in overrides)):
+            detected = self.detect_language_many(prepared)
+            req_langs = [o or d for o, d in zip(overrides, detected)]
         else:
-            req_langs = [self.language] * len(prepared)
+            req_langs = [o or self.language for o in overrides]
 
         all_starts: List[List[int]] = []
         window_list = []
