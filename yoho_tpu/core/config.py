@@ -167,6 +167,20 @@ class TrainingASRHP(TrainingHP):
     # reference declares but never consumes this (``train/utils/config.py:33``);
     # here it is actually honored by the transcription dataloader.
     speechless_sample_ratio: float = 0.1
+    # Train on clips N× the model's base window (RoPE YOHO encoder only;
+    # the reference caps clips at max_input_seconds by construction,
+    # ``dataloaders.py:100-106``). N > 1 switches the stage to the
+    # sequence-parallel ring-attention train step
+    # (yoho_tpu.parallel.long_encoder) over the mesh's ``seq`` axis; the
+    # dataloader packs utterances into N×-long clips and stage 0 mints
+    # N× the timestamp specials. Exact vs the single-device step.
+    long_context_factor: int = 1
+
+    @model_validator(mode="after")
+    def _check_factor(self):
+        if self.long_context_factor < 1:
+            raise ValueError("long_context_factor must be >= 1")
+        return self
 
 
 class TrainingReconstructionHP(TrainingHP):
@@ -208,12 +222,19 @@ class MeshConfig(BaseModel):
 
     data: int = -1
     model: int = 1
+    # Sequence-parallel axis for long-context training (ring attention
+    # over clip time; see hyperparameters.*.long_context_factor). -1 =
+    # all devices the data axis does not use; ignored unless a stage
+    # sets long_context_factor > 1.
+    seq: int = -1
     allowed_mem_fraction: float = 0.9
 
     @model_validator(mode="after")
     def _check(self):
         if self.model < 1:
             raise ValueError("mesh.model must be >= 1")
+        if self.seq < 1 and self.seq != -1:
+            raise ValueError("mesh.seq must be >= 1 (or -1 = infer)")
         return self
 
 
@@ -252,6 +273,9 @@ language_whitelist = ['en']
 [mesh]
 data = -1
 model = 1
+# seq: ring-attention axis for long-context training (-1 = infer);
+# used only when a stage sets long_context_factor > 1.
+seq = -1
 allowed_mem_fraction = 0.90
 
 [yoho]
@@ -295,6 +319,9 @@ warmup_updates = 2500
 validation_frequency = 25
 validation_samples = 8
 speechless_sample_ratio = 0.1
+# Train on clips N x the base window via sequence-parallel ring
+# attention over the mesh's seq axis (1 = off).
+long_context_factor = 1
 
 [hyperparameters.reconstruct_pretrain]
 learning_rate = 0.001

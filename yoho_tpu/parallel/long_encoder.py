@@ -88,26 +88,27 @@ def _block_runner(cfg, dtype, mesh: Mesh, axis_name: str, s_local: int):
     return run
 
 
-def make_long_context_train_step(model, mesh: Mesh,
-                                 axis_name: str = "seq"):
-    """Training step for clips LONGER than one device can attend alone.
+def make_long_context_loss_fn(model, mesh: Mesh, axis_name: str = "seq"):
+    """``loss_fn(params, mel, tokens, loss_mask) -> scalar`` with the
+    encoder's quadratic attention sequence-parallel over ``axis_name``.
 
-    Returns ``step(state, mel, tokens, loss_mask) -> (state, loss)`` where
-    ``mel`` is (B, S_frames, n_mels) with the post-stem length divisible
-    by the mesh's ``axis_name`` size. The encoder's quadratic attention
-    runs sequence-parallel (ring); ppermute differentiates to the reverse
-    permutation, so gradients are EXACT vs the single-device step (tested
-    on the faked mesh). The linear pieces (stem, decoder, loss) run
-    replicated — the decoder cross-attends the gathered encoder output,
-    which is O(S·D), not O(S^2).
-
-    The reference caps training clips at ``max_input_seconds`` by
-    construction (``dataloaders.py:100-106``); this removes the cap for
-    the RoPE model family the TPU-native way.
-    """
+    When the mesh also has a ``data`` axis (the session-trainer layout,
+    see ``ASRTrainer``), batches additionally shard over it — DP x SP in
+    one shard_map. The linear pieces (stem, decoder, loss) stay outside
+    the shard_map; GSPMD lays them out from the operand shardings. The
+    gradient of the replicated params transposes through shard_map as a
+    psum over both axes, so gradients are EXACT vs the single-device step
+    (tested on the faked mesh)."""
     from yoho_tpu.nn.yoho import YOHOAudioEncoder, YOHOModel
 
     n = mesh.shape[axis_name]
+    batch_axis = "data" if "data" in mesh.axis_names else None
+
+    ring = YOHOAudioEncoder(
+        model.cfg, dtype=model.dtype,
+        attention_fn=partial(ring_attention, axis_name=axis_name,
+                             scale=1.0),
+    )
 
     def loss_fn(params, mel, tokens, loss_mask):
         from yoho_tpu.train.trainer import masked_ce_loss
@@ -117,15 +118,9 @@ def make_long_context_train_step(model, mesh: Mesh,
         x = plain.apply(enc_params, mel, method=YOHOAudioEncoder.stem)
         s_local = x.shape[1] // n
 
-        ring = YOHOAudioEncoder(
-            model.cfg, dtype=model.dtype,
-            attention_fn=partial(ring_attention, axis_name=axis_name,
-                                 scale=1.0),
-        )
-
         @partial(shard_map, mesh=mesh,
-                 in_specs=(P(), P(None, axis_name, None)),
-                 out_specs=P(None, axis_name, None))
+                 in_specs=(P(), P(batch_axis, axis_name, None)),
+                 out_specs=P(batch_axis, axis_name, None))
         def blocks(p, xs):
             pos = jax.lax.axis_index(axis_name) * s_local
             return ring.apply(p, xs, pos, method=YOHOAudioEncoder.run_blocks)
@@ -134,6 +129,29 @@ def make_long_context_train_step(model, mesh: Mesh,
         logits = model.apply({"params": params}, tokens, xa,
                              method=YOHOModel.decode_text)
         return masked_ce_loss(logits, tokens, loss_mask)
+
+    return loss_fn
+
+
+def make_long_context_train_step(model, mesh: Mesh,
+                                 axis_name: str = "seq"):
+    """Training step for clips LONGER than one device can attend alone.
+
+    Returns ``step(state, mel, tokens, loss_mask) -> (state, loss)`` where
+    ``mel`` is (B, S_frames, n_mels) with the post-stem length divisible
+    by the mesh's ``axis_name`` size. The encoder's quadratic attention
+    runs sequence-parallel (ring); ppermute differentiates to the reverse
+    permutation, so gradients are EXACT vs the single-device step (tested
+    on the faked mesh). The decoder cross-attends the gathered encoder
+    output, which is O(S·D), not O(S^2).
+
+    The reference caps training clips at ``max_input_seconds`` by
+    construction (``dataloaders.py:100-106``); this removes the cap for
+    the RoPE model family the TPU-native way. Session wiring: set
+    ``[hyperparameters.transcribe_pretrain] long_context_factor = N`` —
+    see :class:`yoho_tpu.train.trainer.ASRTrainer`.
+    """
+    loss_fn = make_long_context_loss_fn(model, mesh, axis_name)
 
     @jax.jit
     def step(state, mel, tokens, loss_mask):

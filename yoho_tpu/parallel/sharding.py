@@ -92,9 +92,12 @@ def shard_params(params, mesh: Mesh, rules: PartitionRules = _COMMON_RULES):
     specs = partition_specs(params, rules)
 
     def _put(x, spec):
-        # Replicate any spec whose sharded dims don't divide evenly.
+        # Replicate any spec whose sharded dims don't divide evenly, or
+        # whose axis the mesh lacks (e.g. the ("data", "seq") long-context
+        # training mesh has no "model" axis — params replicate there).
         for i, ax in enumerate(spec):
-            if ax is not None and x.shape[i] % mesh.shape[ax] != 0:
+            if ax is not None and (ax not in mesh.shape
+                                   or x.shape[i] % mesh.shape[ax] != 0):
                 spec = P()
                 break
         return jax.device_put(x, NamedSharding(mesh, spec))
@@ -109,7 +112,8 @@ def named_shardings(params, mesh: Mesh, rules: PartitionRules = _COMMON_RULES):
 
     def _ns(x, spec):
         for i, ax in enumerate(spec):
-            if ax is not None and x.shape[i] % mesh.shape[ax] != 0:
+            if ax is not None and (ax not in mesh.shape
+                                   or x.shape[i] % mesh.shape[ax] != 0):
                 spec = P()
                 break
         return NamedSharding(mesh, spec)

@@ -53,11 +53,18 @@ def main(config: SessionConfig) -> None:
             n_sentences += 1
             yield s
 
+    # Long-context sessions (long_context_factor > 1 in any ASR stage)
+    # timestamp utterances up to factor x the base window, so the
+    # <|t-i|> specials must cover the SCALED frame range.
+    factor = max(
+        config.hyperparameters.transcribe_pretrain.long_context_factor,
+        config.hyperparameters.transcribe_finetune.long_context_factor,
+    )
     tokenizer = train_tokenizer(
         counted(),
         vocab_size=hp.vocab_size,
         max_token_length=hp.max_token_length,
-        max_audio_len=config.yoho.max_audio_len,
+        max_audio_len=config.yoho.max_audio_len * factor,
     )
     if n_sentences == 0:
         import warnings

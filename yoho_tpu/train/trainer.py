@@ -87,10 +87,34 @@ class ASRTrainer:
         self.tokenizer = tokenizer or YOHOTokenizer.load(config.weights.tokenizer)
         self.model = model or YOHOModel(config.yoho, self.tokenizer.vocab_size,
                                         dtype=self.compute_dtype)
-        self.mesh = mesh or make_mesh(config.mesh.data, config.mesh.model)
+
+        # Long-context training (session TOML alone turns it on): with
+        # [hyperparameters.<stage>] long_context_factor = N > 1, clips are
+        # N x the base window, the mesh gains a ``seq`` axis, and the
+        # encoder runs sequence-parallel ring attention
+        # (yoho_tpu.parallel.long_encoder). The RoPE encoder is
+        # length-agnostic, so the SAME parameter tree trains either way.
+        self.long_context_factor = int(
+            getattr(self.hp, "long_context_factor", 1) or 1)
+        data_config = config
+        if self.long_context_factor > 1:
+            data_config = config.model_copy(deep=True)
+            data_config.yoho.max_audio_len *= self.long_context_factor
+            data_config.yoho.max_text_len *= self.long_context_factor
+            self.mesh = mesh or self._make_long_context_mesh(config)
+            n_seq = self.mesh.shape["seq"]
+            frames = data_config.yoho.max_audio_len // 2  # post-stem
+            if frames % n_seq:
+                raise ValueError(
+                    f"long-context post-stem length {frames} must divide "
+                    f"by the seq axis ({n_seq}); adjust max_audio_len, "
+                    "long_context_factor, or [mesh] seq")
+        else:
+            self.mesh = mesh or make_mesh(config.mesh.data, config.mesh.model)
+        self.data_config = data_config
 
         dl_kwargs = dict(
-            config=config,
+            config=data_config,
             tokenizer=self.tokenizer,
             # Each stage's OWN ratio (stage 4 has its own field; the
             # dataloader default would silently read the stage-1 value).
@@ -176,6 +200,29 @@ class ASRTrainer:
             )
         return state
 
+    @staticmethod
+    def _make_long_context_mesh(config: SessionConfig):
+        """(data, seq) mesh for sequence-parallel training. ``[mesh] seq``
+        sizes the ring axis (-1: every device the data axis doesn't use;
+        with both -1, seq takes all devices — long clips are the scarce
+        resource, not batch)."""
+        devices = jax.devices()
+        n = len(devices)
+        seq = config.mesh.seq
+        if seq == -1:
+            seq = n // config.mesh.data if config.mesh.data != -1 else n
+        if seq < 1 or n % seq:
+            raise ValueError(f"seq axis size {seq} does not divide "
+                             f"device count {n}")
+        data = n // seq
+        if config.mesh.data not in (-1, data):
+            raise ValueError(f"mesh {config.mesh.data}x{seq} != {n} devices")
+        import numpy as _np
+
+        from jax.sharding import Mesh
+
+        return Mesh(_np.asarray(devices).reshape(data, seq), ("data", "seq"))
+
     # ------------------------------------------------------------------
     def _build_steps(self) -> None:
         model, cfg = self.model, self.config.yoho
@@ -184,9 +231,14 @@ class ASRTrainer:
             mel = yoho_log_mel(audio.astype(jnp.float32), cfg)
             return mel, tokens.astype(jnp.int32), loss_mask.astype(jnp.uint8)
 
-        def loss_fn(params, mel, tokens, loss_mask):
-            logits = model.apply({"params": params}, tokens, mel)
-            return masked_ce_loss(logits, tokens, loss_mask)
+        if self.long_context_factor > 1:
+            from yoho_tpu.parallel.long_encoder import make_long_context_loss_fn
+
+            loss_fn = make_long_context_loss_fn(model, self.mesh)
+        else:
+            def loss_fn(params, mel, tokens, loss_mask):
+                logits = model.apply({"params": params}, tokens, mel)
+                return masked_ce_loss(logits, tokens, loss_mask)
 
         def train_step(state, audio, tokens, loss_mask):
             mel, tokens, loss_mask = preprocess(audio, tokens, loss_mask)
