@@ -1,0 +1,132 @@
+"""Text-level e2e goldens on a COMMITTED trained checkpoint.
+
+Everything else decode-side tests invariants on random weights; these
+tests assert EXACT transcript text from real (overfit-trained) weights —
+the testable half of BASELINE.md's "exact-match transcripts" north star —
+through all three user surfaces: the library (`Transcriber.transcribe`),
+the CLI (`yoho_tpu.cli.transcribe`), and the HTTP server
+(`/v1/audio/transcriptions`).
+
+Fixture: tests/fixtures/sessions/tiny (tiny YOHO session trained by
+``experiments/build_checkpoint_fixture.py`` on 3 tone-coded sentences;
+goldens recorded on CPU — the platform this suite runs on).
+"""
+
+import io
+import json
+import threading
+import urllib.request
+import wave
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+FIXROOT = Path(__file__).parent / "fixtures" / "sessions"
+GOLDEN = json.loads((FIXROOT / "tiny" / "golden.json").read_text())
+
+SENTS = ["hello world", "good morning", "thank you"]
+TONES = [440, 880, 1320]
+
+
+def _tone_clip(s: int, n_samples: int) -> np.ndarray:
+    # Must match experiments/build_checkpoint_fixture.py::tone_clip.
+    audio = (np.random.default_rng(9).standard_normal(n_samples) * 0.002
+             ).astype(np.float32)
+    tone = 0.4 * np.sin(2 * np.pi * TONES[s] * np.arange(int(0.25 * 16000))
+                        / 16000)
+    audio[800:800 + len(tone)] += tone.astype(np.float32)
+    return audio
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    from yoho_tpu.cli.transcribe import build_yoho_transcriber
+
+    return build_yoho_transcriber("tiny", str(FIXROOT), beams=0, batch=1)
+
+
+def test_library_exact_transcripts(tiny):
+    n = tiny.model.cfg.n_samples
+    for s, g in enumerate(GOLDEN):
+        res = tiny.transcribe(_tone_clip(s, n))
+        assert res.text == g["text"]
+        assert SENTS[s] in res.text  # semantic floor independent of golden
+        got = [{"start": round(seg.start, 4), "end": round(seg.end, 4),
+                "text": seg.text} for seg in res.segments]
+        assert got == g["segments"]
+
+
+def test_library_int8_kv_matches_f32(tiny):
+    """int8 KV-cache decode produces the IDENTICAL transcript on real
+    trained weights (argmax invariance beyond random-weight tests;
+    VERDICT r1 'real-speech quantization quality')."""
+    from yoho_tpu.infer.pipeline import Transcriber
+
+    q = Transcriber(tiny.model, tiny.variables, family="yoho",
+                    tokenizer=tiny.tokenizer, batch_size=1,
+                    quantized_cache=True)
+    n = tiny.model.cfg.n_samples
+    for s, g in enumerate(GOLDEN):
+        assert q.transcribe(_tone_clip(s, n)).text == g["text"]
+
+
+def test_cli_exact_transcripts(tmp_path, capsys):
+    from yoho_tpu.cli.transcribe import main
+
+    n_samples = 16000  # >= cfg.n_samples for the tiny config (10480)
+    paths = []
+    for s in range(3):
+        clip = _tone_clip(s, 10480)
+        pcm = np.clip(clip * 32768, -32768, 32767).astype(np.int16)
+        p = tmp_path / f"tone{s}.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        paths.append(str(p))
+
+    main([*paths, "--session", "tiny", "--root", str(FIXROOT),
+          "--batch", "1", "--json"])
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert len(lines) == 3
+    for s, (g, line) in enumerate(zip(GOLDEN, lines)):
+        # WAV round-trip quantizes int16 but the decode must not move.
+        assert line["text"] == g["text"]
+
+
+def test_server_exact_transcripts():
+    from yoho_tpu.cli.serve import serve
+    from yoho_tpu.cli.transcribe import build_yoho_transcriber
+
+    t = build_yoho_transcriber("tiny", str(FIXROOT), beams=0, batch=1)
+    srv = serve(t, port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        for s, g in enumerate(GOLDEN):
+            clip = _tone_clip(s, t.model.cfg.n_samples)
+            pcm = np.clip(clip * 32768, -32768, 32767).astype(np.int16)
+            buf = io.BytesIO()
+            with wave.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(2)
+                w.setframerate(16000)
+                w.writeframes(pcm.tobytes())
+            boundary = "fixturegolden1"
+            body = ((f"--{boundary}\r\nContent-Disposition: form-data; "
+                     f'name="file"; filename="t.wav"\r\n\r\n').encode()
+                    + buf.getvalue() + b"\r\n"
+                    + f"--{boundary}--\r\n".encode())
+            req = urllib.request.Request(
+                base + "/v1/audio/transcriptions", data=body,
+                headers={"Content-Type":
+                         f"multipart/form-data; boundary={boundary}"})
+            with urllib.request.urlopen(req) as r:
+                payload = json.load(r)
+            assert payload["text"] == g["text"]
+    finally:
+        srv.shutdown()

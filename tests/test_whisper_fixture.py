@@ -1,0 +1,97 @@
+"""Quantization quality on a COMMITTED trained micro-whisper.
+
+The whisper family owns cross-KV quantization (int8 argmax-identical by
+design; int4 a documented approximation) — these tests pin its behavior
+on REAL trained weights instead of random init (VERDICT r1 item 9).
+Fixture built by ``experiments/build_whisper_fixture.py``; goldens
+recorded on CPU/bf16, the env this suite runs in.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+FIXTURE = Path(__file__).parent / "fixtures" / "whisper_tiny"
+GOLDEN = json.loads((FIXTURE / "golden.json").read_text())
+WORD_IDS = json.loads((FIXTURE / "word_vocab.json").read_text())
+CFG = json.loads((FIXTURE / "config.json").read_text())
+
+
+class _WordBackend:
+    def __init__(self, word_ids):
+        self.word_ids = {k: int(v) for k, v in word_ids.items()}
+        self.id_words = {v: k for k, v in self.word_ids.items()}
+
+    def encode(self, text, add_special_tokens=False):
+        return [self.word_ids[w] for w in text.split()]
+
+    def decode(self, ids):
+        return " ".join(self.id_words[int(i)] for i in ids
+                        if int(i) in self.id_words)
+
+
+def _tone_clip(s: int, n_samples: int) -> np.ndarray:
+    audio = (np.random.default_rng(9).standard_normal(n_samples) * 0.002
+             ).astype(np.float32)
+    tone = 0.4 * np.sin(2 * np.pi * GOLDEN["tones"][s]
+                        * np.arange(int(0.25 * 16000)) / 16000)
+    audio[800:800 + len(tone)] += tone.astype(np.float32)
+    return audio
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+    from yoho_tpu.train.checkpoint import load_params
+
+    cfg = WhisperConfig(**CFG)
+    model = Whisper(cfg, dtype=jnp.bfloat16)
+    table = WhisperTokenTable(multilingual=True,
+                              text_backend=_WordBackend(WORD_IDS))
+    import jax
+
+    template = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.n_frames, cfg.n_mels), jnp.float32),
+        jnp.zeros((1, 4), jnp.int32))["params"]
+    template = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), template)
+    params = load_params(FIXTURE / "params.msgpack", template)
+    assert params is not None
+    return cfg, model, {"params": params}, table
+
+
+def _decode_all(setup, quant):
+    from yoho_tpu.infer.pipeline import Transcriber
+
+    cfg, model, variables, table = setup
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=1, timestamps=False,
+                    quantized_cross_kv=quant, quantized_cache=True)
+    return [t.transcribe(_tone_clip(i, cfg.n_samples)).text
+            for i in range(3)]
+
+
+def test_bf16_exact_transcripts(setup):
+    texts = _decode_all(setup, False)
+    assert texts == GOLDEN["texts"]["bf16"]
+    assert texts == GOLDEN["sentences"]
+
+
+def test_int8_cross_kv_matches_bf16(setup):
+    """int8 cross-KV is argmax-identical BY DESIGN (scales factor out of
+    both attention contractions); trained-weight proof, not random-init."""
+    assert _decode_all(setup, "int8") == GOLDEN["texts"]["bf16"]
+
+
+def test_int4_cross_kv_matches_golden(setup):
+    """int4 is a documented approximation — pin its recorded behavior so
+    a quality regression (or silent improvement) is visible. On this
+    fixture it happens to be exact; PERFORMANCE.md records the result."""
+    assert _decode_all(setup, "int4") == GOLDEN["texts"]["int4"]
