@@ -1,4 +1,4 @@
-"""Benchmark: Whisper-small batched transcription throughput on one chip.
+"""Benchmark: Whisper batched transcription throughput on one chip.
 
 Measures the BASELINE.md headline metric — audio-seconds transcribed per
 second per chip (real-time factor) — for the full serving path: fused
@@ -7,16 +7,33 @@ streams, bf16 compute, everything under jit. Prints ONE JSON line.
 
 The 40x-real-time target comes from BASELINE.json; ``vs_baseline`` is
 RTF / 40.
+
+``python bench.py --matrix`` additionally re-measures every configuration
+PERFORMANCE.md claims (small B=320, large-v3 B=40, turbo B=128, large-v3
+beam=5) and writes them to BENCH_MATRIX.json, so later rounds cannot
+regress the big-model numbers invisibly. The last (flagship) line still
+goes to stdout for the driver.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
+# (name, model, batch, beams, decode_tokens, claimed audio-s/s)
+MATRIX = [
+    ("large-v3-beam5", "large-v3", 8, 5, 224, 32.5),
+    ("large-v3", "large-v3", 40, 0, 224, 280.0),
+    ("large-v3-turbo", "large-v3-turbo", 128, 0, 224, 1121.0),
+    ("small", "small", 320, 0, 224, 1688.0),
+]
 
-def main():
+
+def bench_one(model_name="small", batch=320, beams=0, decode_tokens=224,
+              iters=3, quantized_kv=True, quantized_cache=True):
+    """Measure one serving configuration -> result dict."""
     import jax
     import jax.numpy as jnp
 
@@ -25,18 +42,6 @@ def main():
     from yoho_tpu.infer.decode import greedy_decode, make_whisper_step_fn
     from yoho_tpu.nn.whisper import Whisper
     from yoho_tpu.text.whisper_tokens import WhisperTokenTable
-
-    model_name = os.environ.get("BENCH_MODEL", "small")
-    batch = int(os.environ.get("BENCH_BATCH", "320"))  # B=384 OOMs (HBM)
-    beams = int(os.environ.get("BENCH_BEAMS", "0"))  # 0/1 = greedy
-    decode_tokens = int(os.environ.get("BENCH_DECODE_TOKENS", "224"))
-    iters = int(os.environ.get("BENCH_ITERS", "3"))
-    # BENCH_QUANTIZED_KV: 0 = bf16, 1 = int8 (argmax-identical), 4 = int4
-    # (opt-in approximation; quarters the dominant cross-KV HBM traffic).
-    kv_env = os.environ.get("BENCH_QUANTIZED_KV", "1")
-    quantized_kv = {"0": False, "1": True, "4": "int4"}[kv_env]
-    quantized_cache = os.environ.get("BENCH_QUANTIZED_CACHE", "1") == "1"
-
 
     cfg = WHISPER_PRESETS[model_name]
     table = WhisperTokenTable(multilingual=True)
@@ -123,7 +128,7 @@ def main():
     rtf = audio_seconds / best
     tok_per_sec = batch * decode_tokens / best
 
-    result = {
+    return {
         "metric": f"whisper-{model_name} audio-seconds transcribed /sec/chip "
                   f"(B={batch}, {decode_tokens} decode tokens"
                   f"{f', beam={beams}' if beams > 1 else ''}"
@@ -134,7 +139,45 @@ def main():
         "unit": "audio_s/s",
         "vs_baseline": round(rtf / 40.0, 3),
     }
-    print(json.dumps(result))
+
+
+def main():
+    kv_env = os.environ.get("BENCH_QUANTIZED_KV", "1")
+    kwargs = dict(
+        model_name=os.environ.get("BENCH_MODEL", "small"),
+        batch=int(os.environ.get("BENCH_BATCH", "320")),  # B=384 OOMs (HBM)
+        beams=int(os.environ.get("BENCH_BEAMS", "0")),  # 0/1 = greedy
+        decode_tokens=int(os.environ.get("BENCH_DECODE_TOKENS", "224")),
+        iters=int(os.environ.get("BENCH_ITERS", "3")),
+        # BENCH_QUANTIZED_KV: 0 = bf16, 1 = int8 (argmax-identical), 4 = int4
+        # (opt-in approximation; quarters the dominant cross-KV HBM traffic).
+        quantized_kv={"0": False, "1": True, "4": "int4"}[kv_env],
+        quantized_cache=os.environ.get("BENCH_QUANTIZED_CACHE", "1") == "1",
+    )
+
+    if "--matrix" not in sys.argv:
+        print(json.dumps(bench_one(**kwargs)))
+        return
+
+    import gc
+
+    rows = []
+    for name, model_name, batch, beams, decode_tokens, claimed in MATRIX:
+        gc.collect()  # drop the previous config's device buffers (HBM)
+        print(f"[matrix] {name}: B={batch} beams={beams}...",
+              file=sys.stderr, flush=True)
+        r = bench_one(model_name=model_name, batch=batch, beams=beams,
+                      decode_tokens=decode_tokens, iters=kwargs["iters"])
+        r["config"] = name
+        r["claimed"] = claimed
+        r["vs_claimed"] = round(r["value"] / claimed, 3)
+        rows.append(r)
+        print(f"[matrix] {name}: {r['value']} audio-s/s "
+              f"({r['vs_claimed']}x claimed)", file=sys.stderr, flush=True)
+    with open(os.path.join(os.path.dirname(__file__) or ".",
+                           "BENCH_MATRIX.json"), "w") as f:
+        json.dump(rows, f, indent=1)
+    print(json.dumps(rows[-1]))  # flagship line for the driver
 
 
 if __name__ == "__main__":
