@@ -194,3 +194,59 @@ def test_load_audio_mp3_end_to_end():
     out = load_audio(_fixture("house_lo.mp3"), 16000)
     assert out.dtype == np.int16 and len(out) > 16000
     assert np.abs(out.astype(np.int32)).max() > 1000  # real signal, not silence
+
+
+# ---------------------------------------------- libav universal decode
+def test_av_decode_matches_codec_bindings():
+    """The in-process libav fallback (native/avdecode.cpp) agrees with
+    the dedicated mpg123 binding on the same mp3."""
+    from yoho_tpu.audio import codecs
+    from yoho_tpu.audio.io import resample
+    from yoho_tpu.native import av_decode_native, get_av_lib
+
+    if get_av_lib() is None:
+        pytest.skip("system libav unavailable")
+    if not codecs.mp3_available():
+        pytest.skip("libmpg123 unavailable")
+    path = _fixture("house_lo.mp3")
+    pcm, sr = codecs.decode_mp3(path)
+    ours = resample(pcm.astype(np.float32).mean(axis=1) / 32768.0, sr, 16000)
+    av = av_decode_native(path, 16000)
+    assert av is not None and av.dtype == np.int16
+    assert _aligned_corr(ours, av.astype(np.float32) / 32768.0,
+                         max_lag=2000) > 0.99
+
+
+def test_av_decode_rejects_garbage(tmp_path):
+    from yoho_tpu.native import av_decode_native, get_av_lib
+
+    if get_av_lib() is None:
+        pytest.skip("system libav unavailable")
+    bad = tmp_path / "x.m4a"
+    bad.write_bytes(b"\x00" * 256)
+    with pytest.raises(ValueError):
+        av_decode_native(bad, 16000)
+
+
+def test_m4a_save_load_roundtrip(tmp_path):
+    """save_audio writes real AAC/.m4a in-process and load_audio reads it
+    back — the reference's mp4 target with no ffmpeg binary anywhere."""
+    from yoho_tpu.native import get_av_lib
+
+    if get_av_lib() is None:
+        pytest.skip("system libav unavailable")
+    t = np.arange(32000) / 16000.0
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    p = save_audio(sig, tmp_path / "tone.m4a", 16000)
+    assert p.suffix == ".m4a" and p.stat().st_size > 1000
+    back = load_audio_f32(p, 16000)
+    # AAC is lossy with codec delay: align, then require high fidelity
+    # and the exact spectral peak.
+    assert _aligned_corr(sig, back, max_lag=3000) > 0.98
+    spec = np.abs(np.fft.rfft(back[:16000]))
+    assert abs(int(np.argmax(spec)) - 440) <= 1
+
+    # Reference parity: any non-wav suffix produces an .mp4 container.
+    p2 = save_audio(sig, tmp_path / "clip.webm", 16000)
+    assert p2.suffix == ".mp4"
+    assert _aligned_corr(sig, load_audio_f32(p2, 16000), max_lag=3000) > 0.98

@@ -10,7 +10,10 @@ ffmpeg:
     ``yoho_tpu.audio.flac``).
   * mp3 and ogg/vorbis — in-process ctypes bindings to the system codec
     libraries (``yoho_tpu.audio.codecs``), no subprocess per file.
-  * anything else (m4a/opus/...) — ffmpeg as the last-resort fallback.
+  * anything else (m4a/aac/opus/...) — in-process libav decode
+    (``yoho_tpu/native/avdecode.cpp``, linking the system
+    libavformat/libavcodec/libswresample); an ffmpeg BINARY is only the
+    very last resort when even those libraries are absent.
 
 Contract everywhere: mono int16 PCM at the target rate (callers divide by
 32768 for float, exactly like the reference ``whisper.py:249``).
@@ -62,11 +65,24 @@ def _read_wav(path: Path) -> tuple[np.ndarray, int]:
     return data, sr
 
 
+def _compressed_fallback(path: Path, sample_rate: int) -> np.ndarray:
+    """Last-resort compressed decode: in-process libav (any codec the
+    system stack knows — m4a/aac/opus/...) first, ffmpeg binary second."""
+    from yoho_tpu.native import av_decode_native
+
+    decoded = av_decode_native(path, sample_rate)  # None if libav absent
+    if decoded is not None:
+        return decoded
+    return _ffmpeg_decode(path, sample_rate)
+
+
 def _ffmpeg_decode(path: Path, sample_rate: int) -> np.ndarray:
     if _FFMPEG is None:
         raise RuntimeError(
-            f"Cannot decode {path.suffix!r}: ffmpeg not available and file is "
-            "not a WAV/NPY. Install ffmpeg or convert to WAV."
+            f"Cannot decode {path.suffix!r}: neither the system libav "
+            "libraries nor an ffmpeg binary are available and the file is "
+            "not WAV/NPY/FLAC/mp3/ogg. Install libavformat/ffmpeg or "
+            "convert to WAV/FLAC."
         )
     cmd = [
         _FFMPEG, "-nostdin", "-i", str(path),
@@ -127,12 +143,14 @@ def load_audio(path: Union[str, Path], sample_rate: int) -> np.ndarray:
             else:
                 data, sr = _read_wav(path)
         except Exception:  # noqa: BLE001 — 24-bit/float/mu-law WAVs etc.
-            if _FFMPEG is None:
+            from yoho_tpu.native import get_av_lib
+
+            if get_av_lib() is None and _FFMPEG is None:
                 raise  # no decoder can read it; surface the real error
-            return _ffmpeg_decode(path, sample_rate)
+            return _compressed_fallback(path, sample_rate)
         data = resample(data, sr, sample_rate)
         return np.clip(data * 32768.0, -32768, 32767).astype(np.int16)
-    return _ffmpeg_decode(path, sample_rate)
+    return _compressed_fallback(path, sample_rate)
 
 
 def load_audio_f32(path: Union[str, Path], sample_rate: int) -> np.ndarray:
@@ -141,8 +159,10 @@ def load_audio_f32(path: Union[str, Path], sample_rate: int) -> np.ndarray:
 
 
 def save_audio(audio: np.ndarray, path: Union[str, Path], sample_rate: int) -> Path:
-    """Write mono audio. WAV natively; mp4 via ffmpeg when available
-    (parity with the reference ``save_audio``, ``audio.py:21-29``).
+    """Write mono audio. WAV and FLAC natively; .mp4/.m4a via in-process
+    libav AAC encode (ffmpeg binary only as last resort) — parity with
+    the reference ``save_audio`` (``audio.py:21-29``), which always
+    shells out to ffmpeg for its mp4 target.
 
     Accepts int16 or float32 [-1, 1]. Returns the actual path written.
     """
@@ -156,20 +176,30 @@ def save_audio(audio: np.ndarray, path: Union[str, Path], sample_rate: int) -> P
         path.write_bytes(encode_flac(audio.reshape(-1, 1).astype(np.int32), sample_rate))
         return path
 
-    if path.suffix.lower() in ("", ".wav") or _FFMPEG is None:
-        path = path.with_suffix(".wav")
-        with wave.open(str(path), "wb") as w:
-            w.setnchannels(1)
-            w.setsampwidth(2)
-            w.setframerate(sample_rate)
-            w.writeframes(audio.tobytes())
-        return path
+    if path.suffix.lower() not in ("", ".wav"):
+        # Compressed target (.mp4/.m4a, or any non-wav suffix — reference
+        # parity: its save_audio always produces mp4 audio).
+        target = (path if path.suffix.lower() in (".mp4", ".m4a")
+                  else path.with_suffix(".mp4"))
+        from yoho_tpu.native import av_encode_m4a_native
 
-    path = path.with_suffix(".mp4")
-    cmd = [
-        _FFMPEG, "-nostdin", "-y",
-        "-f", "s16le", "-ac", "1", "-ar", str(sample_rate), "-i", "pipe:0",
-        "-f", "mp4", "-b:a", "16k", str(path),
-    ]
-    subprocess.run(cmd, input=audio.tobytes(), capture_output=True, check=True)
+        if av_encode_m4a_native(target, audio, sample_rate):
+            return target
+        if _FFMPEG is not None:
+            cmd = [
+                _FFMPEG, "-nostdin", "-y",
+                "-f", "s16le", "-ac", "1", "-ar", str(sample_rate),
+                "-i", "pipe:0", "-f", "mp4", "-b:a", "16k", str(target),
+            ]
+            subprocess.run(cmd, input=audio.tobytes(), capture_output=True,
+                           check=True)
+            return target
+        # No AAC encoder anywhere: fall back to WAV below.
+
+    path = path.with_suffix(".wav")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(audio.tobytes())
     return path

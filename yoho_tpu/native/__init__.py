@@ -34,7 +34,10 @@ _LIB_FAILED = False
 
 
 def _source_files() -> list[Path]:
-    return sorted(_SRC_DIR.glob("*.cpp"))
+    # avdecode.cpp links external libs and builds as its OWN .so (see
+    # _build_av_lib) — the main library must stay dependency-free.
+    return sorted(p for p in _SRC_DIR.glob("*.cpp")
+                  if p.name != "avdecode.cpp")
 
 
 def _build_lib() -> Optional[Path]:
@@ -128,6 +131,119 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
     ]
+
+
+_AV_LIB: Optional[ctypes.CDLL] = None
+_AV_FAILED = False
+_AV_LINK = ["-lavformat", "-lavcodec", "-lavutil", "-lswresample"]
+
+
+def _build_av_lib() -> Optional[Path]:
+    """Build the optional libav*-backed universal decoder.
+
+    Separately gated: only attempted when the system libav headers AND
+    shared libraries exist (they are an OS package, not a framework
+    dependency) — everything else keeps working without them."""
+    src = _SRC_DIR / "avdecode.cpp"
+    if not src.exists():
+        return None
+    import glob as _glob
+
+    have_hdr = any(Path(d, "libavformat/avformat.h").exists() for d in
+                   ("/usr/include", "/usr/include/x86_64-linux-gnu",
+                    "/usr/local/include"))
+    have_lib = bool(_glob.glob("/lib/*/libavformat.so*")
+                    or _glob.glob("/usr/lib/*/libavformat.so*")
+                    or _glob.glob("/usr/lib/libavformat.so*"))
+    if not (have_hdr and have_lib):
+        return None
+    tag = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
+    out = _SRC_DIR / f"libyoho_av_{tag}.so"
+    if out.exists():
+        return out
+    for old in _SRC_DIR.glob("libyoho_av_*.so"):
+        try:
+            old.unlink()
+        except OSError:
+            pass
+    cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+           "-o", str(out), str(src), *_AV_LINK]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return out
+
+
+def get_av_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the libav decode library; None when the
+    system libav stack is unavailable."""
+    global _AV_LIB, _AV_FAILED
+    if _AV_LIB is not None or _AV_FAILED:
+        return _AV_LIB
+    with _LOCK:
+        if _AV_LIB is not None or _AV_FAILED:
+            return _AV_LIB
+        if os.environ.get("YOHO_DISABLE_NATIVE"):
+            _AV_FAILED = True
+            return None
+        try:
+            path = _build_av_lib()
+            if path is None:
+                _AV_FAILED = True
+                return None
+            lib = ctypes.CDLL(str(path))
+            lib.yoho_av_decode.restype = ctypes.c_int64
+            lib.yoho_av_decode.argtypes = [
+                ctypes.c_char_p, ctypes.c_int32,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int16)),
+            ]
+            lib.yoho_av_free.restype = None
+            lib.yoho_av_free.argtypes = [ctypes.c_void_p]
+            lib.yoho_av_encode_m4a.restype = ctypes.c_int32
+            lib.yoho_av_encode_m4a.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int16),
+                ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ]
+            _AV_LIB = lib
+        except Exception:
+            _AV_FAILED = True
+            _AV_LIB = None
+    return _AV_LIB
+
+
+def av_decode_native(path, sample_rate: int) -> Optional[np.ndarray]:
+    """Universal decode (any container/codec the system libav knows:
+    m4a/aac/opus/mp3/ogg/...) -> mono int16 at ``sample_rate``; None when
+    the libav stack is unavailable. Raises ValueError on decode failure."""
+    lib = get_av_lib()
+    if lib is None:
+        return None
+    ptr = ctypes.POINTER(ctypes.c_int16)()
+    n = lib.yoho_av_decode(str(path).encode(), sample_rate, ctypes.byref(ptr))
+    if n < 0:
+        raise ValueError(f"libav could not decode {path} (code {n})")
+    try:
+        if n == 0:
+            return np.zeros(0, np.int16)
+        return np.ctypeslib.as_array(ptr, shape=(int(n),)).copy()
+    finally:
+        if ptr:
+            lib.yoho_av_free(ptr)
+
+
+def av_encode_m4a_native(path, pcm: np.ndarray, sample_rate: int,
+                         bit_rate: int = 16000) -> bool:
+    """Encode mono int16 PCM -> AAC/.m4a in-process (the reference's
+    save_audio mp4 target without an ffmpeg binary). False when the
+    libav stack is unavailable; raises ValueError on encode failure."""
+    lib = get_av_lib()
+    if lib is None:
+        return False
+    pcm = np.ascontiguousarray(pcm, np.int16)
+    rc = lib.yoho_av_encode_m4a(
+        str(path).encode(), pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        len(pcm), sample_rate, bit_rate)
+    if rc != 0:
+        raise ValueError(f"libav could not encode {path} (code {rc})")
+    return True
 
 
 def wav_decode_native(path) -> Optional[tuple[np.ndarray, int]]:
