@@ -529,3 +529,45 @@ def test_long_context_session_training(dataset, tmp_path_factory):
     trainer.run(max_updates=2)
     lines = (trainer.stage_path / "metrics.csv").read_text().strip().splitlines()
     assert len(lines) >= 3
+
+
+def test_dataloader_compressed_corpus(dataset, tokenizer, tmp_path):
+    """A corpus of FLAC + m4a audio (no WAV anywhere, no ffmpeg binary)
+    flows through the TranscriptionDataloader end-to-end — the decode
+    paths this framework owns (audio/flac.py, native/avdecode.cpp)."""
+    from yoho_tpu.audio.flac import encode_flac
+    from yoho_tpu.native import av_encode_m4a_native, get_av_lib
+
+    root, cfg = dataset
+    new_root = tmp_path / "compressed"
+    for d in ("noisy", "clean", "finetune", "ambient", "speakers"):
+        (new_root / d / "transcripts").mkdir(parents=True)
+        (new_root / d / "audio").mkdir(parents=True)
+    g = np.random.default_rng(0)
+    have_av = get_av_lib() is not None
+    for i, src in enumerate(sorted((root / "noisy" / "transcripts").iterdir())):
+        (new_root / "noisy" / "transcripts" / src.name).write_text(
+            src.read_text())
+        audio = g.standard_normal(int(16000 * 2.5)).astype(np.float32) * 0.05
+        pcm = np.clip(audio * 32768, -32768, 32767).astype(np.int32)
+        stem = src.stem
+        if i % 2 == 0 or not have_av:
+            (new_root / "noisy" / "audio" / f"{stem}.flac").write_bytes(
+                encode_flac(pcm[:, None], 16000))
+        else:
+            av_encode_m4a_native(new_root / "noisy" / "audio" / f"{stem}.m4a",
+                                 pcm.astype(np.int16), 16000)
+
+    config = SessionConfig(
+        name="comp", yoho=cfg,
+        dataset=DatasetConfig(**{k: new_root / k for k in
+                                 ("noisy", "clean", "finetune", "ambient",
+                                  "speakers")}),
+        sessions_root=tmp_path / "sessions",
+    )
+    dl = TranscriptionDataloader((0, 1), config, tokenizer, batch_size=4,
+                                 use_multiprocessing=False, shuffle=True,
+                                 speechless_ratio=0.0, augment=False)
+    audio, tokens, mask = dl.get_prepared_batch()
+    assert audio.shape == (4, cfg.n_samples) and audio.dtype == np.float32
+    assert np.abs(audio).max() > 0.001  # decoded real samples, not silence
