@@ -74,7 +74,41 @@ def bench_native_vs_python(n: int = 20):
           f"{native * 1e3:.2f} ms ({py / native:.1f}x faster)")
 
 
+def bench_formats(n: int = 10):
+    """Same 30 s clip in every format this framework can WRITE itself
+    (wav / flac native codec / m4a in-process AAC), decode-timed — the
+    reference's decode table (``decoding_benchmark.py:50-70``) rebuilt
+    with no ffmpeg binary anywhere."""
+    import tempfile
+
+    from yoho_tpu.audio.io import load_audio, save_audio
+
+    g = np.random.default_rng(0)
+    t = np.arange(16000 * 30) / 16000.0
+    clip = (0.3 * np.sin(2 * np.pi * 220 * t)
+            + 0.05 * g.standard_normal(len(t))).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        files = [save_audio(clip, Path(d) / f"clip{suf}", 16000)
+                 for suf in (".wav", ".flac", ".m4a")]
+        files = [f for f in files if f.exists()]
+        rows = []
+        for f in files:
+            load_audio(f, 16000)  # warm (builds native libs on first call)
+            t0 = time.monotonic()
+            for _ in range(n):
+                load_audio(f, 16000)
+            rows.append((f.suffix, f.stat().st_size / 1e6,
+                         (time.monotonic() - t0) / n))
+        fastest = min(r[2] for r in rows)
+        print(f"\n30 s clip per format ({n} decodes each):")
+        print(f"{'format':>8s} {'size MB':>8s} {'decode ms':>10s} {'rel':>6s}")
+        for suf, size, dur in rows:
+            print(f"{suf:>8s} {size:8.2f} {dur * 1e3:10.2f} "
+                  f"{dur / fastest:5.1f}x")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1:
         bench_dir(Path(sys.argv[1]))
     bench_native_vs_python()
+    bench_formats()

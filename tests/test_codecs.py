@@ -24,14 +24,24 @@ def _sig(n, nch=1, bps=16, seed=0):
     return np.clip(x * (lim - 1), -lim, lim - 1).astype(np.int64)
 
 
+@pytest.mark.parametrize("use_native", [True, False])
 @pytest.mark.parametrize("nch", [1, 2])
 @pytest.mark.parametrize("bps", [8, 16, 24])
-def test_flac_python_roundtrip_exact(nch, bps):
+def test_flac_roundtrip_exact(nch, bps, use_native):
+    """Both encoders (C++ fast path / pure-Python spec) x both decoders,
+    sample-exact."""
+    from yoho_tpu.native import flac_decode_native, get_lib
+
+    if use_native and get_lib() is None:
+        pytest.skip("native toolchain unavailable")
     x = _sig(10000, nch, bps, seed=bps + nch)
-    blob = encode_flac(x, 16000, bps=bps)
+    blob = encode_flac(x, 16000, bps=bps, use_native=use_native)
     pcm, sr, got_bps = decode_flac(blob)
     assert (sr, got_bps) == (16000, bps)
     np.testing.assert_array_equal(pcm, x)
+    if get_lib() is not None:
+        n_pcm, n_sr, n_bps = flac_decode_native(blob)
+        np.testing.assert_array_equal(n_pcm, x)
 
 
 def test_flac_roundtrip_noise_and_constant():

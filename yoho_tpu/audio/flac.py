@@ -481,7 +481,8 @@ def _md5_signature(samples: np.ndarray, bps: int) -> bytes:
 
 
 def encode_flac(samples: np.ndarray, sample_rate: int, bps: int = 16,
-                block_size: int = 4096, use_lpc: bool = True) -> bytes:
+                block_size: int = 4096, use_lpc: bool = True,
+                use_native: bool = True) -> bytes:
     """Encode integer PCM -> FLAC stream bytes.
 
     ``samples``: (n,) mono or (n, channels) int array within the signed
@@ -498,6 +499,17 @@ def encode_flac(samples: np.ndarray, sample_rate: int, bps: int = 16,
     x = x.astype(np.int64)
     if n and (x.min() < -lim or x.max() >= lim):
         raise ValueError(f"samples exceed signed {bps}-bit range")
+
+    if use_native and use_lpc and bps <= 32:
+        # C++ fast path (>100x realtime; same planning, round-trip exact,
+        # MD5 left unset). This pure-Python encoder below is the readable
+        # spec and the fallback without a toolchain.
+        from yoho_tpu.native import flac_encode_native
+
+        blob = flac_encode_native(x.astype(np.int32), sample_rate, bps=bps,
+                                  block_size=block_size)
+        if blob is not None:
+            return blob
 
     out = bytearray(b"fLaC")
     # STREAMINFO (last-metadata flag set; 34 bytes)

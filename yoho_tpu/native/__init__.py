@@ -126,6 +126,13 @@ def _configure(lib: ctypes.CDLL) -> None:
         ctypes.POINTER(ctypes.c_int32),
     ]
 
+    lib.yoho_flac_encode.restype = ctypes.c_int64
+    lib.yoho_flac_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+
     lib.yoho_dtw_path.restype = ctypes.c_int32
     lib.yoho_dtw_path.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int32, ctypes.c_int32,
@@ -290,6 +297,31 @@ def flac_decode_native(data: bytes):
     finally:
         lib.yoho_free(pcm_ptr)
     return arr, int(sr.value), int(bps.value)
+
+
+def flac_encode_native(pcm: np.ndarray, sample_rate: int, bps: int = 16,
+                       block_size: int = 4096) -> Optional[bytes]:
+    """C++ FLAC encode of (n, channels) int PCM -> stream bytes; None if
+    the native lib is unavailable. >100x realtime — the path that makes
+    lossless corpus caching practical (the pure-Python encoder in
+    audio/flac.py is the readable spec at ~1x realtime)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    pcm = np.ascontiguousarray(pcm, np.int32)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    n, nch = pcm.shape
+    ptr = ctypes.POINTER(ctypes.c_uint8)()
+    size = lib.yoho_flac_encode(
+        pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n, nch,
+        sample_rate, bps, block_size, ctypes.byref(ptr))
+    if size < 0:
+        raise ValueError("FLAC encode failed (bad parameters)")
+    try:
+        return ctypes.string_at(ptr, int(size))
+    finally:
+        lib.yoho_free(ptr)
 
 
 def dtw_path_native(cost: np.ndarray):
