@@ -145,3 +145,38 @@ def test_plot_metrics_once_renders_png(tmp_path):
     assert plot_main(["s", "1", "--root", str(tmp_path), "--once"]) == 0
     png = csv.with_suffix(".png")
     assert png.exists() and png.stat().st_size > 1000
+
+
+def test_cache_corpus_cli(tmp_path):
+    """`yoho cache-corpus` transcodes an audio dir to FLAC and the
+    dataloader's suffix order then prefers the cached file."""
+    import wave
+
+    from yoho_tpu.audio.io import load_audio
+    from yoho_tpu.cli.cache_corpus import main as cache_main
+    from yoho_tpu.train.dataloader import AUDIO_SUFFIXES
+
+    g = np.random.default_rng(0)
+    audio_dir = tmp_path / "noisy" / "audio"
+    audio_dir.mkdir(parents=True)
+    for name in ("a.wav", "b.wav"):
+        pcm = (g.standard_normal(16000) * 3000).astype(np.int16)
+        with wave.open(str(audio_dir / name), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+
+    assert cache_main([str(tmp_path), "--workers", "1"]) == 0
+    for stem in ("a", "b"):
+        flac = audio_dir / f"{stem}.flac"
+        assert flac.exists()
+        # Exact round trip of the original samples.
+        np.testing.assert_array_equal(
+            load_audio(flac, 16000), load_audio(audio_dir / f"{stem}.wav", 16000))
+    # Second run: everything up-to-date (no re-encode).
+    assert cache_main([str(tmp_path), "--workers", "1"]) == 0
+
+    # The dataloader resolves .flac ahead of the compressed formats.
+    assert AUDIO_SUFFIXES.index(".flac") < AUDIO_SUFFIXES.index(".mp3")
+    assert AUDIO_SUFFIXES.index(".npy") < AUDIO_SUFFIXES.index(".flac")

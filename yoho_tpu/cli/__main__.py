@@ -22,6 +22,8 @@ COMMANDS = {
                      "Live metrics dashboard for a session"),
     "split-tracks": ("yoho_tpu.cli.split_tracks",
                      "Split long (audio, SRT) pairs into chunks"),
+    "cache-corpus": ("yoho_tpu.cli.cache_corpus",
+                     "Transcode a corpus to FLAC for fast decode"),
     "summary": ("yoho_tpu.cli.summary", "Model/param summary"),
     "score-diarization": ("yoho_tpu.cli.score_diarization",
                           "DER between reference and hypothesis RTTM"),

@@ -33,7 +33,10 @@ from yoho_tpu.text.srt import parse_srt
 from yoho_tpu.text.standardize import standardize_text
 from yoho_tpu.text.tokenizer import EOT, SOT, VOICEPRINT, YOHOTokenizer
 
-AUDIO_SUFFIXES = (".wav", ".npy", ".mp3", ".mp4", ".m4a", ".flac", ".ogg", ".opus")
+# Suffix search order = decode-cost order: raw/lossless fast paths first,
+# so a `yoho cache-corpus` FLAC sitting next to the original mp3/m4a wins
+# automatically (cli/cache_corpus.py).
+AUDIO_SUFFIXES = (".npy", ".flac", ".wav", ".mp3", ".mp4", ".m4a", ".ogg", ".opus")
 
 
 class Dataloader(ABC):
