@@ -211,3 +211,56 @@ def test_transcriber_warns_loudly_without_backend():
     with warnings_mod.catch_warnings():
         warnings_mod.simplefilter("error")  # second call: no new warning
         t.transcribe(np.zeros(cfg.n_samples, np.float32))
+
+
+# ---------------------------------------------------- tiktoken format
+@pytest.fixture(scope="module")
+def tiktoken_file(trained_dir, tmp_path_factory):
+    """Derive a .tiktoken serialization (base64(bytes) rank) from the
+    HF-trained vocab: token bytes via the inverse byte-unicode table,
+    rank = vocab id (BPE ids are assigned in merge-creation order)."""
+    import base64
+
+    from yoho_tpu.text.gpt2_bpe import unicode_to_bytes
+
+    vocab = json.loads((trained_dir / "vocab.json").read_text())
+    inv = unicode_to_bytes()
+    lines = []
+    for tok, rank in sorted(vocab.items(), key=lambda kv: kv[1]):
+        data = bytes(inv[c] for c in tok)
+        lines.append(base64.b64encode(data) + b" " + str(rank).encode())
+    d = tmp_path_factory.mktemp("tiktoken")
+    path = d / "multilingual.tiktoken"
+    path.write_bytes(b"\n".join(lines) + b"\n")
+    return path
+
+
+def test_tiktoken_matches_transformers(tiktoken_file, hf_tok):
+    """tiktoken-format loading + rank-merge encoding produce the SAME ids
+    and text as transformers' GPT2Tokenizer on every sample."""
+    from yoho_tpu.text.gpt2_bpe import TiktokenBPE
+
+    bpe = TiktokenBPE.from_file(tiktoken_file)
+    for s in SAMPLES:
+        ours = bpe.encode(s)
+        theirs = hf_tok.encode(s)
+        assert ours == theirs, f"ids diverge on {s!r}"
+        assert bpe.decode(ours) == hf_tok.decode(theirs)
+
+
+def test_tiktoken_convert_ids_to_tokens(tiktoken_file, hf_tok):
+    from yoho_tpu.text.gpt2_bpe import TiktokenBPE
+
+    bpe = TiktokenBPE.from_file(tiktoken_file)
+    ids = bpe.encode("hello world")
+    assert bpe.convert_ids_to_tokens(ids) == hf_tok.convert_ids_to_tokens(ids)
+
+
+def test_load_text_backend_finds_tiktoken(tiktoken_file):
+    from yoho_tpu.text.gpt2_bpe import TiktokenBPE, load_text_backend
+
+    # Directory containing only a .tiktoken file, and the file directly.
+    for target in (tiktoken_file.parent, tiktoken_file):
+        backend = load_text_backend(str(target))
+        assert isinstance(backend, TiktokenBPE)
+        assert backend.decode(backend.encode("hello")) == "hello"

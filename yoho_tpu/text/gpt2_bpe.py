@@ -252,16 +252,100 @@ class GPT2BPE:
         )
 
 
+class TiktokenBPE:
+    """Text backend over tiktoken's serialization (``*.tiktoken``: one
+    ``base64(token_bytes) rank`` per line — the format OpenAI's whisper
+    package ships its GPT-2 vocabs in, ``whisper/tokenizer.py`` upstream;
+    the reference renders text through it, ``yoho/src/nn/whisper.py:268``).
+
+    Encoding uses tiktoken's own byte-pair-merge: repeatedly join the
+    adjacent pair whose CONCATENATION has the lowest vocab rank. For a
+    BPE-trained vocab (ranks assigned in merge-creation order) this is
+    the same tokenization as applying the merges list — asserted against
+    transformers in tests. Duck-type compatible with the
+    ``text_backend`` protocol (encode/decode/convert_ids_to_tokens).
+    """
+
+    def __init__(self, ranks: Dict[bytes, int]):
+        self.ranks = dict(ranks)
+        self.decoder = {i: b for b, i in self.ranks.items()}
+        self._byte_enc = bytes_to_unicode()
+        self._cache: Dict[bytes, List[int]] = {}
+
+    def _merge(self, piece: bytes) -> List[int]:
+        cached = self._cache.get(piece)
+        if cached is not None:
+            return cached
+        parts = [piece[i : i + 1] for i in range(len(piece))]
+        while len(parts) > 1:
+            best_rank = None
+            best_i = -1
+            for i in range(len(parts) - 1):
+                r = self.ranks.get(parts[i] + parts[i + 1])
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
+        out = [self.ranks[p] for p in parts if p in self.ranks]
+        if len(self._cache) < 1_000_000:
+            self._cache[piece] = out
+        return out
+
+    def encode(self, text: str, add_special_tokens: bool = False) -> List[int]:
+        del add_special_tokens  # this codec never adds specials
+        ids: List[int] = []
+        for tok in pretokenize(text):
+            ids.extend(self._merge(tok.encode("utf-8")))
+        return ids
+
+    def convert_ids_to_tokens(self, ids: Sequence[int]) -> List[str]:
+        """Byte-unicode token strings (Ġ = space) — the HF-compatible
+        surface word-timestamp grouping reads."""
+        enc = self._byte_enc
+        return ["".join(enc[b] for b in self.decoder.get(int(i), b""))
+                for i in ids]
+
+    def decode(self, ids: Sequence[int]) -> str:
+        data = b"".join(self.decoder.get(int(i), b"") for i in ids)
+        return data.decode("utf-8", errors="replace")
+
+    @classmethod
+    def from_file(cls, path) -> "TiktokenBPE":
+        import base64
+
+        ranks: Dict[bytes, int] = {}
+        for ln in Path(path).read_bytes().splitlines():
+            if not ln:
+                continue
+            tok, _, rank = ln.partition(b" ")
+            ranks[base64.b64decode(tok)] = int(rank)
+        if not ranks:
+            raise ValueError(f"empty tiktoken file {path}")
+        return cls(ranks)
+
+
 def load_text_backend(model_path: str):
     """Best text backend for a Whisper checkpoint path, or None.
 
-    Order: our own loader over local files (no third-party deps), then
-    ``transformers`` (covers hub ids with a warm cache). Callers decide
-    how loudly to complain about None (see Transcriber._render).
+    Order: our own loaders over local files (no third-party deps) —
+    GPT-2/HF serializations, then tiktoken's — then ``transformers``
+    (covers hub ids with a warm cache). Callers decide how loudly to
+    complain about None (see Transcriber._render).
     """
     try:
         return GPT2BPE.from_dir(model_path)
     except (FileNotFoundError, NotADirectoryError, ValueError, KeyError):
+        pass
+    try:
+        p = Path(model_path)
+        candidates = ([p] if p.suffix == ".tiktoken" else
+                      sorted(p.glob("*.tiktoken")) if p.is_dir() else [])
+        # Prefer the multilingual vocab when several ship together.
+        candidates.sort(key=lambda c: "multilingual" not in c.name)
+        if candidates:
+            return TiktokenBPE.from_file(candidates[0])
+    except (OSError, ValueError):
         pass
     try:
         from transformers import WhisperTokenizer
