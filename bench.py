@@ -174,9 +174,11 @@ def main():
         rows.append(r)
         print(f"[matrix] {name}: {r['value']} audio-s/s "
               f"({r['vs_claimed']}x claimed)", file=sys.stderr, flush=True)
-    with open(os.path.join(os.path.dirname(__file__) or ".",
-                           "BENCH_MATRIX.json"), "w") as f:
-        json.dump(rows, f, indent=1)
+        # Write after EVERY config: a timeout mid-matrix keeps the
+        # completed rows instead of losing the whole run.
+        with open(os.path.join(os.path.dirname(__file__) or ".",
+                               "BENCH_MATRIX.json"), "w") as f:
+            json.dump(rows, f, indent=1)
     print(json.dumps(rows[-1]))  # flagship line for the driver
 
 
