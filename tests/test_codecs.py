@@ -260,3 +260,22 @@ def test_m4a_save_load_roundtrip(tmp_path):
     p2 = save_audio(sig, tmp_path / "clip.webm", 16000)
     assert p2.suffix == ".mp4"
     assert _aligned_corr(sig, load_audio_f32(p2, 16000), max_lag=3000) > 0.98
+
+
+def test_flac_32bps_roundtrip():
+    """Full-range 32-bit samples (independent stereo; side modes are
+    encoder-gated at bps=32) survive both decoders — exercises the
+    64-bit residual/sample paths."""
+    from yoho_tpu.native import flac_decode_native, get_lib
+
+    g = np.random.default_rng(21)
+    x = g.integers(-(2**31), 2**31, size=(4096 + 777, 2), dtype=np.int64)
+    x[:64] = [[-(2**31), 2**31 - 1]] * 64  # extremes
+    blob = encode_flac(x, 48000, bps=32)
+    pcm, sr, bps = decode_flac(blob)
+    assert (sr, bps) == (48000, 32)
+    np.testing.assert_array_equal(pcm, x)
+    if get_lib() is not None:
+        n_pcm, _, n_bps = flac_decode_native(blob)
+        assert n_bps == 32
+        np.testing.assert_array_equal(n_pcm, x)

@@ -111,7 +111,13 @@ def load_audio(path: Union[str, Path], sample_rate: int) -> np.ndarray:
         from yoho_tpu.native import flac_decode_native
 
         raw = path.read_bytes()
-        decoded = flac_decode_native(raw)  # C++ fast path; None if unbuilt
+        try:
+            decoded = flac_decode_native(raw)  # C++ fast path; None if unbuilt
+        except ValueError:
+            # Let the pure-Python decoder adjudicate: it reads anything
+            # valid the fast path might reject, and raises its own error
+            # on genuine corruption.
+            decoded = None
         if decoded is None:
             decoded = decode_flac(raw)
         pcm, sr, bps = decoded
@@ -125,9 +131,13 @@ def load_audio(path: Union[str, Path], sample_rate: int) -> np.ndarray:
     if suffix in (".mp3", ".ogg", ".oga"):
         from yoho_tpu.audio import codecs
 
-        decoded = (codecs.decode_mp3(path) if suffix == ".mp3"
-                   else codecs.decode_ogg(path))
-        if decoded is not None:  # else: codec lib absent -> ffmpeg below
+        try:
+            decoded = (codecs.decode_mp3(path) if suffix == ".mp3"
+                       else codecs.decode_ogg(path))
+        except Exception:  # noqa: BLE001 — e.g. Ogg-OPUS (not vorbis),
+            # streams the dedicated codec rejects: libav below handles them.
+            decoded = None
+        if decoded is not None:  # else: lib absent/failed -> libav/ffmpeg
             pcm, sr = decoded
             data = pcm.astype(np.float32) / 32768.0
             data = data.mean(axis=1) if pcm.shape[1] > 1 else data[:, 0]

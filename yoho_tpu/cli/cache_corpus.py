@@ -49,7 +49,10 @@ def _convert(args):
     t0 = time.monotonic()
     pcm = load_audio(src, rate)  # mono int16 at the training rate
     blob = encode_flac(pcm.astype("int32").reshape(-1, 1), rate)
-    tmp = dst.with_suffix(".flac.tmp")
+    # Temp name unique per SOURCE: same-stem sources (a.wav + a.mp3) must
+    # not truncate each other's in-flight write (jobs are also deduped by
+    # stem in main(), this is belt-and-braces).
+    tmp = dst.with_name(f"{dst.name}.{src.suffix.lstrip('.')}.tmp")
     tmp.write_bytes(blob)
     tmp.replace(dst)  # atomic: readers never see a partial file
     if delete and src.suffix.lower() != ".flac":
@@ -76,8 +79,18 @@ def main(argv=None) -> int:
         return 2
     files = []
     for d in _audio_dirs(root):
-        files += [f for f in sorted(d.iterdir())
-                  if f.suffix.lower() in _SOURCE_SUFFIXES]
+        # One job per stem: a.wav and a.mp3 would both target a.flac —
+        # keep the preferred source (suffix order = decode-fidelity order).
+        by_stem = {}
+        for f in sorted(d.iterdir()):
+            suf = f.suffix.lower()
+            if suf not in _SOURCE_SUFFIXES:
+                continue
+            cur = by_stem.get(f.stem)
+            if cur is None or (_SOURCE_SUFFIXES.index(suf)
+                               < _SOURCE_SUFFIXES.index(cur.suffix.lower())):
+                by_stem[f.stem] = f
+        files += [by_stem[s] for s in sorted(by_stem)]
     if not files:
         print(f"no convertible audio under {root}")
         return 0

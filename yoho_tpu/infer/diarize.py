@@ -134,9 +134,21 @@ def diarize_segments(
             pass
     fn = per_encoder.get(batch_size)
     if fn is None:
+        # The traced closure must NOT hold the encoder strongly, or the
+        # weakref finalizer above can never fire (cache -> jitted fn ->
+        # closure -> encoder would keep it reachable forever). `run` only
+        # executes at trace time, when the caller holds the encoder.
+        try:
+            enc_ref = weakref.ref(encoder)
+        except TypeError:
+            def enc_ref(_e=encoder):
+                return _e
+
         def run(variables, windows, frame_mask):
+            enc = enc_ref()
+            assert enc is not None, "encoder collected mid-trace"
             mel = yoho_log_mel(windows, cfg)
-            return encoder.apply(variables, mel, frame_mask)
+            return enc.apply(variables, mel, frame_mask)
 
         fn = per_encoder[batch_size] = jax.jit(run)
 

@@ -934,8 +934,13 @@ class Transcriber:
             else [None] * len(prepared)
         if (self.language is None and self.family == "whisper"
                 and any(o is None for o in overrides)):
-            detected = self.detect_language_many(prepared)
-            req_langs = [o or d for o, d in zip(overrides, detected)]
+            # Detect ONLY the requests without an override — a mixed batch
+            # must not pay encoder passes for results it would discard.
+            need = [i for i, o in enumerate(overrides) if o is None]
+            detected = self.detect_language_many([prepared[i] for i in need])
+            req_langs = list(overrides)
+            for i, lang in zip(need, detected):
+                req_langs[i] = lang
         else:
             req_langs = [o or self.language for o in overrides]
 

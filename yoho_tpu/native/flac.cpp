@@ -79,6 +79,13 @@ struct BitReader {
         return (int32_t)v;
     }
 
+    int64_t sbits64(int n) {  // signed, up to 63 bits (33 for 32-bps side)
+        uint64_t v = bits64(n);
+        if (n != 0 && n < 64 && (v & (1ull << (n - 1))))
+            v |= ~((1ull << n) - 1);
+        return (int64_t)v;
+    }
+
     uint32_t unary() {  // count 0-bits until a 1-bit
         uint32_t q = 0;
         for (;;) {
@@ -187,8 +194,10 @@ bool decode_residual(BitReader& br, int blocksize, int pred_order,
             }
         } else {
             for (int i = 0; i < count; i++) {
-                uint32_t q = br.unary();
-                uint32_t u = (q << param) | br.bits(param);
+                // 64-bit assembly: high-bps streams can zigzag past 2^32
+                // (q << param would silently wrap in uint32).
+                uint64_t q = br.unary();
+                uint64_t u = (q << param) | br.bits(param);
                 out[idx++] = (int64_t)(u >> 1) ^ -(int64_t)(u & 1);
             }
         }
@@ -206,16 +215,16 @@ bool decode_subframe(BitReader& br, int blocksize, int bps, int64_t* buf) {
     if (br.bits(1)) wasted = (int)br.unary() + 1;
     if (br.error) return false;
     int ebps = bps - wasted;
-    if (ebps <= 0 || ebps > 32) return false;
+    if (ebps <= 0 || ebps > 33) return false;  // 33: 32-bps side channel
 
     if (type == 0) {  // CONSTANT
-        int64_t v = br.sbits(ebps);
+        int64_t v = br.sbits64(ebps);
         for (int i = 0; i < blocksize; i++) buf[i] = v;
     } else if (type == 1) {  // VERBATIM
-        for (int i = 0; i < blocksize; i++) buf[i] = br.sbits(ebps);
+        for (int i = 0; i < blocksize; i++) buf[i] = br.sbits64(ebps);
     } else if ((type & 0x38) == 0x08 && (type & 7) <= 4) {  // FIXED
         int order = type & 7;
-        for (int i = 0; i < order; i++) buf[i] = br.sbits(ebps);
+        for (int i = 0; i < order; i++) buf[i] = br.sbits64(ebps);
         if (!decode_residual(br, blocksize, order, buf)) return false;
         for (int i = order; i < blocksize; i++) {
             int64_t pred = 0;
@@ -225,7 +234,7 @@ bool decode_subframe(BitReader& br, int blocksize, int bps, int64_t* buf) {
         }
     } else if (type & 0x20) {  // LPC
         int order = (int)(type & 0x1F) + 1;
-        for (int i = 0; i < order; i++) buf[i] = br.sbits(ebps);
+        for (int i = 0; i < order; i++) buf[i] = br.sbits64(ebps);
         uint32_t prec = br.bits(4);
         if (prec == 15) return false;  // invalid
         prec += 1;

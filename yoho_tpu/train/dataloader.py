@@ -39,6 +39,27 @@ from yoho_tpu.text.tokenizer import EOT, SOT, VOICEPRINT, YOHOTokenizer
 AUDIO_SUFFIXES = (".npy", ".flac", ".wav", ".mp3", ".mp4", ".m4a", ".ogg", ".opus")
 
 
+def list_audio_files(directory: Path) -> List[Path]:
+    """Audio files in ``directory``, ONE per stem (preferred suffix wins).
+
+    Every directory-scanning loader must use this instead of a raw
+    suffix filter: after ``yoho cache-corpus``, each clip exists as both
+    original and .flac — counting both would silently duplicate the
+    corpus (the transcript loader's per-stem suffix search is immune)."""
+    by_stem: dict = {}
+    if not directory.exists():
+        return []
+    for f in sorted(directory.iterdir()):
+        suf = f.suffix.lower()
+        if suf not in AUDIO_SUFFIXES:
+            continue
+        cur = by_stem.get(f.stem)
+        if cur is None or (AUDIO_SUFFIXES.index(suf)
+                           < AUDIO_SUFFIXES.index(cur.suffix.lower())):
+            by_stem[f.stem] = f
+    return [by_stem[s] for s in sorted(by_stem)]
+
+
 class Dataloader(ABC):
     """Prefetching dataloader: subclasses implement ``get_num_batches`` and
     ``get_batch(idx)``; the base runs them in daemon worker processes."""
@@ -385,9 +406,7 @@ class TranscriptionDataloader(Dataloader):
         """Negative sample: ambient noise (or synthesized low noise) with an
         empty transcript — implements the reserved speechless_sample_ratio."""
         cfg = self.config.yoho
-        ambient_dir = Path(self.config.dataset.ambient) / "audio"
-        files = sorted(ambient_dir.iterdir()) if ambient_dir.exists() else []
-        files = [f for f in files if f.suffix.lower() in AUDIO_SUFFIXES]
+        files = list_audio_files(Path(self.config.dataset.ambient) / "audio")
         if files:
             audio = load_audio_f32(files[int(rng.integers(len(files)))], cfg.sample_rate)
             if len(audio) > cfg.n_samples:
@@ -481,10 +500,7 @@ class AudioChunkDataloader(Dataloader):
 
         files: List[Path] = []
         for d in (dirs or [config.dataset.noisy, config.dataset.clean]):
-            adir = Path(d) / "audio"
-            if adir.exists():
-                files += [f for f in sorted(adir.iterdir())
-                          if f.suffix.lower() in AUDIO_SUFFIXES]
+            files += list_audio_files(Path(d) / "audio")
         if not files:
             raise FileNotFoundError(
                 f"No audio files under {[str(d) for d in (dirs or [])] or 'noisy/clean'}"
@@ -541,8 +557,7 @@ class SpeakerDataloader(Dataloader):
         self.speakers: List[Tuple[str, List[Path]]] = []
         if root.exists():
             for spk_dir in sorted(p for p in root.iterdir() if p.is_dir()):
-                files = [f for f in sorted(spk_dir.iterdir())
-                         if f.suffix.lower() in AUDIO_SUFFIXES]
+                files = list_audio_files(spk_dir)
                 if files:
                     self.speakers.append((spk_dir.name, files))
         if len(self.speakers) < 2:
