@@ -1,0 +1,128 @@
+"""Continuous batching (slot engine): greedy parity + refill behavior.
+
+The invariant that matters: a window decoded through the slot engine must
+produce EXACTLY what the batched greedy program produces — same
+suppression, timestamp rules, and quality signals — regardless of when it
+was admitted or what its slot neighbors were doing.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from yoho_tpu.core.config import WhisperConfig
+from yoho_tpu.infer.continuous import ContinuousBatcher, ContinuousWhisperDecoder
+from yoho_tpu.infer.pipeline import Transcriber
+from yoho_tpu.nn.whisper import Whisper
+from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=24, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    g = np.random.default_rng(0)
+    audios = [(0.1 * g.standard_normal(cfg.n_samples)).astype(np.float32)
+              for _ in range(5)]
+    return cfg, model, variables, table, audios
+
+
+@pytest.mark.parametrize("timestamps", [True, False])
+@pytest.mark.parametrize("quantized", [False, True])
+def test_continuous_matches_batched_greedy(setup, timestamps, quantized):
+    cfg, model, variables, table, audios = setup
+    kw = dict(family="whisper", token_table=table, timestamps=timestamps,
+              quantized_cache=quantized,
+              quantized_cross_kv="int8" if quantized else False)
+    plain = Transcriber(model, variables, batch_size=2, **kw)
+    want = plain.transcribe_many(audios)
+
+    cont_t = Transcriber(model, variables, batch_size=2, **kw)
+    batcher = ContinuousBatcher(cont_t, max_batch=2, chunk_tokens=4)
+    try:
+        got = [batcher.submit(a) for a in audios]
+    finally:
+        batcher.close()
+
+    for w, g_res in zip(want, got):
+        assert [s.tokens for s in w.segments] == \
+               [s.tokens for s in g_res.segments]
+        assert [round(s.start, 3) for s in w.segments] == \
+               [round(s.start, 3) for s in g_res.segments]
+        for ws, gs in zip(w.segments, g_res.segments):
+            assert abs((ws.avg_logprob or 0) - (gs.avg_logprob or 0)) < 1e-4
+            assert abs((ws.no_speech_prob or 0)
+                       - (gs.no_speech_prob or 0)) < 1e-4
+
+
+def test_continuous_concurrent_submissions(setup):
+    """Requests submitted CONCURRENTLY (admitted mid-flight into freed
+    slots) decode identically to the batched path."""
+    cfg, model, variables, table, audios = setup
+    kw = dict(family="whisper", token_table=table, timestamps=True)
+    plain = Transcriber(model, variables, batch_size=2, **kw)
+    want = plain.transcribe_many(audios)
+
+    cont_t = Transcriber(model, variables, batch_size=2, **kw)
+    batcher = ContinuousBatcher(cont_t, max_batch=2, chunk_tokens=2)
+    results = [None] * len(audios)
+    try:
+        def run(i):
+            results[i] = batcher.submit(audios[i])
+
+        threads = [threading.Thread(target=run, args=(i,))
+                   for i in range(len(audios))]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+    finally:
+        batcher.close()
+
+    for w, g_res in zip(want, results):
+        assert g_res is not None
+        assert [s.tokens for s in w.segments] == \
+               [s.tokens for s in g_res.segments]
+
+
+def test_continuous_long_audio_multi_window(setup):
+    """A request longer than one window (several windows per request,
+    stitched) matches the batched path."""
+    cfg, model, variables, table, audios = setup
+    long_audio = np.concatenate(audios[:3])
+    kw = dict(family="whisper", token_table=table, timestamps=True)
+    plain = Transcriber(model, variables, batch_size=2, **kw)
+    want = plain.transcribe(long_audio)
+
+    batcher = ContinuousBatcher(
+        Transcriber(model, variables, batch_size=2, **kw),
+        max_batch=2, chunk_tokens=4)
+    try:
+        got = batcher.submit(long_audio)
+    finally:
+        batcher.close()
+    assert [s.tokens for s in want.segments] == \
+           [s.tokens for s in got.segments]
+
+
+def test_continuous_rejects_unsupported_configs(setup):
+    cfg, model, variables, table, _ = setup
+    beams = Transcriber(model, variables, family="whisper",
+                        token_table=table, beams=3)
+    with pytest.raises(ValueError, match="greedy"):
+        ContinuousWhisperDecoder(beams)
+    ladder = Transcriber(model, variables, family="whisper",
+                         token_table=table, temperatures=(0.0, 0.5))
+    with pytest.raises(ValueError, match="temperature"):
+        ContinuousWhisperDecoder(ladder)

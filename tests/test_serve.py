@@ -484,3 +484,48 @@ def test_transcribe_language_query_param(whisper_server):
         headers={"Content-Type": "application/octet-stream"})
     with urllib.request.urlopen(req) as r:
         assert json.load(r)["language"] == "fr"
+
+
+def test_continuous_server_end_to_end():
+    """serve(continuous=True): concurrent requests through the slot
+    engine over a real socket, per-request language honored."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=16, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=2, timestamps=False)
+    srv = serve(t, port=0, continuous=True, chunk_tokens=4)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        def post(lang):
+            body = np.zeros(5120, np.float32).tobytes()
+            req = urllib.request.Request(
+                base + f"/transcribe?language={lang}", data=body,
+                headers={"Content-Type": "application/octet-stream"})
+            with urllib.request.urlopen(req) as r:
+                return json.load(r)
+
+        with ThreadPoolExecutor(3) as pool:
+            futs = [pool.submit(post, lang) for lang in ("en", "de", "fr")]
+            results = [f.result(timeout=600) for f in futs]
+        assert sorted(r["language"] for r in results) == ["de", "en", "fr"]
+        with urllib.request.urlopen(base + "/statz") as r:
+            stats = json.load(r)
+        assert stats["requests_served"] == 3
+    finally:
+        srv.shutdown()
+        srv.batcher.close()

@@ -27,7 +27,10 @@ The serving layer the reference lacks entirely (SURVEY.md §1). Stdlib-only:
 
 Concurrent requests are MICRO-BATCHED (yoho_tpu.infer.batching): their
 30 s windows share the fixed-batch decode programs instead of serializing
-behind a lock.
+behind a lock. ``--continuous`` upgrades to slot-engine CONTINUOUS
+batching (yoho_tpu.infer.continuous): freed decode slots are refilled
+between token chunks, so a request waits at most ``--chunk-tokens`` steps
+instead of a full batch decode (whisper greedy only).
 
 Usage: ``python -m yoho_tpu.cli.serve (--hf ... | --session ...)
 [--port 8000] [--batch 8] [--max-wait-ms 25]``
@@ -399,11 +402,24 @@ def make_handler(transcriber, batcher):
 
 
 def serve(transcriber, port: int = 8000, host: str = "127.0.0.1",
-          max_wait_ms: float = 25.0):
-    from yoho_tpu.infer.batching import MicroBatcher
+          max_wait_ms: float = 25.0, continuous: bool = False,
+          chunk_tokens: int = 16):
+    """``continuous=True`` swaps the collect-then-batch MicroBatcher for
+    the slot engine (``infer/continuous.py``): freed decode slots are
+    refilled between ``chunk_tokens``-token chunks, so a new request
+    waits at most one chunk instead of a full batch decode and finished
+    slots never idle behind a slow stream. Whisper-family greedy only."""
+    if continuous:
+        from yoho_tpu.infer.continuous import ContinuousBatcher
 
-    batcher = MicroBatcher(transcriber, max_batch=transcriber.batch_size,
-                           max_wait_ms=max_wait_ms)
+        batcher = ContinuousBatcher(transcriber,
+                                    max_batch=transcriber.batch_size,
+                                    chunk_tokens=chunk_tokens)
+    else:
+        from yoho_tpu.infer.batching import MicroBatcher
+
+        batcher = MicroBatcher(transcriber, max_batch=transcriber.batch_size,
+                               max_wait_ms=max_wait_ms)
     server = ThreadingHTTPServer((host, port),
                                  make_handler(transcriber, batcher))
     server.batcher = batcher  # so callers/tests can read counters / close
@@ -422,6 +438,13 @@ def main(argv=None):
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--continuous", action="store_true",
+                        help="slot-engine continuous batching: refill "
+                             "freed decode slots between token chunks "
+                             "(whisper greedy only; lowest queue latency)")
+    parser.add_argument("--chunk-tokens", type=int, default=16,
+                        help="tokens decoded between admission checks "
+                             "(--continuous)")
     parser.add_argument("--max-wait-ms", type=float, default=25.0,
                         help="micro-batching window for concurrent requests")
     parser.add_argument("--beams", type=int, default=0)
@@ -471,7 +494,9 @@ def main(argv=None):
         t = build_yoho_transcriber(args.session, args.root, args.beams,
                                    args.batch, vad_filter=args.vad)
 
-    server = serve(t, args.port, args.host, args.max_wait_ms)
+    server = serve(t, args.port, args.host, args.max_wait_ms,
+                   continuous=args.continuous,
+                   chunk_tokens=args.chunk_tokens)
     print(f"serving on http://{args.host}:{args.port} "
           f"(POST /transcribe, GET /healthz)")
     try:

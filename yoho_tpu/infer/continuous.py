@@ -1,0 +1,445 @@
+"""Continuous batching for whisper greedy serving (slot-based decode).
+
+The batched decode programs (``infer/decode.py``) run a whole window
+batch to completion: streams that emit EOT after 40 tokens idle until the
+batch's slowest stream finishes (up to ``n_text_ctx``), and a request
+arriving mid-decode waits for the full batch. Continuous batching fixes
+both the TPU-first way: ONE fixed-shape compiled step loop over S slots
+where every slot decodes at its OWN position, plus a fixed admission
+program that prefills a single slot — freed slots are refilled between
+chunks of K tokens, so a new request waits at most K steps and finished
+slots never idle.
+
+What makes this possible is vector-position decode plumbing: per-row
+``pos`` flows through the positional-embedding gather, the causal cache
+mask, the cache scatter (``KVCache.update``), and the timestamp rules
+(``whisper_rules``) — all static shapes, still exactly two compiled
+programs (admit, chunk) regardless of traffic.
+
+Greedy parity: a window decoded through slots produces the IDENTICAL
+token sequence as ``greedy_decode`` (same suppression, timestamp rules,
+quality signals) — pinned in tests/test_continuous.py.
+
+Scope: whisper family, greedy (no beams/speculative/temperature ladder),
+single device. Bulk offline throughput still favors
+``Transcriber.transcribe_many`` (it also batches the ENCODER, amortized
+across the window batch); continuous mode is the latency/utilization
+feature for interactive serving. No reference counterpart (the reference
+has no serving layer at all — SURVEY.md §1).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class _Window:
+    """One 30 s window in flight."""
+
+    window: np.ndarray  # (n_samples,) f32
+    prompt: np.ndarray  # (P,) int32
+    done: threading.Event = field(default_factory=threading.Event)
+    tokens: Optional[np.ndarray] = None  # (max_len,) on completion
+    length: int = 0
+    sum_logprob: float = 0.0
+    no_speech_prob: float = 0.0
+
+
+class ContinuousWhisperDecoder:
+    """Slot engine: admit windows into free slots, decode in K-token
+    chunks, reap finished slots. Driven by one owner thread
+    (:class:`ContinuousBatcher`); not itself thread-safe."""
+
+    def __init__(self, transcriber, slots: Optional[int] = None,
+                 chunk_tokens: int = 16):
+        t = transcriber
+        if t.family != "whisper":
+            raise ValueError("continuous batching is whisper-family only")
+        if t.beams > 1 or t.draft_model is not None:
+            raise ValueError("continuous batching is greedy-only "
+                             "(no beams / speculative)")
+        if tuple(t.temperatures) != (0.0,):
+            raise ValueError("continuous batching does not run the "
+                             "temperature fallback ladder")
+        self.t = t
+        self.slots = int(slots or t.batch_size)
+        self.chunk_tokens = int(chunk_tokens)
+        self.prompt_len = len(t._prompt_ids())
+        self.max_len = t.max_len
+        self.eot = t.eot
+
+        model = t.model
+        cfg = model.cfg
+        self._rules = None
+        if t.timestamps:
+            from yoho_tpu.infer.whisper_rules import make_timestamp_rules
+
+            self._rules = make_timestamp_rules(t.token_table, self.prompt_len)
+        self._suppress = t._suppress_ids()
+
+        # Device state. Cross-KV template: zeros with the slot batch dim
+        # (QuantizedKV static fields ride through tree_map).
+        quantize = t.quantized_cross_kv
+
+        def encode_one(variables, window):
+            mel = t._features(window)
+            xa = model.apply(variables, mel, method=type(model).encode_audio)
+            if quantize:
+                return model.apply(variables, xa, quantize,
+                                   method=type(model).cross_kvs)
+            return model.apply(variables, xa, method=type(model).cross_kvs)
+
+        ckv_b1_shape = jax.eval_shape(
+            encode_one, t.variables,
+            jax.ShapeDtypeStruct((1, t.chunk_samples), jnp.float32))
+        self.ckv = jax.tree_util.tree_map(
+            lambda s: jnp.zeros((self.slots,) + s.shape[1:], s.dtype),
+            ckv_b1_shape)
+        self.caches = model.apply(t.variables, self.slots, t.cache_dtype,
+                                  None, t.quantized_cache,
+                                  method=type(model).init_caches)
+        self.tokens = jnp.full((self.slots, self.max_len), self.eot,
+                               jnp.int32)
+        self.pos = jnp.zeros((self.slots,), jnp.int32)
+        self.active = jnp.zeros((self.slots,), bool)
+        self.sum_lp = jnp.zeros((self.slots,), jnp.float32)
+        self.no_speech = jnp.zeros((self.slots,), jnp.float32)
+
+        self._occupied: List[Optional[_Window]] = [None] * self.slots
+        self._build_programs(encode_one)
+
+    # ------------------------------------------------------------------
+    def _pick(self, logits, tokens, pos):
+        """Greedy next-token under suppression + timestamp rules; returns
+        (next_id, logprob). ``pos`` scalar (admission) or vector (chunk)."""
+        from yoho_tpu.infer.decode import _suppress
+
+        # Barrier before the f32 upcast: without it XLA:CPU fuses the
+        # convert into the bf16 tied-embedding dot, emitting a
+        # BF16 x BF16 = F32 DotThunk its runtime cannot execute
+        # (UNIMPLEMENTED at materialization). Free on TPU — it only
+        # splits one elementwise convert out of the dot.
+        logits = jax.lax.optimization_barrier(logits)
+        logits = _suppress(logits.astype(jnp.float32), self._suppress)
+        if self._rules is not None:
+            logits = self._rules(logits, tokens, pos)
+        nxt = jnp.argmax(logits, axis=-1)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        lp = jnp.take_along_axis(logprobs, nxt[:, None], axis=-1)[:, 0]
+        return nxt.astype(jnp.int32), lp
+
+    def _build_programs(self, encode_one) -> None:
+        t = self.t
+        model = t.model
+        ns_id = t.token_table.no_speech
+        P, S, L = self.prompt_len, self.slots, self.max_len
+        eot = self.eot
+
+        def admit(variables, caches, ckv, tokens, pos, active, sum_lp,
+                  no_speech, window, prompt, slot):
+            """Encode ONE window, prefill slot ``slot``, sample its first
+            token. window (1, n_samples); prompt (1, P); slot scalar."""
+            ckv_b1 = encode_one(variables, window)
+            ckv = jax.tree_util.tree_map(
+                lambda big, small: jax.lax.dynamic_update_slice(
+                    big, small.astype(big.dtype),
+                    (slot,) + (0,) * (big.ndim - 1)),
+                ckv, ckv_b1)
+
+            b1_caches = model.apply(variables, 1, t.cache_dtype, None,
+                                    t.quantized_cache,
+                                    method=type(model).init_caches)
+            logits, b1_caches = model.apply(
+                variables, prompt, b1_caches, ckv_b1, 0,
+                method=type(model).decode_step)
+            caches = jax.tree_util.tree_map(
+                lambda big, small: jax.lax.dynamic_update_slice(
+                    big, small.astype(big.dtype),
+                    (slot,) + (0,) * (big.ndim - 1)),
+                caches, b1_caches)
+
+            last = logits[:, -1]
+            probs0 = jax.nn.softmax(last.astype(jnp.float32), axis=-1)
+            row = jnp.full((1, L), eot, jnp.int32)
+            row = jax.lax.dynamic_update_slice(row, prompt, (0, 0))
+            first, lp0 = self._pick(last, row, P)
+            row = row.at[:, P].set(first)
+
+            tokens = jax.lax.dynamic_update_slice(tokens, row, (slot, 0))
+            pos = pos.at[slot].set(P)
+            active = active.at[slot].set(first[0] != eot)
+            sum_lp = sum_lp.at[slot].set(lp0[0])
+            no_speech = no_speech.at[slot].set(probs0[0, ns_id])
+            return caches, ckv, tokens, pos, active, sum_lp, no_speech
+
+        def chunk(variables, caches, ckv, tokens, pos, active, sum_lp):
+            """K greedy steps over all slots, each at its own position."""
+
+            def body(_i, state):
+                caches, tokens, pos, active, sum_lp = state
+                rows = jnp.arange(S)
+                cur = tokens[rows, pos][:, None]  # last decided token
+                logits, caches = model.apply(
+                    variables, cur, caches, ckv, pos,
+                    method=type(model).decode_step)
+                nxt, lp = self._pick(logits[:, -1], tokens, pos + 1)
+                nxt = jnp.where(active, nxt, eot)
+                sum_lp = sum_lp + jnp.where(active, lp, 0.0)
+                new_pos = jnp.where(active, pos + 1, pos)
+                val = jnp.where(active, nxt, tokens[rows, new_pos])
+                tokens = tokens.at[rows, new_pos].set(val)
+                active = jnp.logical_and(
+                    active, jnp.logical_and(nxt != eot, new_pos + 1 < L))
+                return caches, tokens, new_pos, active, sum_lp
+
+            caches, tokens, pos, active, sum_lp = jax.lax.fori_loop(
+                0, self.chunk_tokens, body,
+                (caches, tokens, pos, active, sum_lp))
+            return caches, tokens, pos, active, sum_lp
+
+        self._admit = jax.jit(admit, donate_argnums=(1, 2, 3, 4, 5, 6, 7))
+        self._chunk = jax.jit(chunk, donate_argnums=(1, 3, 4, 5, 6))
+
+    # ------------------------------------------------------------------
+    def admit(self, win: _Window) -> bool:
+        """Place one window into a free slot; False when all slots busy."""
+        try:
+            slot = self._occupied.index(None)
+        except ValueError:
+            return False
+        (self.caches, self.ckv, self.tokens, self.pos, self.active,
+         self.sum_lp, self.no_speech) = self._admit(
+            self.t.variables, self.caches, self.ckv, self.tokens, self.pos,
+            self.active, self.sum_lp, self.no_speech,
+            jnp.asarray(win.window[None], jnp.float32),
+            jnp.asarray(win.prompt[None], jnp.int32),
+            jnp.asarray(slot, jnp.int32))
+        self._occupied[slot] = win
+        return True
+
+    def step(self) -> List[_Window]:
+        """One K-token chunk over every slot; returns reaped windows."""
+        (self.caches, self.tokens, self.pos, self.active,
+         self.sum_lp) = self._chunk(
+            self.t.variables, self.caches, self.ckv, self.tokens, self.pos,
+            self.active, self.sum_lp)
+        return self.reap()
+
+    def reap(self) -> List[_Window]:
+        """Collect finished slots (occupied but no longer active)."""
+        active = np.asarray(self.active)
+        done: List[_Window] = []
+        dirty = [s for s, w in enumerate(self._occupied)
+                 if w is not None and not active[s]]
+        if not dirty:
+            return done
+        tokens = np.asarray(self.tokens)
+        sum_lp = np.asarray(self.sum_lp)
+        no_speech = np.asarray(self.no_speech)
+        P = self.prompt_len
+        for s in dirty:
+            win = self._occupied[s]
+            self._occupied[s] = None
+            row = tokens[s]
+            is_eot = row[P:] == self.eot
+            length = (P + int(np.argmax(is_eot)) + 1 if is_eot.any()
+                      else self.max_len)
+            win.tokens = row
+            win.length = length
+            win.sum_logprob = float(sum_lp[s])
+            win.no_speech_prob = float(no_speech[s])
+            done.append(win)
+        return done
+
+    @property
+    def busy(self) -> bool:
+        return any(w is not None for w in self._occupied)
+
+    @property
+    def free_slots(self) -> int:
+        return sum(w is None for w in self._occupied)
+
+
+@dataclass
+class _Request:
+    audio: Any
+    sample_rate: Optional[int]
+    language: Optional[str]
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Any = None
+    error: Optional[BaseException] = None
+    windows: List[_Window] = field(default_factory=list)
+    starts: List[int] = field(default_factory=list)
+    vmap: Any = None
+    original: Any = None
+    lang: Optional[str] = None
+    remaining: int = 0
+
+
+class ContinuousBatcher:
+    """Drop-in for :class:`yoho_tpu.infer.batching.MicroBatcher` backed by
+    the slot engine: requests' windows are admitted into freed decode
+    slots between K-token chunks instead of waiting for whole-batch
+    completion. Callers block in :meth:`submit`; one worker thread owns
+    the engine (JAX dispatch stays single-threaded)."""
+
+    def __init__(self, transcriber, max_batch: Optional[int] = None,
+                 max_wait_ms: float = 0.0, chunk_tokens: int = 16):
+        del max_wait_ms  # admission happens between chunks; no wait knob
+        if transcriber.word_timestamps:
+            raise ValueError("continuous batching does not support "
+                             "word_timestamps yet — use the MicroBatcher")
+        self.t = transcriber
+        self.engine = ContinuousWhisperDecoder(
+            transcriber, slots=max_batch, chunk_tokens=chunk_tokens)
+        self._queue: List[_Request] = []  # requests awaiting windowing
+        self._window_queue: List[_Window] = []
+        self._win_req: Dict[int, _Request] = {}
+        self._cv = threading.Condition()
+        self._closed = False
+        self.requests_served = 0
+        self.batches_dispatched = 0  # chunk count (statz compatibility)
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------------
+    def submit(self, audio, sample_rate: Optional[int] = None,
+               language: Optional[str] = None):
+        req = _Request(audio, sample_rate, language)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("ContinuousBatcher is closed")
+            self._queue.append(req)
+            self._cv.notify()
+        req.done.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._worker.join(timeout=10)
+
+    # ------------------------------------------------------------------
+    def _prepare(self, req: _Request) -> None:
+        """Host-side request prep: resample, VAD, language, windowing."""
+        from yoho_tpu.infer.longform import chunk_audio
+
+        t = self.t
+        audio = t._prepare_audio(req.audio, req.sample_rate)
+        req.original = audio
+        audio, req.vmap = t._apply_vad(audio)
+        if len(audio) == 0:
+            req.lang = req.language or t.language
+            req.remaining = 0
+            return
+        if req.language is not None:
+            req.lang = req.language
+        elif t.language is not None:
+            req.lang = t.language
+        else:
+            req.lang = t.detect_language_many([audio])[0]
+        prompt = np.asarray(t._prompt_ids(req.lang), np.int32)
+        windows, starts = chunk_audio(audio, t.chunk_samples,
+                                      t.stride_samples)
+        req.starts = list(starts)
+        req.windows = [_Window(w, prompt) for w in windows]
+        req.remaining = len(req.windows)
+        for w in req.windows:
+            self._win_req[id(w)] = req
+
+    def _assemble(self, req: _Request) -> None:
+        """All windows decoded -> TranscriptionResult (same per-window
+        parsing/quality/stitching as ``Transcriber.transcribe_many``)."""
+        from yoho_tpu.infer.longform import stitch_segments
+        from yoho_tpu.infer.pipeline import TranscriptionResult
+
+        t = self.t
+        per_window = []
+        n = len(req.windows)
+        if n:
+            lengths = np.asarray([w.length for w in req.windows])
+            aux = {
+                "sum_logprob": np.asarray([w.sum_logprob
+                                           for w in req.windows]),
+                "no_speech_prob": np.asarray([w.no_speech_prob
+                                              for w in req.windows]),
+                "used_temperature": np.zeros(n, np.float32),
+            }
+            silent = t._silent_mask(lengths, aux)
+            segs = [[] if silent[j] else
+                    t._tokens_to_segments(req.windows[j].tokens,
+                                          int(lengths[j]))
+                    for j in range(n)]
+            t._attach_quality(segs, lengths, aux)
+            per_window = segs
+        segments = stitch_segments(per_window, req.starts, t.sample_rate,
+                                   t.chunk_samples, t.stride_samples)
+        segments = t._remap_segments(segments, req.vmap)
+        if t.diarize_encoder is not None:
+            from yoho_tpu.infer.diarize import diarize_segments
+
+            diarize_segments(segments, req.original, t.sample_rate,
+                             t.diarize_encoder, t.diarize_variables)
+        text = " ".join(s.text for s in segments if s.text).strip()
+        req.result = TranscriptionResult(text=text, segments=segments,
+                                         language=req.lang)
+
+    def _finish(self, req: _Request, error: Optional[BaseException] = None):
+        req.error = error
+        if error is None:
+            try:
+                self._assemble(req)
+            except BaseException as e:  # noqa: BLE001 — deliver to caller
+                req.error = e
+        self.requests_served += 1
+        req.done.set()
+
+    def _run(self) -> None:
+        engine = self.engine
+        while True:
+            with self._cv:
+                while (not self._queue and not self._window_queue
+                       and not engine.busy and not self._closed):
+                    self._cv.wait()
+                if (self._closed and not self._queue
+                        and not self._window_queue and not engine.busy):
+                    return
+                incoming, self._queue = self._queue, []
+
+            for req in incoming:
+                try:
+                    self._prepare(req)
+                except BaseException as e:  # noqa: BLE001
+                    self._finish(req, e)
+                    continue
+                if req.remaining == 0:
+                    self._finish(req)
+                else:
+                    self._window_queue.extend(req.windows)
+
+            # Admit as many queued windows as there are free slots.
+            while self._window_queue and engine.free_slots:
+                win = self._window_queue.pop(0)
+                if not engine.admit(win):
+                    self._window_queue.insert(0, win)
+                    break
+
+            if not engine.busy:
+                continue
+            self.batches_dispatched += 1
+            for win in engine.step():
+                req = self._win_req.pop(id(win))
+                req.remaining -= 1
+                if req.remaining == 0:
+                    self._finish(req)

@@ -49,6 +49,9 @@ def make_timestamp_rules(
                           else int(round(max_initial_timestamp / 0.02)))
 
     def fn(logits, tokens, pos):
+        """``pos`` may be a scalar (all rows at the same buffer index —
+        the batched decode loop) or a per-row vector (B,) (continuous
+        batching: every slot at its own position)."""
         b, v = logits.shape
         vocab_ids = jnp.arange(v)
         is_ts_vocab = vocab_ids >= ts_begin
@@ -57,8 +60,14 @@ def make_timestamp_rules(
         # non-timestamp ids [0, ts_begin) — EOT and specials included.
         is_text_vocab = vocab_ids < eot
 
-        last = tokens[:, pos - 1]
-        penult = tokens[:, pos - 2]
+        if getattr(pos, "ndim", 0) == 1:
+            last = jnp.take_along_axis(tokens, (pos - 1)[:, None],
+                                       axis=1)[:, 0]
+            penult = jnp.take_along_axis(
+                tokens, jnp.maximum(pos - 2, 0)[:, None], axis=1)[:, 0]
+        else:
+            last = tokens[:, pos - 1]
+            penult = tokens[:, pos - 2]
         last_is_ts = jnp.logical_and(last >= ts_begin, pos - 1 >= prompt_len)
         # OpenAI: penultimate_was_timestamp = len(sampled) < 2 or
         # sampled[-2] >= ts_begin — fewer than two generated tokens
@@ -82,7 +91,8 @@ def make_timestamp_rules(
         # (needs_second), which may repeat the opening time — OpenAI's
         # ``timestamps[-1] + 1`` rule, "to prevent infinite looping".
         positions = jnp.arange(tokens.shape[1])
-        seen = jnp.logical_and(positions[None, :] < pos,
+        pos_col = pos[:, None] if getattr(pos, "ndim", 0) == 1 else pos
+        seen = jnp.logical_and(positions[None, :] < pos_col,
                                positions[None, :] >= prompt_len)
         ts_vals = jnp.where(jnp.logical_and(seen, tokens >= ts_begin), tokens, 0)
         ts_max = jnp.max(ts_vals, axis=1)  # 0 when none seen
@@ -94,6 +104,8 @@ def make_timestamp_rules(
         # 3. first generated token must be a timestamp, within the
         # (optional) initial cap.
         initial = pos == prompt_len
+        if getattr(initial, "ndim", 0) == 1:
+            initial = initial[:, None]
         init_mask = ~is_ts_vocab
         if max_initial_offset is not None:
             init_mask = init_mask | (vocab_ids > ts_begin + max_initial_offset)

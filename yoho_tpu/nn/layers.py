@@ -62,7 +62,19 @@ class KVCache:
         return self.k.shape[3]
 
     def update(self, pos, k_new: jnp.ndarray, v_new: jnp.ndarray) -> "KVCache":
-        """Write (B, H, D, S) new entries at time offset ``pos``."""
+        """Write (B, H, D, S) new entries at time offset ``pos``.
+
+        ``pos`` may be a per-row vector (B,) with S == 1 — the
+        continuous-batching layout where every slot decodes at its own
+        position (scatter instead of slice-update)."""
+        if getattr(pos, "ndim", 0) == 1:
+            assert k_new.shape[3] == 1, "vector pos supports S == 1 only"
+            rows = jnp.arange(self.k.shape[0])
+            k = self.k.at[rows, :, :, pos].set(
+                k_new[..., 0].astype(self.k.dtype))
+            v = self.v.at[rows, :, :, pos].set(
+                v_new[..., 0].astype(self.v.dtype))
+            return KVCache(k=k, v=v)
         k = jax.lax.dynamic_update_slice(
             self.k, k_new.astype(self.k.dtype), (0, 0, 0, pos)
         )
@@ -302,7 +314,10 @@ class QuantizedKVCache:
         return self.k_q.shape[3]
 
     def update(self, pos, k_new: jnp.ndarray, v_new: jnp.ndarray) -> "QuantizedKVCache":
-        """Quantize + write (B, H, D, S) new entries at offset ``pos``."""
+        """Quantize + write (B, H, D, S) new entries at offset ``pos``.
+
+        ``pos`` may be a per-row vector (B,) with S == 1 (continuous
+        batching), mirroring :meth:`KVCache.update`."""
 
         def _q(x):
             scale = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2,
@@ -313,6 +328,15 @@ class QuantizedKVCache:
 
         kq, ks = _q(k_new)
         vq, vs = _q(v_new)
+        if getattr(pos, "ndim", 0) == 1:
+            assert k_new.shape[3] == 1, "vector pos supports S == 1 only"
+            rows = jnp.arange(self.k_q.shape[0])
+            return QuantizedKVCache(
+                k_q=self.k_q.at[rows, :, :, pos].set(kq[..., 0]),
+                v_q=self.v_q.at[rows, :, :, pos].set(vq[..., 0]),
+                k_scale=self.k_scale.at[rows, :, :, pos].set(ks[..., 0]),
+                v_scale=self.v_scale.at[rows, :, :, pos].set(vs[..., 0]),
+            )
         return QuantizedKVCache(
             k_q=jax.lax.dynamic_update_slice(self.k_q, kq, (0, 0, 0, pos)),
             v_q=jax.lax.dynamic_update_slice(self.v_q, vq, (0, 0, 0, pos)),
@@ -367,7 +391,12 @@ def causal_mask(s: int, t: int, offset: int = 0) -> jnp.ndarray:
 def decode_mask(t_max: int, pos, s: int = 1) -> jnp.ndarray:
     """(1, 1, s, t_max) causal mask for ``s`` new queries written at cache
     offset ``pos``: query i sees keys <= pos + i (covers both single-token
-    decode and multi-token prefill)."""
+    decode and multi-token prefill). A per-row ``pos`` vector (B,) gives
+    (B, 1, s, t_max) — the continuous-batching layout."""
+    if getattr(pos, "ndim", 0) == 1:
+        qi = pos[:, None, None] + jnp.arange(s)[None, :, None]  # (B, s, 1)
+        kj = jnp.arange(t_max)[None, None, :]
+        return (kj <= qi)[:, None]  # (B, 1, s, t)
     qi = pos + jnp.arange(s)[:, None]
     kj = jnp.arange(t_max)[None, :]
     return (kj <= qi)[None, None]

@@ -244,6 +244,9 @@ class TextDecoder(nn.Module):
     def decode_step(self, tokens, caches: List[KVCache], cross_kvs, pos):
         """Cached step: tokens (B, S_new) at absolute position ``pos``.
 
+        ``pos`` may be a per-row vector (B,) with S_new == 1: every slot
+        decodes at its own position (the continuous-batching layout —
+        position embedding, causal mask, and cache writes all follow).
         Returns (logits (B, S_new, vocab), new_caches).
         """
         s = tokens.shape[1]
@@ -253,7 +256,11 @@ class TextDecoder(nn.Module):
         # rows past n_text_ctx whose outputs are discarded — but jnp.take's
         # default OOB fill is NaN, and a NaN K/V poisons every row through
         # masked attention (0 * NaN). Clipped rows stay finite and unused.
-        x = x + jnp.take(pos_emb, pos + jnp.arange(s), axis=0, mode="clip")
+        if getattr(pos, "ndim", 0) == 1:
+            idx = pos[:, None] + jnp.arange(s)[None, :]  # (B, S)
+        else:
+            idx = pos + jnp.arange(s)
+        x = x + jnp.take(pos_emb, idx, axis=0, mode="clip")
         new_caches = []
         for blk, cache, ckv in zip(self.blocks, caches, cross_kvs):
             x, nc = blk.step(x, cache, ckv, pos)
