@@ -14,6 +14,8 @@ from typing import Callable, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from yoho_tpu.infer.decode import as_f32_logits
+
 NEG_INF = jnp.finfo(jnp.float32).min
 
 
@@ -77,7 +79,7 @@ def beam_search(
         # Whisper silence signal at the transcript start, beam 0 (all
         # beams are identical before the first expansion).
         probs0 = jax.nn.softmax(
-            logits.reshape(b, k, vocab)[:, 0].astype(jnp.float32), axis=-1)
+            as_f32_logits(logits.reshape(b, k, vocab)[:, 0]), axis=-1)
         no_speech_prob = probs0[:, no_speech_id]
 
     if len(suppress_ids):
@@ -86,7 +88,7 @@ def beam_search(
         sup = None
 
     def expand(logits, scores, finished, tokens, pos):
-        logits = logits.astype(jnp.float32)
+        logits = as_f32_logits(logits)
         if sup is not None:
             # Suppress BEFORE the rules, matching greedy (decode.pick) and
             # OpenAI's processor order — the timestamp probability rule's

@@ -21,11 +21,13 @@ token sequence as ``greedy_decode`` (same suppression, timestamp rules,
 quality signals) — pinned in tests/test_continuous.py.
 
 Scope: whisper family, greedy (no beams/speculative/temperature ladder),
-single device. Bulk offline throughput still favors
-``Transcriber.transcribe_many`` (it also batches the ENCODER, amortized
-across the window batch); continuous mode is the latency/utilization
-feature for interactive serving. No reference counterpart (the reference
-has no serving layer at all — SURVEY.md §1).
+single device. Admissions batch too (one fixed-shape admit program
+encodes + prefills up to S windows per call), so the encoder amortizes
+like the batched path; bulk offline throughput can still favor
+``Transcriber.transcribe_many`` when every stream decodes the same
+length, while continuous mode wins latency and slot utilization under
+skewed decode lengths and staggered arrivals. No reference counterpart
+(the reference has no serving layer at all — SURVEY.md §1).
 """
 
 from __future__ import annotations
@@ -120,15 +122,9 @@ class ContinuousWhisperDecoder:
     def _pick(self, logits, tokens, pos):
         """Greedy next-token under suppression + timestamp rules; returns
         (next_id, logprob). ``pos`` scalar (admission) or vector (chunk)."""
-        from yoho_tpu.infer.decode import _suppress
+        from yoho_tpu.infer.decode import _suppress, as_f32_logits
 
-        # Barrier before the f32 upcast: without it XLA:CPU fuses the
-        # convert into the bf16 tied-embedding dot, emitting a
-        # BF16 x BF16 = F32 DotThunk its runtime cannot execute
-        # (UNIMPLEMENTED at materialization). Free on TPU — it only
-        # splits one elementwise convert out of the dot.
-        logits = jax.lax.optimization_barrier(logits)
-        logits = _suppress(logits.astype(jnp.float32), self._suppress)
+        logits = _suppress(as_f32_logits(logits), self._suppress)
         if self._rules is not None:
             logits = self._rules(logits, tokens, pos)
         nxt = jnp.argmax(logits, axis=-1)
@@ -144,40 +140,47 @@ class ContinuousWhisperDecoder:
         eot = self.eot
 
         def admit(variables, caches, ckv, tokens, pos, active, sum_lp,
-                  no_speech, window, prompt, slot):
-            """Encode ONE window, prefill slot ``slot``, sample its first
-            token. window (1, n_samples); prompt (1, P); slot scalar."""
-            ckv_b1 = encode_one(variables, window)
-            ckv = jax.tree_util.tree_map(
-                lambda big, small: jax.lax.dynamic_update_slice(
-                    big, small.astype(big.dtype),
-                    (slot,) + (0,) * (big.ndim - 1)),
-                ckv, ckv_b1)
+                  no_speech, windows, prompts, fill_row, fill_valid):
+            """Encode + prefill up to S windows in ONE call.
 
-            b1_caches = model.apply(variables, 1, t.cache_dtype, None,
-                                    t.quantized_cache,
-                                    method=type(model).init_caches)
-            logits, b1_caches = model.apply(
-                variables, prompt, b1_caches, ckv_b1, 0,
+            windows (S, n_samples) / prompts (S, P): admission batch rows
+            (garbage past the valid count — their outputs are discarded).
+            fill_row (S,) int32 / fill_valid (S,) bool are SLOT-indexed:
+            slot s takes admission row fill_row[s] when fill_valid[s] —
+            a gather + select per slot, so there are no scatter
+            collisions and untouched slots keep their state. Constant
+            latency for 1..S admissions; the encoder runs batched (at
+            small batch it is latency-bound, so one admission costs the
+            same call as S — and S admissions cost ONE call, not S)."""
+            ckv_new = encode_one(variables, windows)
+            fresh = model.apply(variables, S, t.cache_dtype, None,
+                                t.quantized_cache,
+                                method=type(model).init_caches)
+            logits, fresh = model.apply(
+                variables, prompts, fresh, ckv_new, 0,
                 method=type(model).decode_step)
-            caches = jax.tree_util.tree_map(
-                lambda big, small: jax.lax.dynamic_update_slice(
-                    big, small.astype(big.dtype),
-                    (slot,) + (0,) * (big.ndim - 1)),
-                caches, b1_caches)
+
+            from yoho_tpu.infer.decode import as_f32_logits
 
             last = logits[:, -1]
-            probs0 = jax.nn.softmax(last.astype(jnp.float32), axis=-1)
-            row = jnp.full((1, L), eot, jnp.int32)
-            row = jax.lax.dynamic_update_slice(row, prompt, (0, 0))
-            first, lp0 = self._pick(last, row, P)
-            row = row.at[:, P].set(first)
+            probs0 = jax.nn.softmax(as_f32_logits(last), axis=-1)
+            rows_buf = jnp.full((S, L), eot, jnp.int32)
+            rows_buf = jax.lax.dynamic_update_slice(rows_buf, prompts, (0, 0))
+            first, lp0 = self._pick(last, rows_buf, P)
+            rows_buf = rows_buf.at[:, P].set(first)
 
-            tokens = jax.lax.dynamic_update_slice(tokens, row, (slot, 0))
-            pos = pos.at[slot].set(P)
-            active = active.at[slot].set(first[0] != eot)
-            sum_lp = sum_lp.at[slot].set(lp0[0])
-            no_speech = no_speech.at[slot].set(probs0[0, ns_id])
+            def place(big, new):
+                mask = fill_valid.reshape((S,) + (1,) * (big.ndim - 1))
+                return jnp.where(mask, new[fill_row].astype(big.dtype), big)
+
+            ckv = jax.tree_util.tree_map(place, ckv, ckv_new)
+            caches = jax.tree_util.tree_map(place, caches, fresh)
+            tokens = place(tokens, rows_buf)
+            pos = jnp.where(fill_valid, P, pos)
+            active = jnp.where(fill_valid, first[fill_row] != eot, active)
+            sum_lp = jnp.where(fill_valid, lp0[fill_row], sum_lp)
+            no_speech = jnp.where(fill_valid, probs0[fill_row, ns_id],
+                                  no_speech)
             return caches, ckv, tokens, pos, active, sum_lp, no_speech
 
         def chunk(variables, caches, ckv, tokens, pos, active, sum_lp):
@@ -211,19 +214,35 @@ class ContinuousWhisperDecoder:
     # ------------------------------------------------------------------
     def admit(self, win: _Window) -> bool:
         """Place one window into a free slot; False when all slots busy."""
-        try:
-            slot = self._occupied.index(None)
-        except ValueError:
-            return False
+        return self.admit_many([win]) == 1
+
+    def admit_many(self, wins: List[_Window]) -> int:
+        """Admit up to ``free_slots`` windows in ONE device call; returns
+        how many were taken (the rest stay with the caller)."""
+        free = [s for s, w in enumerate(self._occupied) if w is None]
+        take = wins[: len(free)]
+        if not take:
+            return 0
+        S = self.slots
+        windows = np.zeros((S, self.t.chunk_samples), np.float32)
+        prompts = np.zeros((S, self.prompt_len), np.int32)
+        prompts[:] = take[0].prompt[None, :]  # valid ids in garbage rows
+        fill_row = np.zeros(S, np.int32)
+        fill_valid = np.zeros(S, bool)
+        for i, win in enumerate(take):
+            windows[i] = win.window
+            prompts[i] = win.prompt
+            fill_row[free[i]] = i
+            fill_valid[free[i]] = True
         (self.caches, self.ckv, self.tokens, self.pos, self.active,
          self.sum_lp, self.no_speech) = self._admit(
             self.t.variables, self.caches, self.ckv, self.tokens, self.pos,
             self.active, self.sum_lp, self.no_speech,
-            jnp.asarray(win.window[None], jnp.float32),
-            jnp.asarray(win.prompt[None], jnp.int32),
-            jnp.asarray(slot, jnp.int32))
-        self._occupied[slot] = win
-        return True
+            jnp.asarray(windows), jnp.asarray(prompts),
+            jnp.asarray(fill_row), jnp.asarray(fill_valid))
+        for i, win in enumerate(take):
+            self._occupied[free[i]] = win
+        return len(take)
 
     def step(self) -> List[_Window]:
         """One K-token chunk over every slot; returns reaped windows."""
@@ -428,12 +447,11 @@ class ContinuousBatcher:
                 else:
                     self._window_queue.extend(req.windows)
 
-            # Admit as many queued windows as there are free slots.
-            while self._window_queue and engine.free_slots:
-                win = self._window_queue.pop(0)
-                if not engine.admit(win):
-                    self._window_queue.insert(0, win)
-                    break
+            # Admit queued windows into free slots — ONE batched device
+            # call regardless of how many slots freed this tick.
+            if self._window_queue and engine.free_slots:
+                n_took = engine.admit_many(self._window_queue)
+                del self._window_queue[:n_took]
 
             if not engine.busy:
                 continue

@@ -42,6 +42,20 @@ def make_yoho_step_fn(model, variables, cross_kvs):
     return step
 
 
+def as_f32_logits(logits: jnp.ndarray) -> jnp.ndarray:
+    """bf16 logits -> f32 for sampling/softmax, fusion-safely.
+
+    A plain ``.astype(jnp.float32)`` lets XLA:CPU fuse the convert into
+    the producing bf16 tied-embedding dot, emitting a BF16 x BF16 = F32
+    DotThunk its runtime cannot execute (UNIMPLEMENTED, surfacing at
+    materialization — observed at B >= 2). The barrier keeps the dot
+    bf16-out with a separate convert; free on TPU (one elementwise op on
+    a (B, V) tensor)."""
+    if logits.dtype == jnp.float32:
+        return logits
+    return jax.lax.optimization_barrier(logits).astype(jnp.float32)
+
+
 def _suppress(logits: jnp.ndarray, suppress_ids) -> jnp.ndarray:
     if len(suppress_ids):
         ids = jnp.asarray(list(suppress_ids), jnp.int32)
@@ -87,14 +101,14 @@ def greedy_decode(
 
     no_speech_prob = None
     if no_speech_id is not None:
-        probs0 = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        probs0 = jax.nn.softmax(as_f32_logits(logits), axis=-1)
         no_speech_prob = probs0[:, no_speech_id]
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
     def pick(logits, tokens, pos, key):
-        logits = _suppress(logits.astype(jnp.float32), suppress_ids)
+        logits = _suppress(as_f32_logits(logits), suppress_ids)
         if logits_fn is not None:
             logits = logits_fn(logits, tokens, pos)
         if temperature > 0.0:

@@ -44,6 +44,8 @@ from typing import Callable, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
+from yoho_tpu.infer.decode import as_f32_logits
+
 
 def make_verify_step_fn(model, variables, cross_kvs):
     """Like ``make_whisper_step_fn`` but returns logits for ALL S input
@@ -106,7 +108,7 @@ def speculative_greedy_decode(
     sup = jnp.asarray(list(suppress_ids), jnp.int32) if len(suppress_ids) else None
 
     def _processed(logits, work, pos):
-        logits = logits.astype(jnp.float32)
+        logits = as_f32_logits(logits)
         if sup is not None:
             neg = jnp.full(sup.shape, jnp.finfo(jnp.float32).min, jnp.float32)
             logits = logits.at[:, sup].set(neg[None, :])
@@ -133,7 +135,7 @@ def speculative_greedy_decode(
                                          draft_caches, 0)
     no_speech_prob = None
     if no_speech_id is not None:
-        probs0 = jax.nn.softmax(t_logits[:, -1].astype(jnp.float32), axis=-1)
+        probs0 = jax.nn.softmax(as_f32_logits(t_logits[:, -1]), axis=-1)
         no_speech_prob = probs0[:, no_speech_id]
     first, lp0 = pick_lp(t_logits[:, -1], tokens, jnp.int32(p))
     tokens = tokens.at[:, p].set(first)

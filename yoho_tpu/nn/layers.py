@@ -274,7 +274,8 @@ def _attend_quantized(q: jnp.ndarray, qkv: QuantizedKV, mask, dtype) -> jnp.ndar
         qkv = QuantizedKV(k_q=unpack_int4(qkv.k_q), v_q=unpack_int4(qkv.v_q),
                           k_scale=qkv.k_scale, v_scale=qkv.v_scale)
     kf = qkv.k_q.astype(dtype)
-    scores = jnp.einsum("bhsd,bhdt->bhst", q, kf, preferred_element_type=jnp.float32)
+    qkf = _f32_accum_operands(q, kf)
+    scores = jnp.einsum("bhsd,bhdt->bhst", *qkf, preferred_element_type=jnp.float32)
     scores = scores * qkv.k_scale.astype(jnp.float32)  # (B,H,1,T) broadcast
     if mask is not None:
         scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
@@ -359,6 +360,21 @@ def _bhdt(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 2, 3, 1)
 
 
+def _f32_accum_operands(*xs):
+    """Upcast bf16 dot operands to f32 on the CPU backend ONLY.
+
+    XLA:CPU's thunk runtime cannot execute a BF16 x BF16 = F32 dot for
+    batched shapes (UNIMPLEMENTED DotThunk, observed at B >= 2) — the
+    exact dot the MXU wants (bf16 inputs, f32 accumulation). bf16 -> f32
+    conversion is exact and the products/accumulation are f32 either
+    way, so results are bit-identical; on TPU this is a no-op and the
+    bf16 MXU path is untouched."""
+    if jax.default_backend() != "cpu":
+        return xs
+    return tuple(x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+                 for x in xs)
+
+
 def _attend(
     q: jnp.ndarray,  # (B, H, S, D) — pre-scaled
     k: jnp.ndarray,  # (B, H, D, T) — pre-scaled, time-minor
@@ -373,7 +389,8 @@ def _attend(
     out^T = V (D, T) @ w^T (T, S) — so the only transposes touch the tiny
     (S, T) weight matrix and the (D, S) output block, never the caches.
     """
-    scores = jnp.einsum("bhsd,bhdt->bhst", q, k, preferred_element_type=jnp.float32)
+    qk = _f32_accum_operands(q, k)
+    scores = jnp.einsum("bhsd,bhdt->bhst", *qk, preferred_element_type=jnp.float32)
     if mask is not None:
         scores = jnp.where(mask, scores, jnp.finfo(jnp.float32).min)
     w = jax.nn.softmax(scores, axis=-1).astype(dtype)
@@ -443,7 +460,7 @@ class MultiHeadAttention(nn.Module):
         scale = (self.n_state // self.n_head) ** -0.25
         q = _bhsd(self._split(self.q_proj(x)) * scale)
         k = _bhdt(self._split(self.k_proj(xa)) * scale)
-        scores = jnp.einsum("bhsd,bhdt->bhst", q, k,
+        scores = jnp.einsum("bhsd,bhdt->bhst", *_f32_accum_operands(q, k),
                             preferred_element_type=jnp.float32)
         return jax.nn.softmax(scores, axis=-1).mean(axis=1)
 
@@ -543,8 +560,9 @@ class QuantizedDense(nn.Module):
                               (in_dim, self.features), jnp.int8)
         scale = self.param("kernel_scale", nn.initializers.ones,
                            (1, self.features), jnp.float32)
-        y = jnp.einsum("...d,dk->...k", x.astype(self.dtype),
-                       kernel_q.astype(self.dtype),
+        y = jnp.einsum("...d,dk->...k",
+                       *_f32_accum_operands(x.astype(self.dtype),
+                                            kernel_q.astype(self.dtype)),
                        preferred_element_type=jnp.float32)
         y = (y * scale).astype(self.dtype)
         if self.use_bias:
@@ -570,8 +588,9 @@ class QuantizedDenseGeneral(nn.Module):
                               (in_dim, h, hd), jnp.int8)
         scale = self.param("kernel_scale", nn.initializers.ones,
                            (1, h, hd), jnp.float32)
-        y = jnp.einsum("...d,dhk->...hk", x.astype(self.dtype),
-                       kernel_q.astype(self.dtype),
+        y = jnp.einsum("...d,dhk->...hk",
+                       *_f32_accum_operands(x.astype(self.dtype),
+                                            kernel_q.astype(self.dtype)),
                        preferred_element_type=jnp.float32)
         return (y * scale).astype(self.dtype)
 
@@ -599,7 +618,8 @@ class QuantizedEmbed(nn.Module):
         return vec * scale.astype(self.dtype)
 
     def logits(self, x, dtype):
-        y = jnp.einsum("bsd,vd->bsv", x, self.embedding_q.astype(dtype),
+        y = jnp.einsum("bsd,vd->bsv",
+                       *_f32_accum_operands(x, self.embedding_q.astype(dtype)),
                        preferred_element_type=jnp.float32)
         return y * self.embedding_scale[:, 0][None, None, :]
 

@@ -152,8 +152,13 @@ class TextDecoder(nn.Module):
     def _logits(self, x):
         if self.weights_int8:
             return self.token_embedding.logits(x, self.dtype)
+        from yoho_tpu.nn.layers import _f32_accum_operands
+
         emb = self.token_embedding.embedding.astype(self.dtype)
         # Tied-embedding logits in f32 for a stable softmax/argmax.
+        # (_f32_accum_operands: XLA:CPU cannot run BF16xBF16=F32 dots at
+        # B >= 2; exact upcast there, no-op on TPU.)
+        x, emb = _f32_accum_operands(x, emb)
         return jnp.einsum("bsd,vd->bsv", x, emb, preferred_element_type=jnp.float32)
 
     def __call__(self, tokens: jnp.ndarray, xa: jnp.ndarray) -> jnp.ndarray:

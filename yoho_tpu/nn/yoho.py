@@ -183,7 +183,10 @@ class YOHOTextDecoder(nn.Module):
         if self.weights_int8:
             return self.token_embedding.logits(h, self.dtype)
         emb = self.token_embedding.embedding.astype(self.dtype)
-        return jnp.einsum("bsd,vd->bsv", h, emb, preferred_element_type=jnp.float32)
+        from yoho_tpu.nn.layers import _f32_accum_operands
+
+        return jnp.einsum("bsd,vd->bsv", *_f32_accum_operands(h, emb),
+                          preferred_element_type=jnp.float32)
 
     def __call__(self, tokens, xa):
         return self._logits(self._hidden(tokens, xa))
