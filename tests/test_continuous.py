@@ -126,3 +126,37 @@ def test_continuous_rejects_unsupported_configs(setup):
                          token_table=table, temperatures=(0.0, 0.5))
     with pytest.raises(ValueError, match="temperature"):
         ContinuousWhisperDecoder(ladder)
+
+
+def test_continuous_worker_survives_engine_errors(setup):
+    """A device-side exception fails the in-flight requests LOUDLY and
+    the worker keeps serving — submitters must never hang forever."""
+    cfg, model, variables, table, audios = setup
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=2, timestamps=False)
+    batcher = ContinuousBatcher(t, max_batch=2, chunk_tokens=4)
+    try:
+        boom = {"n": 0}
+        real_admit = batcher.engine.admit_many
+
+        def flaky(wins):
+            if boom["n"] == 0:
+                boom["n"] += 1
+                raise RuntimeError("injected device failure")
+            return real_admit(wins)
+
+        batcher.engine.admit_many = flaky
+        with pytest.raises(RuntimeError, match="injected"):
+            batcher.submit(audios[0])
+        # Worker survived: the next request decodes normally.
+        res = batcher.submit(audios[1])
+        assert res.segments or res.text == ""
+    finally:
+        batcher.close()
+
+
+def test_continuous_rejects_zero_chunk_tokens(setup):
+    cfg, model, variables, table, _ = setup
+    t = Transcriber(model, variables, family="whisper", token_table=table)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        ContinuousWhisperDecoder(t, chunk_tokens=0)

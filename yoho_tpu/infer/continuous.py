@@ -53,6 +53,7 @@ class _Window:
     length: int = 0
     sum_logprob: float = 0.0
     no_speech_prob: float = 0.0
+    req: Any = None  # owning _Request (set by ContinuousBatcher)
 
 
 class ContinuousWhisperDecoder:
@@ -74,6 +75,11 @@ class ContinuousWhisperDecoder:
         self.t = t
         self.slots = int(slots or t.batch_size)
         self.chunk_tokens = int(chunk_tokens)
+        if self.chunk_tokens < 1:
+            raise ValueError("chunk_tokens must be >= 1 (0 would decode "
+                             "nothing per tick and livelock the worker)")
+        if self.slots < 1:
+            raise ValueError("need at least one slot")
         self.prompt_len = len(t._prompt_ids())
         self.max_len = t.max_len
         self.eot = t.eot
@@ -321,7 +327,6 @@ class ContinuousBatcher:
             transcriber, slots=max_batch, chunk_tokens=chunk_tokens)
         self._queue: List[_Request] = []  # requests awaiting windowing
         self._window_queue: List[_Window] = []
-        self._win_req: Dict[int, _Request] = {}
         self._cv = threading.Condition()
         self._closed = False
         self.requests_served = 0
@@ -372,17 +377,14 @@ class ContinuousBatcher:
         windows, starts = chunk_audio(audio, t.chunk_samples,
                                       t.stride_samples)
         req.starts = list(starts)
-        req.windows = [_Window(w, prompt) for w in windows]
+        req.windows = [_Window(w, prompt, req=req) for w in windows]
         req.remaining = len(req.windows)
-        for w in req.windows:
-            self._win_req[id(w)] = req
 
     def _assemble(self, req: _Request) -> None:
-        """All windows decoded -> TranscriptionResult (same per-window
-        parsing/quality/stitching as ``Transcriber.transcribe_many``)."""
-        from yoho_tpu.infer.longform import stitch_segments
-        from yoho_tpu.infer.pipeline import TranscriptionResult
-
+        """All windows decoded -> TranscriptionResult. Per-window parsing
+        and quality here; the request-level tail (stitch, remap,
+        diarization, text) is Transcriber._finalize_request — SHARED with
+        transcribe_many so the two paths cannot drift."""
         t = self.t
         per_window = []
         n = len(req.windows)
@@ -402,17 +404,8 @@ class ContinuousBatcher:
                     for j in range(n)]
             t._attach_quality(segs, lengths, aux)
             per_window = segs
-        segments = stitch_segments(per_window, req.starts, t.sample_rate,
-                                   t.chunk_samples, t.stride_samples)
-        segments = t._remap_segments(segments, req.vmap)
-        if t.diarize_encoder is not None:
-            from yoho_tpu.infer.diarize import diarize_segments
-
-            diarize_segments(segments, req.original, t.sample_rate,
-                             t.diarize_encoder, t.diarize_variables)
-        text = " ".join(s.text for s in segments if s.text).strip()
-        req.result = TranscriptionResult(text=text, segments=segments,
-                                         language=req.lang)
+        req.result = t._finalize_request(per_window, req.starts, req.vmap,
+                                         req.original, req.lang)
 
     def _finish(self, req: _Request, error: Optional[BaseException] = None):
         req.error = error
@@ -423,6 +416,22 @@ class ContinuousBatcher:
                 req.error = e
         self.requests_served += 1
         req.done.set()
+
+    def _fail_inflight(self, error: BaseException) -> None:
+        """Deliver ``error`` to every request with device work in flight
+        and reset the engine's slot bookkeeping (the next admissions
+        rewrite per-slot device state from scratch)."""
+        reqs = {id(w.req): w.req for w in self._window_queue if w.req}
+        for w in self.engine._occupied:
+            if w is not None and w.req is not None:
+                reqs[id(w.req)] = w.req
+        self._window_queue.clear()
+        self.engine._occupied = [None] * self.engine.slots
+        import jax.numpy as _jnp
+
+        self.engine.active = _jnp.zeros((self.engine.slots,), bool)
+        for req in reqs.values():
+            self._finish(req, error)
 
     def _run(self) -> None:
         engine = self.engine
@@ -447,17 +456,27 @@ class ContinuousBatcher:
                 else:
                     self._window_queue.extend(req.windows)
 
-            # Admit queued windows into free slots — ONE batched device
-            # call regardless of how many slots freed this tick.
-            if self._window_queue and engine.free_slots:
-                n_took = engine.admit_many(self._window_queue)
-                del self._window_queue[:n_took]
-
-            if not engine.busy:
+            # Device work is guarded: an engine exception (device OOM,
+            # relay RPC failure, ...) must fail the in-flight requests
+            # loudly, never kill the worker and hang every submitter.
+            try:
+                done: List[_Window] = []
+                # Admit queued windows into free slots — ONE batched
+                # device call regardless of how many slots freed.
+                if self._window_queue and engine.free_slots:
+                    n_took = engine.admit_many(self._window_queue)
+                    del self._window_queue[:n_took]
+                    # Windows silent at admission (first token == EOT)
+                    # finish without waiting a whole chunk.
+                    done += engine.reap()
+                if engine.busy:
+                    self.batches_dispatched += 1
+                    done += engine.step()
+            except BaseException as e:  # noqa: BLE001 — fail in-flight reqs
+                self._fail_inflight(e)
                 continue
-            self.batches_dispatched += 1
-            for win in engine.step():
-                req = self._win_req.pop(id(win))
+            for win in done:
+                req = win.req
                 req.remaining -= 1
                 if req.remaining == 0:
                     self._finish(req)

@@ -991,31 +991,42 @@ class Transcriber:
         for req_i, (starts, req_lang, vmap) in enumerate(
                 zip(all_starts, req_langs, vad_maps)):
             k = len(starts)
-            segments = stitch_segments(per_window[off : off + k], starts,
-                                       self.sample_rate, self.chunk_samples,
-                                       self.stride_samples)
-            segments = self._remap_segments(segments, vmap)
+            results.append(self._finalize_request(
+                per_window[off : off + k], starts, vmap, originals[req_i],
+                req_lang))
             off += k
-            if self.family == "yoho":
-                # Diarization: cluster per-segment voiceprints into speakers.
-                from yoho_tpu.infer.diarize import cluster_voiceprints
-
-                labels = cluster_voiceprints([s.voiceprint for s in segments])
-                for seg, spk in zip(segments, labels):
-                    seg.speaker = spk
-            elif self.diarize_encoder is not None:
-                # Whisper family has no speaker head: post-pass diarization
-                # embeds each segment's source-audio span with a trained
-                # VoiceprintEncoder and clusters (whisperX shape).
-                from yoho_tpu.infer.diarize import diarize_segments
-
-                diarize_segments(segments, originals[req_i],
-                                 self.sample_rate, self.diarize_encoder,
-                                 self.diarize_variables)
-            text = " ".join(s.text for s in segments if s.text).strip()
-            results.append(TranscriptionResult(text=text, segments=segments,
-                                               language=req_lang))
         return results
+
+    def _finalize_request(self, per_window: List[List[Segment]],
+                          starts: Sequence[int], vmap, original_audio,
+                          language: Optional[str]) -> TranscriptionResult:
+        """One request's decoded windows -> TranscriptionResult: stitch,
+        source-timeline remap, diarization, text join. Shared by the
+        batched path (``transcribe_many``) and the continuous-batching
+        server (``yoho_tpu.infer.continuous``) so the two can never drift.
+        """
+        segments = stitch_segments(per_window, list(starts),
+                                   self.sample_rate, self.chunk_samples,
+                                   self.stride_samples)
+        segments = self._remap_segments(segments, vmap)
+        if self.family == "yoho":
+            # Diarization: cluster per-segment voiceprints into speakers.
+            from yoho_tpu.infer.diarize import cluster_voiceprints
+
+            labels = cluster_voiceprints([s.voiceprint for s in segments])
+            for seg, spk in zip(segments, labels):
+                seg.speaker = spk
+        elif self.diarize_encoder is not None:
+            # Whisper family has no speaker head: post-pass diarization
+            # embeds each segment's source-audio span with a trained
+            # VoiceprintEncoder and clusters (whisperX shape).
+            from yoho_tpu.infer.diarize import diarize_segments
+
+            diarize_segments(segments, original_audio, self.sample_rate,
+                             self.diarize_encoder, self.diarize_variables)
+        text = " ".join(s.text for s in segments if s.text).strip()
+        return TranscriptionResult(text=text, segments=segments,
+                                   language=language)
 
     def _language_logits(self, windows: np.ndarray) -> np.ndarray:
         """One decoder step after <|startoftranscript|> for a (b, samples)
