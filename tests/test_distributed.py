@@ -292,3 +292,41 @@ def test_sharded_quantized_serving_matches_single_device():
             assert per_shard * n_dev <= total * (n_dev // 2), (
                 f"{name} is replicated: shape {leaf.shape}, "
                 f"shard {shard_shapes}, sharding {leaf.sharding}")
+
+
+def test_continuous_batching_tensor_parallel():
+    """The slot engine composes with TP-sharded params (GSPMD lays out
+    both the admit and chunk programs from the operand shardings): a
+    (1,4)-mesh int8-quantized continuous server decodes the exact tokens
+    of the unsharded batched path — multi-chip continuous serving."""
+    from yoho_tpu.infer.continuous import ContinuousBatcher
+    from yoho_tpu.infer.pipeline import Transcriber
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=24, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    g = np.random.default_rng(1)
+    audios = [(0.1 * g.standard_normal(cfg.n_samples)).astype(np.float32)
+              for _ in range(3)]
+    kw = dict(family="whisper", token_table=table, timestamps=True,
+              quantized_cross_kv="int8", quantized_cache=True)
+    want = Transcriber(model, variables, batch_size=2,
+                       **kw).transcribe_many(audios)
+
+    mesh = make_mesh(data=1, model=4, devices=jax.devices()[:4])
+    sharded = Transcriber(model, variables, mesh=mesh, batch_size=2, **kw)
+    batcher = ContinuousBatcher(sharded, max_batch=2, chunk_tokens=4)
+    try:
+        got = [batcher.submit(a) for a in audios]
+    finally:
+        batcher.close()
+    for w, g_res in zip(want, got):
+        assert [s.tokens for s in w.segments] == \
+               [s.tokens for s in g_res.segments]
