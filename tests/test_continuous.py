@@ -160,3 +160,93 @@ def test_continuous_rejects_zero_chunk_tokens(setup):
     t = Transcriber(model, variables, family="whisper", token_table=table)
     with pytest.raises(ValueError, match="chunk_tokens"):
         ContinuousWhisperDecoder(t, chunk_tokens=0)
+
+
+def test_continuous_yoho_trained_fixture_exact():
+    """yoho-family continuous serving: the trained session fixture
+    decodes the EXACT golden transcripts (incl. voiceprint-clustered
+    speakers) through the slot engine — RoPE/GQA vector-pos plumbing plus
+    the voiceprint post-pass match the batched path."""
+    import json
+    from pathlib import Path
+
+    from yoho_tpu.cli.transcribe import build_yoho_transcriber
+
+    fixroot = Path(__file__).parent / "fixtures" / "sessions"
+    golden = json.loads((fixroot / "tiny" / "golden.json").read_text())
+    t = build_yoho_transcriber("tiny", str(fixroot), beams=0, batch=2)
+
+    def tone_clip(s, n):
+        a = (np.random.default_rng(9).standard_normal(n) * 0.002
+             ).astype(np.float32)
+        tone = 0.4 * np.sin(2 * np.pi * golden[s]["tone"]
+                            * np.arange(int(0.25 * 16000)) / 16000)
+        a[800:800 + len(tone)] += tone.astype(np.float32)
+        return a
+
+    batcher = ContinuousBatcher(t, max_batch=2, chunk_tokens=4)
+    try:
+        for s, g in enumerate(golden):
+            res = batcher.submit(tone_clip(s, t.model.cfg.n_samples))
+            assert res.text == g["text"]
+            got = [{"start": round(seg.start, 4), "end": round(seg.end, 4),
+                    "text": seg.text} for seg in res.segments]
+            assert got == g["segments"]
+            # Voiceprint/speaker attachment parity with the batched path
+            # (this overfit fixture happens not to emit <|voiceprint|>
+            # tokens, so both paths leave them unset — what matters is
+            # that the post-pass behaves identically).
+            want = t.transcribe(tone_clip(s, t.model.cfg.n_samples))
+            assert [(seg.voiceprint is None, seg.speaker) for seg in
+                    res.segments] == \
+                   [(seg.voiceprint is None, seg.speaker) for seg in
+                    want.segments]
+    finally:
+        batcher.close()
+
+
+def test_continuous_yoho_random_weights_parity():
+    """yoho family, random weights: slot-engine tokens + voiceprint
+    embeddings match the batched path elementwise."""
+    from yoho_tpu.core.config import YOHOConfig
+    from yoho_tpu.nn.yoho import YOHOModel
+    from yoho_tpu.text.tokenizer import train_tokenizer
+
+    cfg = YOHOConfig(
+        n_mel_bands=16, max_audio_len=32, max_text_len=16, dims=32,
+        n_audio_heads=4, n_audio_blocks=1, n_text_heads=4, n_text_blocks=1,
+    )
+    tok = train_tokenizer(["hello world"] * 3, vocab_size=32 + 3 + 256 + 50,
+                          max_audio_len=cfg.max_audio_len, backend="python")
+    model = YOHOModel(cfg, vocab_size=tok.vocab_size)
+    g = np.random.default_rng(0)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.max_text_len), jnp.int32),
+        jnp.zeros((1, cfg.max_audio_len, 16), jnp.float32),
+        method=YOHOModel.forward_with_voiceprints)
+    audios = [(0.1 * g.standard_normal(cfg.n_samples)).astype(np.float32)
+              for _ in range(3)]
+
+    plain = Transcriber(model, variables, family="yoho", tokenizer=tok,
+                        batch_size=2)
+    want = plain.transcribe_many(audios)
+
+    batcher = ContinuousBatcher(
+        Transcriber(model, variables, family="yoho", tokenizer=tok,
+                    batch_size=2),
+        max_batch=2, chunk_tokens=4)
+    try:
+        got = [batcher.submit(a) for a in audios]
+    finally:
+        batcher.close()
+
+    for w, g_res in zip(want, got):
+        assert [s.tokens for s in w.segments] == \
+               [s.tokens for s in g_res.segments]
+        for ws, gs in zip(w.segments, g_res.segments):
+            assert (ws.voiceprint is None) == (gs.voiceprint is None)
+            if ws.voiceprint is not None:
+                np.testing.assert_allclose(ws.voiceprint, gs.voiceprint,
+                                           atol=1e-5)
+            assert ws.speaker == gs.speaker

@@ -30,7 +30,7 @@ Concurrent requests are MICRO-BATCHED (yoho_tpu.infer.batching): their
 behind a lock. ``--continuous`` upgrades to slot-engine CONTINUOUS
 batching (yoho_tpu.infer.continuous): freed decode slots are refilled
 between token chunks, so a request waits at most ``--chunk-tokens`` steps
-instead of a full batch decode (whisper greedy only).
+instead of a full batch decode (greedy only).
 
 Usage: ``python -m yoho_tpu.cli.serve (--hf ... | --session ...)
 [--port 8000] [--batch 8] [--max-wait-ms 25]``
@@ -408,7 +408,7 @@ def serve(transcriber, port: int = 8000, host: str = "127.0.0.1",
     the slot engine (``infer/continuous.py``): freed decode slots are
     refilled between ``chunk_tokens``-token chunks, so a new request
     waits at most one chunk instead of a full batch decode and finished
-    slots never idle behind a slow stream. Whisper-family greedy only."""
+    slots never idle behind a slow stream. Greedy decoding only."""
     if continuous:
         from yoho_tpu.infer.continuous import ContinuousBatcher
 
@@ -441,7 +441,7 @@ def main(argv=None):
     parser.add_argument("--continuous", action="store_true",
                         help="slot-engine continuous batching: refill "
                              "freed decode slots between token chunks "
-                             "(whisper greedy only; lowest queue latency)")
+                             "(greedy only; lowest queue latency)")
     parser.add_argument("--chunk-tokens", type=int, default=16,
                         help="tokens decoded between admission checks "
                              "(--continuous)")

@@ -1,4 +1,5 @@
-"""Continuous batching for whisper greedy serving (slot-based decode).
+"""Continuous batching for greedy serving (slot-based decode; both
+model families).
 
 The batched decode programs (``infer/decode.py``) run a whole window
 batch to completion: streams that emit EOT after 40 tokens idle until the
@@ -20,8 +21,9 @@ Greedy parity: a window decoded through slots produces the IDENTICAL
 token sequence as ``greedy_decode`` (same suppression, timestamp rules,
 quality signals) — pinned in tests/test_continuous.py.
 
-Scope: whisper family, greedy (no beams/speculative/temperature ladder),
-single device. Admissions batch too (one fixed-shape admit program
+Scope: whisper AND yoho families, greedy (no beams/speculative/
+temperature ladder); yoho voiceprints are extracted by the batcher's
+post-pass, exactly like the batched path. Admissions batch too (one fixed-shape admit program
 encodes + prefills up to S windows per call), so the encoder amortizes
 like the batched path; bulk offline throughput can still favor
 ``Transcriber.transcribe_many`` when every stream decodes the same
@@ -59,13 +61,15 @@ class _Window:
 class ContinuousWhisperDecoder:
     """Slot engine: admit windows into free slots, decode in K-token
     chunks, reap finished slots. Driven by one owner thread
-    (:class:`ContinuousBatcher`); not itself thread-safe."""
+    (:class:`ContinuousBatcher`); not itself thread-safe. Despite the
+    historical name it drives BOTH families (whisper and yoho — the
+    family-dependent surfaces are resolved at construction)."""
 
     def __init__(self, transcriber, slots: Optional[int] = None,
                  chunk_tokens: int = 16):
         t = transcriber
-        if t.family != "whisper":
-            raise ValueError("continuous batching is whisper-family only")
+        if t.family not in ("whisper", "yoho"):
+            raise ValueError(f"unknown family {t.family!r}")
         if t.beams > 1 or t.draft_model is not None:
             raise ValueError("continuous batching is greedy-only "
                              "(no beams / speculative)")
@@ -87,15 +91,39 @@ class ContinuousWhisperDecoder:
         model = t.model
         cfg = model.cfg
         self._rules = None
-        if t.timestamps:
+        if t.family == "whisper" and t.timestamps:
             from yoho_tpu.infer.whisper_rules import make_timestamp_rules
 
             self._rules = make_timestamp_rules(t.token_table, self.prompt_len)
         self._suppress = t._suppress_ids()
 
-        # Device state. Cross-KV template: zeros with the slot batch dim
-        # (QuantizedKV static fields ride through tree_map).
-        quantize = t.quantized_cross_kv
+        # Family-dependent model surfaces (mirrors infer/pipeline.py):
+        # whisper's init_caches takes the quantized flag and its
+        # decode_step returns (logits, caches); yoho's decode_step also
+        # returns voiceprint states (extracted post-hoc by the batcher).
+        quantize = t.quantized_cross_kv if t.family == "whisper" else False
+
+        if t.family == "whisper":
+            def init_caches(variables, batch):
+                return model.apply(variables, batch, t.cache_dtype, None,
+                                   t.quantized_cache,
+                                   method=type(model).init_caches)
+
+            def step(variables, toks, caches, ckv, pos):
+                return model.apply(variables, toks, caches, ckv, pos,
+                                   method=type(model).decode_step)
+        else:
+            def init_caches(variables, batch):
+                return model.apply(variables, batch, t.cache_dtype,
+                                   method=type(model).init_caches)
+
+            def step(variables, toks, caches, ckv, pos):
+                logits, _vp, caches = model.apply(
+                    variables, toks, caches, ckv, pos,
+                    method=type(model).decode_step)
+                return logits, caches
+        self._init_caches = init_caches
+        self._step = step
 
         def encode_one(variables, window):
             mel = t._features(window)
@@ -111,9 +139,7 @@ class ContinuousWhisperDecoder:
         self.ckv = jax.tree_util.tree_map(
             lambda s: jnp.zeros((self.slots,) + s.shape[1:], s.dtype),
             ckv_b1_shape)
-        self.caches = model.apply(t.variables, self.slots, t.cache_dtype,
-                                  None, t.quantized_cache,
-                                  method=type(model).init_caches)
+        self.caches = init_caches(t.variables, self.slots)
         self.tokens = jnp.full((self.slots, self.max_len), self.eot,
                                jnp.int32)
         self.pos = jnp.zeros((self.slots,), jnp.int32)
@@ -141,7 +167,8 @@ class ContinuousWhisperDecoder:
     def _build_programs(self, encode_one) -> None:
         t = self.t
         model = t.model
-        ns_id = t.token_table.no_speech
+        ns_id = (t.token_table.no_speech if t.family == "whisper" else None)
+        init_caches, step = self._init_caches, self._step
         P, S, L = self.prompt_len, self.slots, self.max_len
         eot = self.eot
 
@@ -159,17 +186,14 @@ class ContinuousWhisperDecoder:
             small batch it is latency-bound, so one admission costs the
             same call as S — and S admissions cost ONE call, not S)."""
             ckv_new = encode_one(variables, windows)
-            fresh = model.apply(variables, S, t.cache_dtype, None,
-                                t.quantized_cache,
-                                method=type(model).init_caches)
-            logits, fresh = model.apply(
-                variables, prompts, fresh, ckv_new, 0,
-                method=type(model).decode_step)
+            fresh = init_caches(variables, S)
+            logits, fresh = step(variables, prompts, fresh, ckv_new, 0)
 
             from yoho_tpu.infer.decode import as_f32_logits
 
             last = logits[:, -1]
-            probs0 = jax.nn.softmax(as_f32_logits(last), axis=-1)
+            ns_prob = (jax.nn.softmax(as_f32_logits(last), axis=-1)[:, ns_id]
+                       if ns_id is not None else jnp.zeros((S,), jnp.float32))
             rows_buf = jnp.full((S, L), eot, jnp.int32)
             rows_buf = jax.lax.dynamic_update_slice(rows_buf, prompts, (0, 0))
             first, lp0 = self._pick(last, rows_buf, P)
@@ -185,8 +209,7 @@ class ContinuousWhisperDecoder:
             pos = jnp.where(fill_valid, P, pos)
             active = jnp.where(fill_valid, first[fill_row] != eot, active)
             sum_lp = jnp.where(fill_valid, lp0[fill_row], sum_lp)
-            no_speech = jnp.where(fill_valid, probs0[fill_row, ns_id],
-                                  no_speech)
+            no_speech = jnp.where(fill_valid, ns_prob[fill_row], no_speech)
             return caches, ckv, tokens, pos, active, sum_lp, no_speech
 
         def chunk(variables, caches, ckv, tokens, pos, active, sum_lp):
@@ -196,9 +219,7 @@ class ContinuousWhisperDecoder:
                 caches, tokens, pos, active, sum_lp = state
                 rows = jnp.arange(S)
                 cur = tokens[rows, pos][:, None]  # last decided token
-                logits, caches = model.apply(
-                    variables, cur, caches, ckv, pos,
-                    method=type(model).decode_step)
+                logits, caches = step(variables, cur, caches, ckv, pos)
                 nxt, lp = self._pick(logits[:, -1], tokens, pos + 1)
                 nxt = jnp.where(active, nxt, eot)
                 sum_lp = sum_lp + jnp.where(active, lp, 0.0)
@@ -369,7 +390,7 @@ class ContinuousBatcher:
             return
         if req.language is not None:
             req.lang = req.language
-        elif t.language is not None:
+        elif t.language is not None or t.family != "whisper":
             req.lang = t.language
         else:
             req.lang = t.detect_language_many([audio])[0]
@@ -403,9 +424,31 @@ class ContinuousBatcher:
                                           int(lengths[j]))
                     for j in range(n)]
             t._attach_quality(segs, lengths, aux)
+            if t.family == "yoho":
+                self._attach_voiceprints(req, segs)
             per_window = segs
         req.result = t._finalize_request(per_window, req.starts, req.vmap,
                                          req.original, req.lang)
+
+    def _attach_voiceprints(self, req: _Request, segs) -> None:
+        """yoho family: one teacher-forced pass per window chunk extracts
+        speaker embeddings at <|voiceprint|> positions (the batched path
+        does this inside transcribe_many; here windows arrive from slots).
+        Chunks are padded to the slot count so ONE compiled program
+        serves every request size."""
+        t = self.t
+        S = self.engine.slots
+        n = len(req.windows)
+        for i in range(0, n, S):
+            group = req.windows[i : i + S]
+            windows = np.zeros((S, t.chunk_samples), np.float32)
+            tokens = np.full((S, self.engine.max_len), self.engine.eot,
+                             np.int32)
+            for j, w in enumerate(group):
+                windows[j] = w.window
+                tokens[j] = w.tokens
+            mel = t._features(jnp.asarray(windows))
+            t._attach_voiceprints(mel, tokens, segs[i : i + len(group)])
 
     def _finish(self, req: _Request, error: Optional[BaseException] = None):
         req.error = error

@@ -684,14 +684,17 @@ def rope_angles(
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
-    """Rotate interleaved pairs: x shape (..., S, H, D), cos/sin (S, D//2).
+    """Rotate interleaved pairs: x shape (..., S, H, D), cos/sin (S, D//2)
+    — or (B, S, D//2) for per-row positions (continuous batching).
 
     Pairing convention matches the reference (even/odd interleave as
     complex re/im, ``layers.py:35-40``).
     """
     x1, x2 = x[..., 0::2], x[..., 1::2]
-    c = cos[:, None, :]  # broadcast over heads: (S, 1, D/2)
-    s = sin[:, None, :]
+    if cos.ndim == 3:  # (B, S, D/2) -> broadcast over heads: (B, S, 1, D/2)
+        c, s = cos[:, :, None, :], sin[:, :, None, :]
+    else:
+        c, s = cos[:, None, :], sin[:, None, :]  # (S, 1, D/2)
     r1 = x1 * c - x2 * s
     r2 = x1 * s + x2 * c
     return jnp.stack([r1, r2], axis=-1).reshape(x.shape)
@@ -764,9 +767,17 @@ class GroupedQueryAttention(nn.Module):
         head_dim = self.dims // self.q_heads
         b, s = x.shape[:2]
 
+        def _positions(n):
+            # pos may be a per-row vector (B,) — continuous batching —
+            # giving (B, n) position grids (rope_angles broadcasts).
+            if pos is None:
+                return jnp.arange(n)
+            if getattr(pos, "ndim", 0) == 1:
+                return pos[:, None] + jnp.arange(n)[None, :]
+            return pos + jnp.arange(n)
+
         q = self.q_proj(x)  # (B, S, Hq, D)
-        q_pos = jnp.arange(s) if pos is None else pos + jnp.arange(s)
-        cos_q, sin_q = rope_angles(q_pos, head_dim, self.rope_variant)
+        cos_q, sin_q = rope_angles(_positions(s), head_dim, self.rope_variant)
         q = apply_rope(q, cos_q, sin_q)
 
         new_cache = None
@@ -776,8 +787,8 @@ class GroupedQueryAttention(nn.Module):
             src = x if xa is None else xa
             k = self.k_proj(src)
             v = self.v_proj(src)
-            k_pos = jnp.arange(src.shape[1]) if pos is None else pos + jnp.arange(src.shape[1])
-            cos_k, sin_k = rope_angles(k_pos, head_dim, self.rope_variant)
+            cos_k, sin_k = rope_angles(_positions(src.shape[1]), head_dim,
+                                       self.rope_variant)
             k = apply_rope(k, cos_k, sin_k)
             k, v = _bhdt(k), _bhdt(v)
             if cache is not None:
