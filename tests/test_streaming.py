@@ -208,3 +208,34 @@ def test_partial_segments_absolute_timeline(setup):
     final = st.flush()
     assert st.partial_segments() == []  # flush finalizes everything
     assert isinstance(final, list)
+
+
+def test_streaming_through_shared_batcher_matches_default(setup):
+    """window_decoder hook (the server passes its shared request batcher
+    so concurrent streams pool into shared batches) produces the same
+    finalized tokens as the built-in B=1 window decode."""
+    from yoho_tpu.infer.batching import MicroBatcher
+
+    cfg, t = setup
+    g = np.random.default_rng(7)
+    audio = (0.1 * g.standard_normal(int(cfg.n_samples * 2.6))).astype(np.float32)
+
+    default = StreamingTranscriber(t)
+    want = list(default.push(audio)) + list(default.flush())
+
+    mb = MicroBatcher(t, max_batch=2, max_wait_ms=5)
+    try:
+        def hook(window_audio):
+            res = mb.submit(window_audio)
+            for s in res.segments:
+                s.speaker = None
+            return res.segments
+
+        shared = StreamingTranscriber(t, window_decoder=hook)
+        got = list(shared.push(audio)) + list(shared.flush())
+    finally:
+        mb.close()
+
+    assert [s.tokens for s in want] == [s.tokens for s in got]
+    assert [round(s.start, 4) for s in want] == \
+           [round(s.start, 4) for s in got]

@@ -200,7 +200,20 @@ def make_handler(transcriber, batcher):
             # keep-alive loop parses trailing client frames as HTTP
             # (spurious 400s on half-open clients).
             self.close_connection = True
-            stream = StreamingTranscriber(transcriber)
+
+            def _decode_shared(window_audio):
+                # Route each stream window through the SHARED batcher:
+                # concurrent streams pool into one batch / slot set
+                # instead of each paying a lone B=1 decode. Speaker
+                # labels are per-window cluster ids there — meaningless
+                # across a stream — so strip them (voiceprints stay).
+                res = batcher.submit(window_audio)
+                for s in res.segments:
+                    s.speaker = None
+                return res.segments
+
+            stream = StreamingTranscriber(transcriber,
+                                          window_decoder=_decode_shared)
 
             def emit(segments, final: bool) -> None:
                 if not segments and not final:

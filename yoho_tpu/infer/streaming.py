@@ -20,8 +20,14 @@ from yoho_tpu.infer.longform import Segment
 
 
 class StreamingTranscriber:
-    def __init__(self, transcriber):
+    def __init__(self, transcriber, window_decoder=None):
+        """``window_decoder(window_audio) -> List[Segment]`` (window-
+        relative, quality attached) optionally replaces the built-in B=1
+        decode — the server passes its shared request batcher here so
+        CONCURRENT streams' windows pool into shared batches/slots
+        instead of each paying a lone B=1 decode."""
         self.t = transcriber
+        self._window_decoder = window_decoder
         self._buffer = np.zeros((0,), np.float32)
         self._next_window_start = 0  # absolute sample index
         self._emitted: List[Segment] = []
@@ -42,6 +48,10 @@ class StreamingTranscriber:
             if not detect_speech(audio, t.sample_rate, t.vad_options):
                 self._pending.append((window_start, []))
                 return
+        if self._window_decoder is not None:
+            self._pending.append((window_start,
+                                  self._window_decoder(audio)))
+            return
         batch = np.zeros((1, t.chunk_samples), np.float32)
         n = min(len(audio), t.chunk_samples)
         batch[0, :n] = audio[:n]
