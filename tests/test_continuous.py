@@ -250,3 +250,31 @@ def test_continuous_yoho_random_weights_parity():
                 np.testing.assert_allclose(ws.voiceprint, gs.voiceprint,
                                            atol=1e-5)
             assert ws.speaker == gs.speaker
+
+
+def test_continuous_per_request_vad_override(setup):
+    """submit(vad=False) on a vad_filter=True transcriber decodes the RAW
+    audio — identical to a plain transcriber (the streaming server's
+    contract for pre-gated windows); language pins skip auto-detection."""
+    cfg, model, variables, table, audios = setup
+    from yoho_tpu.audio.vad import VadOptions
+
+    kw = dict(family="whisper", token_table=table, timestamps=False,
+              language="en")
+    plain = Transcriber(model, variables, batch_size=2, **kw)
+    want = plain.transcribe_many(audios[:2])
+
+    opts = VadOptions(min_speech_ms=30.0, min_silence_ms=40.0,
+                      speech_pad_ms=10.0)
+    t = Transcriber(model, variables, batch_size=2, vad_filter=True,
+                    vad_options=opts, **kw)
+    batcher = ContinuousBatcher(t, max_batch=2, chunk_tokens=4)
+    try:
+        got = [batcher.submit(a, vad=False) for a in audios[:2]]
+    finally:
+        batcher.close()
+    for w, g_res in zip(want, got):
+        assert [s.tokens for s in w.segments] == \
+               [s.tokens for s in g_res.segments]
+        assert [s.start for s in w.segments] == \
+               [s.start for s in g_res.segments]

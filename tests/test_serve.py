@@ -529,3 +529,66 @@ def test_continuous_server_end_to_end():
     finally:
         srv.shutdown()
         srv.batcher.close()
+
+
+def test_stream_pins_language_never_autodetects():
+    """/stream windows must NOT run per-window language auto-detection
+    (compile stalls + mid-stream language flip-flop): with no query
+    param the stream pins the server default; ?language=xx pins that.
+    Regression for routing stream windows through the shared batcher."""
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=16, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    # language=None: HTTP requests auto-detect; streams must not.
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=2, timestamps=False)
+    detects = []
+    orig = t.detect_language_many
+
+    def counting(audios):
+        detects.append(len(audios))
+        return orig(audios)
+
+    t.detect_language_many = counting
+    srv = serve(t, port=0, max_wait_ms=10.0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        for query in ("", "?language=de"):
+            host, port = srv.server_address[:2]
+            import socket
+
+            s = socket.create_connection((host, port), timeout=60)
+            req = (f"GET /stream{query} HTTP/1.1\r\nHost: x\r\n"
+                   "Upgrade: websocket\r\nConnection: Upgrade\r\n"
+                   "Sec-WebSocket-Key: AAAAAAAAAAAAAAAAAAAAAA==\r\n"
+                   "Sec-WebSocket-Version: 13\r\n\r\n")
+            s.sendall(req.encode())
+            resp = b""
+            while b"\r\n\r\n" not in resp:
+                resp += s.recv(4096)
+            assert resp.split(b"\r\n", 1)[0].split()[1] == b"101", resp
+            try:
+                _ws_send(s, np.zeros(5120 * 2, np.float32).tobytes(),
+                         opcode=2)
+                _ws_send(s, b'{"op": "end"}', opcode=1)
+                while True:
+                    op, payload = _ws_recv(s)
+                    if op == 8 or json.loads(payload).get("final"):
+                        break
+            finally:
+                s.close()
+        assert detects == [], ("stream windows ran language auto-"
+                               f"detection {detects} times")
+    finally:
+        srv.shutdown()

@@ -239,3 +239,66 @@ def test_streaming_through_shared_batcher_matches_default(setup):
     assert [s.tokens for s in want] == [s.tokens for s in got]
     assert [round(s.start, 4) for s in want] == \
            [round(s.start, 4) for s in got]
+
+
+def test_streaming_shared_batcher_vad_not_collapsed_twice():
+    """With vad_filter on, the streaming gate vets whole windows; routing
+    a vetted window through the shared batcher must NOT collapse it again
+    (the batcher is told vad=False per window) — otherwise the hook path
+    decodes condensed audio and diverges from the built-in B=1 path."""
+    from yoho_tpu.infer.batching import MicroBatcher
+
+    cfg = YOHOConfig(
+        n_mel_bands=16, max_audio_len=32, max_text_len=16, dims=32,
+        n_audio_heads=4, n_audio_blocks=1, n_text_heads=4, n_text_blocks=1,
+    )
+    tok = train_tokenizer(["hello world test"] * 3,
+                          vocab_size=32 + 3 + 256 + 60,
+                          max_audio_len=cfg.max_audio_len, backend="python")
+    model = YOHOModel(cfg, vocab_size=tok.vocab_size)
+    g = np.random.default_rng(3)
+    mel = jnp.asarray(g.standard_normal((1, cfg.max_audio_len, cfg.n_mel_bands))
+                      .astype(np.float32))
+    tokens = jnp.asarray(g.integers(0, tok.vocab_size,
+                                    size=(1, cfg.max_text_len)))
+    variables = model.init(jax.random.PRNGKey(0), tokens, mel,
+                           method=YOHOModel.forward_with_voiceprints)
+    # VAD thresholds scaled to the toy window (0.34 s): windows with
+    # speech PASS the gate yet would collapse non-identically (verified:
+    # 2400/5360 samples kept) — the exact double-VAD divergence case.
+    from yoho_tpu.audio.vad import VadOptions
+
+    opts = VadOptions(min_speech_ms=30.0, min_silence_ms=40.0,
+                      speech_pad_ms=10.0)
+    t = Transcriber(model, variables, family="yoho", tokenizer=tok,
+                    batch_size=1, overlap_seconds=0.05, vad_filter=True,
+                    vad_options=opts)
+
+    # Windows mixing speech and in-window silence: the gate passes them,
+    # but offline VAD would condense them — the exact divergence case.
+    sr = cfg.sample_rate
+    n = int(cfg.n_samples * 2.6)
+    audio = 0.0005 * g.standard_normal(n).astype(np.float32)
+    tdur = np.arange(int(0.35 * cfg.n_samples)) / sr
+    burst = (0.5 * np.sin(2 * np.pi * 440.0 * tdur)).astype(np.float32)
+    for start in (0, int(1.2 * cfg.n_samples), int(2.0 * cfg.n_samples)):
+        audio[start : start + len(burst)] += burst
+
+    default = StreamingTranscriber(t)
+    want = list(default.push(audio)) + list(default.flush())
+
+    mb = MicroBatcher(t, max_batch=2, max_wait_ms=5)
+    try:
+        def hook(window_audio):
+            res = mb.submit(window_audio, vad=False)
+            for s in res.segments:
+                s.speaker = None
+            return res.segments
+
+        shared = StreamingTranscriber(t, window_decoder=hook)
+        got = list(shared.push(audio)) + list(shared.flush())
+    finally:
+        mb.close()
+
+    assert [s.tokens for s in want] == [s.tokens for s in got]
+    assert [(s.start, s.end) for s in want] == [(s.start, s.end) for s in got]

@@ -251,3 +251,60 @@ def test_speechmap_boundary_end_resolves_to_previous_chunk():
     assert smap.to_original(10.0) == 100.0          # start: next chunk
     assert smap.to_original(10.0, end=True) == 10.0  # end: previous chunk
     assert smap.to_original(12.0, end=True) == 102.0  # interior unaffected
+
+
+def test_per_request_vad_override():
+    """transcribe_many(vad=[...]) overrides the configured vad_filter per
+    request: False on a vad_filter=True transcriber must decode the RAW
+    audio (identical to a plain transcriber), None keeps the default.
+    The streaming server relies on this to avoid collapsing pre-gated
+    windows a second time (cli/serve.py _decode_shared)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yoho_tpu.core.config import YOHOConfig
+    from yoho_tpu.infer.pipeline import Transcriber
+    from yoho_tpu.nn.yoho import YOHOModel
+    from yoho_tpu.text.tokenizer import train_tokenizer
+
+    cfg = YOHOConfig(
+        n_mel_bands=16, max_audio_len=32, max_text_len=24, dims=32,
+        n_audio_heads=4, n_audio_blocks=1, n_text_heads=4, n_text_blocks=1,
+    )
+    tok = train_tokenizer(["hello world this is a test"] * 5,
+                          vocab_size=1024 + 256 + 35 + 200,
+                          max_audio_len=cfg.max_audio_len, backend="python")
+    model = YOHOModel(cfg, vocab_size=tok.vocab_size)
+    g = np.random.default_rng(0)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(g.integers(0, tok.vocab_size, size=(1, cfg.max_text_len))),
+        jnp.asarray(g.standard_normal((1, cfg.max_audio_len, cfg.n_mel_bands))
+                    .astype(np.float32)),
+        method=YOHOModel.forward_with_voiceprints,
+    )
+    win_s = cfg.n_samples / cfg.sample_rate
+    audio = np.concatenate([
+        tone(0.8 * win_s, sr=cfg.sample_rate),
+        silence(6 * win_s, cfg.sample_rate),
+        tone(0.8 * win_s, sr=cfg.sample_rate),
+    ])
+
+    t_plain = Transcriber(model, variables, family="yoho", tokenizer=tok,
+                          batch_size=2)
+    t_vad = Transcriber(model, variables, family="yoho", tokenizer=tok,
+                        batch_size=2, vad_filter=True)
+
+    want = t_plain.transcribe_many([audio])[0]
+    got = t_vad.transcribe_many([audio], vad=[False])[0]
+    assert [(s.start, s.end, s.tokens) for s in got.segments] == \
+           [(s.start, s.end, s.tokens) for s in want.segments]
+
+    # None keeps the configured behavior (still collapses).
+    default = t_vad.transcribe_many([audio], vad=[None])[0]
+    configured = t_vad.transcribe_many([audio])[0]
+    assert [(s.start, s.end, s.tokens) for s in default.segments] == \
+           [(s.start, s.end, s.tokens) for s in configured.segments]
+
+    with pytest.raises(ValueError, match="vad has"):
+        t_vad.transcribe_many([audio], vad=[False, True])

@@ -188,9 +188,24 @@ def make_handler(transcriber, batcher):
             JSON message whenever segments finalize. A TEXT frame
             ``{"op": "flush"}`` forces pending windows out;
             ``{"op": "end"}`` (or closing) flushes and ends the session
-            with ``{"final": true, ...}``."""
+            with ``{"final": true, ...}``.
+
+            ``GET /stream?language=xx`` pins the decode language for the
+            whole stream; otherwise the server's ``--language`` applies
+            (default ``en``). Streams never auto-detect per window — a
+            noisy window flipping the language mid-stream (and the
+            first-window detection compile stall) would be worse than a
+            wrong pinned default."""
+            from urllib.parse import parse_qs, urlparse
+
             from yoho_tpu.infer.streaming import StreamingTranscriber
             from yoho_tpu.utils import websocket as ws
+
+            query = parse_qs(urlparse(self.path).query)
+            stream_lang = (query.get("language", [None])[0]
+                           or transcriber.language)
+            if stream_lang is None and transcriber.family == "whisper":
+                stream_lang = "en"  # the built-in B=1 path's default prompt
 
             if not ws.perform_handshake(self):
                 self._json(400, {"error": "expected a websocket upgrade"})
@@ -204,10 +219,15 @@ def make_handler(transcriber, batcher):
             def _decode_shared(window_audio):
                 # Route each stream window through the SHARED batcher:
                 # concurrent streams pool into one batch / slot set
-                # instead of each paying a lone B=1 decode. Speaker
+                # instead of each paying a lone B=1 decode. The language
+                # is pinned per stream (never per-window auto-detect) and
+                # vad=False because the streaming gate already vetted the
+                # window — collapsing it again would decode condensed
+                # audio and break parity with the built-in path. Speaker
                 # labels are per-window cluster ids there — meaningless
                 # across a stream — so strip them (voiceprints stay).
-                res = batcher.submit(window_audio)
+                res = batcher.submit(window_audio, language=stream_lang,
+                                     vad=False)
                 for s in res.segments:
                     s.speaker = None
                 return res.segments

@@ -26,6 +26,7 @@ class _Pending:
     audio: Any
     sample_rate: Optional[int]
     language: Optional[str] = None
+    vad: Optional[bool] = None
     done: threading.Event = field(default_factory=threading.Event)
     result: Any = None
     error: Optional[BaseException] = None
@@ -49,13 +50,16 @@ class MicroBatcher:
 
     # ------------------------------------------------------------------
     def submit(self, audio, sample_rate: Optional[int] = None,
-               language: Optional[str] = None):
+               language: Optional[str] = None,
+               vad: Optional[bool] = None):
         """Enqueue one request and block until its result is ready.
 
         ``language`` is a per-request override: language changes only the
         decode prompt's content, not its length, so requests in different
-        languages still share one batch and one compiled program."""
-        req = _Pending(audio, sample_rate, language)
+        languages still share one batch and one compiled program.
+        ``vad`` overrides the configured vad_filter for this request
+        (the streaming path submits pre-gated windows with ``False``)."""
+        req = _Pending(audio, sample_rate, language, vad)
         with self._cv:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
@@ -107,6 +111,8 @@ class MicroBatcher:
                     kwargs = {}
                     if any(r.language is not None for r in reqs):
                         kwargs["languages"] = [r.language for r in reqs]
+                    if any(r.vad is not None for r in reqs):
+                        kwargs["vad"] = [r.vad for r in reqs]
                     results = self.transcriber.transcribe_many(
                         [r.audio for r in reqs], rate, **kwargs
                     )

@@ -319,6 +319,7 @@ class _Request:
     audio: Any
     sample_rate: Optional[int]
     language: Optional[str]
+    vad: Optional[bool] = None
     done: threading.Event = field(default_factory=threading.Event)
     result: Any = None
     error: Optional[BaseException] = None
@@ -357,8 +358,11 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------------
     def submit(self, audio, sample_rate: Optional[int] = None,
-               language: Optional[str] = None):
-        req = _Request(audio, sample_rate, language)
+               language: Optional[str] = None,
+               vad: Optional[bool] = None):
+        """``language``/``vad`` are per-request overrides (same contract
+        as :meth:`MicroBatcher.submit`)."""
+        req = _Request(audio, sample_rate, language, vad)
         with self._cv:
             if self._closed:
                 raise RuntimeError("ContinuousBatcher is closed")
@@ -367,6 +371,11 @@ class ContinuousBatcher:
         req.done.wait()
         if req.error is not None:
             raise req.error
+        # Assembly (per-window parsing, yoho voiceprint post-pass, stitch,
+        # diarization) runs HERE on the submitting caller's thread — the
+        # worker thread only dispatches admit/chunk programs, so a
+        # completing request never stalls other slots' decode cadence.
+        self._assemble(req)
         return req.result
 
     def close(self) -> None:
@@ -383,7 +392,7 @@ class ContinuousBatcher:
         t = self.t
         audio = t._prepare_audio(req.audio, req.sample_rate)
         req.original = audio
-        audio, req.vmap = t._apply_vad(audio)
+        audio, req.vmap = t._apply_vad(audio, req.vad)
         if len(audio) == 0:
             req.lang = req.language or t.language
             req.remaining = 0
@@ -447,16 +456,17 @@ class ContinuousBatcher:
             for j, w in enumerate(group):
                 windows[j] = w.window
                 tokens[j] = w.tokens
-            mel = t._features(jnp.asarray(windows))
+            # _to_device (not a bare jnp.asarray) so the batch follows the
+            # mesh sharding every other entry point applies.
+            mel = t._features(t._to_device(windows))
             t._attach_voiceprints(mel, tokens, segs[i : i + len(group)])
 
     def _finish(self, req: _Request, error: Optional[BaseException] = None):
+        """Mark decode-complete and wake the submitter. Assembly happens
+        in :meth:`submit` on the caller's thread (NOT here on the worker)
+        so a completing request's post-pass device work cannot stall the
+        chunk cadence of still-active slots."""
         req.error = error
-        if error is None:
-            try:
-                self._assemble(req)
-            except BaseException as e:  # noqa: BLE001 — deliver to caller
-                req.error = e
         self.requests_served += 1
         req.done.set()
 

@@ -778,9 +778,14 @@ class Transcriber:
             audio = resample(audio, sample_rate, self.sample_rate)
         return audio
 
-    def _apply_vad(self, audio: np.ndarray):
-        """Collapse silence (vad_filter on); returns (audio, SpeechMap|None)."""
-        if not self.vad_filter:
+    def _apply_vad(self, audio: np.ndarray, enabled: Optional[bool] = None):
+        """Collapse silence (vad_filter on); returns (audio, SpeechMap|None).
+
+        ``enabled`` overrides ``self.vad_filter`` for THIS call — the
+        server's streaming path submits windows that already passed the
+        streaming VAD gate and must NOT be collapsed a second time
+        (``cli/serve.py`` passes ``vad=False`` per window)."""
+        if not (self.vad_filter if enabled is None else enabled):
             return audio, None
         from yoho_tpu.audio.vad import collapse_silence
 
@@ -896,6 +901,7 @@ class Transcriber:
         audios: Sequence[Union[str, Path, np.ndarray]],
         sample_rate: Optional[int] = None,
         languages: Optional[Sequence[Optional[str]]] = None,
+        vad: Optional[Sequence[Optional[bool]]] = None,
     ) -> List[TranscriptionResult]:
         """Transcribe several audio sources through SHARED decode batches.
 
@@ -909,7 +915,15 @@ class Transcriber:
         per-request language overrides. Language only changes the prompt
         CONTENT, never its length, so mixed-language requests share one
         compiled decode program and even one decode batch.
+
+        ``vad`` (optional, one entry per audio) likewise overrides the
+        configured ``vad_filter`` per request; ``None`` entries keep the
+        configured behavior. The streaming server submits already-gated
+        windows with ``vad=False`` so they are never collapsed twice.
         """
+        if vad is not None and len(vad) != len(audios):
+            raise ValueError(f"vad has {len(vad)} entries for "
+                             f"{len(audios)} audios")
         prepared = [self._prepare_audio(a, sample_rate) for a in audios]
         # Source-timeline audio per request (the post-pass diarizer slices
         # segment spans from it; VAD replaces `prepared` with the
@@ -917,12 +931,10 @@ class Transcriber:
         originals = prepared
         # Host VAD: collapse silence per request before windowing (fewer
         # windows hit the chip); vad_maps restore source-timeline times.
-        vad_maps = []
-        if self.vad_filter:
-            prepared, vad_maps = map(list, zip(*[
-                self._apply_vad(a) for a in prepared])) if prepared else ([], [])
-        else:
-            vad_maps = [None] * len(prepared)
+        vad_over = list(vad) if vad is not None else [None] * len(prepared)
+        pairs = [self._apply_vad(a, v) for a, v in zip(prepared, vad_over)]
+        prepared = [p[0] for p in pairs]
+        vad_maps = [p[1] for p in pairs]
         # Auto language ID (whisper, language=None): all requests' first
         # windows share batched detection calls. The decode prompt rides as
         # a traced argument with a language-independent length, so

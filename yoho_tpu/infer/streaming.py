@@ -63,7 +63,11 @@ class StreamingTranscriber:
         t._attach_quality([segs], lengths, aux)
         t._attach_voiceprints(mel[:1], tokens[:1], [segs])
         t._attach_words(mel[:1], tokens[:1], lengths[:1], [segs])
-        self._pending.append((window_start, segs))
+        # shifted(0) quantizes times to the same 1 ms grid the hook path's
+        # segments already carry (stitch_segments rounds inside
+        # _finalize_request) — midpoint ownership in _finalize and the
+        # final timestamps are then bit-identical across both paths.
+        self._pending.append((window_start, [s.shifted(0) for s in segs]))
 
     def _finalize(self, final: bool) -> List[Segment]:
         """Apply the midpoint-ownership rule across pending windows."""
