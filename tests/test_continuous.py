@@ -122,10 +122,12 @@ def test_continuous_rejects_unsupported_configs(setup):
                         token_table=table, beams=3)
     with pytest.raises(ValueError, match="greedy"):
         ContinuousWhisperDecoder(beams)
-    ladder = Transcriber(model, variables, family="whisper",
-                         token_table=table, temperatures=(0.0, 0.5))
-    with pytest.raises(ValueError, match="temperature"):
-        ContinuousWhisperDecoder(ladder)
+    # Ladders starting at 0.0 are supported (rung 0 == slot greedy);
+    # a ladder whose FIRST rung samples cannot run in the argmax engine.
+    hot = Transcriber(model, variables, family="whisper",
+                      token_table=table, temperatures=(0.4, 0.6))
+    with pytest.raises(ValueError, match="ladder must start at 0.0"):
+        ContinuousWhisperDecoder(hot)
 
 
 def test_continuous_worker_survives_engine_errors(setup):
@@ -278,3 +280,79 @@ def test_continuous_per_request_vad_override(setup):
                [s.tokens for s in g_res.segments]
         assert [s.start for s in w.segments] == \
                [s.start for s in g_res.segments]
+
+
+def test_continuous_temperature_fallback_parity(setup):
+    """The whisper temperature-fallback ladder runs in continuous mode:
+    slot decodes are rung 0; windows failing the quality thresholds
+    re-decode at rungs > 0 in assemble — IDENTICAL tokens and recorded
+    temperatures to the batched path (same ladder helper, same compiled
+    sampling program, same rows)."""
+    cfg, model, variables, table, _ = setup
+    g = np.random.default_rng(5)
+    # ONE request spanning exactly 2 windows and batch_size == slots == 2:
+    # both paths ladder the same rows of the same (2, ...) mel batch, so
+    # even the sampled retries match bit-for-bit.
+    n = cfg.n_samples + (cfg.n_samples - int(0.05 * 16000))
+    audio = (0.1 * g.standard_normal(n)).astype(np.float32)
+    kw = dict(family="whisper", token_table=table, timestamps=False,
+              language="en", overlap_seconds=0.05,
+              temperatures=(0.0, 0.4), logprob_threshold=10.0)
+
+    plain = Transcriber(model, variables, batch_size=2, **kw)
+    want = plain.transcribe_many([audio])[0]
+
+    t = Transcriber(model, variables, batch_size=2, **kw)
+    batcher = ContinuousBatcher(t, max_batch=2, chunk_tokens=4)
+    try:
+        got = batcher.submit(audio)
+    finally:
+        batcher.close()
+
+    assert [s.tokens for s in want.segments] == \
+           [s.tokens for s in got.segments]
+    assert [s.temperature for s in want.segments] == \
+           [s.temperature for s in got.segments]
+    # Non-vacuous: the impossible threshold forced every window onto
+    # rung 1, so the ladder demonstrably ran in both paths.
+    assert {round(s.temperature, 3) for s in got.segments} == {0.4}
+    for ws, gs in zip(want.segments, got.segments):
+        assert abs((ws.avg_logprob or 0) - (gs.avg_logprob or 0)) < 1e-4
+
+
+def test_continuous_word_timestamps_parity(setup):
+    """word_timestamps through the slot engine: the assemble post-pass
+    runs the same teacher-forced DTW alignment as the batched path —
+    identical WordTiming lists."""
+    cfg, model, variables, _table, audios = setup
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    class FakeBackend:
+        def convert_ids_to_tokens(self, ids):
+            return ["Ġtok%d" % (i % 7) for i in ids]
+
+        def decode(self, ids):
+            return " ".join("tok%d" % (i % 7) for i in ids)
+
+    table = WhisperTokenTable(multilingual=True, text_backend=FakeBackend())
+    kw = dict(family="whisper", token_table=table, timestamps=False,
+              language="en", word_timestamps=True, no_speech_threshold=1.1)
+
+    plain = Transcriber(model, variables, batch_size=2, **kw)
+    want = plain.transcribe_many(audios[:3])
+
+    t = Transcriber(model, variables, batch_size=2, **kw)
+    batcher = ContinuousBatcher(t, max_batch=2, chunk_tokens=4)
+    try:
+        got = [batcher.submit(a) for a in audios[:3]]
+    finally:
+        batcher.close()
+
+    any_words = False
+    for w, g_res in zip(want, got):
+        for ws, gs in zip(w.segments, g_res.segments):
+            ww = [(x.word, x.start, x.end) for x in (ws.words or [])]
+            gw = [(x.word, x.start, x.end) for x in (gs.words or [])]
+            assert ww == gw
+            any_words = any_words or bool(ww)
+    assert any_words, "no segment produced words — test is vacuous"

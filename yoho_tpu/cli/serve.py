@@ -30,7 +30,8 @@ Concurrent requests are MICRO-BATCHED (yoho_tpu.infer.batching): their
 behind a lock. ``--continuous`` upgrades to slot-engine CONTINUOUS
 batching (yoho_tpu.infer.continuous): freed decode slots are refilled
 between token chunks, so a request waits at most ``--chunk-tokens`` steps
-instead of a full batch decode (greedy only).
+instead of a full batch decode (no beams/speculative; the temperature
+fallback ladder and word timestamps are supported).
 
 Usage: ``python -m yoho_tpu.cli.serve (--hf ... | --session ...)
 [--port 8000] [--batch 8] [--max-wait-ms 25]``
@@ -441,7 +442,9 @@ def serve(transcriber, port: int = 8000, host: str = "127.0.0.1",
     the slot engine (``infer/continuous.py``): freed decode slots are
     refilled between ``chunk_tokens``-token chunks, so a new request
     waits at most one chunk instead of a full batch decode and finished
-    slots never idle behind a slow stream. Greedy decoding only."""
+    slots never idle behind a slow stream. Slot decodes are greedy (no
+    beams/speculative); the temperature ladder and word timestamps run
+    in the batcher's assemble step."""
     if continuous:
         from yoho_tpu.infer.continuous import ContinuousBatcher
 

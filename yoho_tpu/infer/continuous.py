@@ -21,9 +21,13 @@ Greedy parity: a window decoded through slots produces the IDENTICAL
 token sequence as ``greedy_decode`` (same suppression, timestamp rules,
 quality signals) — pinned in tests/test_continuous.py.
 
-Scope: whisper AND yoho families, greedy (no beams/speculative/
-temperature ladder); yoho voiceprints are extracted by the batcher's
-post-pass, exactly like the batched path. Admissions batch too (one fixed-shape admit program
+Scope: whisper AND yoho families; slot decodes are greedy (no beams /
+speculative), but the whisper temperature-fallback ladder IS supported —
+slot decodes are rung 0, and failed windows re-decode at rungs > 0 in
+the batcher's assemble step (same `_run_fallback_ladder` as the batched
+path, on the submitting caller's thread). Yoho voiceprints and whisper
+word timestamps are extracted by the batcher's post-pass, exactly like
+the batched path. Admissions batch too (one fixed-shape admit program
 encodes + prefills up to S windows per call), so the encoder amortizes
 like the batched path; bulk offline throughput can still favor
 ``Transcriber.transcribe_many`` when every stream decodes the same
@@ -73,9 +77,11 @@ class ContinuousWhisperDecoder:
         if t.beams > 1 or t.draft_model is not None:
             raise ValueError("continuous batching is greedy-only "
                              "(no beams / speculative)")
-        if tuple(t.temperatures) != (0.0,):
-            raise ValueError("continuous batching does not run the "
-                             "temperature fallback ladder")
+        if t.temperatures and t.temperatures[0] != 0.0:
+            # Rung 0 is the slot engine's greedy decode; rungs > 0 are
+            # handled by the batcher's assemble step (_run_fallback_ladder).
+            raise ValueError("continuous batching decodes rung 0 greedily; "
+                             "the temperature ladder must start at 0.0")
         self.t = t
         self.slots = int(slots or t.batch_size)
         self.chunk_tokens = int(chunk_tokens)
@@ -341,9 +347,6 @@ class ContinuousBatcher:
     def __init__(self, transcriber, max_batch: Optional[int] = None,
                  max_wait_ms: float = 0.0, chunk_tokens: int = 16):
         del max_wait_ms  # admission happens between chunks; no wait knob
-        if transcriber.word_timestamps:
-            raise ValueError("continuous batching does not support "
-                             "word_timestamps yet — use the MicroBatcher")
         self.t = transcriber
         self.engine = ContinuousWhisperDecoder(
             transcriber, slots=max_batch, chunk_tokens=chunk_tokens)
@@ -427,6 +430,8 @@ class ContinuousBatcher:
                                               for w in req.windows]),
                 "used_temperature": np.zeros(n, np.float32),
             }
+            if t.family == "whisper" and len(t.temperatures) > 1:
+                lengths = self._fallback_retry(req, lengths, aux)
             silent = t._silent_mask(lengths, aux)
             segs = [[] if silent[j] else
                     t._tokens_to_segments(req.windows[j].tokens,
@@ -434,17 +439,24 @@ class ContinuousBatcher:
                     for j in range(n)]
             t._attach_quality(segs, lengths, aux)
             if t.family == "yoho":
-                self._attach_voiceprints(req, segs)
+                self._post_pass(req, lambda mel, tok, sl: t._attach_voiceprints(
+                    mel, tok, segs[sl]))
+            if (t.word_timestamps and t.family == "whisper"
+                    and t.token_table.text_backend is not None):
+                self._post_pass(req, lambda mel, tok, sl: t._attach_words(
+                    mel, tok, lengths[sl], segs[sl]))
             per_window = segs
         req.result = t._finalize_request(per_window, req.starts, req.vmap,
                                          req.original, req.lang)
 
-    def _attach_voiceprints(self, req: _Request, segs) -> None:
-        """yoho family: one teacher-forced pass per window chunk extracts
-        speaker embeddings at <|voiceprint|> positions (the batched path
-        does this inside transcribe_many; here windows arrive from slots).
-        Chunks are padded to the slot count so ONE compiled program
-        serves every request size."""
+    def _post_pass(self, req: _Request, fn) -> None:
+        """Run a teacher-forced post-pass (yoho voiceprint extraction /
+        whisper word-timestamp alignment — the batched path does these
+        inside transcribe_many; here windows arrive from slots) over the
+        request's windows in groups PADDED to the slot count, so ONE
+        compiled program serves every request size. ``fn(mel, tokens,
+        slice)`` receives the padded (S, ...) device batch and the
+        request-relative window slice it covers."""
         t = self.t
         S = self.engine.slots
         n = len(req.windows)
@@ -459,7 +471,55 @@ class ContinuousBatcher:
             # _to_device (not a bare jnp.asarray) so the batch follows the
             # mesh sharding every other entry point applies.
             mel = t._features(t._to_device(windows))
-            t._attach_voiceprints(mel, tokens, segs[i : i + len(group)])
+            fn(mel, tokens, slice(i, i + len(group)))
+
+    def _fallback_retry(self, req: _Request, lengths: np.ndarray, aux):
+        """Whisper temperature-ladder parity: slot decodes ARE rung 0
+        (greedy); windows failing the quality thresholds re-decode at
+        rungs > 0 through the SAME `_run_fallback_ladder` the batched
+        path uses, over groups padded to the slot count. Runs on the
+        submitting caller's thread — retries never stall the engine.
+        Returns the (possibly updated) lengths array; tokens and aux are
+        updated in place (windows' `.tokens` included)."""
+        t = self.t
+        S = self.engine.slots
+        n = len(req.windows)
+        for i in range(0, n, S):
+            group = req.windows[i : i + S]
+            k = len(group)
+            tokens = np.full((S, self.engine.max_len), self.engine.eot,
+                             np.int32)
+            # Padding rows carry length == prompt_len: zero generated
+            # tokens, avg logprob 0, empty text — never retried.
+            lens = np.full((S,), group[0].prompt.shape[0], np.int32)
+            gaux = {
+                "sum_logprob": np.zeros((S,), np.float32),
+                "no_speech_prob": np.zeros((S,), np.float32),
+                "used_temperature": np.zeros((S,), np.float32),
+            }
+            prompt = np.zeros((S, group[0].prompt.shape[0]), np.int32)
+            for j, w in enumerate(group):
+                tokens[j] = w.tokens
+                lens[j] = lengths[i + j]
+                prompt[j] = w.prompt
+                for key in ("sum_logprob", "no_speech_prob"):
+                    gaux[key][j] = aux[key][i + j]
+
+            def make_mel(ws=group):
+                windows = np.zeros((S, t.chunk_samples), np.float32)
+                for j, w in enumerate(ws):
+                    windows[j] = w.window
+                return t._features(t._to_device(windows))
+
+            t._run_fallback_ladder(S, make_mel, prompt, tokens, lens, gaux)
+
+            for j, w in enumerate(group):
+                w.tokens = tokens[j]
+                lengths[i + j] = lens[j]
+                for key in ("sum_logprob", "no_speech_prob",
+                            "used_temperature"):
+                    aux[key][i + j] = gaux[key][j]
+        return lengths
 
     def _finish(self, req: _Request, error: Optional[BaseException] = None):
         """Mark decode-complete and wake the submitter. Assembly happens

@@ -560,9 +560,26 @@ class Transcriber:
         aux = {k: np.array(v) for k, v in aux.items()}
         aux["used_temperature"] = np.full((b,), self.temperatures[0],
                                           np.float32)
-        if len(self.temperatures) <= 1 or self.family != "whisper" or self.beams > 1:
-            return tokens, lengths, aux
+        self._run_fallback_ladder(b, mel, prompt, tokens, lengths, aux)
+        return tokens, lengths, aux
 
+    def _run_fallback_ladder(self, b: int, mel, prompt,
+                             tokens: np.ndarray, lengths: np.ndarray,
+                             aux) -> None:
+        """Ladder rungs > 0: re-decode failed windows at rising
+        temperature, mutating ``tokens``/``lengths``/``aux`` in place.
+        Shared by :meth:`_decode_with_fallback` and the continuous
+        batcher's assemble step (``infer/continuous.py``), so the two
+        paths apply identical failure criteria and retries.
+
+        ``mel`` may be a zero-arg callable producing the mel batch — it
+        is only materialized if some window actually fails (the
+        continuous path would otherwise recompute features per request
+        just to discover nothing needs retrying)."""
+        if len(self.temperatures) <= 1 or self.family != "whisper" or self.beams > 1:
+            return
+
+        prompt_len = None if prompt is None else prompt.shape[1]
         n_prompt = prompt_len if prompt_len is not None else len(self._prompt_ids())
         for temp in self.temperatures[1:]:
             gen = np.maximum(lengths - n_prompt, 1)
@@ -577,6 +594,8 @@ class Transcriber:
             failed &= ~self._silent_mask(lengths, aux, n_prompt)
             if not failed.any():
                 break
+            if callable(mel):
+                mel = mel()
             t2, l2, a2 = self._decode_fn(b, temp, prompt_len)(
                 self.variables, mel, prompt)
             t2, l2 = np.asarray(t2), np.asarray(l2)
@@ -586,7 +605,6 @@ class Transcriber:
             for k in a2:
                 aux[k][failed] = a2[k][failed]
             aux["used_temperature"][failed] = temp
-        return tokens, lengths, aux
 
     def _silent_mask(self, lengths: np.ndarray, aux,
                      n_prompt: Optional[int] = None) -> np.ndarray:
