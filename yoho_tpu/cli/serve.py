@@ -424,6 +424,9 @@ def make_handler(transcriber, batcher):
                         {"start": s.start, "end": s.end, "text": s.text,
                          **s.quality_payload(),
                          "speaker": s.speaker,
+                         **({"words": [{"word": w.word, "start": w.start,
+                                        "end": w.end} for w in s.words]}
+                            if s.words else {}),
                          "voiceprint": (s.voiceprint.tolist()
                                         if s.voiceprint is not None else None)}
                         for s in result.segments
