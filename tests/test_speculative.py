@@ -255,3 +255,54 @@ def test_speculative_aux_sum_logprob_matches_greedy(setup):
                                np.asarray(aux_g["sum_logprob"]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(aux_s["no_speech_prob"]),
                                np.asarray(aux_g["no_speech_prob"]), atol=1e-5)
+
+
+def test_cli_draft_wiring(monkeypatch):
+    """--draft-hf plumbs a draft model into the Transcriber (CLI surface):
+    the built transcriber decodes greedy-identically to a draft-free one,
+    and a vocab-mismatched draft is rejected loudly."""
+    import jax
+    import jax.numpy as jnp
+
+    from yoho_tpu.cli import transcribe as cli
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.whisper import Whisper
+
+    def fake_ckpt(vocab, seed):
+        cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                            n_audio_head=4, n_audio_layer=1, n_vocab=vocab,
+                            n_text_ctx=16, n_text_state=32, n_text_head=4,
+                            n_text_layer=1, chunk_seconds=0.32)
+        params = Whisper(cfg).init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, 32, 8), jnp.float32),
+            jnp.zeros((1, 4), jnp.int32))["params"]
+        return cfg, params
+
+    ckpts = {"main": fake_ckpt(51865, 0), "draft": fake_ckpt(51865, 1),
+             "badvocab": fake_ckpt(51866, 2)}
+    monkeypatch.setattr("yoho_tpu.nn.convert.load_hf_whisper",
+                        lambda path, dtype=None: ckpts[path])
+    # No tokenizer files at the fake paths; the hub fallback would hang
+    # without network access.
+    monkeypatch.setattr("yoho_tpu.text.gpt2_bpe.load_text_backend",
+                        lambda path: None)
+
+    t = cli.build_whisper_transcriber("main", beams=0, batch=1,
+                                      language="en", timestamps=False,
+                                      draft_hf="draft", speculative_gamma=3)
+    assert t.draft_model is not None and t.speculative_gamma == 3
+
+    plain = cli.build_whisper_transcriber("main", beams=0, batch=1,
+                                          language="en", timestamps=False)
+    g = np.random.default_rng(0)
+    audio = (0.1 * g.standard_normal(5120)).astype(np.float32)
+    want = plain.transcribe(audio)
+    got = t.transcribe(audio)
+    assert [s.tokens for s in want.segments] == \
+           [s.tokens for s in got.segments]
+
+    with pytest.raises(ValueError, match="draft vocab"):
+        cli.build_whisper_transcriber("main", beams=0, batch=1,
+                                      language="en", timestamps=False,
+                                      draft_hf="badvocab")

@@ -506,7 +506,19 @@ def main(argv=None):
                         help="whisper-family diarization: embed segment "
                              "spans with this session's trained voiceprint "
                              "encoder and cluster ('speaker' per segment)")
+    parser.add_argument("--draft-hf", type=str, default=None, metavar="PATH",
+                        help="speculative decoding via a small same-vocab "
+                             "draft checkpoint (greedy-identical; a "
+                             "single-stream latency feature — pair with "
+                             "--batch 1)")
+    parser.add_argument("--gamma", type=int, default=4,
+                        help="draft tokens per verify step (--draft-hf)")
     args = parser.parse_args(argv)
+    if args.draft_hf and not args.hf:
+        parser.error("--draft-hf requires --hf (whisper family)")
+    if args.draft_hf and (args.beams or args.continuous):
+        parser.error("--draft-hf is greedy-only and runs whole-batch "
+                     "verify steps; drop --beams/--continuous")
 
     from yoho_tpu.cli.transcribe import (
         build_whisper_transcriber,
@@ -524,7 +536,9 @@ def main(argv=None):
                                       int8_weights=args.int8_weights,
                                       task=args.task,
                                       word_timestamps=args.word_timestamps,
-                                      vad_filter=args.vad, diarize=diarize)
+                                      vad_filter=args.vad, diarize=diarize,
+                                      draft_hf=args.draft_hf,
+                                      speculative_gamma=args.gamma)
     else:
         if args.diarize_session:
             print("warning: --diarize-session is ignored with --session — "

@@ -51,7 +51,8 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
                               condition_on_previous_text: bool = False,
                               task: str = "transcribe",
                               vad_filter: bool = False,
-                              diarize=None):
+                              diarize=None,
+                              draft_hf=None, speculative_gamma: int = 4):
     import jax.numpy as jnp
 
     from yoho_tpu.infer.pipeline import Transcriber
@@ -78,6 +79,21 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
               "transcripts will carry token ids with empty text. Add "
               "vocab.json+merges.txt or tokenizer.json to the checkpoint "
               "dir.", file=sys.stderr)
+    draft_model = draft_variables = None
+    if draft_hf:
+        # Speculative decoding: a small same-vocab draft proposes gamma
+        # tokens, the main model verifies in one pass — greedy-identical
+        # output (infer/speculative.py), a single-stream latency feature
+        # (the S>1 verify step stops fusing at large batch — see
+        # PERFORMANCE.md "XLA S>1 cliff").
+        d_cfg, d_params = load_hf_whisper(draft_hf)
+        if d_cfg.n_vocab != cfg.n_vocab:
+            raise ValueError(
+                f"draft vocab {d_cfg.n_vocab} != model vocab {cfg.n_vocab} "
+                "— speculative verify compares token ids, so the draft "
+                "must share the tokenizer (e.g. tiny/base for small..large-v2)")
+        draft_model = Whisper(d_cfg, dtype=jnp.bfloat16)
+        draft_variables = {"params": d_params}
     return Transcriber(
         model, {"params": params}, family="whisper", token_table=table,
         batch_size=batch, beams=beams, language=language,
@@ -89,6 +105,8 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
         task=task, vad_filter=vad_filter,
         diarize_encoder=diarize[0] if diarize else None,
         diarize_variables=diarize[1] if diarize else None,
+        draft_model=draft_model, draft_variables=draft_variables,
+        speculative_gamma=speculative_gamma,
     )
 
 
@@ -189,7 +207,20 @@ def main(argv=None):
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="capture a TensorBoard-compatible device trace "
                              "of the transcription into DIR (jax.profiler)")
+    parser.add_argument("--draft-hf", type=str, default=None, metavar="PATH",
+                        help="speculative decoding: a small same-vocab HF "
+                             "Whisper checkpoint drafts tokens the main "
+                             "model verifies (greedy-identical; a "
+                             "single-stream latency feature — use --batch 1)")
+    parser.add_argument("--gamma", type=int, default=4,
+                        help="draft tokens proposed per verify step "
+                             "(--draft-hf)")
     args = parser.parse_args(argv)
+    if args.draft_hf and not args.hf:
+        parser.error("--draft-hf requires --hf (whisper family)")
+    if args.draft_hf and args.beams:
+        parser.error("--draft-hf is greedy-only (speculative verify); "
+                     "drop --beams")
 
     temps = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if args.temperature_fallback else (0.0,)
     language = None if args.language == "auto" else args.language
@@ -206,7 +237,9 @@ def main(argv=None):
                                       condition_on_previous_text=(
                                           args.condition_on_previous_text),
                                       task=args.task, vad_filter=args.vad,
-                                      diarize=diarize)
+                                      diarize=diarize,
+                                      draft_hf=args.draft_hf,
+                                      speculative_gamma=args.gamma)
     else:
         if args.diarize_session:
             print("warning: --diarize-session is ignored with --session — "

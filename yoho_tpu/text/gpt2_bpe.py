@@ -347,9 +347,19 @@ def load_text_backend(model_path: str):
             return TiktokenBPE.from_file(candidates[0])
     except (OSError, ValueError):
         pass
+    if Path(model_path).exists():
+        # A LOCAL checkpoint without tokenizer files: transformers would
+        # reinterpret the path as a hub id and hit the network (hanging
+        # for minutes in offline environments) — nothing more to try.
+        return None
     try:
         from transformers import WhisperTokenizer
 
-        return WhisperTokenizer.from_pretrained(model_path)
+        try:
+            # Warm-cache resolution first: never touches the network.
+            return WhisperTokenizer.from_pretrained(model_path,
+                                                    local_files_only=True)
+        except Exception:
+            return WhisperTokenizer.from_pretrained(model_path)
     except Exception:
         return None
