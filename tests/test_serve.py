@@ -592,3 +592,41 @@ def test_stream_pins_language_never_autodetects():
                                f"detection {detects} times")
     finally:
         srv.shutdown()
+
+
+def test_serve_cli_temperature_fallback_and_gamma_wiring(monkeypatch):
+    """`serve --temperature-fallback` reaches the transcriber builder as the
+    whisper quality ladder (the feature the --continuous docstring
+    advertises), and --gamma < 1 is rejected at the parser."""
+    from yoho_tpu.cli import serve as cli
+
+    seen = {}
+
+    def fake_build(*args, **kwargs):
+        seen.update(kwargs)
+
+        class _T:  # duck-typed far enough for serve() to be skipped below
+            batch_size = 1
+
+        return _T()
+
+    class _Srv:
+        def serve_forever(self):
+            raise KeyboardInterrupt
+
+        def shutdown(self):
+            pass
+
+    monkeypatch.setattr("yoho_tpu.cli.transcribe.build_whisper_transcriber",
+                        fake_build)
+    monkeypatch.setattr(cli, "serve", lambda *a, **k: _Srv())
+    rc = cli.main(["--hf", "whatever", "--temperature-fallback"])
+    assert rc == 0
+    assert seen["temperatures"] == (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
+
+    seen.clear()
+    rc = cli.main(["--hf", "whatever"])
+    assert rc == 0 and seen["temperatures"] == (0.0,)
+
+    with pytest.raises(SystemExit):
+        cli.main(["--hf", "whatever", "--draft-hf", "d", "--gamma", "0"])

@@ -501,6 +501,10 @@ def main(argv=None):
     parser.add_argument("--word-timestamps", action="store_true",
                         help="attach word-level timings (cross-attention "
                              "DTW); surfaces as 'words' in verbose_json")
+    parser.add_argument("--temperature-fallback", action="store_true",
+                        help="retry low-quality windows at higher "
+                             "temperatures (whisper quality ladder; works "
+                             "with --continuous too)")
     parser.add_argument("--diarize-session", type=str, default=None,
                         metavar="NAME",
                         help="whisper-family diarization: embed segment "
@@ -519,6 +523,8 @@ def main(argv=None):
     if args.draft_hf and (args.beams or args.continuous):
         parser.error("--draft-hf is greedy-only and runs whole-batch "
                      "verify steps; drop --beams/--continuous")
+    if args.draft_hf and args.gamma < 1:
+        parser.error("--gamma must be >= 1")
 
     from yoho_tpu.cli.transcribe import (
         build_whisper_transcriber,
@@ -526,6 +532,8 @@ def main(argv=None):
         load_voiceprint_encoder,
     )
 
+    temps = ((0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if args.temperature_fallback
+             else (0.0,))
     if args.hf:
         diarize = (load_voiceprint_encoder(args.diarize_session, args.root)
                    if args.diarize_session else None)
@@ -536,6 +544,7 @@ def main(argv=None):
                                       int8_weights=args.int8_weights,
                                       task=args.task,
                                       word_timestamps=args.word_timestamps,
+                                      temperatures=temps,
                                       vad_filter=args.vad, diarize=diarize,
                                       draft_hf=args.draft_hf,
                                       speculative_gamma=args.gamma)

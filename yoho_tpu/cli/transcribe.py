@@ -92,7 +92,16 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
                 f"draft vocab {d_cfg.n_vocab} != model vocab {cfg.n_vocab} "
                 "— speculative verify compares token ids, so the draft "
                 "must share the tokenizer (e.g. tiny/base for small..large-v2)")
-        draft_model = Whisper(d_cfg, dtype=jnp.bfloat16)
+        if int8_weights:
+            # The draft's sequential gamma steps are the latency-critical
+            # inner loop and B=1 decode is weight-bound (PERFORMANCE.md) —
+            # quantize it alongside the main model. Verify still uses the
+            # main model, so output is unchanged either way.
+            from yoho_tpu.nn.quantize import quantize_whisper_decoder
+
+            d_params = quantize_whisper_decoder(d_params)
+        draft_model = Whisper(d_cfg, dtype=jnp.bfloat16,
+                              weights_int8=int8_weights)
         draft_variables = {"params": d_params}
     return Transcriber(
         model, {"params": params}, family="whisper", token_table=table,
@@ -221,6 +230,8 @@ def main(argv=None):
     if args.draft_hf and args.beams:
         parser.error("--draft-hf is greedy-only (speculative verify); "
                      "drop --beams")
+    if args.draft_hf and args.gamma < 1:
+        parser.error("--gamma must be >= 1")
 
     temps = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if args.temperature_fallback else (0.0,)
     language = None if args.language == "auto" else args.language

@@ -430,8 +430,12 @@ class ContinuousBatcher:
                                               for w in req.windows]),
                 "used_temperature": np.zeros(n, np.float32),
             }
+            # One mel computation per S-window group, shared between the
+            # fallback ladder and the teacher-forced post-passes (both
+            # group windows identically; keyed by group start index).
+            mel_cache: dict = {}
             if t.family == "whisper" and len(t.temperatures) > 1:
-                lengths = self._fallback_retry(req, lengths, aux)
+                lengths = self._fallback_retry(req, lengths, aux, mel_cache)
             silent = t._silent_mask(lengths, aux)
             segs = [[] if silent[j] else
                     t._tokens_to_segments(req.windows[j].tokens,
@@ -440,16 +444,32 @@ class ContinuousBatcher:
             t._attach_quality(segs, lengths, aux)
             if t.family == "yoho":
                 self._post_pass(req, lambda mel, tok, sl: t._attach_voiceprints(
-                    mel, tok, segs[sl]))
+                    mel, tok, segs[sl]), mel_cache)
             if (t.word_timestamps and t.family == "whisper"
                     and t.token_table.text_backend is not None):
                 self._post_pass(req, lambda mel, tok, sl: t._attach_words(
-                    mel, tok, lengths[sl], segs[sl]))
+                    mel, tok, lengths[sl], segs[sl]), mel_cache)
             per_window = segs
         req.result = t._finalize_request(per_window, req.starts, req.vmap,
                                          req.original, req.lang)
 
-    def _post_pass(self, req: _Request, fn) -> None:
+    def _group_mel(self, group, start: int, mel_cache: dict):
+        """Features for one pad-to-slot-count window group, computed at
+        most once per request (``mel_cache`` is keyed by the group's
+        start index and shared by the fallback ladder and post-passes)."""
+        if start in mel_cache:
+            return mel_cache[start]
+        t = self.t
+        windows = np.zeros((self.engine.slots, t.chunk_samples), np.float32)
+        for j, w in enumerate(group):
+            windows[j] = w.window
+        # _to_device (not a bare jnp.asarray) so the batch follows the
+        # mesh sharding every other entry point applies.
+        mel = t._features(t._to_device(windows))
+        mel_cache[start] = mel
+        return mel
+
+    def _post_pass(self, req: _Request, fn, mel_cache: dict) -> None:
         """Run a teacher-forced post-pass (yoho voiceprint extraction /
         whisper word-timestamp alignment — the batched path does these
         inside transcribe_many; here windows arrive from slots) over the
@@ -457,23 +477,19 @@ class ContinuousBatcher:
         compiled program serves every request size. ``fn(mel, tokens,
         slice)`` receives the padded (S, ...) device batch and the
         request-relative window slice it covers."""
-        t = self.t
         S = self.engine.slots
         n = len(req.windows)
         for i in range(0, n, S):
             group = req.windows[i : i + S]
-            windows = np.zeros((S, t.chunk_samples), np.float32)
             tokens = np.full((S, self.engine.max_len), self.engine.eot,
                              np.int32)
             for j, w in enumerate(group):
-                windows[j] = w.window
                 tokens[j] = w.tokens
-            # _to_device (not a bare jnp.asarray) so the batch follows the
-            # mesh sharding every other entry point applies.
-            mel = t._features(t._to_device(windows))
+            mel = self._group_mel(group, i, mel_cache)
             fn(mel, tokens, slice(i, i + len(group)))
 
-    def _fallback_retry(self, req: _Request, lengths: np.ndarray, aux):
+    def _fallback_retry(self, req: _Request, lengths: np.ndarray, aux,
+                        mel_cache: dict):
         """Whisper temperature-ladder parity: slot decodes ARE rung 0
         (greedy); windows failing the quality thresholds re-decode at
         rungs > 0 through the SAME `_run_fallback_ladder` the batched
@@ -505,11 +521,10 @@ class ContinuousBatcher:
                 for key in ("sum_logprob", "no_speech_prob"):
                     gaux[key][j] = aux[key][i + j]
 
-            def make_mel(ws=group):
-                windows = np.zeros((S, t.chunk_samples), np.float32)
-                for j, w in enumerate(ws):
-                    windows[j] = w.window
-                return t._features(t._to_device(windows))
+            def make_mel(ws=group, start=i):
+                # Lazy (only computed when a window actually re-decodes)
+                # and cached for the post-passes that follow.
+                return self._group_mel(ws, start, mel_cache)
 
             t._run_fallback_ladder(S, make_mel, prompt, tokens, lens, gaux)
 

@@ -348,10 +348,18 @@ def load_text_backend(model_path: str):
     except (OSError, ValueError):
         pass
     if Path(model_path).exists():
-        # A LOCAL checkpoint without tokenizer files: transformers would
-        # reinterpret the path as a hub id and hit the network (hanging
-        # for minutes in offline environments) — nothing more to try.
-        return None
+        # A LOCAL checkpoint whose tokenizer files our loaders rejected:
+        # transformers may still parse them (e.g. a non-BPE tokenizer.json),
+        # and for an existing path it reads files directly — but pin
+        # local_files_only so a stray hub-id interpretation can never hit
+        # the network (which hangs for minutes in offline environments).
+        try:
+            from transformers import WhisperTokenizer
+
+            return WhisperTokenizer.from_pretrained(model_path,
+                                                    local_files_only=True)
+        except Exception:
+            return None
     try:
         from transformers import WhisperTokenizer
 
