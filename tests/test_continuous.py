@@ -356,3 +356,64 @@ def test_continuous_word_timestamps_parity(setup):
             assert ww == gw
             any_words = any_words or bool(ww)
     assert any_words, "no segment produced words — test is vacuous"
+
+
+def test_continuous_cancellation_frees_slots(setup):
+    """A client disconnect mid-decode drops the request's queued windows,
+    frees its slots at the next chunk boundary, and leaves the engine
+    healthy for subsequent requests (exact parity preserved)."""
+    import time
+
+    from yoho_tpu.infer.batching import RequestCancelled
+
+    cfg, model, variables, table, audios = setup
+    kw = dict(family="whisper", token_table=table, timestamps=False)
+    plain = Transcriber(model, variables, batch_size=2, **kw)
+    want = plain.transcribe(audios[1])
+
+    t = Transcriber(model, variables, batch_size=2, **kw)
+    # Many windows so the request is still decoding when we cancel.
+    long_audio = np.concatenate([audios[0]] * 8)
+    batcher = ContinuousBatcher(t, max_batch=2, chunk_tokens=2,
+                                max_pending=8)
+    try:
+        flag = threading.Event()
+        errs = []
+
+        def run():
+            try:
+                batcher.submit(long_audio, cancelled=flag.is_set)
+            except BaseException as e:  # noqa: BLE001
+                errs.append(e)
+
+        th = threading.Thread(target=run)
+        th.start()
+        deadline = time.monotonic() + 60
+        while (batcher.engine.free_slots == batcher.engine.slots
+               and time.monotonic() < deadline):
+            time.sleep(0.01)
+        assert batcher.engine.free_slots < batcher.engine.slots, \
+            "decode never started"
+        flag.set()
+        th.join(timeout=60)
+        assert not th.is_alive()
+        assert len(errs) == 1 and isinstance(errs[0], RequestCancelled), errs
+
+        # The worker frees the slots at the next boundary.
+        deadline = time.monotonic() + 60
+        while (batcher.engine.free_slots != batcher.engine.slots
+               and time.monotonic() < deadline):
+            time.sleep(0.01)
+        stats = batcher.stats()
+        assert stats["requests_cancelled"] == 1
+        assert stats["inflight"] == 0
+        assert stats["active_slots"] == 0
+        assert stats["queue_depth"] == 0
+
+        # Engine healthy: the next request decodes exactly as batched.
+        got = batcher.submit(audios[1])
+        assert [s.tokens for s in want.segments] == \
+               [s.tokens for s in got.segments]
+        assert batcher.stats()["requests_served"] == 1
+    finally:
+        batcher.close()

@@ -3,6 +3,8 @@
 import io
 import json
 import threading
+import time
+import urllib.error
 import urllib.request
 import wave
 
@@ -611,10 +613,18 @@ def test_serve_cli_temperature_fallback_and_gamma_wiring(monkeypatch):
         return _T()
 
     class _Srv:
+        class batcher:  # noqa: N801 — instance attr stand-in
+            @staticmethod
+            def close():
+                pass
+
         def serve_forever(self):
             raise KeyboardInterrupt
 
         def shutdown(self):
+            pass
+
+        def server_close(self):
             pass
 
     monkeypatch.setattr("yoho_tpu.cli.transcribe.build_whisper_transcriber",
@@ -630,3 +640,110 @@ def test_serve_cli_temperature_fallback_and_gamma_wiring(monkeypatch):
 
     with pytest.raises(SystemExit):
         cli.main(["--hf", "whatever", "--draft-hf", "d", "--gamma", "0"])
+
+
+def test_microbatcher_backpressure_and_cancel():
+    """max_pending rejects fast with ServerOverloaded; a cancelled queued
+    request is dropped before dispatch and raises RequestCancelled."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from yoho_tpu.infer.batching import (
+        MicroBatcher,
+        RequestCancelled,
+        ServerOverloaded,
+    )
+
+    release = threading.Event()
+
+    class SlowT:
+        def transcribe_many(self, audios, sample_rate=None, **kw):
+            release.wait(30)
+            return ["ok"] * len(audios)
+
+    mb = MicroBatcher(SlowT(), max_batch=1, max_wait_ms=1, max_pending=2)
+    try:
+        with ThreadPoolExecutor(2) as pool:
+            f1 = pool.submit(mb.submit, np.zeros(4, np.float32))
+            # wait until the first request is dispatched (worker blocked)
+            deadline = 50
+            while mb.stats()["queue_depth"] == 0 and mb.inflight < 1 \
+                    and deadline:
+                time.sleep(0.05)
+                deadline -= 1
+            f2 = pool.submit(mb.submit, np.zeros(4, np.float32))
+            while mb.inflight < 2 and deadline:
+                time.sleep(0.05)
+                deadline -= 1
+            with pytest.raises(ServerOverloaded):
+                mb.submit(np.zeros(4, np.float32))
+            assert mb.stats()["requests_rejected"] == 1
+
+            # cancel: a queued (not yet dispatched) request is dropped
+            # fast even while the worker is stuck (cap raised so the
+            # submission itself is admitted)
+            mb.max_pending = 3
+            t0 = time.monotonic()
+            with pytest.raises(RequestCancelled):
+                mb.submit(np.zeros(4, np.float32),
+                          cancelled=lambda: True)
+            assert time.monotonic() - t0 < 5
+            assert mb.stats()["requests_cancelled"] >= 1
+
+            release.set()
+            assert f1.result(timeout=10) == "ok"
+            assert f2.result(timeout=10) == "ok"
+        stats = mb.stats()
+        assert stats["inflight"] == 0
+        assert stats["p50_ms"] is not None
+    finally:
+        release.set()
+        mb.close()
+
+
+def test_server_overload_503_and_statz_fallback():
+    """The HTTP layer maps ServerOverloaded to 503 + Retry-After, and
+    /statz still works for duck-typed batchers without stats()."""
+    from yoho_tpu.cli.serve import make_handler
+    from yoho_tpu.infer.batching import ServerOverloaded
+
+    class DuckT:
+        sample_rate = 16000
+
+    class OverloadB:
+        requests_served = 7
+        batches_dispatched = 3
+
+        def submit(self, audio, language=None, cancelled=None):
+            raise ServerOverloaded("full up")
+
+    from http.server import ThreadingHTTPServer
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0),
+                              make_handler(DuckT(), OverloadB()))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        req = urllib.request.Request(
+            url + "/transcribe", data=np.zeros(4, np.float32).tobytes(),
+            headers={"Content-Type": "application/octet-stream"})
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=10)
+        assert ei.value.code == 503
+        assert ei.value.headers["Retry-After"] == "1"
+
+        with urllib.request.urlopen(url + "/statz", timeout=10) as r:
+            stats = json.loads(r.read())
+        assert stats == {"requests_served": 7, "batches_dispatched": 3}
+    finally:
+        srv.shutdown()
+
+
+def test_statz_extended(server):
+    """The real batcher's /statz carries depth + latency percentiles."""
+    with urllib.request.urlopen(server + "/statz", timeout=10) as r:
+        stats = json.loads(r.read())
+    for key in ("requests_served", "requests_rejected",
+                "requests_cancelled", "inflight", "queue_depth",
+                "p50_ms", "p95_ms", "p99_ms"):
+        assert key in stats, stats

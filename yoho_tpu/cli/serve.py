@@ -50,6 +50,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from yoho_tpu.infer.batching import RequestCancelled, ServerOverloaded
+
 
 def _validate_language(transcriber, language) -> str:
     """'' when OK; an error message for an unknown whisper language code.
@@ -169,6 +171,14 @@ def _render_openai(result, response_format: str, duration: float, task: str):
 
 
 def make_handler(transcriber, batcher):
+    import inspect
+
+    try:
+        _supports_cancel = ("cancelled"
+                            in inspect.signature(batcher.submit).parameters)
+    except (TypeError, ValueError):
+        _supports_cancel = False
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
@@ -314,12 +324,41 @@ def make_handler(transcriber, batcher):
             elif path == "/healthz":
                 self._json(200, {"status": "ok"})
             elif path == "/statz":
-                self._json(200, {
-                    "requests_served": batcher.requests_served,
-                    "batches_dispatched": batcher.batches_dispatched,
-                })
+                # stats() adds backpressure/cancellation counters, queue
+                # depth and latency percentiles; duck-typed batchers in
+                # tests may only carry the two counters.
+                if hasattr(batcher, "stats"):
+                    self._json(200, batcher.stats())
+                else:
+                    self._json(200, {
+                        "requests_served": batcher.requests_served,
+                        "batches_dispatched": batcher.batches_dispatched,
+                    })
             else:
                 self._json(404, {"error": "not found"})
+
+        def _client_gone(self) -> bool:
+            """Liveness probe polled while blocked in the batcher: a
+            readable socket returning b'' means the client closed (the
+            request body was already read in full, so pending bytes can
+            only be a pipelined request — still alive)."""
+            import socket as _socket
+
+            try:
+                return self.connection.recv(
+                    1, _socket.MSG_PEEK | _socket.MSG_DONTWAIT) == b""
+            except (BlockingIOError, InterruptedError):
+                return False
+            except OSError:
+                return True
+
+        def _submit(self, audio, language=None):
+            if _supports_cancel:
+                return batcher.submit(audio, language=language,
+                                      cancelled=self._client_gone)
+            # Duck-typed batcher without the `cancelled` knob (tests,
+            # custom backends).
+            return batcher.submit(audio, language=language)
 
         def _send(self, code: int, ctype: str, body: bytes) -> None:
             self.send_response(code)
@@ -376,10 +415,21 @@ def make_handler(transcriber, batcher):
                     self._json(400, {"error": {
                         "message": err, "type": "invalid_request_error"}})
                     return
-                result = batcher.submit(audio, language=language)
+                result = self._submit(audio, language=language)
                 duration = len(audio) / transcriber.sample_rate
                 ctype_out, out = _render_openai(result, fmt, duration, task)
                 self._send(200, ctype_out, out)
+            except ServerOverloaded as e:
+                self.send_response(503)
+                self.send_header("Retry-After", "1")
+                body = json.dumps({"error": {
+                    "message": str(e), "type": "server_error"}}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except RequestCancelled:
+                self.close_connection = True  # client is gone; no reply
             except Exception as e:  # noqa: BLE001 — report, keep serving
                 self._json(500, {"error": {
                     "message": f"{type(e).__name__}: {e}",
@@ -416,7 +466,7 @@ def make_handler(transcriber, batcher):
                 if err:
                     self._json(400, {"error": err})
                     return
-                result = batcher.submit(audio, language=language)
+                result = self._submit(audio, language=language)
                 self._json(200, {
                     "text": result.text,
                     "language": result.language,
@@ -432,6 +482,16 @@ def make_handler(transcriber, batcher):
                         for s in result.segments
                     ],
                 })
+            except ServerOverloaded as e:
+                self.send_response(503)
+                self.send_header("Retry-After", "1")
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            except RequestCancelled:
+                self.close_connection = True  # client is gone; no reply
             except Exception as e:  # noqa: BLE001 — report, keep serving
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
@@ -440,25 +500,33 @@ def make_handler(transcriber, batcher):
 
 def serve(transcriber, port: int = 8000, host: str = "127.0.0.1",
           max_wait_ms: float = 25.0, continuous: bool = False,
-          chunk_tokens: int = 16):
+          chunk_tokens: int = 16, max_pending=None):
     """``continuous=True`` swaps the collect-then-batch MicroBatcher for
     the slot engine (``infer/continuous.py``): freed decode slots are
     refilled between ``chunk_tokens``-token chunks, so a new request
     waits at most one chunk instead of a full batch decode and finished
     slots never idle behind a slow stream. Slot decodes are greedy (no
     beams/speculative); the temperature ladder and word timestamps run
-    in the batcher's assemble step."""
+    in the batcher's assemble step.
+
+    ``max_pending`` bounds in-flight requests (backpressure): past it,
+    submissions fail fast with 503 + Retry-After instead of queueing
+    unboundedly behind a saturated chip. Client disconnects cancel their
+    request — queued work is dropped, and in continuous mode occupied
+    slots are freed at the next chunk boundary."""
     if continuous:
         from yoho_tpu.infer.continuous import ContinuousBatcher
 
         batcher = ContinuousBatcher(transcriber,
                                     max_batch=transcriber.batch_size,
-                                    chunk_tokens=chunk_tokens)
+                                    chunk_tokens=chunk_tokens,
+                                    max_pending=max_pending)
     else:
         from yoho_tpu.infer.batching import MicroBatcher
 
         batcher = MicroBatcher(transcriber, max_batch=transcriber.batch_size,
-                               max_wait_ms=max_wait_ms)
+                               max_wait_ms=max_wait_ms,
+                               max_pending=max_pending)
     server = ThreadingHTTPServer((host, port),
                                  make_handler(transcriber, batcher))
     server.batcher = batcher  # so callers/tests can read counters / close
@@ -486,6 +554,10 @@ def main(argv=None):
                              "(--continuous)")
     parser.add_argument("--max-wait-ms", type=float, default=25.0,
                         help="micro-batching window for concurrent requests")
+    parser.add_argument("--max-pending", type=int, default=256,
+                        help="backpressure: max in-flight requests before "
+                             "submissions get 503 + Retry-After (0 = "
+                             "unlimited)")
     parser.add_argument("--beams", type=int, default=0)
     parser.add_argument("--language", type=str, default="en")
     parser.add_argument("--task", type=str, default="transcribe",
@@ -558,13 +630,31 @@ def main(argv=None):
 
     server = serve(t, args.port, args.host, args.max_wait_ms,
                    continuous=args.continuous,
-                   chunk_tokens=args.chunk_tokens)
+                   chunk_tokens=args.chunk_tokens,
+                   max_pending=args.max_pending or None)
     print(f"serving on http://{args.host}:{args.port} "
           f"(POST /transcribe, GET /healthz)")
+
+    # Graceful drain: SIGTERM (the orchestrator's stop signal) behaves
+    # like Ctrl-C — stop accepting, finish in-flight decodes, exit 0.
+    import signal
+
+    def _term(_signum, _frame):
+        raise KeyboardInterrupt
+
+    try:
+        signal.signal(signal.SIGTERM, _term)
+    except ValueError:
+        pass  # not the main thread (embedded use)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
+        pass
+    finally:
         server.shutdown()
+        server.server_close()
+        server.batcher.close()  # drains queued + in-flight requests
+        print("drained; bye", file=sys.stderr)
     return 0
 
 

@@ -39,8 +39,10 @@ skewed decode lengths and staggered arrivals. No reference counterpart
 from __future__ import annotations
 
 import threading
+import time
+from collections import deque
 from dataclasses import dataclass, field
-from typing import Any, List, Optional
+from typing import Any, Callable, List, Optional
 
 import numpy as np
 
@@ -48,7 +50,7 @@ import jax
 import jax.numpy as jnp
 
 
-@dataclass
+@dataclass(eq=False)
 class _Window:
     """One 30 s window in flight."""
 
@@ -311,6 +313,20 @@ class ContinuousWhisperDecoder:
             done.append(win)
         return done
 
+    def release(self, pred) -> int:
+        """Free every occupied slot whose window matches ``pred`` without
+        reaping its tokens (request cancellation): the slot goes inactive
+        on device — it stops advancing in :meth:`step` and is refillable
+        by the next :meth:`admit_many` — and the window is discarded."""
+        idx = [s for s, w in enumerate(self._occupied)
+               if w is not None and pred(w)]
+        if not idx:
+            return 0
+        self.active = self.active.at[jnp.asarray(np.asarray(idx))].set(False)
+        for s in idx:
+            self._occupied[s] = None
+        return len(idx)
+
     @property
     def busy(self) -> bool:
         return any(w is not None for w in self._occupied)
@@ -320,7 +336,7 @@ class ContinuousWhisperDecoder:
         return sum(w is None for w in self._occupied)
 
 
-@dataclass
+@dataclass(eq=False)
 class _Request:
     audio: Any
     sample_rate: Optional[int]
@@ -335,6 +351,7 @@ class _Request:
     original: Any = None
     lang: Optional[str] = None
     remaining: int = 0
+    cancelled: bool = False
 
 
 class ContinuousBatcher:
@@ -345,33 +362,61 @@ class ContinuousBatcher:
     the engine (JAX dispatch stays single-threaded)."""
 
     def __init__(self, transcriber, max_batch: Optional[int] = None,
-                 max_wait_ms: float = 0.0, chunk_tokens: int = 16):
+                 max_wait_ms: float = 0.0, chunk_tokens: int = 16,
+                 max_pending: Optional[int] = None):
         del max_wait_ms  # admission happens between chunks; no wait knob
         self.t = transcriber
         self.engine = ContinuousWhisperDecoder(
             transcriber, slots=max_batch, chunk_tokens=chunk_tokens)
+        self.max_pending = max_pending
         self._queue: List[_Request] = []  # requests awaiting windowing
         self._window_queue: List[_Window] = []
         self._cv = threading.Condition()
         self._closed = False
         self.requests_served = 0
+        self.requests_rejected = 0
+        self.requests_cancelled = 0
+        self.inflight = 0
         self.batches_dispatched = 0  # chunk count (statz compatibility)
+        self._latencies = deque(maxlen=512)
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     # ------------------------------------------------------------------
     def submit(self, audio, sample_rate: Optional[int] = None,
                language: Optional[str] = None,
-               vad: Optional[bool] = None):
-        """``language``/``vad`` are per-request overrides (same contract
-        as :meth:`MicroBatcher.submit`)."""
+               vad: Optional[bool] = None,
+               cancelled: Optional[Callable[[], bool]] = None):
+        """``language``/``vad``/``cancelled`` are per-request overrides
+        (same contract as :meth:`MicroBatcher.submit`). A cancelled
+        request's queued windows are dropped and its occupied slots are
+        RELEASED at the next chunk boundary — the big win over the
+        micro-batcher, where a dispatched batch runs to completion."""
+        from yoho_tpu.infer.batching import RequestCancelled, ServerOverloaded
+
         req = _Request(audio, sample_rate, language, vad)
+        t0 = time.monotonic()
         with self._cv:
             if self._closed:
                 raise RuntimeError("ContinuousBatcher is closed")
+            if (self.max_pending is not None
+                    and self.inflight >= self.max_pending):
+                self.requests_rejected += 1
+                raise ServerOverloaded(
+                    f"{self.inflight} requests in flight >= max_pending "
+                    f"{self.max_pending}")
+            self.inflight += 1
             self._queue.append(req)
             self._cv.notify()
-        req.done.wait()
+        if cancelled is None:
+            req.done.wait()
+        else:
+            while not req.done.wait(timeout=0.25):
+                if cancelled():
+                    with self._cv:
+                        req.cancelled = True
+                        self._cv.notify()  # worker frees queued work/slots
+                    raise RequestCancelled("client went away")
         if req.error is not None:
             raise req.error
         # Assembly (per-window parsing, yoho voiceprint post-pass, stitch,
@@ -379,7 +424,24 @@ class ContinuousBatcher:
         # worker thread only dispatches admit/chunk programs, so a
         # completing request never stalls other slots' decode cadence.
         self._assemble(req)
+        self._latencies.append(time.monotonic() - t0)
         return req.result
+
+    def stats(self) -> dict:
+        from yoho_tpu.infer.batching import _percentiles
+
+        with self._cv:
+            d = {
+                "requests_served": self.requests_served,
+                "requests_rejected": self.requests_rejected,
+                "requests_cancelled": self.requests_cancelled,
+                "batches_dispatched": self.batches_dispatched,
+                "inflight": self.inflight,
+                "queue_depth": len(self._queue) + len(self._window_queue),
+                "active_slots": self.engine.slots - self.engine.free_slots,
+            }
+            d.update(_percentiles(list(self._latencies)))
+        return d
 
     def close(self) -> None:
         with self._cv:
@@ -536,14 +598,41 @@ class ContinuousBatcher:
                     aux[key][i + j] = gaux[key][j]
         return lengths
 
-    def _finish(self, req: _Request, error: Optional[BaseException] = None):
+    def _finish(self, req: _Request, error: Optional[BaseException] = None,
+                cancelled: bool = False):
         """Mark decode-complete and wake the submitter. Assembly happens
         in :meth:`submit` on the caller's thread (NOT here on the worker)
         so a completing request's post-pass device work cannot stall the
         chunk cadence of still-active slots."""
+        if req.done.is_set():
+            return  # e.g. cancelled while its last window also completed
         req.error = error
-        self.requests_served += 1
+        with self._cv:
+            self.inflight -= 1
+            if cancelled:
+                self.requests_cancelled += 1
+            else:
+                self.requests_served += 1
         req.done.set()
+
+    def _sweep_cancelled(self) -> None:
+        """Drop cancelled requests' queued windows and free their decode
+        slots (they stop costing chunk work at the next boundary). Runs
+        on the worker thread between device calls."""
+        gone = [w.req for w in self._window_queue
+                if w.req is not None and w.req.cancelled]
+        gone += [w.req for w in self.engine._occupied
+                 if w is not None and w.req is not None and w.req.cancelled]
+        if not gone:
+            return
+        self._window_queue = [w for w in self._window_queue
+                              if not (w.req is not None and w.req.cancelled)]
+        self.engine.release(lambda w: w.req is not None and w.req.cancelled)
+        from yoho_tpu.infer.batching import RequestCancelled
+
+        for req in {id(r): r for r in gone}.values():
+            self._finish(req, RequestCancelled("client went away"),
+                         cancelled=True)
 
     def _fail_inflight(self, error: BaseException) -> None:
         """Deliver ``error`` to every request with device work in flight
@@ -574,6 +663,9 @@ class ContinuousBatcher:
                 incoming, self._queue = self._queue, []
 
             for req in incoming:
+                if req.cancelled:
+                    self._finish(req, None, cancelled=True)
+                    continue
                 try:
                     self._prepare(req)
                 except BaseException as e:  # noqa: BLE001
@@ -583,6 +675,8 @@ class ContinuousBatcher:
                     self._finish(req)
                 else:
                     self._window_queue.extend(req.windows)
+
+            self._sweep_cancelled()
 
             # Device work is guarded: an engine exception (device OOM,
             # relay RPC failure, ...) must fail the in-flight requests
