@@ -21,8 +21,7 @@ from yoho_tpu.nn.yoho import YOHOModel
 from yoho_tpu.text.tokenizer import train_tokenizer
 
 
-@pytest.fixture(scope="module")
-def server():
+def _tiny_transcriber():
     cfg = YOHOConfig(
         n_mel_bands=16, max_audio_len=32, max_text_len=16, dims=32,
         n_audio_heads=4, n_audio_blocks=1, n_text_heads=4, n_text_blocks=1,
@@ -36,11 +35,22 @@ def server():
     tokens = jnp.asarray(g.integers(0, tok.vocab_size, size=(1, cfg.max_text_len)))
     variables = model.init(jax.random.PRNGKey(0), tokens, mel,
                            method=YOHOModel.forward_with_voiceprints)
-    t = Transcriber(model, variables, family="yoho", tokenizer=tok, batch_size=1)
+    return Transcriber(model, variables, family="yoho", tokenizer=tok,
+                       batch_size=1)
 
-    srv = serve(t, port=0)  # ephemeral port
+
+def _tiny_server():
+    """A fresh server instance for lifecycle tests (the module-scoped
+    ``server`` fixture must stay up for the other tests)."""
+    srv = serve(_tiny_transcriber(), port=0)  # ephemeral port
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
+    return srv, thread
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv, thread = _tiny_server()
     yield f"http://127.0.0.1:{srv.server_address[1]}"
     srv.shutdown()
 
@@ -747,3 +757,68 @@ def test_statz_extended(server):
                 "requests_cancelled", "inflight", "queue_depth",
                 "p50_ms", "p95_ms", "p99_ms"):
         assert key in stats, stats
+
+
+def test_drain_with_open_websocket_stream():
+    """Graceful drain must not hang on a connected /stream client: its
+    websocket read has no timeout, so drain() closes stream sockets
+    before the bounded handler-thread join."""
+    from yoho_tpu.cli.serve import drain
+
+    srv, thread = _tiny_server()
+    host, port = srv.server_address
+    s = _ws_connect((host, port))
+    deadline = time.monotonic() + 30
+    while not srv.stream_conns and time.monotonic() < deadline:
+        time.sleep(0.01)  # handler registers after the 101 handshake
+    assert srv.stream_conns, "stream never registered for drain"
+    t0 = time.monotonic()
+    drain(srv, timeout_s=15)
+    assert time.monotonic() - t0 < 60
+    thread.join(timeout=10)
+    assert not thread.is_alive()
+    s.close()
+
+
+def test_stream_rides_out_transient_overload():
+    """A transient ServerOverloaded from the shared batcher must not
+    tear down a live stream (which holds unreconstructable session
+    state) — the stream waits and retries instead."""
+    from yoho_tpu.cli.serve import drain
+    from yoho_tpu.infer.batching import ServerOverloaded
+
+    srv, _thread = _tiny_server()
+    try:
+        orig = srv.batcher.submit
+        calls = {"n": 0}
+
+        def flaky(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise ServerOverloaded("transient")
+            return orig(*a, **kw)
+
+        srv.batcher.submit = flaky
+        s = _ws_connect(srv.server_address)
+        _ws_send(s, np.zeros(5360, np.float32).tobytes(), opcode=2)
+        _ws_send(s, b'{"op": "end"}', opcode=1)
+        got_final, got_error = False, False
+        while True:
+            op, payload = _ws_recv(s)
+            if op == 8:
+                break
+            msg = json.loads(payload)
+            got_error = got_error or "error" in msg
+            got_final = got_final or bool(msg.get("final"))
+        assert got_final and not got_error, (got_final, got_error)
+        assert calls["n"] >= 2, "retry never happened"
+        s.close()
+    finally:
+        drain(srv, timeout_s=15)
+
+
+def test_negative_max_pending_rejected():
+    import yoho_tpu.cli.serve as cli
+
+    with pytest.raises(SystemExit):
+        cli.main(["--hf", "whatever", "--max-pending", "-1"])

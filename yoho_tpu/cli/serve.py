@@ -42,7 +42,10 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import socket
 import sys
+import threading
+import time
 import wave
 from email.parser import BytesParser
 from email.policy import HTTP as _HTTP_POLICY
@@ -183,11 +186,13 @@ def make_handler(transcriber, batcher):
         def log_message(self, fmt, *args):  # quiet
             pass
 
-        def _json(self, code: int, payload) -> None:
+        def _json(self, code: int, payload, extra_headers=None) -> None:
             body = json.dumps(payload, ensure_ascii=False).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for key, value in (extra_headers or {}).items():
+                self.send_header(key, value)
             self.end_headers()
             self.wfile.write(body)
 
@@ -226,6 +231,12 @@ def make_handler(transcriber, batcher):
             # keep-alive loop parses trailing client frames as HTTP
             # (spurious 400s on half-open clients).
             self.close_connection = True
+            # Register with the drain registry: the websocket read has no
+            # timeout, so graceful shutdown must be able to find and close
+            # this socket to unblock the handler thread (see drain()).
+            registry = getattr(self.server, "stream_conns", None)
+            if registry is not None:
+                registry.add(self.connection)
 
             def _decode_shared(window_audio):
                 # Route each stream window through the SHARED batcher:
@@ -237,8 +248,20 @@ def make_handler(transcriber, batcher):
                 # audio and break parity with the built-in path. Speaker
                 # labels are per-window cluster ids there — meaningless
                 # across a stream — so strip them (voiceprints stay).
-                res = batcher.submit(window_audio, language=stream_lang,
-                                     vad=False)
+                while True:
+                    try:
+                        res = self._submit(window_audio,
+                                           language=stream_lang, vad=False)
+                        break
+                    except ServerOverloaded:
+                        # A stream holds session state its client cannot
+                        # reconstruct by retrying — wait out transient
+                        # overload instead of shedding the whole stream
+                        # (one-shot HTTP requests get the retryable 503).
+                        if self._client_gone():
+                            raise ConnectionError(
+                                "client left during overload wait")
+                        time.sleep(0.25)
                 for s in res.segments:
                     s.speaker = None
                 return res.segments
@@ -304,7 +327,7 @@ def make_handler(transcriber, batcher):
                     else:
                         ws.send_text(self.wfile, json.dumps(
                             {"error": f"unknown op {op!r}"}))
-            except (ConnectionError, OSError):
+            except (ConnectionError, OSError, RequestCancelled):
                 return  # peer went away; nothing to answer
             except Exception as e:  # noqa: BLE001 — protocol violation /
                 # decode failure: report + close instead of a bare
@@ -316,6 +339,9 @@ def make_handler(transcriber, batcher):
                 except OSError:
                     pass
                 return
+            finally:
+                if registry is not None:
+                    registry.discard(self.connection)
 
         def do_GET(self):
             path = self.path.split("?", 1)[0]
@@ -341,24 +367,30 @@ def make_handler(transcriber, batcher):
             """Liveness probe polled while blocked in the batcher: a
             readable socket returning b'' means the client closed (the
             request body was already read in full, so pending bytes can
-            only be a pipelined request — still alive)."""
-            import socket as _socket
+            only be a pipelined request — still alive).
 
+            Known tradeoff: a FIN is also what a legal HTTP/1.1
+            half-close (``shutdown(SHUT_WR)`` while still reading the
+            response) looks like — indistinguishable from a full close
+            at this layer. Like mainstream servers we treat FIN as
+            disconnect: real clients that half-close are vanishingly
+            rare, and missing the common full-close disconnect would
+            defeat cancellation entirely."""
             try:
                 return self.connection.recv(
-                    1, _socket.MSG_PEEK | _socket.MSG_DONTWAIT) == b""
+                    1, socket.MSG_PEEK | socket.MSG_DONTWAIT) == b""
             except (BlockingIOError, InterruptedError):
                 return False
             except OSError:
                 return True
 
-        def _submit(self, audio, language=None):
+        def _submit(self, audio, language=None, **kw):
             if _supports_cancel:
                 return batcher.submit(audio, language=language,
-                                      cancelled=self._client_gone)
+                                      cancelled=self._client_gone, **kw)
             # Duck-typed batcher without the `cancelled` knob (tests,
             # custom backends).
-            return batcher.submit(audio, language=language)
+            return batcher.submit(audio, language=language, **kw)
 
         def _send(self, code: int, ctype: str, body: bytes) -> None:
             self.send_response(code)
@@ -420,14 +452,9 @@ def make_handler(transcriber, batcher):
                 ctype_out, out = _render_openai(result, fmt, duration, task)
                 self._send(200, ctype_out, out)
             except ServerOverloaded as e:
-                self.send_response(503)
-                self.send_header("Retry-After", "1")
-                body = json.dumps({"error": {
-                    "message": str(e), "type": "server_error"}}).encode()
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._json(503, {"error": {
+                    "message": str(e), "type": "server_error"}},
+                    extra_headers={"Retry-After": "1"})
             except RequestCancelled:
                 self.close_connection = True  # client is gone; no reply
             except Exception as e:  # noqa: BLE001 — report, keep serving
@@ -483,13 +510,8 @@ def make_handler(transcriber, batcher):
                     ],
                 })
             except ServerOverloaded as e:
-                self.send_response(503)
-                self.send_header("Retry-After", "1")
-                body = json.dumps({"error": str(e)}).encode()
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
+                self._json(503, {"error": str(e)},
+                           extra_headers={"Retry-After": "1"})
             except RequestCancelled:
                 self.close_connection = True  # client is gone; no reply
             except Exception as e:  # noqa: BLE001 — report, keep serving
@@ -530,7 +552,40 @@ def serve(transcriber, port: int = 8000, host: str = "127.0.0.1",
     server = ThreadingHTTPServer((host, port),
                                  make_handler(transcriber, batcher))
     server.batcher = batcher  # so callers/tests can read counters / close
+    server.stream_conns = set()  # live websocket sockets, for drain()
     return server
+
+
+def drain(server, timeout_s: float = 30.0) -> None:
+    """Gracefully stop ``server``: stop accepting, give in-flight
+    handlers a bounded grace period, then close the batcher (which
+    drains queued + dispatched device work).
+
+    ``ThreadingHTTPServer.server_close`` joins every handler thread
+    UNBOUNDED — a connected websocket stream (whose read has no timeout)
+    or a client stalled mid-request-body would hang shutdown forever,
+    exactly the ungraceful exit this path exists to prevent. So: close
+    live stream sockets first (unblocks their reads), then join with a
+    deadline, then hand any still-stuck daemon threads to process exit
+    instead of waiting on them."""
+    server.shutdown()
+    for conn in list(getattr(server, "stream_conns", ())):
+        try:
+            conn.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass  # already closed
+    threads = list(getattr(server, "_threads", None) or ())
+    deadline = time.monotonic() + timeout_s
+    for t in threads:
+        t.join(timeout=max(0.0, deadline - time.monotonic()))
+    # Replace the thread registry so server_close()'s unconditional
+    # join skips threads that outlived the grace period (they are
+    # daemonic; process exit reaps them).
+    import socketserver
+
+    server._threads = socketserver._NoThreads()
+    server.server_close()
+    server.batcher.close()
 
 
 def main(argv=None):
@@ -558,6 +613,9 @@ def main(argv=None):
                         help="backpressure: max in-flight requests before "
                              "submissions get 503 + Retry-After (0 = "
                              "unlimited)")
+    parser.add_argument("--drain-timeout", type=float, default=30.0,
+                        help="seconds to wait for in-flight requests on "
+                             "SIGTERM/Ctrl-C before exiting anyway")
     parser.add_argument("--beams", type=int, default=0)
     parser.add_argument("--language", type=str, default="en")
     parser.add_argument("--task", type=str, default="transcribe",
@@ -590,6 +648,8 @@ def main(argv=None):
     parser.add_argument("--gamma", type=int, default=4,
                         help="draft tokens per verify step (--draft-hf)")
     args = parser.parse_args(argv)
+    if args.max_pending < 0:
+        parser.error("--max-pending must be >= 0")
     if args.draft_hf and not args.hf:
         parser.error("--draft-hf requires --hf (whisper family)")
     if args.draft_hf and (args.beams or args.continuous):
@@ -651,9 +711,7 @@ def main(argv=None):
     except KeyboardInterrupt:
         pass
     finally:
-        server.shutdown()
-        server.server_close()
-        server.batcher.close()  # drains queued + in-flight requests
+        drain(server, timeout_s=args.drain_timeout)
         print("drained; bye", file=sys.stderr)
     return 0
 

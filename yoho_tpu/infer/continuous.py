@@ -609,7 +609,12 @@ class ContinuousBatcher:
         req.error = error
         with self._cv:
             self.inflight -= 1
-            if cancelled:
+            # req.cancelled covers the race where the client vanished
+            # during the very chunk that completed its last window: the
+            # worker reaches the normal completion path before
+            # _sweep_cancelled runs, but nobody received the result, so
+            # it must not count as served.
+            if cancelled or req.cancelled:
                 self.requests_cancelled += 1
             else:
                 self.requests_served += 1
