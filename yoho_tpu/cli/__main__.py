@@ -15,6 +15,8 @@ COMMANDS = {
     "transcribe": ("yoho_tpu.cli.transcribe", "Transcribe audio files"),
     "serve": ("yoho_tpu.cli.serve", "HTTP transcription server"),
     "evaluate": ("yoho_tpu.cli.evaluate", "WER/CER evaluation over a corpus"),
+    "finetune": ("yoho_tpu.cli.finetune",
+                 "Fine-tune a Whisper checkpoint on an SRT corpus"),
     "create-session": ("yoho_tpu.cli.create_session",
                        "Scaffold a training session"),
     "run-session": ("yoho_tpu.cli.run_session", "Run a training stage (0-4)"),

@@ -1,0 +1,405 @@
+"""TPU-native Whisper fine-tuning on an SRT corpus.
+
+The reference treats Whisper as a frozen inference demo
+(``yoho/src/nn/whisper.py``) — it cannot adapt a checkpoint to a domain.
+This module closes that gap the TPU way: the same (data, model) mesh /
+GSPMD machinery as the YOHO trainer (``train/trainer.py``), one jitted
+donated ``train_step`` (on-device mel -> encoder/decoder fwd+bwd -> CE),
+optax warmup-cosine AdamW with MultiSteps accumulation, and an exporter
+that writes the tuned params back as a standard HF checkpoint dir
+(``nn/export.py``) so the result serves anywhere — including this
+framework's ``--hf`` serving path.
+
+Data recipe: reuses ``TranscriptionDataloader``'s corpus indexing,
+utterance packing, context randomization, augmentation and
+reject-and-advance (parity chain back to reference
+``train/utils/dataloaders.py:77-218``), but renders Whisper-native
+targets: ``<|sot|><|lang|><|task|>[<|ts|>] text [<|ts|>] ... <|eot|>``
+with 0.02 s timestamp tokens, loss-masked so only post-prompt tokens
+(incl. EOT) carry CE.
+"""
+
+from __future__ import annotations
+
+import bisect
+from functools import partial
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training.train_state import TrainState
+
+from yoho_tpu.audio.frontend import whisper_log_mel
+from yoho_tpu.core.config import (
+    DatasetConfig,
+    SessionConfig,
+    WhisperConfig,
+    YOHOConfig,
+)
+from yoho_tpu.infer.decode import greedy_decode, make_whisper_step_fn
+from yoho_tpu.nn.whisper import Whisper
+from yoho_tpu.parallel.mesh import make_mesh, shard_batch
+from yoho_tpu.parallel.sharding import WHISPER_RULES, shard_params
+from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+from yoho_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint
+from yoho_tpu.train.dataloader import TranscriptionDataloader
+from yoho_tpu.train.metrics import MetricsWriter
+from yoho_tpu.train.trainer import masked_ce_loss
+
+
+def _shim_session(data_dir, cfg: WhisperConfig,
+                  language_whitelist: Optional[List[str]],
+                  max_target_len: int) -> SessionConfig:
+    """SessionConfig whose ``yoho`` block carries Whisper's window
+    numbers, so TranscriptionDataloader's sample recipe (which reads
+    ``config.yoho.{n_samples,max_input_seconds,sample_rate}``) cuts
+    Whisper-sized clips. YOHOConfig's sample-count identity
+    ``n_samples = n_fft + (L-1)*hop`` cannot hit 480 000 exactly
+    (2998.5 frames), so the shim clips to the nearest smaller length and
+    ``get_batch`` zero-pads the batch to the exact Whisper window."""
+    frames = max(1, (cfg.n_samples - cfg.n_fft) // cfg.hop_length + 1)
+    shim = YOHOConfig(
+        sample_rate=cfg.sample_rate,
+        n_mel_bands=cfg.n_mels,
+        n_fft=cfg.n_fft,
+        stft_hop=cfg.hop_length,
+        max_audio_len=frames,
+        max_text_len=max_target_len,
+    )
+    return SessionConfig(
+        name="whisper_finetune",
+        yoho=shim,
+        dataset=DatasetConfig(noisy=Path(data_dir), ambient=Path(data_dir)),
+        language_whitelist=list(language_whitelist or []),
+    )
+
+
+class WhisperFinetuneDataloader(TranscriptionDataloader):
+    """SRT+audio corpus -> (audio, whisper tokens, loss_mask) batches."""
+
+    def __init__(self, data_slice: Tuple[float, float], data_dir,
+                 cfg: WhisperConfig, table: WhisperTokenTable,
+                 batch_size: int, task: str = "transcribe",
+                 timestamps: bool = True,
+                 max_target_len: Optional[int] = None,
+                 language_whitelist: Optional[List[str]] = None,
+                 speechless_ratio: float = 0.0, **kwargs):
+        if table.text_backend is None:
+            raise RuntimeError(
+                "fine-tuning needs a text backend to ENCODE transcripts — "
+                "the checkpoint dir must carry vocab.json+merges.txt or "
+                "tokenizer.json (text/gpt2_bpe.load_text_backend)")
+        self.table = table
+        self.task = task
+        self.timestamps = timestamps
+        self.max_target_len = int(max_target_len or cfg.n_text_ctx)
+        self.n_samples_out = cfg.n_samples
+        session = _shim_session(data_dir, cfg, language_whitelist,
+                                self.max_target_len)
+        super().__init__(data_slice, session, tokenizer=None,
+                         batch_size=batch_size,
+                         speechless_ratio=speechless_ratio, **kwargs)
+
+    # ------------------------------------------------------------------
+    def _ts_token(self, seconds: float) -> int:
+        tick = int(round(seconds / 0.02))
+        return self.table.timestamp_begin + min(
+            max(tick, 0), self.table.num_timestamps - 1)
+
+    def _target_ids(self, utts, lang: str) -> Tuple[List[int], int]:
+        """-> (ids, prompt_len). Whisper training targets: the sot
+        sequence is prompt (no loss), then per utterance
+        ``[<|ts_start|>] text [<|ts_end|>]``, then EOT (with loss)."""
+        table = self.table
+        if lang not in table.languages:
+            lang = table.languages[0]
+        prompt = table.sot_sequence(lang, self.task,
+                                    timestamps=self.timestamps)
+        ids = list(prompt)
+        sr = self.config.yoho.sample_rate
+        for start, end, text in utts:
+            text = text.strip()
+            if self.timestamps:
+                ids.append(self._ts_token(start / sr))
+            if text:
+                # Leading space: GPT-2 byte-BPE merges are trained on
+                # space-prefixed words (OpenAI's convention for segment
+                # starts).
+                ids.extend(table.encode_text(" " + text))
+            if self.timestamps:
+                ids.append(self._ts_token(end / sr))
+        ids.append(table.eot)
+        T = self.max_target_len
+        if len(ids) > T:
+            ids = ids[:T - 1] + [table.eot]
+        return ids, len(prompt)
+
+    # ------------------------------------------------------------------
+    def get_batch(self, idx: int):
+        cfg = self.config.yoho
+        rng = np.random.default_rng((self.seed, self._epoch, idx))
+        i = idx * self.batch_size
+
+        samples = []
+        fallback_lang = (self.config.language_whitelist[0]
+                         if self.config.language_whitelist else "en")
+        for k in range(self.batch_size):
+            if self.speechless_ratio > 0 and rng.uniform() < self.speechless_ratio:
+                audio, utts = self._speechless_sample(rng)
+                samples.append((audio, utts, fallback_lang))
+                continue
+            sample_idx = int(self.index_table[(i + k) % len(self.index_table)])
+            for _attempt in range(int(self.sizes[-1])):
+                audio, utts = self._load_sample(rng, sample_idx)
+                if audio is not None:
+                    break
+                sample_idx = int((sample_idx + 1) % self.sizes[-1])
+            else:
+                raise RuntimeError(
+                    "every sample in the corpus exceeded n_samples after "
+                    "augmentation — clips are too long for "
+                    f"max_input_seconds={cfg.max_input_seconds:.1f}s")
+            lang = self.langs[bisect.bisect_right(self.sizes, sample_idx)]
+            samples.append((audio, utts, lang))
+
+        audio_batch = np.stack([s[0] for s in samples])
+        pad = self.n_samples_out - audio_batch.shape[1]
+        if pad > 0:  # shim identity undershoot (docstring above)
+            audio_batch = np.pad(audio_batch, ((0, 0), (0, pad)))
+
+        T = self.max_target_len
+        tokens = np.full((self.batch_size, T), self.table.eot, np.int32)
+        loss_mask = np.zeros((self.batch_size, T), np.uint8)
+        for r, (_audio, utts, lang) in enumerate(samples):
+            ids, prompt_len = self._target_ids(utts, lang)
+            tokens[r, :len(ids)] = ids
+            loss_mask[r, prompt_len:len(ids)] = 1
+        return audio_batch.astype(np.float32), tokens, loss_mask
+
+
+class WhisperFinetuner:
+    """Fine-tune a (converted) HF Whisper checkpoint on an SRT corpus."""
+
+    def __init__(self, cfg: WhisperConfig, params, table: WhisperTokenTable,
+                 data_dir, out_dir, *,
+                 batch_size: int = 8, updates: int = 1000,
+                 warmup_updates: int = 50, learning_rate: float = 1e-5,
+                 final_learning_rate: float = 1e-7,
+                 accumulated_batches: int = 1,
+                 freeze_encoder: bool = False,
+                 task: str = "transcribe", timestamps: bool = True,
+                 language_whitelist: Optional[List[str]] = None,
+                 speechless_ratio: float = 0.0, augment: bool = True,
+                 mesh=None, compute_dtype=jnp.bfloat16,
+                 validation_frequency: int = 100,
+                 validation_samples: int = 4,
+                 max_target_len: Optional[int] = None,
+                 use_multiprocessing: bool = False,
+                 src_dir=None, seed: int = 0):
+        self.cfg = cfg
+        self.table = table
+        self.out_dir = Path(out_dir)
+        self.src_dir = src_dir
+        self.updates = updates
+        self.accumulated_batches = accumulated_batches
+        self.validation_frequency = validation_frequency
+        self.validation_samples = validation_samples
+        self.freeze_encoder = freeze_encoder
+        self.out_dir.mkdir(parents=True, exist_ok=True)
+        self.checkpoint_path = self.out_dir / "finetune_checkpoint.msgpack"
+        self.metrics = MetricsWriter(self.out_dir / "metrics.csv",
+                                     self.out_dir / "validations.jsonl")
+
+        self.model = Whisper(cfg, dtype=compute_dtype)
+        self.mesh = mesh or make_mesh(-1, 1)
+
+        dl_kwargs = dict(
+            data_dir=data_dir, cfg=cfg, table=table, batch_size=batch_size,
+            task=task, timestamps=timestamps, max_target_len=max_target_len,
+            language_whitelist=language_whitelist,
+            speechless_ratio=speechless_ratio, augment=augment,
+            shuffle=True, use_multiprocessing=use_multiprocessing,
+            disable_warnings=True, warmup_queue=False,
+        )
+        self.train_dataloader = WhisperFinetuneDataloader(
+            (0.0, 0.9), seed=seed, **dl_kwargs)
+        try:
+            self.val_dataloader = WhisperFinetuneDataloader(
+                (0.9, 1.0), seed=seed + 1, **dl_kwargs)
+        except FileNotFoundError:
+            # Tiny corpora: fall back to a reshuffled train slice.
+            self.val_dataloader = WhisperFinetuneDataloader(
+                (0.0, 1.0), seed=seed + 1, **dl_kwargs)
+
+        warmup = min(warmup_updates, max(updates - 1, 0))
+        total = max(updates, warmup + 1)
+        self.lr_schedule = optax.schedules.warmup_cosine_decay_schedule(
+            0.0, learning_rate, warmup, total, final_learning_rate)
+        inner = optax.adamw(self.lr_schedule)
+        if freeze_encoder:
+            # The encoder is usually the part worth preserving (domain
+            # shift lives in the text side); freezing it also halves
+            # optimizer memory and most of the backward FLOPs.
+            inner = optax.multi_transform(
+                {"train": inner, "freeze": optax.set_to_zero()},
+                param_labels=lambda params: {
+                    k: ("freeze" if k == "encoder" else "train")
+                    for k in params})
+        self.optimizer = optax.MultiSteps(inner, accumulated_batches)
+
+        self.state = self._init_state(params)
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+    def _init_state(self, params) -> TrainState:
+        params = jax.tree_util.tree_map(
+            lambda x: np.asarray(x, dtype=np.float32), params)
+        params = shard_params(params, self.mesh, WHISPER_RULES)
+        state = jax.jit(lambda p: TrainState.create(
+            apply_fn=self.model.apply, params=p, tx=self.optimizer))(params)
+        restored = load_checkpoint(self.checkpoint_path, state.params,
+                                   state.opt_state)
+        if restored is not None:
+            step, params, opt_state = restored
+            params = shard_params(params, self.mesh, WHISPER_RULES)
+            opt_state = jax.tree_util.tree_map(
+                lambda ref, x: (jax.device_put(x, ref.sharding)
+                                if hasattr(ref, "sharding") else x),
+                state.opt_state, opt_state)
+            state = TrainState(step=jnp.asarray(step),
+                               apply_fn=self.model.apply, params=params,
+                               tx=self.optimizer, opt_state=opt_state)
+        return state
+
+    # ------------------------------------------------------------------
+    def _build_steps(self) -> None:
+        model, cfg = self.model, self.cfg
+        mel_fn = partial(whisper_log_mel, n_mels=cfg.n_mels,
+                         sample_rate=cfg.sample_rate, n_fft=cfg.n_fft,
+                         hop=cfg.hop_length)
+
+        def loss_fn(params, mel, tokens, loss_mask):
+            logits = model.apply({"params": params}, mel, tokens)
+            return masked_ce_loss(logits, tokens, loss_mask)
+
+        def train_step(state, audio, tokens, loss_mask):
+            mel = mel_fn(audio.astype(jnp.float32))
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, mel, tokens.astype(jnp.int32),
+                loss_mask.astype(jnp.uint8))
+            # No explicit pmean: grads of data-sharded batches are
+            # reduced by XLA through the sharded ops (GSPMD).
+            return state.apply_gradients(grads=grads), loss
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+
+        def val_loss_fn(params, audio, tokens, loss_mask):
+            mel = mel_fn(audio.astype(jnp.float32))
+            return loss_fn(params, mel, tokens.astype(jnp.int32),
+                           loss_mask.astype(jnp.uint8))
+
+        self._val_loss = jax.jit(val_loss_fn)
+
+        def decode_samples(params, audio, prompt):
+            mel = mel_fn(audio.astype(jnp.float32))
+            variables = {"params": params}
+            xa = model.apply(variables, mel, method=Whisper.encode_audio)
+            ckv = model.apply(variables, xa, method=Whisper.cross_kvs)
+            caches = model.apply(variables, prompt.shape[0], jnp.float32,
+                                 method=Whisper.init_caches)
+            step = make_whisper_step_fn(model, variables, ckv)
+            return greedy_decode(step, caches, prompt,
+                                 min(cfg.n_text_ctx,
+                                     self.train_dataloader.max_target_len),
+                                 self.table.eot)
+
+        self._decode_samples = jax.jit(decode_samples)
+
+    # ------------------------------------------------------------------
+    def _render(self, row, mask=None) -> str:
+        ids = [int(t) for t in row]
+        if mask is not None:
+            nz = np.nonzero(mask)[0]
+            ids = ids[:int(nz[-1]) + 1] if len(nz) else []
+        if self.table.eot in ids:
+            ids = ids[:ids.index(self.table.eot)]
+        return self.table.decode_text(ids)
+
+    def _validate(self, update: int) -> float:
+        val_batch = self.val_dataloader.get_prepared_batch()
+        val_loss = float(self._val_loss(
+            self.state.params, *map(jnp.asarray, val_batch[:3])))
+
+        n = min(self.validation_samples, len(val_batch[0]))
+        lang = (self.train_dataloader.config.language_whitelist or ["en"])[0]
+        prompt = jnp.asarray([self.table.sot_sequence(
+            lang, self.train_dataloader.task,
+            timestamps=self.train_dataloader.timestamps)] * n, jnp.int32)
+        decoded, _lengths = self._decode_samples(
+            self.state.params, jnp.asarray(val_batch[0][:n]), prompt)
+        decoded = np.asarray(decoded)
+        correct = [self._render(t, m)
+                   for t, m in zip(val_batch[1][:n], val_batch[2][:n])]
+        predicted = [self._render(row[prompt.shape[1]:]) for row in decoded]
+        self.metrics.write_validation(correct, predicted, [], [])
+        return val_loss
+
+    # ------------------------------------------------------------------
+    def run(self, progress: bool = False) -> Path:
+        acc = self.accumulated_batches
+        target_steps = self.updates * acc
+        ckpt = AsyncCheckpointer(self.checkpoint_path, install_sigterm=True)
+        pbar = None
+        if progress:
+            from tqdm import tqdm
+
+            pbar = tqdm(initial=int(self.state.step) // acc,
+                        total=self.updates)
+        acc_loss, seen = 0.0, 0
+        completed = False
+        try:
+            while int(self.state.step) < target_steps:
+                step = int(self.state.step)
+                batch = self.train_dataloader.get_prepared_batch()
+                batch = shard_batch(self.mesh,
+                                    tuple(np.asarray(x) for x in batch))
+                self.state, loss = self._train_step(self.state, *batch)
+                acc_loss += float(loss)
+                seen += 1
+                if step % acc == acc - 1:
+                    update = (step + 1) // acc
+                    batch_loss = acc_loss / max(seen, 1)
+                    acc_loss, seen = 0.0, 0
+                    if pbar is not None:
+                        pbar.update()
+                        pbar.set_postfix_str(f"loss {batch_loss:.4e}")
+                    val_loss = None
+                    if update % self.validation_frequency == 0:
+                        val_loss = self._validate(update)
+                        ckpt.save(self.state.step, self.state.params,
+                                  self.state.opt_state)
+                    self.metrics.log(update, float(self.lr_schedule(update)),
+                                     batch_loss, val_loss)
+            completed = True
+        finally:
+            ckpt.save(self.state.step, self.state.params, self.state.opt_state)
+            ckpt.close()
+            self.train_dataloader.terminate()
+            self.val_dataloader.terminate()
+            if completed:
+                self.export()
+            if pbar is not None:
+                pbar.close()
+        return self.out_dir
+
+    def export(self) -> Path:
+        """Write the tuned params as an HF checkpoint dir (nn/export.py)."""
+        from yoho_tpu.nn.export import export_hf_whisper
+
+        params = jax.device_get(self.state.params)
+        return export_hf_whisper(params, self.cfg, self.out_dir,
+                                 src_dir=self.src_dir)
