@@ -265,3 +265,66 @@ def test_freeze_encoder_trains_decoder_only(corpus, table, tmp_path):
         lambda a, b: not np.array_equal(a, b),
         before["decoder"], after["decoder"])
     assert any(jax.tree_util.tree_leaves(dec_moved)), "decoder frozen too"
+
+
+def test_single_file_corpus_and_provenance_guard(corpus, table, tmp_path):
+    """(a) A 1-track corpus must train (the 0.9 train slice rounds to 0
+    files); (b) a stale checkpoint in --out from a DIFFERENT source must
+    refuse to resume instead of silently ignoring the new weights."""
+    import shutil
+
+    from yoho_tpu.train.whisper_finetune import WhisperFinetuner
+
+    single = tmp_path / "single"
+    (single / "transcripts").mkdir(parents=True)
+    (single / "audio").mkdir()
+    shutil.copyfile(corpus / "transcripts" / "t0.srt",
+                    single / "transcripts" / "t0.srt")
+    shutil.copyfile(corpus / "audio" / "t0.wav", single / "audio" / "t0.wav")
+
+    cfg = WhisperConfig(**TINY)
+    model = Whisper(cfg, dtype=jnp.float32)
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(3),
+        jnp.zeros((1, cfg.n_frames, cfg.n_mels), jnp.float32),
+        jnp.zeros((1, 4), jnp.int32))["params"]
+
+    out = tmp_path / "single_out"
+    tuner = WhisperFinetuner(
+        cfg, params, table, single, out,
+        batch_size=8, updates=1, warmup_updates=0, learning_rate=1e-4,
+        timestamps=False, augment=False, language_whitelist=["en"],
+        compute_dtype=jnp.float32, validation_frequency=0, seed=0)
+    tuner.run()
+    assert (out / "finetune_checkpoint.msgpack").exists()
+    assert (out / "finetune_checkpoint.meta.json").exists()
+
+    # Same source: resuming is fine (constructs without error).
+    again = WhisperFinetuner(
+        cfg, params, table, single, out,
+        batch_size=8, updates=1, warmup_updates=0, learning_rate=1e-4,
+        timestamps=False, augment=False, language_whitelist=["en"],
+        compute_dtype=jnp.float32, validation_frequency=0, seed=0)
+    assert int(again.state.step) == 1  # restored, not fresh
+    again.train_dataloader.terminate()
+    again.val_dataloader.terminate()
+
+    # Different source: refuse loudly.
+    with pytest.raises(ValueError, match="different"):
+        WhisperFinetuner(
+            cfg, params, table, single, out, src_dir="/some/other/ckpt",
+            batch_size=8, updates=1, warmup_updates=0, learning_rate=1e-4,
+            timestamps=False, augment=False, language_whitelist=["en"],
+            compute_dtype=jnp.float32, validation_frequency=0, seed=0)
+
+
+def test_max_target_len_too_small_rejected(corpus, table):
+    from yoho_tpu.train.whisper_finetune import WhisperFinetuneDataloader
+
+    cfg = WhisperConfig(**TINY)
+    with pytest.raises(ValueError, match="max_target_len"):
+        WhisperFinetuneDataloader(
+            (0.0, 1.0), corpus, cfg, table, batch_size=2, timestamps=True,
+            max_target_len=4, language_whitelist=["en"], augment=False,
+            use_multiprocessing=False, warmup_queue=False,
+            disable_warnings=True)

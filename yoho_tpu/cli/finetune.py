@@ -51,8 +51,13 @@ def main(argv=None):
     parser.add_argument("--speechless-ratio", type=float, default=0.0,
                         help="fraction of no-speech negative samples "
                              "(ambient audio, empty transcript)")
+    parser.add_argument("--ambient", type=str, default=None, metavar="DIR",
+                        help="ambient-noise corpus (audio/ subdir) feeding "
+                             "--speechless-ratio negatives; without it "
+                             "negatives are synthesized low noise")
     parser.add_argument("--no-augment", action="store_true")
-    parser.add_argument("--val-every", type=int, default=100)
+    parser.add_argument("--val-every", type=int, default=100,
+                        help="updates between validations (0 = never)")
     parser.add_argument("--max-target-len", type=int, default=None,
                         help="decoder token budget per window (default: "
                              "the model's n_text_ctx)")
@@ -96,6 +101,7 @@ def main(argv=None):
         task=args.task, timestamps=not args.no_timestamps,
         language_whitelist=args.language,
         speechless_ratio=args.speechless_ratio,
+        ambient_dir=args.ambient,
         augment=not args.no_augment,
         compute_dtype=jnp.float32 if args.f32 else jnp.bfloat16,
         validation_frequency=args.val_every,

@@ -50,6 +50,35 @@ def masked_ce_loss(logits, tokens, loss_mask):
     return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+def restore_train_state(state: TrainState, checkpoint_path, mesh, rules,
+                        apply_fn, optimizer) -> TrainState:
+    """Restore a checkpoint into a freshly created (mesh-sharded) state.
+
+    Shared by the YOHO trainer and the Whisper fine-tuner. The subtle
+    part: the fresh ``state.opt_state`` carries the correct mesh
+    placements (it was built under jit from sharded params), while
+    restored leaves are host arrays — without re-placement the first
+    step commits ~3x params of f32 optimizer state to one device.
+    Returns ``state`` unchanged when no checkpoint exists."""
+    restored = load_checkpoint(checkpoint_path, state.params, state.opt_state)
+    if restored is None:
+        return state
+    step, params, opt_state = restored
+    params = shard_params(params, mesh, rules)
+    opt_state = jax.tree_util.tree_map(
+        lambda ref, x: (jax.device_put(x, ref.sharding)
+                        if hasattr(ref, "sharding") else x),
+        state.opt_state, opt_state,
+    )
+    return TrainState(
+        step=jnp.asarray(step),
+        apply_fn=apply_fn,
+        params=params,
+        tx=optimizer,
+        opt_state=opt_state,
+    )
+
+
 class ASRTrainer:
     """Transcription (pre)training. ``stage=1`` trains without voiceprint
     supervision; ``stage=4`` reuses the loop with voiceprint-aware data."""
@@ -177,28 +206,9 @@ class ASRTrainer:
             )
         )(params)
 
-        restored = load_checkpoint(self.checkpoint_path, state.params, state.opt_state)
-        if restored is not None:
-            step, params, opt_state = restored
-            params = shard_params(params, self.mesh, YOHO_RULES)
-            # Re-shard the optimizer state too: the freshly created
-            # state.opt_state carries the correct mesh placements (it was
-            # built under jit from sharded params), while the restored
-            # leaves are host arrays — without this the first step commits
-            # ~3x params of f32 optimizer state to one device.
-            opt_state = jax.tree_util.tree_map(
-                lambda ref, x: (jax.device_put(x, ref.sharding)
-                                if hasattr(ref, "sharding") else x),
-                state.opt_state, opt_state,
-            )
-            state = TrainState(
-                step=jnp.asarray(step),
-                apply_fn=self.model.apply,
-                params=params,
-                tx=self.optimizer,
-                opt_state=opt_state,
-            )
-        return state
+        return restore_train_state(state, self.checkpoint_path, self.mesh,
+                                   YOHO_RULES, self.model.apply,
+                                   self.optimizer)
 
     @staticmethod
     def _make_long_context_mesh(config: SessionConfig):

@@ -45,7 +45,7 @@ from yoho_tpu.nn.whisper import Whisper
 from yoho_tpu.parallel.mesh import make_mesh, shard_batch
 from yoho_tpu.parallel.sharding import WHISPER_RULES, shard_params
 from yoho_tpu.text.whisper_tokens import WhisperTokenTable
-from yoho_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint
+from yoho_tpu.train.checkpoint import AsyncCheckpointer
 from yoho_tpu.train.dataloader import TranscriptionDataloader
 from yoho_tpu.train.metrics import MetricsWriter
 from yoho_tpu.train.trainer import masked_ce_loss
@@ -53,14 +53,20 @@ from yoho_tpu.train.trainer import masked_ce_loss
 
 def _shim_session(data_dir, cfg: WhisperConfig,
                   language_whitelist: Optional[List[str]],
-                  max_target_len: int) -> SessionConfig:
+                  max_target_len: int, ambient_dir=None) -> SessionConfig:
     """SessionConfig whose ``yoho`` block carries Whisper's window
     numbers, so TranscriptionDataloader's sample recipe (which reads
     ``config.yoho.{n_samples,max_input_seconds,sample_rate}``) cuts
     Whisper-sized clips. YOHOConfig's sample-count identity
     ``n_samples = n_fft + (L-1)*hop`` cannot hit 480 000 exactly
     (2998.5 frames), so the shim clips to the nearest smaller length and
-    ``get_batch`` zero-pads the batch to the exact Whisper window."""
+    ``get_batch`` zero-pads the batch to the exact Whisper window.
+
+    ``ambient_dir`` feeds speechless negatives; without one, the slot
+    points INSIDE the corpus at a (normally absent) ``ambient`` subdir so
+    negatives fall back to synthesized low noise — NEVER to random
+    windows of the transcribed speech itself, which would teach the
+    model to emit silence on speech."""
     frames = max(1, (cfg.n_samples - cfg.n_fft) // cfg.hop_length + 1)
     shim = YOHOConfig(
         sample_rate=cfg.sample_rate,
@@ -73,7 +79,10 @@ def _shim_session(data_dir, cfg: WhisperConfig,
     return SessionConfig(
         name="whisper_finetune",
         yoho=shim,
-        dataset=DatasetConfig(noisy=Path(data_dir), ambient=Path(data_dir)),
+        dataset=DatasetConfig(
+            noisy=Path(data_dir),
+            ambient=Path(ambient_dir) if ambient_dir is not None
+            else Path(data_dir) / "ambient"),
         language_whitelist=list(language_whitelist or []),
     )
 
@@ -87,7 +96,7 @@ class WhisperFinetuneDataloader(TranscriptionDataloader):
                  timestamps: bool = True,
                  max_target_len: Optional[int] = None,
                  language_whitelist: Optional[List[str]] = None,
-                 speechless_ratio: float = 0.0, **kwargs):
+                 speechless_ratio: float = 0.0, ambient_dir=None, **kwargs):
         if table.text_backend is None:
             raise RuntimeError(
                 "fine-tuning needs a text backend to ENCODE transcripts — "
@@ -97,9 +106,17 @@ class WhisperFinetuneDataloader(TranscriptionDataloader):
         self.task = task
         self.timestamps = timestamps
         self.max_target_len = int(max_target_len or cfg.n_text_ctx)
+        prompt_len = len(table.sot_sequence("en" if table.multilingual
+                                            else table.languages[0],
+                                            task, timestamps=timestamps))
+        if self.max_target_len < prompt_len + 3:
+            raise ValueError(
+                f"max_target_len={self.max_target_len} leaves no room for "
+                f"targets after the {prompt_len}-token prompt — every loss "
+                "mask would be empty and training a silent no-op")
         self.n_samples_out = cfg.n_samples
         session = _shim_session(data_dir, cfg, language_whitelist,
-                                self.max_target_len)
+                                self.max_target_len, ambient_dir=ambient_dir)
         super().__init__(data_slice, session, tokenizer=None,
                          batch_size=batch_size,
                          speechless_ratio=speechless_ratio, **kwargs)
@@ -199,13 +216,14 @@ class WhisperFinetuner:
                  validation_samples: int = 4,
                  max_target_len: Optional[int] = None,
                  use_multiprocessing: bool = False,
-                 src_dir=None, seed: int = 0):
+                 src_dir=None, ambient_dir=None, seed: int = 0):
         self.cfg = cfg
         self.table = table
         self.out_dir = Path(out_dir)
         self.src_dir = src_dir
         self.updates = updates
         self.accumulated_batches = accumulated_batches
+        # <= 0 means "never validate" (the CLI spells it --val-every 0).
         self.validation_frequency = validation_frequency
         self.validation_samples = validation_samples
         self.freeze_encoder = freeze_encoder
@@ -221,12 +239,19 @@ class WhisperFinetuner:
             data_dir=data_dir, cfg=cfg, table=table, batch_size=batch_size,
             task=task, timestamps=timestamps, max_target_len=max_target_len,
             language_whitelist=language_whitelist,
-            speechless_ratio=speechless_ratio, augment=augment,
+            speechless_ratio=speechless_ratio, ambient_dir=ambient_dir,
+            augment=augment,
             shuffle=True, use_multiprocessing=use_multiprocessing,
             disable_warnings=True, warmup_queue=False,
         )
-        self.train_dataloader = WhisperFinetuneDataloader(
-            (0.0, 0.9), seed=seed, **dl_kwargs)
+        try:
+            self.train_dataloader = WhisperFinetuneDataloader(
+                (0.0, 0.9), seed=seed, **dl_kwargs)
+        except FileNotFoundError:
+            # Single-file corpora: int(0.9 * 1) == 0 files in the train
+            # slice — adapt-to-one-recording is a legitimate use.
+            self.train_dataloader = WhisperFinetuneDataloader(
+                (0.0, 1.0), seed=seed, **dl_kwargs)
         try:
             self.val_dataloader = WhisperFinetuneDataloader(
                 (0.9, 1.0), seed=seed + 1, **dl_kwargs)
@@ -255,25 +280,41 @@ class WhisperFinetuner:
         self._build_steps()
 
     # ------------------------------------------------------------------
+    @property
+    def _provenance_path(self) -> Path:
+        return self.out_dir / "finetune_checkpoint.meta.json"
+
+    def _check_provenance(self) -> None:
+        """A checkpoint in --out silently overriding a DIFFERENT --hf
+        source would re-export stale weights (resume-from-checkpoint is
+        per (source, architecture) run). Refuse loudly on mismatch."""
+        import json
+
+        meta = {"src": str(self.src_dir) if self.src_dir else None,
+                "cfg": self.cfg.model_dump()}
+        if self.checkpoint_path.exists() and self._provenance_path.exists():
+            prev = json.loads(self._provenance_path.read_text())
+            if prev != meta:
+                raise ValueError(
+                    f"{self.checkpoint_path} was written by a different "
+                    f"fine-tune run (source {prev.get('src')!r}, now "
+                    f"{meta['src']!r}) — resuming would silently ignore "
+                    "the new --hf weights. Delete the checkpoint (or pick "
+                    "a fresh --out) to start over.")
+        self._provenance_path.write_text(json.dumps(meta))
+
     def _init_state(self, params) -> TrainState:
+        from yoho_tpu.train.trainer import restore_train_state
+
+        self._check_provenance()
         params = jax.tree_util.tree_map(
             lambda x: np.asarray(x, dtype=np.float32), params)
         params = shard_params(params, self.mesh, WHISPER_RULES)
         state = jax.jit(lambda p: TrainState.create(
             apply_fn=self.model.apply, params=p, tx=self.optimizer))(params)
-        restored = load_checkpoint(self.checkpoint_path, state.params,
-                                   state.opt_state)
-        if restored is not None:
-            step, params, opt_state = restored
-            params = shard_params(params, self.mesh, WHISPER_RULES)
-            opt_state = jax.tree_util.tree_map(
-                lambda ref, x: (jax.device_put(x, ref.sharding)
-                                if hasattr(ref, "sharding") else x),
-                state.opt_state, opt_state)
-            state = TrainState(step=jnp.asarray(step),
-                               apply_fn=self.model.apply, params=params,
-                               tx=self.optimizer, opt_state=opt_state)
-        return state
+        return restore_train_state(state, self.checkpoint_path, self.mesh,
+                                   WHISPER_RULES, self.model.apply,
+                                   self.optimizer)
 
     # ------------------------------------------------------------------
     def _build_steps(self) -> None:
@@ -335,16 +376,20 @@ class WhisperFinetuner:
             self.state.params, *map(jnp.asarray, val_batch[:3])))
 
         n = min(self.validation_samples, len(val_batch[0]))
-        lang = (self.train_dataloader.config.language_whitelist or ["en"])[0]
-        prompt = jnp.asarray([self.table.sot_sequence(
-            lang, self.train_dataloader.task,
-            timestamps=self.train_dataloader.timestamps)] * n, jnp.int32)
+        # Decode under each sample's OWN prompt (sot/language/task as the
+        # dataloader built it — per-file detected language included), not
+        # a fixed whitelist/"en" prompt that would mis-prompt multilingual
+        # corpora. The prompt length is constant across samples.
+        plen = len(self.table.sot_sequence(
+            self.table.languages[0], self.train_dataloader.task,
+            timestamps=self.train_dataloader.timestamps))
+        prompt = jnp.asarray(val_batch[1][:n, :plen], jnp.int32)
         decoded, _lengths = self._decode_samples(
             self.state.params, jnp.asarray(val_batch[0][:n]), prompt)
         decoded = np.asarray(decoded)
-        correct = [self._render(t, m)
+        correct = [self._render(t[plen:], m[plen:])
                    for t, m in zip(val_batch[1][:n], val_batch[2][:n])]
-        predicted = [self._render(row[prompt.shape[1]:]) for row in decoded]
+        predicted = [self._render(row[plen:]) for row in decoded]
         self.metrics.write_validation(correct, predicted, [], [])
         return val_loss
 
@@ -378,7 +423,8 @@ class WhisperFinetuner:
                         pbar.update()
                         pbar.set_postfix_str(f"loss {batch_loss:.4e}")
                     val_loss = None
-                    if update % self.validation_frequency == 0:
+                    if (self.validation_frequency > 0
+                            and update % self.validation_frequency == 0):
                         val_loss = self._validate(update)
                         ckpt.save(self.state.step, self.state.params,
                                   self.state.opt_state)
