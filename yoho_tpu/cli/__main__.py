@@ -17,6 +17,8 @@ COMMANDS = {
     "evaluate": ("yoho_tpu.cli.evaluate", "WER/CER evaluation over a corpus"),
     "finetune": ("yoho_tpu.cli.finetune",
                  "Fine-tune a Whisper checkpoint on an SRT corpus"),
+    "distill": ("yoho_tpu.cli.distill",
+                "Distill a small draft Whisper for speculative decoding"),
     "create-session": ("yoho_tpu.cli.create_session",
                        "Scaffold a training session"),
     "run-session": ("yoho_tpu.cli.run_session", "Run a training stage (0-4)"),

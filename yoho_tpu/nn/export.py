@@ -141,13 +141,16 @@ def _synth_config(cfg: WhisperConfig) -> dict:
 
 
 def export_hf_whisper(params: dict, cfg: WhisperConfig, out_dir,
-                      src_dir=None) -> Path:
+                      src_dir=None, copy_config: bool = True) -> Path:
     """Write ``params`` as an HF Whisper checkpoint dir.
 
     ``src_dir`` (the checkpoint the fine-tune started from) donates
     config.json, tokenizer and preprocessor files so the exported dir is
     a complete drop-in; without it a minimal config.json is synthesized
     (tokenizer files must then be added for text rendering).
+    ``copy_config=False`` synthesizes config.json even with a src_dir —
+    for distillation, where ``src_dir`` is the TEACHER (right tokenizer,
+    wrong architecture).
     """
     from safetensors.numpy import save_file
 
@@ -161,6 +164,8 @@ def export_hf_whisper(params: dict, cfg: WhisperConfig, out_dir,
     if src_dir is not None:
         src = Path(src_dir)
         for name in _COMPANION_FILES:
+            if name == "config.json" and not copy_config:
+                continue
             if (src / name).is_file():
                 shutil.copyfile(src / name, out / name)
                 copied.add(name)

@@ -232,6 +232,7 @@ class WhisperFinetuner:
         self.metrics = MetricsWriter(self.out_dir / "metrics.csv",
                                      self.out_dir / "validations.jsonl")
 
+        self.compute_dtype = compute_dtype
         self.model = Whisper(cfg, dtype=compute_dtype)
         self.mesh = mesh or make_mesh(-1, 1)
 
