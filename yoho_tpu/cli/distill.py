@@ -58,6 +58,10 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.updates < 1:
         parser.error("--updates must be >= 1")
+    if args.accum < 1:
+        parser.error("--accum must be >= 1")
+    if args.tau <= 0:
+        parser.error("--tau must be > 0")
 
     import jax
     import jax.numpy as jnp
@@ -82,6 +86,13 @@ def main(argv=None):
 
     if args.student_hf:
         s_cfg, s_params = load_hf_whisper(args.student_hf)
+        if s_cfg.n_vocab != t_cfg.n_vocab:
+            print(f"error: student vocab {s_cfg.n_vocab} != teacher vocab "
+                  f"{t_cfg.n_vocab} — speculative verify compares token "
+                  "ids, so the draft must share the tokenizer (e.g. a "
+                  "large-v3 teacher needs a v3-vocab student).",
+                  file=sys.stderr)
+            return 2
     else:
         if args.student_preset not in WHISPER_PRESETS:
             parser.error(f"unknown preset {args.student_preset!r}; "

@@ -164,8 +164,24 @@ def export_hf_whisper(params: dict, cfg: WhisperConfig, out_dir,
     if src_dir is not None:
         src = Path(src_dir)
         for name in _COMPANION_FILES:
-            if name == "config.json" and not copy_config:
-                continue
+            if not copy_config:
+                # src_dir is a DIFFERENT architecture (the distillation
+                # teacher): config.json and generation_config.json carry
+                # architecture-coupled fields (e.g. alignment_heads as
+                # [layer, head] pairs of the teacher's decoder) that
+                # would crash or corrupt word timestamps on the student.
+                if name in ("config.json", "generation_config.json"):
+                    continue
+                if name == "preprocessor_config.json":
+                    # Frontend file: only valid if the mel resolution
+                    # matches the student's.
+                    try:
+                        feat = json.loads(
+                            (src / name).read_text()).get("feature_size")
+                    except (OSError, ValueError):
+                        feat = None
+                    if feat != cfg.n_mels:
+                        continue
             if (src / name).is_file():
                 shutil.copyfile(src / name, out / name)
                 copied.add(name)

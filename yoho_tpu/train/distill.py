@@ -67,6 +67,10 @@ class WhisperDistiller(WhisperFinetuner):
                 "token ids, so the draft must share the tokenizer")
         if not 0.0 <= alpha <= 1.0:
             raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+        if tau <= 0:
+            raise ValueError(
+                f"tau must be > 0, got {tau} — log_softmax(logits/tau) "
+                "would NaN the loss on the first step")
         if teacher_cfg.n_mels != student_cfg.n_mels:
             import warnings
 
@@ -148,7 +152,7 @@ class WhisperDistiller(WhisperFinetuner):
     # ------------------------------------------------------------------
     def _validate(self, update: int) -> float:
         val_loss = super()._validate(update)
-        batch = self.val_dataloader.get_prepared_batch()
+        batch = self._last_val_batch  # same batch as val_loss
         self.last_agreement = float(self._agreement(
             self.state.params, self._t_params,
             *map(jnp.asarray, batch[:3])))

@@ -373,6 +373,10 @@ class WhisperFinetuner:
 
     def _validate(self, update: int) -> float:
         val_batch = self.val_dataloader.get_prepared_batch()
+        # Exposed so subclasses (the distiller's agreement metric) can
+        # report on the SAME batch as val_loss instead of consuming
+        # another one.
+        self._last_val_batch = val_batch
         val_loss = float(self._val_loss(
             self.state.params, *map(jnp.asarray, val_batch[:3])))
 
