@@ -330,3 +330,21 @@ def test_continuous_batching_tensor_parallel():
     for w, g_res in zip(want, got):
         assert [s.tokens for s in w.segments] == \
                [s.tokens for s in g_res.segments]
+
+
+def test_parse_mesh_specs():
+    """CLI mesh specs map onto the (data, model) mesh; -1 absorbs the
+    remaining devices (8 faked CPU devices here)."""
+    import pytest
+
+    from yoho_tpu.parallel.mesh import parse_mesh
+
+    assert dict(parse_mesh("2x4").shape) == {"data": 2, "model": 4}
+    assert dict(parse_mesh("-1x4").shape) == {"data": 2, "model": 4}
+    assert dict(parse_mesh("1x8").shape) == {"data": 1, "model": 8}
+    with pytest.raises(ValueError, match="DATAxMODEL"):
+        parse_mesh("8")
+    with pytest.raises(ValueError, match="DATAxMODEL"):
+        parse_mesh("2x2x2")
+    with pytest.raises(ValueError):
+        parse_mesh("3x3")  # does not divide 8 devices

@@ -822,3 +822,50 @@ def test_negative_max_pending_rejected():
 
     with pytest.raises(SystemExit):
         cli.main(["--hf", "whatever", "--max-pending", "-1"])
+
+
+def test_serve_cli_mesh_wiring(monkeypatch):
+    """`serve --mesh 2x4` builds a (data=2, model=4) Mesh and hands it to
+    the transcriber builder (multi-chip tensor-parallel serving); bad
+    specs are rejected before model loading."""
+    from yoho_tpu.cli import serve as cli
+
+    seen = {}
+
+    def fake_build(*args, **kwargs):
+        seen.update(kwargs)
+
+        class _T:
+            batch_size = 1
+
+        return _T()
+
+    class _Srv:
+        class batcher:  # noqa: N801 — instance attr stand-in
+            @staticmethod
+            def close():
+                pass
+
+        def serve_forever(self):
+            raise KeyboardInterrupt
+
+        def shutdown(self):
+            pass
+
+        def server_close(self):
+            pass
+
+    monkeypatch.setattr("yoho_tpu.cli.transcribe.build_whisper_transcriber",
+                        fake_build)
+    monkeypatch.setattr(cli, "serve", lambda *a, **k: _Srv())
+    rc = cli.main(["--hf", "whatever", "--mesh", "2x4"])
+    assert rc == 0
+    mesh = seen["mesh"]
+    assert dict(mesh.shape) == {"data": 2, "model": 4}
+
+    seen.clear()
+    rc = cli.main(["--hf", "whatever"])
+    assert rc == 0 and seen["mesh"] is None
+
+    with pytest.raises(ValueError, match="DATAxMODEL"):
+        cli.main(["--hf", "whatever", "--mesh", "8"])

@@ -617,6 +617,10 @@ def main(argv=None):
                         help="seconds to wait for in-flight requests on "
                              "SIGTERM/Ctrl-C before exiting anyway")
     parser.add_argument("--beams", type=int, default=0)
+    parser.add_argument("--mesh", type=str, default=None, metavar="DxM",
+                        help="multi-chip serving mesh, DATAxMODEL (e.g. "
+                             "'1x8' = 8-way tensor parallel for models "
+                             "that exceed one chip's HBM)")
     parser.add_argument("--language", type=str, default="en")
     parser.add_argument("--task", type=str, default="transcribe",
                         choices=("transcribe", "translate"),
@@ -666,6 +670,11 @@ def main(argv=None):
 
     temps = ((0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if args.temperature_fallback
              else (0.0,))
+    mesh = None
+    if args.mesh:
+        from yoho_tpu.parallel.mesh import parse_mesh
+
+        mesh = parse_mesh(args.mesh)
     if args.hf:
         diarize = (load_voiceprint_encoder(args.diarize_session, args.root)
                    if args.diarize_session else None)
@@ -679,14 +688,16 @@ def main(argv=None):
                                       temperatures=temps,
                                       vad_filter=args.vad, diarize=diarize,
                                       draft_hf=args.draft_hf,
-                                      speculative_gamma=args.gamma)
+                                      speculative_gamma=args.gamma,
+                                      mesh=mesh)
     else:
         if args.diarize_session:
             print("warning: --diarize-session is ignored with --session — "
                   "the yoho family emits voiceprints in the decode forward "
                   "pass and diarizes natively", file=sys.stderr)
         t = build_yoho_transcriber(args.session, args.root, args.beams,
-                                   args.batch, vad_filter=args.vad)
+                                   args.batch, vad_filter=args.vad,
+                                   mesh=mesh)
 
     server = serve(t, args.port, args.host, args.max_wait_ms,
                    continuous=args.continuous,

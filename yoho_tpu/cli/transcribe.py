@@ -52,7 +52,8 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
                               task: str = "transcribe",
                               vad_filter: bool = False,
                               diarize=None,
-                              draft_hf=None, speculative_gamma: int = 4):
+                              draft_hf=None, speculative_gamma: int = 4,
+                              mesh=None):
     import jax.numpy as jnp
 
     from yoho_tpu.infer.pipeline import Transcriber
@@ -111,7 +112,7 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
         word_timestamps=word_timestamps, temperatures=temperatures,
         initial_prompt=initial_prompt,
         condition_on_previous_text=condition_on_previous_text,
-        task=task, vad_filter=vad_filter,
+        task=task, vad_filter=vad_filter, mesh=mesh,
         diarize_encoder=diarize[0] if diarize else None,
         diarize_variables=diarize[1] if diarize else None,
         draft_model=draft_model, draft_variables=draft_variables,
@@ -121,7 +122,7 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
 
 def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
                            int8_weights: bool = False,
-                           vad_filter: bool = False):
+                           vad_filter: bool = False, mesh=None):
     import jax
     import jax.numpy as jnp
 
@@ -161,7 +162,7 @@ def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
                           dtype=jnp.bfloat16, weights_int8=True)
     return Transcriber(model, {"params": params}, family="yoho", tokenizer=tok,
                        batch_size=batch, beams=beams, cache_dtype=jnp.bfloat16,
-                       vad_filter=vad_filter)
+                       vad_filter=vad_filter, mesh=mesh)
 
 
 def main(argv=None):
@@ -180,6 +181,11 @@ def main(argv=None):
                         choices=("transcribe", "translate"),
                         help="translate = X -> English (whisper)")
     parser.add_argument("--beams", type=int, default=0)
+    parser.add_argument("--mesh", type=str, default=None, metavar="DxM",
+                        help="multi-chip serving mesh, DATAxMODEL (e.g. "
+                             "'1x8' = 8-way tensor parallel, '-1x4' = "
+                             "4-way TP x remaining data); params are "
+                             "sharded per the partition rules")
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--no-timestamps", action="store_true")
     parser.add_argument("--json", action="store_true", help="JSONL output")
@@ -235,6 +241,11 @@ def main(argv=None):
 
     temps = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if args.temperature_fallback else (0.0,)
     language = None if args.language == "auto" else args.language
+    mesh = None
+    if args.mesh:
+        from yoho_tpu.parallel.mesh import parse_mesh
+
+        mesh = parse_mesh(args.mesh)
     if args.hf:
         diarize = (load_voiceprint_encoder(args.diarize_session, args.root)
                    if args.diarize_session else None)
@@ -250,7 +261,8 @@ def main(argv=None):
                                       task=args.task, vad_filter=args.vad,
                                       diarize=diarize,
                                       draft_hf=args.draft_hf,
-                                      speculative_gamma=args.gamma)
+                                      speculative_gamma=args.gamma,
+                                      mesh=mesh)
     else:
         if args.diarize_session:
             print("warning: --diarize-session is ignored with --session — "
@@ -258,7 +270,7 @@ def main(argv=None):
                   "pass and diarizes natively", file=sys.stderr)
         t = build_yoho_transcriber(args.session, args.root, args.beams,
                                    args.batch, int8_weights=args.int8_weights,
-                                   vad_filter=args.vad)
+                                   vad_filter=args.vad, mesh=mesh)
 
     from yoho_tpu.utils.profiling import trace
 

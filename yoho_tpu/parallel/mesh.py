@@ -63,6 +63,27 @@ def make_mesh(
     return Mesh(dev_array, (AXIS_DATA, AXIS_MODEL))
 
 
+def parse_mesh(spec: str) -> Mesh:
+    """CLI mesh spec -> (data, model) Mesh.
+
+    ``"2x4"`` = 2-way data x 4-way tensor parallel; the data factor may
+    be ``-1`` (absorb remaining devices), so ``"-1x4"`` works on any
+    device count divisible by 4. Used by ``yoho serve --mesh`` /
+    ``yoho transcribe --mesh`` to enable multi-chip serving
+    (``Transcriber(mesh=...)``).
+    """
+    parts = spec.lower().split("x")
+    try:
+        if len(parts) != 2:
+            raise ValueError
+        data, model = int(parts[0]), int(parts[1])
+    except ValueError:
+        raise ValueError(
+            f"mesh spec {spec!r} is not DATAxMODEL (e.g. '2x4', '-1x8')"
+        ) from None
+    return make_mesh(data, model)
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 2) -> NamedSharding:
     """Batch tensors: leading axis split over ``data``, rest replicated."""
     return NamedSharding(mesh, P(AXIS_DATA, *([None] * (ndim - 1))))
