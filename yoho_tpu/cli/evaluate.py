@@ -96,10 +96,13 @@ def main(argv=None):
         norm = normalize_for_wer
 
     refs, hyps, exact = [], [], 0
-    for audio_path, ref in pairs:
-        hyp = t.transcribe(str(audio_path)).text
+    # Pool every utterance's windows into shared decode batches — corpus
+    # evaluation is exactly the many-short-files shape transcribe_many
+    # exists for (a lone 5 s clip would otherwise pad a whole batch).
+    results = t.transcribe_many([str(a) for a, _ref in pairs])
+    for (_audio_path, ref), result in zip(pairs, results):
         refs.append(norm(ref))
-        hyps.append(norm(hyp))
+        hyps.append(norm(result.text))
         exact += refs[-1] == hyps[-1]
 
     # refs/hyps are already normalized above; don't re-normalize inside

@@ -275,8 +275,14 @@ def main(argv=None):
     from yoho_tpu.utils.profiling import trace
 
     with trace(args.profile):
-        for f in args.files:
-            result = t.transcribe(f)
+        # Multiple files pool their 30 s windows into SHARED decode
+        # batches (transcribe_many) — a lone short file no longer pads a
+        # whole batch while the next file waits.
+        if len(args.files) > 1:
+            results = t.transcribe_many(args.files)
+        else:
+            results = [t.transcribe(args.files[0])]
+        for f, result in zip(args.files, results):
             if args.srt or args.vtt:
                 from pathlib import Path
 
