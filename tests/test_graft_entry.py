@@ -32,14 +32,38 @@ def _clean_env():
 
 
 def test_dryrun_multichip_self_provisions():
-    """dryrun_multichip(8) must succeed without conftest's env mutations,
-    even when a backend was already initialized on the default platform."""
+    """dryrun_multichip(8) must succeed without conftest's env mutations —
+    and must NOT cold-initialize the default remote-TPU platform: the axon
+    relay blocks indefinitely in chip-claim when the chip is held or the
+    tunnel is wedged, so probing it would hang the driver check (observed
+    live: jax.devices() under a wedged relay never returns)."""
     code = (
         "import jax\n"
-        # Force backend init under the default platform (tolerate a busy /
-        # unreachable chip: the entry must then provision CPU from scratch).
-        "try: jax.devices()\n"
-        "except RuntimeError: pass\n"
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+        "assert len(jax.devices()) >= 8, jax.devices()\n"
+        "print('DRYRUN_OK')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=REPO,
+        env=_clean_env(),
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert proc.returncode == 0, f"stdout={proc.stdout}\nstderr={proc.stderr}"
+    assert "DRYRUN_OK" in proc.stdout
+
+
+def test_dryrun_reprovisions_over_live_backend():
+    """The round-1 regression, relay-independent: a backend already LIVE
+    with too few devices (here: default 1-device CPU) must be cleared and
+    re-provisioned to the requested virtual mesh."""
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 1, jax.devices()  # live, too small\n"
         "import __graft_entry__ as g\n"
         "g.dryrun_multichip(8)\n"
         "assert len(jax.devices()) >= 8, jax.devices()\n"

@@ -817,6 +817,38 @@ def test_stream_rides_out_transient_overload():
         drain(srv, timeout_s=15)
 
 
+def test_transcribe_segments_carry_speaker_name_when_enrolled():
+    """A server whose transcriber has enrolled speakers returns
+    ``speaker_name`` on /transcribe segments, matched from the diarized
+    cluster centroid (``yoho enroll`` -> ``serve --speakers``)."""
+    t = _tiny_transcriber()
+    n = t.model.cfg.n_samples
+    g = np.random.default_rng(6)  # a seed whose decode emits timestamps
+    audio = (0.1 * g.standard_normal(2 * n)).astype(np.float32)
+    ref = t.transcribe(audio)
+    vps = [s.voiceprint for s in ref.segments
+           if s.voiceprint is not None and s.speaker == 0]
+    assert vps, "forced-slot extraction should give cluster-0 voiceprints"
+    centroid = np.mean(np.stack(vps), axis=0)
+    t.enrolled_speakers = {"alice": centroid / np.linalg.norm(centroid)}
+
+    srv = serve(t, port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_address[1]}/transcribe",
+            data=audio.tobytes(),
+            headers={"Content-Type": "application/octet-stream"},
+            method="POST")
+        with urllib.request.urlopen(req) as r:
+            payload = json.load(r)
+        named = [s for s in payload["segments"] if s.get("speaker") == 0]
+        assert named and all(s["speaker_name"] == "alice" for s in named)
+    finally:
+        srv.shutdown()
+
+
 def test_negative_max_pending_rejected():
     import yoho_tpu.cli.serve as cli
 

@@ -29,6 +29,8 @@ COMMANDS = {
     "cache-corpus": ("yoho_tpu.cli.cache_corpus",
                      "Transcode a corpus to FLAC for fast decode"),
     "summary": ("yoho_tpu.cli.summary", "Model/param summary"),
+    "enroll": ("yoho_tpu.cli.enroll",
+               "Enroll speaker voiceprints for recognition"),
     "score-diarization": ("yoho_tpu.cli.score_diarization",
                           "DER between reference and hypothesis RTTM"),
 }

@@ -130,6 +130,8 @@ def _segment_payload(s, index: int) -> dict:
     }
     if s.speaker is not None:
         payload["speaker"] = s.speaker
+    if s.speaker_name is not None:
+        payload["speaker_name"] = s.speaker_name
     if s.words:
         payload["words"] = [
             {"word": w.word, "start": w.start, "end": w.end} for w in s.words
@@ -264,6 +266,8 @@ def make_handler(transcriber, batcher):
                         time.sleep(0.25)
                 for s in res.segments:
                     s.speaker = None
+                    # speaker_name survives: enrolled identities are
+                    # absolute, not per-window cluster ids.
                 return res.segments
 
             stream = StreamingTranscriber(transcriber,
@@ -501,6 +505,7 @@ def make_handler(transcriber, batcher):
                         {"start": s.start, "end": s.end, "text": s.text,
                          **s.quality_payload(),
                          "speaker": s.speaker,
+                         "speaker_name": s.speaker_name,
                          **({"words": [{"word": w.word, "start": w.start,
                                         "end": w.end} for w in s.words]}
                             if s.words else {}),
@@ -644,6 +649,12 @@ def main(argv=None):
                         help="whisper-family diarization: embed segment "
                              "spans with this session's trained voiceprint "
                              "encoder and cluster ('speaker' per segment)")
+    parser.add_argument("--speakers", type=str, default=None, metavar="NPZ",
+                        help="speaker recognition: match diarized clusters "
+                             "against this 'yoho enroll' file and attach "
+                             "speaker_name to segments (needs voiceprints: "
+                             "a yoho session, or --diarize-session with "
+                             "the enrollment encoder)")
     parser.add_argument("--draft-hf", type=str, default=None, metavar="PATH",
                         help="speculative decoding via a small same-vocab "
                              "draft checkpoint (greedy-identical; a "
@@ -675,6 +686,15 @@ def main(argv=None):
         from yoho_tpu.parallel.mesh import parse_mesh
 
         mesh = parse_mesh(args.mesh)
+    enrolled = None
+    if args.speakers:
+        from yoho_tpu.infer.diarize import load_enrolled
+
+        enrolled = load_enrolled(args.speakers)
+        if args.hf and not args.diarize_session:
+            parser.error("--speakers on the whisper family needs "
+                         "--diarize-session (the segments have no "
+                         "voiceprints to match otherwise)")
     if args.hf:
         diarize = (load_voiceprint_encoder(args.diarize_session, args.root)
                    if args.diarize_session else None)
@@ -689,7 +709,7 @@ def main(argv=None):
                                       vad_filter=args.vad, diarize=diarize,
                                       draft_hf=args.draft_hf,
                                       speculative_gamma=args.gamma,
-                                      mesh=mesh)
+                                      mesh=mesh, enrolled_speakers=enrolled)
     else:
         if args.diarize_session:
             print("warning: --diarize-session is ignored with --session — "
@@ -697,7 +717,7 @@ def main(argv=None):
                   "pass and diarizes natively", file=sys.stderr)
         t = build_yoho_transcriber(args.session, args.root, args.beams,
                                    args.batch, vad_filter=args.vad,
-                                   mesh=mesh)
+                                   mesh=mesh, enrolled_speakers=enrolled)
 
     server = serve(t, args.port, args.host, args.max_wait_ms,
                    continuous=args.continuous,

@@ -53,7 +53,7 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
                               vad_filter: bool = False,
                               diarize=None,
                               draft_hf=None, speculative_gamma: int = 4,
-                              mesh=None):
+                              mesh=None, enrolled_speakers=None):
     import jax.numpy as jnp
 
     from yoho_tpu.infer.pipeline import Transcriber
@@ -117,12 +117,14 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
         diarize_variables=diarize[1] if diarize else None,
         draft_model=draft_model, draft_variables=draft_variables,
         speculative_gamma=speculative_gamma,
+        enrolled_speakers=enrolled_speakers,
     )
 
 
 def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
                            int8_weights: bool = False,
-                           vad_filter: bool = False, mesh=None):
+                           vad_filter: bool = False, mesh=None,
+                           enrolled_speakers=None):
     import jax
     import jax.numpy as jnp
 
@@ -162,7 +164,8 @@ def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
                           dtype=jnp.bfloat16, weights_int8=True)
     return Transcriber(model, {"params": params}, family="yoho", tokenizer=tok,
                        batch_size=batch, beams=beams, cache_dtype=jnp.bfloat16,
-                       vad_filter=vad_filter, mesh=mesh)
+                       vad_filter=vad_filter, mesh=mesh,
+                       enrolled_speakers=enrolled_speakers)
 
 
 def main(argv=None):
@@ -219,6 +222,12 @@ def main(argv=None):
                         help="whisper-family speaker diarization: embed "
                              "segment spans with this session's trained "
                              "voiceprint encoder (stage 3) and cluster")
+    parser.add_argument("--speakers", type=str, default=None, metavar="NPZ",
+                        help="speaker recognition: match diarized clusters "
+                             "against this 'yoho enroll' file and name "
+                             "segments (needs voiceprints: a yoho session, "
+                             "or --diarize-session with the same encoder "
+                             "used for enrollment)")
     parser.add_argument("--profile", type=str, default=None, metavar="DIR",
                         help="capture a TensorBoard-compatible device trace "
                              "of the transcription into DIR (jax.profiler)")
@@ -241,6 +250,15 @@ def main(argv=None):
 
     temps = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if args.temperature_fallback else (0.0,)
     language = None if args.language == "auto" else args.language
+    enrolled = None
+    if args.speakers:
+        from yoho_tpu.infer.diarize import load_enrolled
+
+        enrolled = load_enrolled(args.speakers)
+        if args.hf and not args.diarize_session:
+            parser.error("--speakers on the whisper family needs "
+                         "--diarize-session (the segments have no "
+                         "voiceprints to match otherwise)")
     mesh = None
     if args.mesh:
         from yoho_tpu.parallel.mesh import parse_mesh
@@ -262,7 +280,7 @@ def main(argv=None):
                                       diarize=diarize,
                                       draft_hf=args.draft_hf,
                                       speculative_gamma=args.gamma,
-                                      mesh=mesh)
+                                      mesh=mesh, enrolled_speakers=enrolled)
     else:
         if args.diarize_session:
             print("warning: --diarize-session is ignored with --session — "
@@ -270,7 +288,8 @@ def main(argv=None):
                   "pass and diarizes natively", file=sys.stderr)
         t = build_yoho_transcriber(args.session, args.root, args.beams,
                                    args.batch, int8_weights=args.int8_weights,
-                                   vad_filter=args.vad, mesh=mesh)
+                                   vad_filter=args.vad, mesh=mesh,
+                                   enrolled_speakers=enrolled)
 
     from yoho_tpu.utils.profiling import trace
 
@@ -325,6 +344,7 @@ def main(argv=None):
                         {"start": s.start, "end": s.end, "text": s.text,
                          **s.quality_payload(),
                          "speaker": s.speaker,
+                         "speaker_name": s.speaker_name,
                          "words": ([{"word": w.word, "start": w.start,
                                      "end": w.end} for w in s.words]
                                    if s.words else None),
@@ -337,7 +357,9 @@ def main(argv=None):
                 print(f"== {f}")
                 for s in result.segments:
                     vp = " 🎙️" if s.voiceprint is not None else ""
-                    spk = f" [spk{s.speaker}]" if s.speaker is not None else ""
+                    spk = (f" [{s.speaker_name}]" if s.speaker_name
+                           else f" [spk{s.speaker}]"
+                           if s.speaker is not None else "")
                     print(f"[{s.start:7.2f} - {s.end:7.2f}]{vp}{spk} {s.text}")
                     if s.words:
                         print("    " + " ".join(f"{w.word}({w.start:.2f})"

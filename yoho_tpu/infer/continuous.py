@@ -506,7 +506,7 @@ class ContinuousBatcher:
             t._attach_quality(segs, lengths, aux)
             if t.family == "yoho":
                 self._post_pass(req, lambda mel, tok, sl: t._attach_voiceprints(
-                    mel, tok, segs[sl]), mel_cache)
+                    mel, tok, segs[sl], lengths[sl]), mel_cache)
             if (t.word_timestamps and t.family == "whisper"
                     and t.token_table.text_backend is not None):
                 self._post_pass(req, lambda mel, tok, sl: t._attach_words(

@@ -95,33 +95,77 @@ def identify_speaker(
     return best_name
 
 
-def diarize_segments(
+def name_speakers(
     segments,
-    audio: np.ndarray,
-    sample_rate: int,
-    encoder,
-    variables,
-    batch_size: int = 16,
+    enrolled: dict,
     threshold: float = 0.75,
 ) -> None:
-    """Attach speaker labels to segments via an external VoiceprintEncoder.
+    """Map diarized clusters to enrolled speaker names, in place.
 
-    The yoho family emits voiceprints in the decode forward pass; whisper
-    checkpoints have no speaker head, so whisper-family diarization runs
-    this post-pass instead (the whisperX shape): slice each segment's
-    audio span, embed the spans with a trained
-    :class:`yoho_tpu.nn.voiceprint.VoiceprintEncoder` (batched, padded
-    windows + frame masks — one compiled program per batch size), cluster
-    with :func:`cluster_voiceprints`, and set ``seg.voiceprint`` /
-    ``seg.speaker`` in place.
+    Completes speaker *recognition* (the third headline capability,
+    reference ``README.md:5-11``) at the pipeline level: segments carry
+    ``voiceprint`` (from the yoho decode forward pass or the whisper
+    post-pass) and a ``speaker`` cluster id; this computes one centroid
+    per cluster and assigns the best enrolled name above ``threshold``
+    via :func:`identify_speaker` to every member's ``speaker_name``.
+    Unmatched clusters keep ``speaker_name=None`` (an unknown voice must
+    not inherit the nearest enrolled name). Segments with a voiceprint
+    but no cluster id are identified individually.
+
+    ``enrolled`` maps name -> embedding, as produced by ``yoho enroll``
+    (:mod:`yoho_tpu.cli.enroll`) and :func:`load_enrolled`. Embeddings
+    must come from the same embedder that produced the segment
+    voiceprints (the same yoho session / VoiceprintEncoder) — cosine
+    similarity across embedding spaces is meaningless.
     """
+    if not enrolled:
+        return
+    by_cluster: dict = {}
+    for seg in segments:
+        if seg.voiceprint is None:
+            continue
+        if seg.speaker is None:
+            seg.speaker_name = identify_speaker(
+                seg.voiceprint, enrolled, threshold=threshold)
+        else:
+            by_cluster.setdefault(seg.speaker, []).append(seg)
+    for members in by_cluster.values():
+        vecs = np.stack([
+            np.asarray(s.voiceprint, np.float64) for s in members])
+        vecs /= np.maximum(
+            np.linalg.norm(vecs, axis=-1, keepdims=True), 1e-9)
+        centroid = vecs.mean(axis=0)
+        name = identify_speaker(centroid, enrolled, threshold=threshold)
+        for seg in members:
+            seg.speaker_name = name
+
+
+def save_enrolled(path, enrolled: dict) -> None:
+    """Write a name -> embedding mapping as ``.npz`` (the ``yoho enroll``
+    artifact). Names are npz keys; embeddings are stored as float32."""
+    if not enrolled:
+        raise ValueError("refusing to write an empty enrollment file")
+    np.savez(path, **{name: np.asarray(e, np.float32)
+                      for name, e in enrolled.items()})
+
+
+def load_enrolled(path) -> dict:
+    """Load a ``save_enrolled`` file back into {name: embedding}."""
+    with np.load(path) as data:
+        return {name: np.asarray(data[name]) for name in data.files}
+
+
+def _span_embedder(encoder, variables, batch_size: int):
+    """One compiled program per (encoder, batch_size) that embeds raw
+    audio spans: returns ``embed(spans: List[np.ndarray]) -> List[emb]``
+    (each span is clipped to the encoder window; shorter spans are
+    zero-padded with a matching frame mask). Shared by segment
+    diarization and speaker enrollment so the two can never drift."""
     import jax
     import jax.numpy as jnp
 
     from yoho_tpu.audio.frontend import yoho_log_mel
 
-    if not segments:
-        return
     cfg = encoder.cfg
     n = cfg.n_samples
     key = id(encoder)
@@ -152,20 +196,78 @@ def diarize_segments(
 
         fn = per_encoder[batch_size] = jax.jit(run)
 
-    embs: List[np.ndarray] = []
-    for i in range(0, len(segments), batch_size):
-        group = segments[i : i + batch_size]
-        windows = np.zeros((batch_size, n), np.float32)
-        mask = np.zeros((batch_size, cfg.max_audio_len), np.float32)
-        for j, seg in enumerate(group):
-            s = max(int(seg.start * sample_rate), 0)
-            e = min(int(seg.end * sample_rate), len(audio))
-            span = audio[s:e][:n]
-            windows[j, : len(span)] = span
-            frames = max(len(span) // cfg.stft_hop, 1)
-            mask[j, : min(frames, cfg.max_audio_len)] = 1.0
-        out = np.asarray(fn(variables, jnp.asarray(windows), jnp.asarray(mask)))
-        embs.extend(out[: len(group)])
+    def embed(spans: Sequence[np.ndarray]) -> List[np.ndarray]:
+        embs: List[np.ndarray] = []
+        for i in range(0, len(spans), batch_size):
+            group = spans[i : i + batch_size]
+            windows = np.zeros((batch_size, n), np.float32)
+            mask = np.zeros((batch_size, cfg.max_audio_len), np.float32)
+            for j, span in enumerate(group):
+                span = np.asarray(span, np.float32)[:n]
+                windows[j, : len(span)] = span
+                frames = max(len(span) // cfg.stft_hop, 1)
+                mask[j, : min(frames, cfg.max_audio_len)] = 1.0
+            out = np.asarray(
+                fn(variables, jnp.asarray(windows), jnp.asarray(mask)))
+            embs.extend(out[: len(group)])
+        return embs
+
+    return embed
+
+
+def embed_clip(
+    audio: np.ndarray,
+    encoder,
+    variables,
+    batch_size: int = 16,
+) -> np.ndarray:
+    """One L2-normalized voiceprint for a whole clip (speaker enrollment).
+
+    The clip is cut into encoder-window chunks, each chunk is embedded,
+    and the unit-normalized mean is returned — longer enrollment clips
+    average out per-window noise instead of being truncated.
+    """
+    audio = np.asarray(audio, np.float32)
+    n = encoder.cfg.n_samples
+    chunks = [audio[i : i + n] for i in range(0, max(len(audio), 1), n)]
+    # Drop trailing slivers (< 0.5 s, capped at half a window for tiny
+    # test configs) unless they are all there is — a 200 ms tail chunk
+    # is mostly zero-padding, not voice.
+    min_samples = min(encoder.cfg.sample_rate // 2, n // 2)
+    kept = [c for c in chunks if len(c) >= min_samples] or chunks[:1]
+    embs = _span_embedder(encoder, variables, batch_size)(kept)
+    mean = np.mean(np.stack(embs), axis=0)
+    return mean / max(np.linalg.norm(mean), 1e-9)
+
+
+def diarize_segments(
+    segments,
+    audio: np.ndarray,
+    sample_rate: int,
+    encoder,
+    variables,
+    batch_size: int = 16,
+    threshold: float = 0.75,
+) -> None:
+    """Attach speaker labels to segments via an external VoiceprintEncoder.
+
+    The yoho family emits voiceprints in the decode forward pass; whisper
+    checkpoints have no speaker head, so whisper-family diarization runs
+    this post-pass instead (the whisperX shape): slice each segment's
+    audio span, embed the spans with a trained
+    :class:`yoho_tpu.nn.voiceprint.VoiceprintEncoder` (batched, padded
+    windows + frame masks — one compiled program per batch size), cluster
+    with :func:`cluster_voiceprints`, and set ``seg.voiceprint`` /
+    ``seg.speaker`` in place.
+    """
+    if not segments:
+        return
+    spans = []
+    for seg in segments:
+        s = max(int(seg.start * sample_rate), 0)
+        e = min(int(seg.end * sample_rate), len(audio))
+        spans.append(audio[s:e])
+    embs = _span_embedder(encoder, variables, batch_size)(spans)
 
     labels = cluster_voiceprints(embs, threshold=threshold)
     for seg, emb, label in zip(segments, embs, labels):

@@ -25,6 +25,7 @@ class Segment:
     tokens: List[int] = field(default_factory=list)
     voiceprint: Optional[np.ndarray] = None
     speaker: Optional[int] = None  # diarization label (yoho family)
+    speaker_name: Optional[str] = None  # recognition vs enrolled voiceprints
     words: Optional[list] = None  # List[WordTiming] when word_timestamps on
     # Decode-quality signals, stamped per source window (whisper family):
     # mean logprob of the window's generated tokens, p(<|nospeech|>) at the
@@ -59,6 +60,7 @@ class Segment:
             tokens=list(self.tokens),
             voiceprint=self.voiceprint,
             speaker=self.speaker,
+            speaker_name=self.speaker_name,
             words=[type(w)(w.word, round(off + w.start, 3),
                            round(off + w.end, 3))
                    for w in self.words] if self.words else None,

@@ -75,6 +75,7 @@ class Transcriber:
         vad_options=None,
         diarize_encoder=None,  # VoiceprintEncoder (whisper-family diarization)
         diarize_variables=None,
+        enrolled_speakers=None,  # {name: voiceprint} for speaker recognition
     ):
         # Whisper-style quality fallback: windows whose greedy decode fails
         # the logprob/compression checks are re-decoded at increasing
@@ -110,6 +111,12 @@ class Transcriber:
         # segment spans post-decode (yoho embeds in the forward pass).
         self.diarize_encoder = diarize_encoder
         self.diarize_variables = diarize_variables
+        # Speaker recognition: diarized clusters are matched against these
+        # enrolled {name: embedding} voiceprints (``yoho enroll``) and
+        # segments gain ``speaker_name``. Embeddings must come from the
+        # same embedder that produces segment voiceprints (this session's
+        # yoho model, or the attached diarize_encoder).
+        self.enrolled_speakers = dict(enrolled_speakers or {})
         # OpenAI's default long-form mode: each window's prompt carries the
         # previous windows' generated tokens. Inherently SEQUENTIAL, so it
         # trades the batched-window throughput design for quality — use it
@@ -755,13 +762,67 @@ class Transcriber:
 
     # ------------------------------------------------------------------
     def _attach_voiceprints(self, mel: jnp.ndarray, tokens: np.ndarray,
-                            per_window: List[List[Segment]]) -> None:
+                            per_window: List[List[Segment]],
+                            lengths=None) -> None:
         """One teacher-forced pass extracts speaker embeddings at
         ``<|voiceprint|>`` positions (yoho family only)."""
         if self.family != "yoho":
             return
         pad = np.zeros((tokens.shape[0], self.max_len), np.int32)
         pad[:, : tokens.shape[1]] = tokens[:, : self.max_len]
+        # Forced voiceprint extraction: a yoho model fine-tuned without
+        # voiceprint targets never EMITS slot tokens, so its segments
+        # would silently carry no embeddings (and diarization/enrollment
+        # would be impossible). Inject the training layout — one
+        # ``<|voiceprint|>`` at each segment's END in the stream
+        # (reference ``train/utils/dataloaders.py:193``) — into the
+        # teacher-forced pass. The walk mirrors ``_tokens_to_segments``
+        # exactly (paired closes, gap-text segments, open tail), so the
+        # i-th slot belongs to the i-th segment. The decoder is causal:
+        # states at the read positions (the token *preceding* each slot)
+        # are identical to the unmodified sequence's.
+        tok = self.tokenizer
+        vp_id = tok.voiceprint_id
+        n_prompt = len(self._prompt_ids())
+        for w, segs in enumerate(per_window):
+            if not segs:
+                continue
+            length = (int(lengths[w]) if lengths is not None
+                      else self.max_len)
+            pad[w, length:] = 0  # beyond-length garbage must not read as slots
+            toks = pad[w, :length].tolist()
+            if vp_id in toks[n_prompt:]:
+                continue  # the model emitted its own slots — keep them
+            out: List[int] = []
+            n_text = 0
+            start_open = False
+            for t in toks[n_prompt:]:
+                if tok.is_timestamp(t):
+                    if start_open:
+                        out.append(t)
+                        out.append(vp_id)  # paired close -> slot follows
+                    else:
+                        if n_text:  # gap/leading text closes HERE
+                            out.append(vp_id)
+                        out.append(t)
+                    start_open = not start_open
+                    n_text = 0
+                else:
+                    if t not in (tok.sot_id, tok.eot_id):
+                        n_text += 1
+                    out.append(t)
+            if n_text and start_open:  # open tail closed by window end
+                out.append(vp_id)
+            row = toks[:n_prompt] + out
+            if len(row) > self.max_len:
+                # Injection overflowed the decode horizon: keep the final
+                # slot by overwriting the last kept token — earlier read
+                # positions still see the original prefix.
+                row = row[: self.max_len]
+                if row[-1] != vp_id:
+                    row[-1] = vp_id
+            pad[w] = 0
+            pad[w, : len(row)] = row
         key = ("voiceprints", tokens.shape[0])
         if key not in self._jitted:
             model = self.model
@@ -772,7 +833,6 @@ class Transcriber:
                     )[1]
                 ))
         vp = np.asarray(self._jitted[key](self.variables, jnp.asarray(pad), mel))
-        vp_id = self.tokenizer.voiceprint_id
         for w, segs in enumerate(per_window):
             positions = np.nonzero(pad[w] == vp_id)[0]
             for seg, p in zip(segs, positions):
@@ -910,6 +970,10 @@ class Transcriber:
 
             diarize_segments(segments, original_audio, self.sample_rate,
                              self.diarize_encoder, self.diarize_variables)
+        if self.enrolled_speakers:
+            from yoho_tpu.infer.diarize import name_speakers
+
+            name_speakers(segments, self.enrolled_speakers)
         text = " ".join(s.text for s in segments if s.text).strip()
         return TranscriptionResult(text=text, segments=segments,
                                    language=lang)
@@ -1012,7 +1076,7 @@ class Transcriber:
             # Pass the FULL padded batch: slicing to the remainder would
             # compile a fresh program per distinct final-batch size (both
             # helpers only read rows with a per_window entry).
-            self._attach_voiceprints(mel, tokens, segs)
+            self._attach_voiceprints(mel, tokens, segs, lengths)
             self._attach_words(mel, tokens, lengths, segs)
             per_window.extend(segs)
 
@@ -1054,6 +1118,11 @@ class Transcriber:
 
             diarize_segments(segments, original_audio, self.sample_rate,
                              self.diarize_encoder, self.diarize_variables)
+        if self.enrolled_speakers:
+            # Speaker recognition: diarized clusters -> enrolled names.
+            from yoho_tpu.infer.diarize import name_speakers
+
+            name_speakers(segments, self.enrolled_speakers)
         text = " ".join(s.text for s in segments if s.text).strip()
         return TranscriptionResult(text=text, segments=segments,
                                    language=language)
@@ -1156,7 +1225,7 @@ class Transcriber:
             self._attach_quality(segs, lengths, aux)
             # Full padded batch: a remainder-sized slice would compile a
             # fresh program per distinct final-group size.
-            self._attach_voiceprints(mel, tokens, segs)
+            self._attach_voiceprints(mel, tokens, segs, lengths)
             self._attach_words(mel, tokens, lengths, segs)
             for s in segs:
                 text = " ".join(x.text for x in s if x.text).strip()
