@@ -849,6 +849,31 @@ def test_transcribe_segments_carry_speaker_name_when_enrolled():
         srv.shutdown()
 
 
+def test_warmup_compiles_serving_path():
+    """warmup(server) pushes one silent window through the batcher (the
+    exact request path), so the compiled programs are cached before the
+    first real request; the server then serves normally."""
+    from yoho_tpu.cli.serve import warmup
+
+    t = _tiny_transcriber()
+    srv = serve(t, port=0)
+    warmup(srv)
+    assert srv.batcher.requests_served == 1
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        audio = np.zeros(t.chunk_samples, np.float32)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_address[1]}/transcribe",
+            data=audio.tobytes(),
+            headers={"Content-Type": "application/octet-stream"},
+            method="POST")
+        with urllib.request.urlopen(req) as r:
+            assert "text" in json.load(r)
+    finally:
+        srv.shutdown()
+
+
 def test_negative_max_pending_rejected():
     import yoho_tpu.cli.serve as cli
 

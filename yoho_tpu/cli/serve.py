@@ -557,8 +557,25 @@ def serve(transcriber, port: int = 8000, host: str = "127.0.0.1",
     server = ThreadingHTTPServer((host, port),
                                  make_handler(transcriber, batcher))
     server.batcher = batcher  # so callers/tests can read counters / close
+    server.transcriber = transcriber  # for warmup()/introspection
     server.stream_conns = set()  # live websocket sockets, for drain()
     return server
+
+
+def warmup(server) -> None:
+    """Compile the serving programs BEFORE traffic: submit one silent
+    window through the batcher — exactly the path real requests take, so
+    the same decode program (padded batch/slot shapes, language handling)
+    is compiled and cached. A cold large model on TPU takes minutes to
+    compile; a production pod should pay that at startup (while its load
+    balancer still sees it unready), not on the first user's request.
+    The socket is already bound, so requests arriving during warmup queue
+    and are answered as soon as ``serve_forever`` starts."""
+    t = getattr(server, "transcriber", None)
+    batcher = getattr(server, "batcher", None)
+    if t is None or batcher is None:
+        return  # duck-typed server (tests / custom backends): nothing to warm
+    batcher.submit(np.zeros(t.chunk_samples, np.float32))
 
 
 def drain(server, timeout_s: float = 30.0) -> None:
@@ -618,6 +635,11 @@ def main(argv=None):
                         help="backpressure: max in-flight requests before "
                              "submissions get 503 + Retry-After (0 = "
                              "unlimited)")
+    parser.add_argument("--no-warmup", action="store_true",
+                        help="skip the startup warmup decode (by default "
+                             "one silent window is transcribed before "
+                             "accepting traffic, so the first real "
+                             "request doesn't pay the XLA compile)")
     parser.add_argument("--drain-timeout", type=float, default=30.0,
                         help="seconds to wait for in-flight requests on "
                              "SIGTERM/Ctrl-C before exiting anyway")
@@ -723,6 +745,14 @@ def main(argv=None):
                    continuous=args.continuous,
                    chunk_tokens=args.chunk_tokens,
                    max_pending=args.max_pending or None)
+    if not args.no_warmup:
+        # Pay the (minutes-long on a cold TPU) XLA compile now, not on
+        # the first user's request. The socket is already bound: early
+        # requests queue and get served the moment the loop starts.
+        print("warming up: compiling serving programs...", file=sys.stderr)
+        t0 = time.monotonic()
+        warmup(server)
+        print(f"warm in {time.monotonic() - t0:.1f}s", file=sys.stderr)
     print(f"serving on http://{args.host}:{args.port} "
           f"(POST /transcribe, GET /healthz)")
 
