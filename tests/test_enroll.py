@@ -235,6 +235,46 @@ def test_enroll_cli_arg_errors(tmp_path):
     with pytest.raises(SystemExit):  # duplicate name
         enroll.main(["a=x.wav", "a=y.wav", "--out", "x.npz",
                      "--session", "tiny", "--root", str(FIXROOT)])
+    with pytest.raises(SystemExit):  # empty clip list ('a=,')
+        enroll.main(["a=,", "--out", "x.npz",
+                     "--session", "tiny", "--root", str(FIXROOT)])
+
+
+def test_identify_speaker_shape_mismatch_is_clear():
+    from yoho_tpu.infer.diarize import identify_speaker
+
+    with pytest.raises(ValueError, match="different embedders"):
+        identify_speaker(np.ones(8), {"alice": np.ones(16)})
+
+
+def test_enrolled_dim_mismatch_fails_fast(vp_encoder):
+    """A wrong-dimension enrollment file must be rejected at Transcriber
+    construction, not crash with a numpy shape error after the decode."""
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.infer.pipeline import Transcriber
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    enc, enc_vars = vp_encoder  # embedding_dim=16
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=16, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    with pytest.raises(ValueError, match="dim 8"):
+        Transcriber(model, variables, family="whisper",
+                    token_table=WhisperTokenTable(multilingual=True),
+                    batch_size=1, diarize_encoder=enc,
+                    diarize_variables=enc_vars,
+                    enrolled_speakers={"alice": np.ones(8, np.float32)})
+    with pytest.raises(ValueError, match="needs diarize_encoder"):
+        Transcriber(model, variables, family="whisper",
+                    token_table=WhisperTokenTable(multilingual=True),
+                    batch_size=1,
+                    enrolled_speakers={"alice": np.ones(16, np.float32)})
 
 
 def test_transcribe_speakers_requires_diarize_session(tmp_path):

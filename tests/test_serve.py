@@ -858,7 +858,10 @@ def test_warmup_compiles_serving_path():
     t = _tiny_transcriber()
     srv = serve(t, port=0)
     warmup(srv)
-    assert srv.batcher.requests_served == 1
+    # The synthetic request is excluded from /statz (its latency is the
+    # compile time, not a serving latency).
+    assert srv.batcher.requests_served == 0
+    assert len(srv.batcher._latencies) == 0
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()
     try:

@@ -37,7 +37,12 @@ def _parse_pairs(pairs):
                 "name=clip.wav[,clip2.wav...]")
         if name in out:
             raise SystemExit(f"yoho enroll: duplicate speaker {name!r}")
-        out[name] = [p for p in paths.split(",") if p]
+        clips = [p for p in paths.split(",") if p]
+        if not clips:
+            raise SystemExit(
+                f"yoho enroll: no clips for {name!r} — expected "
+                "name=clip.wav[,clip2.wav...]")
+        out[name] = clips
     return out
 
 

@@ -576,6 +576,15 @@ def warmup(server) -> None:
     if t is None or batcher is None:
         return  # duck-typed server (tests / custom backends): nothing to warm
     batcher.submit(np.zeros(t.chunk_samples, np.float32))
+    # The synthetic request must not pollute /statz: its latency IS the
+    # XLA compile (minutes on a cold chip) and would sit in the p99
+    # percentiles until 512 real requests evict it.
+    served = getattr(batcher, "requests_served", 0)
+    if served:
+        batcher.requests_served = served - 1
+    lat = getattr(batcher, "_latencies", None)
+    if lat is not None:
+        lat.clear()
 
 
 def drain(server, timeout_s: float = 30.0) -> None:
@@ -708,15 +717,10 @@ def main(argv=None):
         from yoho_tpu.parallel.mesh import parse_mesh
 
         mesh = parse_mesh(args.mesh)
-    enrolled = None
-    if args.speakers:
-        from yoho_tpu.infer.diarize import load_enrolled
+    from yoho_tpu.cli.transcribe import load_speakers_arg
 
-        enrolled = load_enrolled(args.speakers)
-        if args.hf and not args.diarize_session:
-            parser.error("--speakers on the whisper family needs "
-                         "--diarize-session (the segments have no "
-                         "voiceprints to match otherwise)")
+    enrolled = load_speakers_arg(args.speakers, args.hf,
+                                 args.diarize_session, parser.error)
     if args.hf:
         diarize = (load_voiceprint_encoder(args.diarize_session, args.root)
                    if args.diarize_session else None)

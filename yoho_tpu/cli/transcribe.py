@@ -168,6 +168,20 @@ def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
                        enrolled_speakers=enrolled_speakers)
 
 
+def load_speakers_arg(speakers_path, hf, diarize_session, error):
+    """Shared ``--speakers`` handling for the transcribe and serve CLIs:
+    load the enrollment file and reject the whisper-family combination
+    that can never match (no voiceprints without a diarize encoder)."""
+    if not speakers_path:
+        return None
+    from yoho_tpu.infer.diarize import load_enrolled
+
+    if hf and not diarize_session:
+        error("--speakers on the whisper family needs --diarize-session "
+              "(the segments have no voiceprints to match otherwise)")
+    return load_enrolled(speakers_path)
+
+
 def main(argv=None):
     from yoho_tpu.utils.platform import apply_platform_env
 
@@ -250,15 +264,8 @@ def main(argv=None):
 
     temps = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if args.temperature_fallback else (0.0,)
     language = None if args.language == "auto" else args.language
-    enrolled = None
-    if args.speakers:
-        from yoho_tpu.infer.diarize import load_enrolled
-
-        enrolled = load_enrolled(args.speakers)
-        if args.hf and not args.diarize_session:
-            parser.error("--speakers on the whisper family needs "
-                         "--diarize-session (the segments have no "
-                         "voiceprints to match otherwise)")
+    enrolled = load_speakers_arg(args.speakers, args.hf,
+                                 args.diarize_session, parser.error)
     mesh = None
     if args.mesh:
         from yoho_tpu.parallel.mesh import parse_mesh

@@ -88,6 +88,11 @@ def identify_speaker(
     best_name, best_sim = None, threshold
     for name, ref in enrolled.items():
         r = np.asarray(ref, np.float64)
+        if r.shape != e.shape:
+            raise ValueError(
+                f"enrolled speaker {name!r} has embedding shape {r.shape}, "
+                f"query has {e.shape} — embeddings from different embedders "
+                "cannot be compared; re-enroll with the matching one")
         r = r / max(np.linalg.norm(r), 1e-9)
         sim = float(np.dot(e, r))
         if sim >= best_sim:

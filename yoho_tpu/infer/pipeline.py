@@ -117,6 +117,27 @@ class Transcriber:
         # same embedder that produces segment voiceprints (this session's
         # yoho model, or the attached diarize_encoder).
         self.enrolled_speakers = dict(enrolled_speakers or {})
+        if self.enrolled_speakers:
+            # Fail fast on an embedding-space mismatch: a wrong-dim
+            # enrollment file would otherwise crash with a raw numpy
+            # shape error AFTER the whole decode (or 500 every request).
+            if family == "whisper":
+                if diarize_encoder is None:
+                    raise ValueError(
+                        "enrolled_speakers on the whisper family needs "
+                        "diarize_encoder= (whisper segments carry no "
+                        "voiceprints to match otherwise)")
+                expected = int(diarize_encoder.embedding_dim)
+            else:
+                expected = int(getattr(model, "voiceprint_dim", 0)) or None
+            for nm, emb in self.enrolled_speakers.items():
+                got = int(np.asarray(emb).shape[-1])
+                if expected is not None and got != expected:
+                    raise ValueError(
+                        f"enrolled speaker {nm!r} has embedding dim {got}, "
+                        f"but this transcriber produces dim-{expected} "
+                        "voiceprints — re-enroll with the same embedder "
+                        "(yoho enroll, same session / --diarize-session)")
         # OpenAI's default long-form mode: each window's prompt carries the
         # previous windows' generated tokens. Inherently SEQUENTIAL, so it
         # trades the batched-window throughput design for quality — use it
