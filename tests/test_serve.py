@@ -849,6 +849,28 @@ def test_transcribe_segments_carry_speaker_name_when_enrolled():
         srv.shutdown()
 
 
+def test_metrics_prometheus_exposition(server):
+    """GET /metrics renders the /statz numbers in Prometheus text format."""
+    # Drive one request so the counters are non-zero.
+    audio = np.zeros(5360, np.float32)
+    req = urllib.request.Request(
+        server + "/transcribe", data=audio.tobytes(),
+        headers={"Content-Type": "application/octet-stream"}, method="POST")
+    urllib.request.urlopen(req).read()
+    with urllib.request.urlopen(server + "/metrics") as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        body = r.read().decode()
+    assert "# TYPE yoho_requests_served_total counter" in body
+    served = [ln for ln in body.splitlines()
+              if ln.startswith("yoho_requests_served_total ")]
+    assert served and int(served[0].split()[-1]) >= 1
+    assert 'yoho_request_latency_seconds{quantile="0.99"}' in body
+    # Numbers agree with /statz.
+    with urllib.request.urlopen(server + "/statz") as r:
+        statz = json.load(r)
+    assert int(served[0].split()[-1]) == statz["requests_served"]
+
+
 def test_warmup_compiles_serving_path():
     """warmup(server) pushes one silent window through the batcher (the
     exact request path), so the compiled programs are cached before the

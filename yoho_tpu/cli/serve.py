@@ -23,7 +23,8 @@ The serving layer the reference lacks entirely (SURVEY.md §1). Stdlib-only:
   stitching), and ``{"partial": true}`` messages carry the
   still-revisable live-caption hypotheses (clients replace, not append);
   ``{"op": "flush"}`` / ``{"op": "end"}`` force/terminate.
-* ``GET /healthz`` liveness, ``GET /statz`` batcher counters.
+* ``GET /healthz`` liveness, ``GET /statz`` batcher counters (JSON),
+  ``GET /metrics`` the same counters in Prometheus text format.
 
 Concurrent requests are MICRO-BATCHED (yoho_tpu.infer.batching): their
 30 s windows share the fixed-batch decode programs instead of serializing
@@ -54,6 +55,35 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from yoho_tpu.infer.batching import RequestCancelled, ServerOverloaded
+
+
+_PROM_COUNTERS = ("requests_served", "requests_rejected",
+                  "requests_cancelled", "batches_dispatched")
+_PROM_GAUGES = ("inflight", "queue_depth", "active_slots")
+
+
+def _prometheus_text(stats: dict) -> str:
+    """Render the batcher's stats() dict in Prometheus text exposition
+    format (``GET /metrics``) — the same numbers ``/statz`` serves as
+    JSON, so dashboards can scrape without an adapter."""
+    lines = []
+    for k in _PROM_COUNTERS:
+        if k in stats:
+            lines += [f"# TYPE yoho_{k}_total counter",
+                      f"yoho_{k}_total {stats[k]}"]
+    for k in _PROM_GAUGES:
+        if k in stats:
+            lines += [f"# TYPE yoho_{k} gauge", f"yoho_{k} {stats[k]}"]
+    quantiles = (("0.5", "p50_ms"), ("0.95", "p95_ms"), ("0.99", "p99_ms"))
+    if any(stats.get(name) is not None for _, name in quantiles):
+        lines.append("# TYPE yoho_request_latency_seconds summary")
+        for q, name in quantiles:
+            v = stats.get(name)
+            if v is not None:
+                lines.append(
+                    f'yoho_request_latency_seconds{{quantile="{q}"}} '
+                    f"{v / 1000.0:.6f}")
+    return "\n".join(lines) + "\n"
 
 
 def _validate_language(transcriber, language) -> str:
@@ -353,17 +383,23 @@ def make_handler(transcriber, batcher):
                 self._stream()
             elif path == "/healthz":
                 self._json(200, {"status": "ok"})
-            elif path == "/statz":
+            elif path in ("/statz", "/metrics"):
                 # stats() adds backpressure/cancellation counters, queue
                 # depth and latency percentiles; duck-typed batchers in
-                # tests may only carry the two counters.
+                # tests may only carry the two counters. /metrics is the
+                # same dict in Prometheus text format.
                 if hasattr(batcher, "stats"):
-                    self._json(200, batcher.stats())
+                    stats = batcher.stats()
                 else:
-                    self._json(200, {
+                    stats = {
                         "requests_served": batcher.requests_served,
                         "batches_dispatched": batcher.batches_dispatched,
-                    })
+                    }
+                if path == "/metrics":
+                    self._send(200, "text/plain; version=0.0.4",
+                               _prometheus_text(stats).encode())
+                else:
+                    self._json(200, stats)
             else:
                 self._json(404, {"error": "not found"})
 
