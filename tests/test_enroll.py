@@ -224,6 +224,56 @@ def test_enroll_cli_then_recognize(tmp_path, capsys):
     assert sorted(load_enrolled(out)) == ["alice", "bob", "carol"]
 
 
+def test_enroll_cli_whisper_pairing(tmp_path, capsys):
+    """The whisper pairing: `yoho enroll --diarize-session` embeds clips
+    with a stage-3 VoiceprintEncoder artifact, and the SAME encoder used
+    for post-pass diarization then recognizes the enrolled voice — a
+    segment spanning the enrolled clip matches its name exactly (same
+    deterministic embedder)."""
+    import shutil
+
+    from yoho_tpu.cli import enroll
+    from yoho_tpu.core.config import load_session_config
+    from yoho_tpu.infer.diarize import diarize_segments
+    from yoho_tpu.nn.voiceprint import VoiceprintEncoder
+    from yoho_tpu.train.checkpoint import save_params
+
+    sess_root = tmp_path / "sessions"
+    shutil.copytree(FIXROOT / "tiny", sess_root / "tiny")
+    config = load_session_config("tiny", str(sess_root))
+    cfg = config.yoho
+    dim = config.hyperparameters.voiceprint_finetune.embedding_dim
+    enc = VoiceprintEncoder(cfg, embedding_dim=dim)
+    variables = enc.init(
+        jax.random.PRNGKey(2),
+        jnp.zeros((1, cfg.max_audio_len, cfg.n_mel_bands), jnp.float32),
+        jnp.ones((1, cfg.max_audio_len), jnp.float32))
+    save_params(config.weights.voiceprint, variables["params"])
+
+    n = cfg.n_samples
+    clips = []
+    for s in range(2):
+        p = tmp_path / f"clip{s}.wav"
+        _write_wav(p, _tone_clip(s, n))
+        clips.append(str(p))
+    out = tmp_path / "speakers.npz"
+    rc = enroll.main([f"alice={clips[0]}", f"bob={clips[1]}",
+                      "--out", str(out),
+                      "--diarize-session", "tiny", "--root", str(sess_root)])
+    assert rc == 0
+    enrolled = load_enrolled(out)
+    assert sorted(enrolled) == ["alice", "bob"]
+    assert all(e.shape == (dim,) for e in enrolled.values())
+
+    # Recognition: one segment spanning exactly the enrolled clip.
+    audio = _tone_clip(0, n)
+    segs = [Segment(start=0.0, end=n / 16000, text="x")]
+    diarize_segments(segs, audio, 16000, enc, variables)
+    assert segs[0].voiceprint is not None and segs[0].speaker == 0
+    name_speakers(segs, enrolled)
+    assert segs[0].speaker_name == "alice"
+
+
 def test_enroll_cli_arg_errors(tmp_path):
     from yoho_tpu.cli import enroll
 

@@ -393,6 +393,43 @@ def test_websocket_stream_session(server):
         s.close()
 
 
+def test_websocket_stream_keeps_speaker_names():
+    """Enrolled identities are absolute, so they survive the per-window
+    cluster-id strip on /stream: streamed segments carry speaker_name
+    but never a (meaningless across windows) speaker id."""
+    t = _tiny_transcriber()
+    n = t.model.cfg.n_samples
+    g = np.random.default_rng(6)  # a seed whose decode emits timestamps
+    audio = (0.1 * g.standard_normal(2 * n)).astype(np.float32)
+    ref = t.transcribe(audio)
+    vps = [s.voiceprint for s in ref.segments if s.voiceprint is not None]
+    assert vps
+    centroid = np.mean(np.stack(vps), axis=0)
+    t.enrolled_speakers = {"alice": centroid / np.linalg.norm(centroid)}
+
+    srv = serve(t, port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    s = _ws_connect(srv.server_address)
+    try:
+        _ws_send(s, audio.tobytes(), opcode=2)
+        _ws_send(s, b'{"op": "end"}', opcode=1)
+        named = []
+        while True:
+            op, payload = _ws_recv(s)
+            if op == 8:
+                break
+            msg = json.loads(payload)
+            for seg in msg.get("segments", []):
+                assert "speaker" not in seg  # cluster ids stripped
+                if seg.get("speaker_name"):
+                    named.append(seg["speaker_name"])
+        assert named and set(named) == {"alice"}
+    finally:
+        s.close()
+        srv.shutdown()
+
+
 def test_websocket_bad_upgrade(server):
     try:
         urllib.request.urlopen(server + "/stream")
