@@ -141,7 +141,49 @@ def bench_one(model_name="small", batch=320, beams=0, decode_tokens=224,
     }
 
 
+def _require_backend(timeout_s: int = 600) -> None:
+    """Fail fast (with a diagnosable JSON line) when the TPU backend
+    cannot initialize, instead of hanging the driver forever.
+
+    Observed live: with the relay tunnel wedged (e.g. a stale client
+    holding the single chip's claim), ``jax.devices()`` BLOCKS
+    INDEFINITELY inside backend setup — no exception, no timeout. Probe
+    in a watchdogged thread; the probe thread also performs the real
+    initialization, so on success the main thread's ``jax.devices()``
+    is a cached read.
+    """
+    import threading
+
+    state = {}
+
+    def probe():
+        try:
+            import jax
+
+            state["devices"] = len(jax.devices())
+        except Exception as e:  # noqa: BLE001 — report, don't hang
+            state["error"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in state:
+        return
+    err = state.get("error",
+                    f"backend init did not return within {timeout_s}s "
+                    "(wedged relay / chip claim held elsewhere)")
+    print(json.dumps({
+        "metric": "whisper_transcribe_throughput",
+        "value": 0.0,
+        "unit": "audio_seconds_per_second_per_chip",
+        "vs_baseline": 0.0,
+        "error": f"TPU backend unavailable: {err}",
+    }))
+    sys.exit(0)
+
+
 def main():
+    _require_backend(int(os.environ.get("BENCH_BACKEND_TIMEOUT", "600")))
     kv_env = os.environ.get("BENCH_QUANTIZED_KV", "1")
     kwargs = dict(
         model_name=os.environ.get("BENCH_MODEL", "small"),
