@@ -54,6 +54,25 @@ def test_name_speakers_noop_without_enrollment():
     assert segs[0].speaker_name is None
 
 
+def test_speaker_threshold_tunable():
+    """The cosine floor is a knob: a moderately similar voice matches at
+    the default threshold but not at a strict one (CLI
+    --speaker-threshold; Transcriber(speaker_threshold=...))."""
+    a = np.array([1.0, 0.0])
+    near = np.array([np.cos(0.45), np.sin(0.45)])  # cosine ~0.90
+    seg = _seg(near, 0)
+    name_speakers([seg], {"alice": a}, threshold=0.95)
+    assert seg.speaker_name is None
+    name_speakers([seg], {"alice": a}, threshold=0.75)
+    assert seg.speaker_name == "alice"
+
+    from yoho_tpu.cli.transcribe import build_yoho_transcriber
+
+    t = build_yoho_transcriber("tiny", str(FIXROOT), beams=0, batch=1,
+                               speaker_threshold=0.5)
+    assert t.speaker_threshold == 0.5
+
+
 def test_save_load_enrolled_roundtrip(tmp_path):
     enrolled = {"alice": np.arange(4, dtype=np.float32),
                 "bob": np.ones(4, np.float32)}

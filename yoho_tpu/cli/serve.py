@@ -716,6 +716,9 @@ def main(argv=None):
                         help="whisper-family diarization: embed segment "
                              "spans with this session's trained voiceprint "
                              "encoder and cluster ('speaker' per segment)")
+    parser.add_argument("--speaker-threshold", type=float, default=0.75,
+                        help="cosine floor for diarization clustering and "
+                             "enrolled-name matching")
     parser.add_argument("--speakers", type=str, default=None, metavar="NPZ",
                         help="speaker recognition: match diarized clusters "
                              "against this 'yoho enroll' file and attach "
@@ -771,7 +774,8 @@ def main(argv=None):
                                       vad_filter=args.vad, diarize=diarize,
                                       draft_hf=args.draft_hf,
                                       speculative_gamma=args.gamma,
-                                      mesh=mesh, enrolled_speakers=enrolled)
+                                      mesh=mesh, enrolled_speakers=enrolled,
+                                      speaker_threshold=args.speaker_threshold)
     else:
         if args.diarize_session:
             print("warning: --diarize-session is ignored with --session — "
@@ -779,7 +783,8 @@ def main(argv=None):
                   "pass and diarizes natively", file=sys.stderr)
         t = build_yoho_transcriber(args.session, args.root, args.beams,
                                    args.batch, vad_filter=args.vad,
-                                   mesh=mesh, enrolled_speakers=enrolled)
+                                   mesh=mesh, enrolled_speakers=enrolled,
+                                   speaker_threshold=args.speaker_threshold)
 
     server = serve(t, args.port, args.host, args.max_wait_ms,
                    continuous=args.continuous,

@@ -53,7 +53,8 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
                               vad_filter: bool = False,
                               diarize=None,
                               draft_hf=None, speculative_gamma: int = 4,
-                              mesh=None, enrolled_speakers=None):
+                              mesh=None, enrolled_speakers=None,
+                              speaker_threshold: float = 0.75):
     import jax.numpy as jnp
 
     from yoho_tpu.infer.pipeline import Transcriber
@@ -118,13 +119,15 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
         draft_model=draft_model, draft_variables=draft_variables,
         speculative_gamma=speculative_gamma,
         enrolled_speakers=enrolled_speakers,
+        speaker_threshold=speaker_threshold,
     )
 
 
 def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
                            int8_weights: bool = False,
                            vad_filter: bool = False, mesh=None,
-                           enrolled_speakers=None):
+                           enrolled_speakers=None,
+                           speaker_threshold: float = 0.75):
     import jax
     import jax.numpy as jnp
 
@@ -165,7 +168,8 @@ def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
     return Transcriber(model, {"params": params}, family="yoho", tokenizer=tok,
                        batch_size=batch, beams=beams, cache_dtype=jnp.bfloat16,
                        vad_filter=vad_filter, mesh=mesh,
-                       enrolled_speakers=enrolled_speakers)
+                       enrolled_speakers=enrolled_speakers,
+                       speaker_threshold=speaker_threshold)
 
 
 def load_speakers_arg(speakers_path, hf, diarize_session, error):
@@ -236,6 +240,11 @@ def main(argv=None):
                         help="whisper-family speaker diarization: embed "
                              "segment spans with this session's trained "
                              "voiceprint encoder (stage 3) and cluster")
+    parser.add_argument("--speaker-threshold", type=float, default=0.75,
+                        help="cosine-similarity floor for diarization "
+                             "cluster merging AND enrolled-name matching "
+                             "(higher = more distinct speakers, fewer "
+                             "matches)")
     parser.add_argument("--speakers", type=str, default=None, metavar="NPZ",
                         help="speaker recognition: match diarized clusters "
                              "against this 'yoho enroll' file and name "
@@ -287,7 +296,8 @@ def main(argv=None):
                                       diarize=diarize,
                                       draft_hf=args.draft_hf,
                                       speculative_gamma=args.gamma,
-                                      mesh=mesh, enrolled_speakers=enrolled)
+                                      mesh=mesh, enrolled_speakers=enrolled,
+                                      speaker_threshold=args.speaker_threshold)
     else:
         if args.diarize_session:
             print("warning: --diarize-session is ignored with --session — "
@@ -296,7 +306,8 @@ def main(argv=None):
         t = build_yoho_transcriber(args.session, args.root, args.beams,
                                    args.batch, int8_weights=args.int8_weights,
                                    vad_filter=args.vad, mesh=mesh,
-                                   enrolled_speakers=enrolled)
+                                   enrolled_speakers=enrolled,
+                                   speaker_threshold=args.speaker_threshold)
 
     from yoho_tpu.utils.profiling import trace
 

@@ -76,6 +76,7 @@ class Transcriber:
         diarize_encoder=None,  # VoiceprintEncoder (whisper-family diarization)
         diarize_variables=None,
         enrolled_speakers=None,  # {name: voiceprint} for speaker recognition
+        speaker_threshold: float = 0.75,  # cosine: cluster merge + naming
     ):
         # Whisper-style quality fallback: windows whose greedy decode fails
         # the logprob/compression checks are re-decoded at increasing
@@ -111,6 +112,10 @@ class Transcriber:
         # segment spans post-decode (yoho embeds in the forward pass).
         self.diarize_encoder = diarize_encoder
         self.diarize_variables = diarize_variables
+        # Cosine-similarity floor for BOTH diarization cluster merging and
+        # enrolled-name matching. Higher = more conservative (more distinct
+        # speakers, fewer name matches); tune per embedder quality.
+        self.speaker_threshold = float(speaker_threshold)
         # Speaker recognition: diarized clusters are matched against these
         # enrolled {name: embedding} voiceprints (``yoho enroll``) and
         # segments gain ``speaker_name``. Embeddings must come from the
@@ -990,11 +995,13 @@ class Transcriber:
             from yoho_tpu.infer.diarize import diarize_segments
 
             diarize_segments(segments, original_audio, self.sample_rate,
-                             self.diarize_encoder, self.diarize_variables)
+                             self.diarize_encoder, self.diarize_variables,
+                             threshold=self.speaker_threshold)
         if self.enrolled_speakers:
             from yoho_tpu.infer.diarize import name_speakers
 
-            name_speakers(segments, self.enrolled_speakers)
+            name_speakers(segments, self.enrolled_speakers,
+                          threshold=self.speaker_threshold)
         text = " ".join(s.text for s in segments if s.text).strip()
         return TranscriptionResult(text=text, segments=segments,
                                    language=lang)
@@ -1128,7 +1135,8 @@ class Transcriber:
             # Diarization: cluster per-segment voiceprints into speakers.
             from yoho_tpu.infer.diarize import cluster_voiceprints
 
-            labels = cluster_voiceprints([s.voiceprint for s in segments])
+            labels = cluster_voiceprints([s.voiceprint for s in segments],
+                                         threshold=self.speaker_threshold)
             for seg, spk in zip(segments, labels):
                 seg.speaker = spk
         elif self.diarize_encoder is not None:
@@ -1138,12 +1146,14 @@ class Transcriber:
             from yoho_tpu.infer.diarize import diarize_segments
 
             diarize_segments(segments, original_audio, self.sample_rate,
-                             self.diarize_encoder, self.diarize_variables)
+                             self.diarize_encoder, self.diarize_variables,
+                             threshold=self.speaker_threshold)
         if self.enrolled_speakers:
             # Speaker recognition: diarized clusters -> enrolled names.
             from yoho_tpu.infer.diarize import name_speakers
 
-            name_speakers(segments, self.enrolled_speakers)
+            name_speakers(segments, self.enrolled_speakers,
+                          threshold=self.speaker_threshold)
         text = " ".join(s.text for s in segments if s.text).strip()
         return TranscriptionResult(text=text, segments=segments,
                                    language=language)
