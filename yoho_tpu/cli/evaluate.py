@@ -36,6 +36,68 @@ def collect_pairs(root: Path, limit=None):
     return pairs[:limit] if limit else pairs
 
 
+def _resolve_audio(root: Path, fid: str):
+    for base in (root, root / "audio"):
+        for suf in (".wav", ".flac", ".npy", ".mp3", ".ogg", ".m4a"):
+            cand = base / (fid + suf)
+            if cand.exists():
+                return cand
+    return None
+
+
+def _evaluate_stm(t, args, norm) -> int:
+    """Speaker-attributed evaluation (cpWER) against an STM reference:
+    transcribe each STM file with diarization on, concatenate hypothesis
+    text per diarized speaker, and score with the minimum-permutation
+    assignment (``yoho_tpu.eval.cp_wer``). The metric for joint
+    ASR + diarization quality."""
+    from yoho_tpu.eval.wer import EditStats, cp_wer, parse_stm, texts_by_speaker
+
+    per_file = parse_stm(Path(args.stm).read_text(encoding="utf-8"))
+    root = Path(args.dataset)
+    files = []
+    for fid in sorted(per_file):
+        path = _resolve_audio(root, fid)
+        if path is None:
+            print(f"warning: no audio for STM file id {fid!r} under {root}")
+            continue
+        files.append((fid, path))
+    files = files[: args.limit] if args.limit else files
+    if not files:
+        print("no (audio, STM reference) pairs found")
+        return 1
+
+    results = t.transcribe_many([str(p) for _fid, p in files])
+    total = EditStats(0, 0, 0, 0)
+    n_ref_speakers = n_hyp_speakers = 0
+    for (fid, _path), result in zip(files, results):
+        ref = {k: norm(v) for k, v in per_file[fid].items()}
+        hyp = {k: norm(v) for k, v in
+               texts_by_speaker(result.segments).items()}
+        n_ref_speakers += len(ref)
+        n_hyp_speakers += len(hyp)
+        _rate, st = cp_wer(ref, hyp, normalize=False)
+        total.substitutions += st.substitutions
+        total.insertions += st.insertions
+        total.deletions += st.deletions
+        total.hits += st.hits
+    report = {
+        "files": len(files),
+        "cpwer": round(total.rate, 4),
+        "ref_speakers": n_ref_speakers,
+        "hyp_speakers": n_hyp_speakers,
+        "substitutions": total.substitutions,
+        "insertions": total.insertions,
+        "deletions": total.deletions,
+    }
+    if args.json:
+        print(jsonlib.dumps(report))
+    else:
+        for k, v in report.items():
+            print(f"{k:14s} {v}")
+    return 0
+
+
 def main(argv=None):
     from yoho_tpu.utils.platform import apply_platform_env
 
@@ -64,36 +126,58 @@ def main(argv=None):
                         help="'english' applies whisper-style normalization "
                              "(contractions, spelled numbers -> digits) so "
                              "WER is comparable to published numbers")
+    parser.add_argument("--stm", type=str, default=None, metavar="FILE",
+                        help="speaker-attributed evaluation: score cpWER "
+                             "(concatenated minimum-permutation WER) of the "
+                             "diarized transcription against this NIST STM "
+                             "reference; file ids resolve to audio under "
+                             "<dataset>[/audio]")
+    parser.add_argument("--diarize-session", type=str, default=None,
+                        metavar="NAME",
+                        help="whisper-family diarization for --stm scoring "
+                             "(stage-3 voiceprint encoder session)")
+    parser.add_argument("--speaker-threshold", type=float, default=0.75)
     args = parser.parse_args(argv)
+    if args.stm and args.hf and not args.diarize_session:
+        parser.error("--stm cpWER on the whisper family needs "
+                     "--diarize-session (no voiceprints otherwise)")
 
     from yoho_tpu.cli.transcribe import (
         build_whisper_transcriber,
         build_yoho_transcriber,
+        load_voiceprint_encoder,
     )
     from yoho_tpu.eval.wer import cer, normalize_for_wer, wer
 
     if args.hf:
+        diarize = (load_voiceprint_encoder(args.diarize_session, args.root)
+                   if args.diarize_session else None)
         t = build_whisper_transcriber(args.hf, args.beams, args.batch,
                                       None if args.language == "auto" else args.language,
                                       True,
                                       quantized=args.int8_kv,
                                       int8_weights=args.int8_weights,
-                                      vad_filter=args.vad)
+                                      vad_filter=args.vad, diarize=diarize,
+                                      speaker_threshold=args.speaker_threshold)
     else:
         t = build_yoho_transcriber(args.session, args.root, args.beams,
                                    args.batch,
                                    int8_weights=args.int8_weights,
-                                   vad_filter=args.vad)
-
-    pairs = collect_pairs(Path(args.dataset), args.limit)
-    if not pairs:
-        print("no (audio, transcript) pairs found")
-        return 1
+                                   vad_filter=args.vad,
+                                   speaker_threshold=args.speaker_threshold)
 
     if args.normalizer == "english":
         from yoho_tpu.eval.english_normalizer import normalize_english as norm
     else:
         norm = normalize_for_wer
+
+    if args.stm:
+        return _evaluate_stm(t, args, norm)
+
+    pairs = collect_pairs(Path(args.dataset), args.limit)
+    if not pairs:
+        print("no (audio, transcript) pairs found")
+        return 1
 
     refs, hyps, exact = [], [], 0
     # Pool every utterance's windows into shared decode batches — corpus

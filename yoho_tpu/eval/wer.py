@@ -16,6 +16,9 @@ import unicodedata
 from dataclasses import dataclass
 from typing import List, Sequence, Tuple
 
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
 _PUNCT = re.compile(r"[^\w\s']", re.UNICODE)
 
 
@@ -85,6 +88,93 @@ def wer(refs: Sequence[str], hyps: Sequence[str],
         total.deletions += st.deletions
         total.hits += st.hits
     return total.rate, total
+
+
+def cp_wer(ref_by_speaker, hyp_by_speaker,
+           normalize: bool = True) -> Tuple[float, EditStats]:
+    """Concatenated-minimum-permutation WER — THE metric for joint
+    ASR + diarization quality (CHiME-6 style): each speaker's text is
+    one concatenated stream, and hypothesis streams are assigned to
+    reference streams by the permutation minimizing total word edits.
+    Unmatched reference streams count fully as deletions; unmatched
+    hypothesis streams fully as insertions (a missed or hallucinated
+    speaker is all errors, as it should be).
+
+    Inputs map speaker key -> text (see :func:`texts_by_speaker` for
+    turning diarized segments into one). Keys need not align between
+    reference and hypothesis — assignment is by content, not by name.
+    """
+    def streams(d):
+        items = list(d.items())
+        return ([k for k, _ in items],
+                [(normalize_for_wer(t) if normalize else t).split()
+                 for _, t in items])
+
+    _, refs = streams(ref_by_speaker)
+    _, hyps = streams(hyp_by_speaker)
+    total = EditStats(0, 0, 0, 0)
+    if refs and hyps:
+        stats = [[edit_distance(r, h) for h in hyps] for r in refs]
+        cost = np.array([[st.errors for st in row] for row in stats])
+        rows, cols = linear_sum_assignment(cost)
+        matched_r, matched_h = set(rows.tolist()), set(cols.tolist())
+        for i, j in zip(rows, cols):
+            st = stats[i][j]
+            total.substitutions += st.substitutions
+            total.insertions += st.insertions
+            total.deletions += st.deletions
+            total.hits += st.hits
+    else:
+        matched_r, matched_h = set(), set()
+    for i, r in enumerate(refs):
+        if i not in matched_r:
+            total.deletions += len(r)
+    for j, h in enumerate(hyps):
+        if j not in matched_h:
+            total.insertions += len(h)
+    return total.rate, total
+
+
+def texts_by_speaker(segments) -> dict:
+    """Diarized segments -> {speaker key: concatenated text} for
+    :func:`cp_wer`. Prefers enrolled ``speaker_name`` over the cluster
+    id; segments with neither pool under a single "unknown" stream."""
+    out: dict = {}
+    for seg in segments:
+        text = (seg.text or "").strip()
+        if not text:
+            continue
+        key = (seg.speaker_name if getattr(seg, "speaker_name", None)
+               else seg.speaker if seg.speaker is not None else "unknown")
+        out[key] = (out[key] + " " + text) if key in out else text
+    return out
+
+
+def parse_stm(data: str) -> dict:
+    """Parse NIST STM (the standard speaker-labeled reference format):
+    ``<file> <channel> <speaker> <t_start> <t_end> [<flags>] transcript``
+    per line (``;;`` comments skipped). Returns {file_id: {speaker:
+    concatenated text}} with per-speaker utterances joined in time order.
+    """
+    per_file: dict = {}
+    rows = []
+    for line in data.splitlines():
+        line = line.strip()
+        if not line or line.startswith(";;"):
+            continue
+        parts = line.split(None, 5)
+        if len(parts) < 6:
+            continue
+        fid, _ch, speaker, t0, _t1, rest = parts
+        if rest.startswith("<"):  # optional <flags> block before the text
+            rest = rest.split(">", 1)[-1].strip()
+        if not rest or rest.lower() == "ignore_time_segment_in_scoring":
+            continue
+        rows.append((fid, float(t0), speaker, rest))
+    for fid, _t0, speaker, text in sorted(rows, key=lambda r: (r[0], r[1])):
+        spk = per_file.setdefault(fid, {})
+        spk[speaker] = (spk[speaker] + " " + text) if speaker in spk else text
+    return per_file
 
 
 def cer(refs: Sequence[str], hyps: Sequence[str],
