@@ -1,0 +1,110 @@
+"""One-call model loading: ``yoho_tpu.load_transcriber``.
+
+The reference exposes model use only through a ``__main__`` demo
+(``yoho/src/nn/whisper.py:206-285``); here the full serving object is one
+call for library users — the same construction the CLIs perform
+(``yoho_tpu.cli.transcribe``), without touching argparse:
+
+>>> import yoho_tpu
+>>> t = yoho_tpu.load_transcriber(hf="openai/whisper-small", batch=16)
+>>> t.transcribe("meeting.wav").text
+
+or, for a trained YOHO session (native voiceprints/diarization):
+
+>>> t = yoho_tpu.load_transcriber(session="main", root="./sessions")
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+
+def load_transcriber(
+    hf: Optional[str] = None,
+    *,
+    session: Optional[str] = None,
+    root: str = "./sessions",
+    batch: int = 8,
+    beams: int = 0,
+    language: Optional[str] = "en",  # None = auto-detect (whisper)
+    task: str = "transcribe",
+    timestamps: bool = True,
+    int8_kv: bool = False,
+    int8_weights: bool = False,
+    word_timestamps: bool = False,
+    temperature_fallback: bool = False,
+    initial_prompt: Optional[str] = None,
+    condition_on_previous_text: bool = False,
+    vad: bool = False,
+    mesh=None,  # "DxM" string or a jax.sharding.Mesh
+    diarize_session: Optional[str] = None,
+    speakers=None,  # .npz path or {name: embedding} (yoho enroll)
+    speaker_threshold: float = 0.75,
+    draft_hf: Optional[str] = None,
+    gamma: int = 4,
+):
+    """Build a ready :class:`yoho_tpu.infer.Transcriber` from either an
+    HF Whisper checkpoint (``hf=`` path or hub id) or a trained YOHO
+    session (``session=`` + ``root=``). Knobs mirror the ``yoho
+    transcribe``/``yoho serve`` flags; see those CLIs' ``--help`` for
+    semantics. Whisper-only knobs raise on the yoho family instead of
+    being silently dropped.
+    """
+    if (hf is None) == (session is None):
+        raise ValueError("pass exactly one of hf= or session=")
+
+    if isinstance(mesh, str):
+        from yoho_tpu.parallel.mesh import parse_mesh
+
+        mesh = parse_mesh(mesh)
+
+    enrolled = speakers
+    if isinstance(speakers, (str, bytes)) or hasattr(speakers, "__fspath__"):
+        from yoho_tpu.infer.diarize import load_enrolled
+
+        enrolled = load_enrolled(speakers)
+
+    temps = ((0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if temperature_fallback
+             else (0.0,))
+
+    from yoho_tpu.cli.transcribe import (
+        build_whisper_transcriber,
+        build_yoho_transcriber,
+        load_voiceprint_encoder,
+    )
+
+    if hf is not None:
+        diarize = (load_voiceprint_encoder(diarize_session, root)
+                   if diarize_session else None)
+        if enrolled and diarize is None:
+            raise ValueError("speakers= on the whisper family needs "
+                             "diarize_session= (whisper segments carry no "
+                             "voiceprints to match otherwise)")
+        return build_whisper_transcriber(
+            hf, beams, batch, language, timestamps,
+            quantized=int8_kv, int8_weights=int8_weights,
+            word_timestamps=word_timestamps, temperatures=temps,
+            initial_prompt=initial_prompt,
+            condition_on_previous_text=condition_on_previous_text,
+            task=task, vad_filter=vad, diarize=diarize,
+            draft_hf=draft_hf, speculative_gamma=gamma, mesh=mesh,
+            enrolled_speakers=enrolled,
+            speaker_threshold=speaker_threshold)
+
+    for name, val, default in (
+        ("task", task, "transcribe"),
+        ("word_timestamps", word_timestamps, False),
+        ("temperature_fallback", temperature_fallback, False),
+        ("initial_prompt", initial_prompt, None),
+        ("condition_on_previous_text", condition_on_previous_text, False),
+        ("diarize_session", diarize_session, None),
+        ("draft_hf", draft_hf, None),
+    ):
+        if val != default:
+            raise ValueError(f"{name}= is a whisper-family option "
+                             "(the yoho family diarizes natively and "
+                             "decodes its own token scheme)")
+    return build_yoho_transcriber(
+        session, root, beams, batch, int8_weights=int8_weights,
+        vad_filter=vad, mesh=mesh, enrolled_speakers=enrolled,
+        speaker_threshold=speaker_threshold)
