@@ -45,6 +45,17 @@ def test_cpwer_missing_and_extra_speakers():
     assert rate == pytest.approx(1.5)
 
 
+def test_cpwer_unmatched_penalty_in_assignment():
+    """The assignment must minimize the TOTAL including unmatched-stream
+    penalties: here matching A-x (1 edit) leaves y unmatched (+4), while
+    the true optimum matches A-y (3 insertions) leaving x unmatched (+1)
+    — 4 errors, not 5. (Regression: rectangular LSA ignored the
+    unmatched costs.)"""
+    rate, st = cp_wer({"A": "a"}, {"x": "b", "y": "a a a a"})
+    assert st.errors == 4 and rate == pytest.approx(4.0)
+    assert st.hits == 1  # 'a' matched inside the A-y pairing
+
+
 def test_cpwer_normalization():
     rate, _ = cp_wer({"A": "Hello, World!"}, {"0": "hello world"})
     assert rate == 0.0
@@ -75,6 +86,13 @@ junk-line
         "file1": {"spkA": "hello there", "spkB": "later words"},
         "file2": {"spkC": "other file"},
     }
+    # A transcript legitimately starting with an angle token is NOT a
+    # flags block (flags are comma-separated, e.g. <o,f0,male>); and a
+    # malformed time field skips the line instead of crashing.
+    per_file = parse_stm(
+        "f1 1 spkA 0.0 2.0 <unk> he said yes\n"
+        "filename channel speaker start end text\n")
+    assert per_file == {"f1": {"spkA": "<unk> he said yes"}}
 
 
 # ---------------------------------------------------------------------------

@@ -920,6 +920,7 @@ def test_warmup_compiles_serving_path():
     # The synthetic request is excluded from /statz (its latency is the
     # compile time, not a serving latency).
     assert srv.batcher.requests_served == 0
+    assert srv.batcher.batches_dispatched == 0
     assert len(srv.batcher._latencies) == 0
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()

@@ -11,6 +11,7 @@ Usage: ``python -m yoho_tpu.cli.evaluate <dir>
 
 import argparse
 import json as jsonlib
+import sys
 from pathlib import Path
 
 
@@ -22,7 +23,9 @@ def collect_pairs(root: Path, limit=None):
 
         for srt_path in sorted((root / "transcripts").iterdir()):
             stem = srt_path.stem
-            for suf in (".wav", ".npy", ".mp3", ".flac"):
+            from yoho_tpu.train.dataloader import AUDIO_SUFFIXES
+
+            for suf in AUDIO_SUFFIXES:
                 cand = root / "audio" / (stem + suf)
                 if cand.exists():
                     subs = list(parse_srt(srt_path.read_text(encoding="utf-8")))
@@ -37,8 +40,10 @@ def collect_pairs(root: Path, limit=None):
 
 
 def _resolve_audio(root: Path, fid: str):
+    from yoho_tpu.train.dataloader import AUDIO_SUFFIXES
+
     for base in (root, root / "audio"):
-        for suf in (".wav", ".flac", ".npy", ".mp3", ".ogg", ".m4a"):
+        for suf in AUDIO_SUFFIXES:
             cand = base / (fid + suf)
             if cand.exists():
                 return cand
@@ -59,7 +64,8 @@ def _evaluate_stm(t, args, norm) -> int:
     for fid in sorted(per_file):
         path = _resolve_audio(root, fid)
         if path is None:
-            print(f"warning: no audio for STM file id {fid!r} under {root}")
+            print(f"warning: no audio for STM file id {fid!r} under {root}",
+                  file=sys.stderr)
             continue
         files.append((fid, path))
     files = files[: args.limit] if args.limit else files

@@ -618,6 +618,9 @@ def warmup(server) -> None:
     served = getattr(batcher, "requests_served", 0)
     if served:
         batcher.requests_served = served - 1
+    batches = getattr(batcher, "batches_dispatched", 0)
+    if batches:  # the warmup batch too, or served/batches turn inconsistent
+        batcher.batches_dispatched = batches - 1
     lat = getattr(batcher, "_latencies", None)
     if lat is not None:
         lat.clear()

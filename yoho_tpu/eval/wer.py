@@ -113,25 +113,34 @@ def cp_wer(ref_by_speaker, hyp_by_speaker,
     _, refs = streams(ref_by_speaker)
     _, hyps = streams(hyp_by_speaker)
     total = EditStats(0, 0, 0, 0)
-    if refs and hyps:
-        stats = [[edit_distance(r, h) for h in hyps] for r in refs]
-        cost = np.array([[st.errors for st in row] for row in stats])
+    R, H = len(refs), len(hyps)
+    # Square assignment over (R+H) x (H+R): real-real cells cost the pair
+    # edit distance; a reference assigned to a dummy column costs its full
+    # length (all deletions), a hypothesis assigned to a dummy row its
+    # full length (all insertions). Assigning over only the real
+    # rectangle would ignore those unmatched penalties and can pick a
+    # WORSE total when speaker counts differ (over/under-segmentation —
+    # the common diarization failure).
+    stats = [[edit_distance(r, h) for h in hyps] for r in refs]
+    n = R + H
+    cost = np.zeros((n, n))
+    if R and H:
+        cost[:R, :H] = [[st.errors for st in row] for row in stats]
+    cost[:R, H:] = np.array([len(r) for r in refs], float)[:, None]
+    cost[R:, :H] = np.array([len(h) for h in hyps], float)[None, :]
+    if n:
         rows, cols = linear_sum_assignment(cost)
-        matched_r, matched_h = set(rows.tolist()), set(cols.tolist())
         for i, j in zip(rows, cols):
-            st = stats[i][j]
-            total.substitutions += st.substitutions
-            total.insertions += st.insertions
-            total.deletions += st.deletions
-            total.hits += st.hits
-    else:
-        matched_r, matched_h = set(), set()
-    for i, r in enumerate(refs):
-        if i not in matched_r:
-            total.deletions += len(r)
-    for j, h in enumerate(hyps):
-        if j not in matched_h:
-            total.insertions += len(h)
+            if i < R and j < H:
+                st = stats[i][j]
+                total.substitutions += st.substitutions
+                total.insertions += st.insertions
+                total.deletions += st.deletions
+                total.hits += st.hits
+            elif i < R:
+                total.deletions += len(refs[i])
+            elif j < H:
+                total.insertions += len(hyps[j])
     return total.rate, total
 
 
@@ -166,11 +175,20 @@ def parse_stm(data: str) -> dict:
         if len(parts) < 6:
             continue
         fid, _ch, speaker, t0, _t1, rest = parts
-        if rest.startswith("<"):  # optional <flags> block before the text
-            rest = rest.split(">", 1)[-1].strip()
+        try:
+            start = float(t0)
+        except ValueError:
+            continue  # stray header / malformed row: tolerate like the rest
+        # Optional <flags> block before the text: NIST flags are a
+        # comma-separated list (e.g. ``<o,f0,male>``). Require the comma so
+        # a transcript legitimately STARTING with an angle token (``<unk>``)
+        # is not eaten.
+        if (rest.startswith("<") and ">" in rest
+                and "," in rest.split(">", 1)[0]):
+            rest = rest.split(">", 1)[1].strip()
         if not rest or rest.lower() == "ignore_time_segment_in_scoring":
             continue
-        rows.append((fid, float(t0), speaker, rest))
+        rows.append((fid, start, speaker, rest))
     for fid, _t0, speaker, text in sorted(rows, key=lambda r: (r[0], r[1])):
         spk = per_file.setdefault(fid, {})
         spk[speaker] = (spk[speaker] + " " + text) if speaker in spk else text

@@ -93,6 +93,9 @@ def load_transcriber(
 
     for name, val, default in (
         ("task", task, "transcribe"),
+        ("language", language, "en"),
+        ("timestamps", timestamps, True),
+        ("int8_kv", int8_kv, False),
         ("word_timestamps", word_timestamps, False),
         ("temperature_fallback", temperature_fallback, False),
         ("initial_prompt", initial_prompt, None),
