@@ -535,6 +535,39 @@ def test_transcribe_language_query_param(whisper_server):
         assert json.load(r)["language"] == "fr"
 
 
+def test_continuous_server_speaker_names():
+    """serve(continuous=True) composes with enrolled speakers: the slot
+    engine finalizes through the shared _finalize_request, so segments
+    carry speaker_name exactly like the batched path."""
+    t = _tiny_transcriber()
+    n = t.model.cfg.n_samples
+    g = np.random.default_rng(6)  # a seed whose decode emits timestamps
+    audio = (0.1 * g.standard_normal(2 * n)).astype(np.float32)
+    ref = t.transcribe(audio)
+    vps = [s.voiceprint for s in ref.segments
+           if s.voiceprint is not None and s.speaker == 0]
+    assert vps
+    centroid = np.mean(np.stack(vps), axis=0)
+    t.enrolled_speakers = {"alice": centroid / np.linalg.norm(centroid)}
+
+    srv = serve(t, port=0, continuous=True, chunk_tokens=4)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.server_address[1]}/transcribe",
+            data=audio.tobytes(),
+            headers={"Content-Type": "application/octet-stream"},
+            method="POST")
+        with urllib.request.urlopen(req) as r:
+            payload = json.load(r)
+        named = [s for s in payload["segments"] if s.get("speaker") == 0]
+        assert named and all(s["speaker_name"] == "alice" for s in named)
+    finally:
+        srv.shutdown()
+        srv.batcher.close()
+
+
 def test_continuous_server_end_to_end():
     """serve(continuous=True): concurrent requests through the slot
     engine over a real socket, per-request language honored."""
