@@ -97,6 +97,51 @@ def test_cli_exact_transcripts(tmp_path, capsys):
         assert line["text"] == g["text"]
 
 
+def test_bulk_output_dir_resume(tmp_path, capsys):
+    """--output-dir writes one <stem>.json per input with the exact
+    transcript, and a re-run skips existing outputs (resumable corpus
+    jobs)."""
+    from yoho_tpu.cli.transcribe import main
+
+    paths = []
+    for s in range(3):
+        clip = _tone_clip(s, 10480)
+        pcm = np.clip(clip * 32768, -32768, 32767).astype(np.int16)
+        p = tmp_path / f"tone{s}.wav"
+        with wave.open(str(p), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        paths.append(str(p))
+    out = tmp_path / "out"
+
+    # First run: transcribe only tone0 (simulate an interrupted job).
+    assert main([paths[0], "--session", "tiny", "--root", str(FIXROOT),
+                 "--batch", "1", "--output-dir", str(out)]) == 0
+    assert (out / "tone0.json").exists()
+    stamp = (out / "tone0.json").stat().st_mtime_ns
+
+    # Resume over all three: tone0 is skipped (untouched), 1+2 appear.
+    assert main([*paths, "--session", "tiny", "--root", str(FIXROOT),
+                 "--batch", "1", "--output-dir", str(out)]) == 0
+    assert (out / "tone0.json").stat().st_mtime_ns == stamp
+    for s in range(3):
+        doc = json.loads((out / f"tone{s}.json").read_text())
+        assert doc["text"] == GOLDEN[s]["text"]
+
+    # Duplicate stems from different dirs must refuse, not overwrite.
+    other = tmp_path / "other"
+    other.mkdir()
+    dup = other / "tone0.wav"
+    dup.write_bytes((tmp_path / "tone0.wav").read_bytes())
+    import pytest
+
+    with pytest.raises(SystemExit, match="tone0.json"):
+        main([paths[0], str(dup), "--session", "tiny",
+              "--root", str(FIXROOT), "--output-dir", str(out)])
+
+
 def test_server_exact_transcripts():
     from yoho_tpu.cli.serve import serve
     from yoho_tpu.cli.transcribe import build_yoho_transcriber

@@ -172,6 +172,27 @@ def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
                        speaker_threshold=speaker_threshold)
 
 
+def _result_payload(f, result) -> dict:
+    """The per-file JSON document (--json lines and --output-dir files)."""
+    return {
+        "file": f,
+        "text": result.text,
+        "language": result.language,
+        "segments": [
+            {"start": s.start, "end": s.end, "text": s.text,
+             **s.quality_payload(),
+             "speaker": s.speaker,
+             "speaker_name": s.speaker_name,
+             "words": ([{"word": w.word, "start": w.start,
+                         "end": w.end} for w in s.words]
+                       if s.words else None),
+             "voiceprint": (s.voiceprint.tolist()
+                            if s.voiceprint is not None else None)}
+            for s in result.segments
+        ],
+    }
+
+
 def load_speakers_arg(speakers_path, hf, diarize_session, error):
     """Shared ``--speakers`` handling for the transcribe and serve CLIs:
     load the enrollment file and reject the whisper-family combination
@@ -184,6 +205,53 @@ def load_speakers_arg(speakers_path, hf, diarize_session, error):
         error("--speakers on the whisper family needs --diarize-session "
               "(the segments have no voiceprints to match otherwise)")
     return load_enrolled(speakers_path)
+
+
+def _bulk_transcribe(t, args) -> int:
+    """Resumable corpus transcription (``--output-dir``): one
+    ``<stem>.json`` per input, written per decode group — files whose
+    output already exists are skipped, so an interrupted overnight job
+    re-run picks up where it stopped (at most one group re-decodes).
+    """
+    from pathlib import Path
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    stems = {}
+    for f in args.files:
+        st = Path(f).stem
+        if st in stems and stems[st] != f:
+            raise SystemExit(
+                f"--output-dir: {stems[st]} and {f} would both write "
+                f"{st}.json — rename one or split the job")
+        stems[st] = f
+    todo, skipped = [], 0
+    for f in args.files:
+        if (out_dir / (Path(f).stem + ".json")).exists():
+            skipped += 1
+        else:
+            todo.append(f)
+    if skipped:
+        print(f"skipping {skipped} file(s) with existing output in "
+              f"{out_dir}", file=sys.stderr)
+    # Group size: big enough to keep decode batches full, small enough
+    # that a crash loses little work.
+    group = max(args.batch * 8, 32)
+    done = 0
+    for i in range(0, len(todo), group):
+        chunk = todo[i : i + group]
+        results = t.transcribe_many(chunk)
+        for f, result in zip(chunk, results):
+            tmp = out_dir / (Path(f).stem + ".json.tmp")
+            tmp.write_text(
+                jsonlib.dumps(_result_payload(f, result),
+                              ensure_ascii=False),
+                encoding="utf-8")
+            tmp.replace(out_dir / (Path(f).stem + ".json"))
+            done += 1
+        print(f"{done}/{len(todo)} transcribed -> {out_dir}",
+              file=sys.stderr)
+    return 0
 
 
 def main(argv=None):
@@ -210,6 +278,11 @@ def main(argv=None):
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--no-timestamps", action="store_true")
     parser.add_argument("--json", action="store_true", help="JSONL output")
+    parser.add_argument("--output-dir", type=str, default=None, metavar="DIR",
+                        help="resumable bulk mode: write one <stem>.json "
+                             "per input into DIR, skipping inputs whose "
+                             "output already exists (re-run an interrupted "
+                             "corpus job and it picks up where it stopped)")
     parser.add_argument("--int8-kv", action="store_true",
                         help="int8 KV caches (faster, argmax-identical in tests)")
     parser.add_argument("--int8-weights", action="store_true",
@@ -311,6 +384,9 @@ def main(argv=None):
 
     from yoho_tpu.utils.profiling import trace
 
+    if args.output_dir:
+        return _bulk_transcribe(t, args)
+
     with trace(args.profile):
         # Multiple files pool their 30 s windows into SHARED decode
         # batches (transcribe_many) — a lone short file no longer pads a
@@ -354,23 +430,8 @@ def main(argv=None):
                     compose_rttm(segments_to_turns(result.segments), stem),
                     encoding="utf-8")
             if args.json:
-                print(jsonlib.dumps({
-                    "file": f,
-                    "text": result.text,
-                    "language": result.language,
-                    "segments": [
-                        {"start": s.start, "end": s.end, "text": s.text,
-                         **s.quality_payload(),
-                         "speaker": s.speaker,
-                         "speaker_name": s.speaker_name,
-                         "words": ([{"word": w.word, "start": w.start,
-                                     "end": w.end} for w in s.words]
-                                   if s.words else None),
-                         "voiceprint": (s.voiceprint.tolist()
-                                        if s.voiceprint is not None else None)}
-                        for s in result.segments
-                    ],
-                }, ensure_ascii=False))
+                print(jsonlib.dumps(_result_payload(f, result),
+                                    ensure_ascii=False))
             else:
                 print(f"== {f}")
                 for s in result.segments:
