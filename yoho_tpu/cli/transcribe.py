@@ -207,6 +207,41 @@ def load_speakers_arg(speakers_path, hf, diarize_session, error):
     return load_enrolled(speakers_path)
 
 
+def _write_sidecars(f, result, args) -> None:
+    """Per-file subtitle/diarization artifacts (--srt/--vtt/--rttm),
+    shared by the streaming output path and --output-dir bulk mode."""
+    from pathlib import Path
+
+    stem = Path(f).stem
+    if args.srt or args.vtt:
+        from yoho_tpu.text.srt import (
+            compose_srt,
+            compose_vtt,
+            segments_to_subtitles,
+        )
+
+        subs = segments_to_subtitles(result.segments)
+        if args.srt:
+            out = Path(args.srt) / f"{stem}.srt"
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_text(compose_srt(subs), encoding="utf-8")
+        if args.vtt:
+            out = Path(args.vtt) / f"{stem}.vtt"
+            out.parent.mkdir(parents=True, exist_ok=True)
+            out.write_text(compose_vtt(subs), encoding="utf-8")
+    if args.rttm:
+        from yoho_tpu.eval.diarization import (
+            compose_rttm,
+            segments_to_turns,
+        )
+
+        out = Path(args.rttm) / f"{stem}.rttm"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(
+            compose_rttm(segments_to_turns(result.segments), stem),
+            encoding="utf-8")
+
+
 def _bulk_transcribe(t, args) -> int:
     """Resumable corpus transcription (``--output-dir``): one
     ``<stem>.json`` per input, written per decode group — files whose
@@ -242,6 +277,7 @@ def _bulk_transcribe(t, args) -> int:
         chunk = todo[i : i + group]
         results = t.transcribe_many(chunk)
         for f, result in zip(chunk, results):
+            _write_sidecars(f, result, args)
             tmp = out_dir / (Path(f).stem + ".json.tmp")
             tmp.write_text(
                 jsonlib.dumps(_result_payload(f, result),
@@ -396,39 +432,7 @@ def main(argv=None):
         else:
             results = [t.transcribe(args.files[0])]
         for f, result in zip(args.files, results):
-            if args.srt or args.vtt:
-                from pathlib import Path
-
-                from yoho_tpu.text.srt import (
-                    compose_srt,
-                    compose_vtt,
-                    segments_to_subtitles,
-                )
-
-                subs = segments_to_subtitles(result.segments)
-                stem = Path(f).stem
-                if args.srt:
-                    out = Path(args.srt) / f"{stem}.srt"
-                    out.parent.mkdir(parents=True, exist_ok=True)
-                    out.write_text(compose_srt(subs), encoding="utf-8")
-                if args.vtt:
-                    out = Path(args.vtt) / f"{stem}.vtt"
-                    out.parent.mkdir(parents=True, exist_ok=True)
-                    out.write_text(compose_vtt(subs), encoding="utf-8")
-            if args.rttm:
-                from pathlib import Path
-
-                from yoho_tpu.eval.diarization import (
-                    compose_rttm,
-                    segments_to_turns,
-                )
-
-                stem = Path(f).stem
-                out = Path(args.rttm) / f"{stem}.rttm"
-                out.parent.mkdir(parents=True, exist_ok=True)
-                out.write_text(
-                    compose_rttm(segments_to_turns(result.segments), stem),
-                    encoding="utf-8")
+            _write_sidecars(f, result, args)
             if args.json:
                 print(jsonlib.dumps(_result_payload(f, result),
                                     ensure_ascii=False))
