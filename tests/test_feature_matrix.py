@@ -55,8 +55,22 @@ def models():
     g = np.random.default_rng(0)
     audio = (0.1 * g.standard_normal(int(CFG_T.n_samples * 2.3))
              ).astype(np.float32)
+
+    # Whisper-family diarization encoder + a matching enrolled voice.
+    from yoho_tpu.core.config import YOHOConfig
+    from yoho_tpu.nn.voiceprint import VoiceprintEncoder
+
+    vp_cfg = YOHOConfig(n_mel_bands=16, max_audio_len=32, max_text_len=8,
+                        dims=32, n_audio_heads=4, n_audio_blocks=1,
+                        n_text_heads=4, n_text_blocks=1)
+    enc = VoiceprintEncoder(vp_cfg, embedding_dim=16)
+    enc_vars = enc.init(jax.random.PRNGKey(7),
+                        jnp.zeros((1, vp_cfg.max_audio_len, 16), jnp.float32),
+                        jnp.ones((1, vp_cfg.max_audio_len), jnp.float32))
+    alice = np.ones(16) / 4.0
     return dict(t=(t_model, t_vars), d=(d_model, d_vars),
-                q=(q_model, q_vars), audio=audio)
+                q=(q_model, q_vars), vp=(enc, enc_vars),
+                enrolled={"alice": alice}, audio=audio)
 
 
 def _check(res, chunk_s):
@@ -100,6 +114,21 @@ MATRIX = [
     ("vad+autolang+draft", lambda M: dict(
         vad_filter=True, language=None,
         draft_model=M["d"][0], draft_variables=M["d"][1])),
+    ("diarize+speakers+int8kv", lambda M: dict(
+        diarize_encoder=M["vp"][0], diarize_variables=M["vp"][1],
+        enrolled_speakers=M["enrolled"],
+        quantized_cross_kv=True, quantized_cache=True)),
+    ("diarize+vad+words", lambda M: dict(
+        diarize_encoder=M["vp"][0], diarize_variables=M["vp"][1],
+        vad_filter=True, word_timestamps=True)),
+    ("diarize+speakers+beam2", lambda M: dict(
+        diarize_encoder=M["vp"][0], diarize_variables=M["vp"][1],
+        enrolled_speakers=M["enrolled"], beams=2,
+        speaker_threshold=0.3)),
+    ("diarize+speakers+fallback+int8weights", lambda M: dict(
+        _model="q", diarize_encoder=M["vp"][0],
+        diarize_variables=M["vp"][1], enrolled_speakers=M["enrolled"],
+        temperatures=(0.0, 0.5))),
 ]
 
 
