@@ -73,6 +73,69 @@ def test_speaker_threshold_tunable():
     assert t.speaker_threshold == 0.5
 
 
+def test_online_speaker_tracker():
+    """Greedy online tracking: ids are stable across calls, a new voice
+    opens a new id, near voices join and refine the centroid, and
+    enrolled names attach from the CURRENT centroid."""
+    from yoho_tpu.infer.diarize import OnlineSpeakerTracker
+
+    a = np.array([1.0, 0.0, 0.0])
+    b = np.array([0.0, 1.0, 0.0])
+    a2 = np.array([0.95, 0.05, 0.0])  # same voice, slight drift
+
+    tr = OnlineSpeakerTracker(threshold=0.75, enrolled={"alice": a})
+    s1, s2 = _seg(a, None), _seg(b, None)
+    tr.assign([s1, s2])
+    assert (s1.speaker, s2.speaker) == (0, 1)
+    assert s1.speaker_name == "alice" and s2.speaker_name is None
+
+    s3, s4 = _seg(a2, None), _seg(None, 5)  # later window; one no-vp seg
+    tr.assign([s3, s4])
+    assert s3.speaker == 0 and s3.speaker_name == "alice"
+    assert s4.speaker is None  # tracker owns the field on streams
+    assert tr.n_speakers == 2
+
+
+def test_streaming_track_speakers_stable_ids():
+    """StreamingTranscriber(track_speakers=True) on a yoho model: every
+    finalized voiced segment gets a stream-wide id; the id count never
+    exceeds distinct voices seen (here: deterministic same-noise windows
+    collapse to few speakers, never one id per window)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yoho_tpu.core.config import YOHOConfig
+    from yoho_tpu.infer.pipeline import Transcriber
+    from yoho_tpu.infer.streaming import StreamingTranscriber
+    from yoho_tpu.nn.yoho import YOHOModel
+    from yoho_tpu.text.tokenizer import train_tokenizer
+
+    cfg = YOHOConfig(n_mel_bands=16, max_audio_len=32, max_text_len=16,
+                     dims=32, n_audio_heads=4, n_audio_blocks=1,
+                     n_text_heads=4, n_text_blocks=1)
+    tok = train_tokenizer(["hello world"] * 3, vocab_size=32 + 3 + 256 + 50,
+                          max_audio_len=cfg.max_audio_len, backend="python")
+    model = YOHOModel(cfg, vocab_size=tok.vocab_size)
+    g = np.random.default_rng(0)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(g.integers(0, tok.vocab_size, size=(1, cfg.max_text_len))),
+        jnp.asarray(g.standard_normal(
+            (1, cfg.max_audio_len, cfg.n_mel_bands)).astype(np.float32)),
+        method=YOHOModel.forward_with_voiceprints)
+    t = Transcriber(model, variables, family="yoho", tokenizer=tok,
+                    batch_size=1)
+
+    g = np.random.default_rng(6)
+    audio = (0.1 * g.standard_normal(4 * cfg.n_samples)).astype(np.float32)
+    stream = StreamingTranscriber(t, track_speakers=True)
+    segs = list(stream.push(audio)) + list(stream.flush())
+    voiced = [s for s in segs if s.voiceprint is not None]
+    assert voiced, "need voiced segments to track"
+    assert all(isinstance(s.speaker, int) for s in voiced)
+    assert stream._tracker.n_speakers <= len(voiced)
+
+
 def test_save_load_enrolled_roundtrip(tmp_path):
     enrolled = {"alice": np.arange(4, dtype=np.float32),
                 "bob": np.ones(4, np.float32)}

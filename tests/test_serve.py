@@ -394,9 +394,9 @@ def test_websocket_stream_session(server):
 
 
 def test_websocket_stream_keeps_speaker_names():
-    """Enrolled identities are absolute, so they survive the per-window
-    cluster-id strip on /stream: streamed segments carry speaker_name
-    but never a (meaningless across windows) speaker id."""
+    """/stream runs the OnlineSpeakerTracker: finalized segments carry
+    STABLE stream-wide speaker ids (with voiceprints) plus the enrolled
+    speaker_name — not the meaningless per-window cluster ids."""
     t = _tiny_transcriber()
     n = t.model.cfg.n_samples
     g = np.random.default_rng(6)  # a seed whose decode emits timestamps
@@ -414,16 +414,20 @@ def test_websocket_stream_keeps_speaker_names():
     try:
         _ws_send(s, audio.tobytes(), opcode=2)
         _ws_send(s, b'{"op": "end"}', opcode=1)
-        named = []
+        named, ids = [], []
         while True:
             op, payload = _ws_recv(s)
             if op == 8:
                 break
             msg = json.loads(payload)
+            if msg.get("partial"):
+                continue  # partials are revisable; the tracker skips them
             for seg in msg.get("segments", []):
-                assert "speaker" not in seg  # cluster ids stripped
+                if "speaker" in seg:
+                    ids.append(seg["speaker"])
                 if seg.get("speaker_name"):
                     named.append(seg["speaker_name"])
+        assert ids and all(isinstance(i, int) for i in ids)
         assert named and set(named) == {"alice"}
     finally:
         s.close()

@@ -277,9 +277,12 @@ def make_handler(transcriber, batcher):
                 # is pinned per stream (never per-window auto-detect) and
                 # vad=False because the streaming gate already vetted the
                 # window — collapsing it again would decode condensed
-                # audio and break parity with the built-in path. Speaker
-                # labels are per-window cluster ids there — meaningless
-                # across a stream — so strip them (voiceprints stay).
+                # audio and break parity with the built-in path. Per-
+                # window cluster ids are meaningless across a stream;
+                # the StreamingTranscriber's OnlineSpeakerTracker
+                # (track_speakers=True below) replaces them with STABLE
+                # stream-wide ids at finalization, so only voiceprints
+                # need to survive this hop.
                 while True:
                     try:
                         res = self._submit(window_audio,
@@ -294,14 +297,11 @@ def make_handler(transcriber, batcher):
                             raise ConnectionError(
                                 "client left during overload wait")
                         time.sleep(0.25)
-                for s in res.segments:
-                    s.speaker = None
-                    # speaker_name survives: enrolled identities are
-                    # absolute, not per-window cluster ids.
                 return res.segments
 
             stream = StreamingTranscriber(transcriber,
-                                          window_decoder=_decode_shared)
+                                          window_decoder=_decode_shared,
+                                          track_speakers=True)
 
             def emit(segments, final: bool) -> None:
                 if not segments and not final:

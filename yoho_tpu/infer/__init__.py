@@ -4,6 +4,7 @@ from yoho_tpu.infer.longform import Segment, chunk_audio, stitch_segments  # noq
 from yoho_tpu.infer.pipeline import Transcriber, TranscriptionResult  # noqa: F401
 from yoho_tpu.infer.streaming import StreamingTranscriber  # noqa: F401
 from yoho_tpu.infer.diarize import (  # noqa: F401
+    OnlineSpeakerTracker,
     cluster_voiceprints,
     embed_clip,
     identify_speaker,

@@ -145,6 +145,69 @@ def name_speakers(
             seg.speaker_name = name
 
 
+class OnlineSpeakerTracker:
+    """Stable speaker ids across a LIVE stream.
+
+    Batch diarization clusters all segments at once — useless for
+    streaming, where already-emitted ids must never change. This is the
+    online counterpart: each finalized segment's voiceprint joins the
+    nearest running centroid above ``threshold`` (updating it as a
+    running mean) or opens a new speaker id; ids are assigned in first-
+    appearance order and never revised. With ``enrolled`` voiceprints
+    (``yoho enroll``), segments also get ``speaker_name`` matched
+    against the speaker's CURRENT centroid — so the name can appear
+    once enough evidence accumulates, but an id never flips between
+    two names retroactively.
+
+    Greedy online assignment is order-dependent by design (that is the
+    price of never revising emitted output); offline transcription
+    keeps the globally-clustered batch labels.
+    """
+
+    def __init__(self, threshold: float = 0.75, enrolled: Optional[dict] = None):
+        self.threshold = float(threshold)
+        self.enrolled = dict(enrolled or {})
+        self._centroids: List[np.ndarray] = []  # unit-normalized
+        self._counts: List[int] = []
+        self._names: List[Optional[str]] = []
+
+    @property
+    def n_speakers(self) -> int:
+        return len(self._centroids)
+
+    def assign(self, segments) -> None:
+        """Set ``speaker`` (stable stream-wide id) and ``speaker_name``
+        in place. Segments without a voiceprint get ``speaker=None`` —
+        the tracker owns the field on streams (per-window batch cluster
+        ids are meaningless across windows)."""
+        for seg in segments:
+            if seg.voiceprint is None:
+                seg.speaker = None
+                continue
+            v = np.asarray(seg.voiceprint, np.float64)
+            v = v / max(np.linalg.norm(v), 1e-9)
+            k = None
+            if self._centroids:
+                sims = np.stack(self._centroids) @ v
+                best = int(np.argmax(sims))
+                if sims[best] >= self.threshold:
+                    k = best
+                    c = self._centroids[k] * self._counts[k] + v
+                    self._counts[k] += 1
+                    self._centroids[k] = c / max(np.linalg.norm(c), 1e-9)
+            if k is None:
+                self._centroids.append(v)
+                self._counts.append(1)
+                self._names.append(None)
+                k = len(self._centroids) - 1
+            if self.enrolled:
+                self._names[k] = identify_speaker(
+                    self._centroids[k], self.enrolled,
+                    threshold=self.threshold)
+            seg.speaker = k
+            seg.speaker_name = self._names[k]
+
+
 def save_enrolled(path, enrolled: dict) -> None:
     """Write a name -> embedding mapping as ``.npz`` (the ``yoho enroll``
     artifact). Names are npz keys; embeddings are stored as float32."""

@@ -20,14 +20,30 @@ from yoho_tpu.infer.longform import Segment
 
 
 class StreamingTranscriber:
-    def __init__(self, transcriber, window_decoder=None):
+    def __init__(self, transcriber, window_decoder=None,
+                 track_speakers: bool = False):
         """``window_decoder(window_audio) -> List[Segment]`` (window-
         relative, quality attached) optionally replaces the built-in B=1
         decode — the server passes its shared request batcher here so
         CONCURRENT streams' windows pool into shared batches/slots
-        instead of each paying a lone B=1 decode."""
+        instead of each paying a lone B=1 decode.
+
+        ``track_speakers=True`` runs an
+        :class:`yoho_tpu.infer.diarize.OnlineSpeakerTracker` over
+        finalized segments: stable stream-wide speaker ids (never revised
+        once emitted) and, with enrolled voiceprints on the transcriber,
+        ``speaker_name`` — live "who is speaking" for meetings. Without
+        it, per-window diarization ids are meaningless across a stream,
+        so they are stripped."""
         self.t = transcriber
         self._window_decoder = window_decoder
+        self._tracker = None
+        if track_speakers:
+            from yoho_tpu.infer.diarize import OnlineSpeakerTracker
+
+            self._tracker = OnlineSpeakerTracker(
+                threshold=getattr(transcriber, "speaker_threshold", 0.75),
+                enrolled=getattr(transcriber, "enrolled_speakers", None))
         self._buffer = np.zeros((0,), np.float32)
         self._next_window_start = 0  # absolute sample index
         self._emitted: List[Segment] = []
@@ -61,8 +77,17 @@ class StreamingTranscriber:
         segs = ([] if silent[0]
                 else t._tokens_to_segments(tokens[0], int(lengths[0])))
         t._attach_quality([segs], lengths, aux)
-        t._attach_voiceprints(mel[:1], tokens[:1], [segs])
+        t._attach_voiceprints(mel[:1], tokens[:1], [segs], lengths[:1])
         t._attach_words(mel[:1], tokens[:1], lengths[:1], [segs])
+        if segs and t.diarize_encoder is not None:
+            # Whisper-family voiceprints come from the post-pass encoder
+            # (only _finalize_request runs it; this built-in path must
+            # attach them itself or track_speakers has nothing to track).
+            from yoho_tpu.infer.diarize import diarize_segments
+
+            diarize_segments(segs, audio, t.sample_rate,
+                             t.diarize_encoder, t.diarize_variables,
+                             threshold=getattr(t, "speaker_threshold", 0.75))
         # shifted(0) quantizes times to the same 1 ms grid the hook path's
         # segments already carry (stitch_segments rounds inside
         # _finalize_request) — midpoint ownership in _finalize and the
@@ -94,6 +119,11 @@ class StreamingTranscriber:
         elif final:
             self._pending = []
         out.sort(key=lambda s: (s.start, s.end))
+        if self._tracker is not None:
+            # Stable stream-wide speaker ids, assigned at finalization
+            # time (never revised afterwards). Partials are left alone —
+            # revisable hypotheses must not update the centroids.
+            self._tracker.assign(out)
         self._emitted.extend(out)
         return out
 
