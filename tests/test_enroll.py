@@ -95,6 +95,15 @@ def test_online_speaker_tracker():
     assert s4.speaker is None  # tracker owns the field on streams
     assert tr.n_speakers == 2
 
+    # peek: tentative labels, read-only — a NEW voice gets None and
+    # does not mint an id; a known voice matches.
+    c = np.array([0.0, 0.0, 1.0])
+    p1, p2 = _seg(a2, None), _seg(c, None)
+    tr.peek([p1, p2])
+    assert p1.speaker == 0 and p1.speaker_name == "alice"
+    assert p2.speaker is None
+    assert tr.n_speakers == 2  # unchanged
+
 
 def test_streaming_track_speakers_stable_ids():
     """StreamingTranscriber(track_speakers=True) on a yoho model: every

@@ -207,6 +207,24 @@ class OnlineSpeakerTracker:
             seg.speaker = k
             seg.speaker_name = self._names[k]
 
+    def peek(self, segments) -> None:
+        """Tentative labels for REVISABLE hypotheses (live partial
+        captions): same nearest-centroid match as :meth:`assign`, but
+        read-only — partials must never move the centroids or mint ids
+        (they may be revised away by the next overlapping window).
+        Unmatched voices get ``speaker=None`` until finalization."""
+        for seg in segments:
+            seg.speaker = seg.speaker_name = None
+            if seg.voiceprint is None or not self._centroids:
+                continue
+            v = np.asarray(seg.voiceprint, np.float64)
+            v = v / max(np.linalg.norm(v), 1e-9)
+            sims = np.stack(self._centroids) @ v
+            best = int(np.argmax(sims))
+            if sims[best] >= self.threshold:
+                seg.speaker = best
+                seg.speaker_name = self._names[best]
+
 
 def save_enrolled(path, enrolled: dict) -> None:
     """Write a name -> embedding mapping as ``.npz`` (the ``yoho enroll``

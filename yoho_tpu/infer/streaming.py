@@ -181,9 +181,14 @@ class StreamingTranscriber:
         still-revisable window, on the absolute timeline. Live captions
         show these immediately; a later overlapping window may revise
         them, so they must be replaced (not appended) by the next partial
-        or final batch."""
-        return [seg.shifted(start / self.t.sample_rate)
-                for start, segs in self._pending for seg in segs]
+        or final batch. With track_speakers, partials carry TENTATIVE
+        speaker labels (read-only nearest-centroid match — they never
+        update the tracker)."""
+        out = [seg.shifted(start / self.t.sample_rate)
+               for start, segs in self._pending for seg in segs]
+        if self._tracker is not None:
+            self._tracker.peek(out)
+        return out
 
     def text(self) -> str:
         return " ".join(s.text for s in self._emitted if s.text).strip()
