@@ -190,10 +190,14 @@ def test_compose_vtt_and_segment_conversion():
         segments_to_subtitles,
     )
 
-    segs = [Segment(0.5, 2.25, "hello world"), Segment(3.0, 4.5, "again")]
+    segs = [Segment(0.5, 2.25, "hello world"), Segment(3.0, 4.5, "again"),
+            Segment(5.0, 6.0, "named line")]
     segs[1].speaker = 2
+    segs[2].speaker = 0
+    segs[2].speaker_name = "alice"  # enrolled name beats the cluster id
     subs = segments_to_subtitles(segs)
     assert subs[0].index == 1 and subs[1].content.startswith("[speaker 2]")
+    assert subs[2].content == "[alice] named line"
 
     vtt = compose_vtt(subs)
     assert vtt.startswith("WEBVTT")

@@ -104,8 +104,11 @@ def segments_to_subtitles(segments) -> List[Subtitle]:
     subs = []
     for i, seg in enumerate(segments):
         text = seg.text
+        name = getattr(seg, "speaker_name", None)
         speaker = getattr(seg, "speaker", None)
-        if speaker is not None:
+        if name:  # enrolled identity beats the anonymous cluster id
+            text = f"[{name}] {text}"
+        elif speaker is not None:
             text = f"[speaker {speaker}] {text}"
         subs.append(Subtitle(
             index=i + 1,
