@@ -169,10 +169,13 @@ def compose_rttm(turns: Sequence[SpeakerTurn], file_id: str,
 
 
 def segments_to_turns(segments) -> List[SpeakerTurn]:
-    """Transcriber output -> scoring turns (segments with a diarization
-    ``speaker`` label; unlabeled segments collapse to one speaker)."""
+    """Transcriber output -> scoring turns. Enrolled ``speaker_name``
+    wins over the anonymous cluster id (an RTTM scored against a
+    named reference then matches identities directly); unlabeled
+    segments collapse to one speaker."""
     return [SpeakerTurn(s.start, s.end,
-                        s.speaker if s.speaker is not None else 0)
+                        getattr(s, "speaker_name", None)
+                        or (s.speaker if s.speaker is not None else 0))
             for s in segments]
 
 
