@@ -130,6 +130,18 @@ def test_bulk_output_dir_resume(tmp_path, capsys):
         doc = json.loads((out / f"tone{s}.json").read_text())
         assert doc["text"] == GOLDEN[s]["text"]
 
+    # A resumed run with NEWLY requested sidecars rebuilds them from the
+    # saved JSON without re-decoding (all three files were skipped).
+    srt_dir = tmp_path / "subs"
+    assert main([*paths, "--session", "tiny", "--root", str(FIXROOT),
+                 "--batch", "1", "--output-dir", str(out),
+                 "--srt", str(srt_dir)]) == 0
+    assert (out / "tone0.json").stat().st_mtime_ns == stamp  # no re-decode
+    for s in range(3):
+        # Per-cue text is per-SEGMENT; check the first golden segment.
+        assert (GOLDEN[s]["segments"][0]["text"]
+                in (srt_dir / f"tone{s}.srt").read_text())
+
     # Duplicate stems from different dirs must refuse, not overwrite.
     other = tmp_path / "other"
     other.mkdir()

@@ -242,6 +242,24 @@ def _write_sidecars(f, result, args) -> None:
             encoding="utf-8")
 
 
+def _sidecars_from_json(f, doc_path, args) -> None:
+    """Rebuild --srt/--vtt/--rttm for a bulk-skipped file from its saved
+    JSON (no re-decode): the stored segments carry everything the
+    sidecar composers read."""
+    if not (args.srt or args.vtt or args.rttm):
+        return
+    from types import SimpleNamespace
+
+    doc = jsonlib.loads(doc_path.read_text(encoding="utf-8"))
+    segments = [
+        SimpleNamespace(
+            start=s["start"], end=s["end"], text=s["text"],
+            speaker=s.get("speaker"), speaker_name=s.get("speaker_name"))
+        for s in doc["segments"]
+    ]
+    _write_sidecars(f, SimpleNamespace(segments=segments), args)
+
+
 def _bulk_transcribe(t, args) -> int:
     """Resumable corpus transcription (``--output-dir``): one
     ``<stem>.json`` per input, written per decode group — files whose
@@ -262,8 +280,13 @@ def _bulk_transcribe(t, args) -> int:
         stems[st] = f
     todo, skipped = [], 0
     for f in args.files:
-        if (out_dir / (Path(f).stem + ".json")).exists():
+        doc_path = out_dir / (Path(f).stem + ".json")
+        if doc_path.exists():
             skipped += 1
+            # A resumed run must still produce newly requested sidecars
+            # for already-transcribed files — rebuild them from the
+            # saved JSON instead of re-decoding.
+            _sidecars_from_json(f, doc_path, args)
         else:
             todo.append(f)
     if skipped:
@@ -278,11 +301,12 @@ def _bulk_transcribe(t, args) -> int:
         results = t.transcribe_many(chunk)
         for f, result in zip(chunk, results):
             _write_sidecars(f, result, args)
+            payload = jsonlib.dumps(_result_payload(f, result),
+                                    ensure_ascii=False)
+            if args.json:
+                print(payload)
             tmp = out_dir / (Path(f).stem + ".json.tmp")
-            tmp.write_text(
-                jsonlib.dumps(_result_payload(f, result),
-                              ensure_ascii=False),
-                encoding="utf-8")
+            tmp.write_text(payload, encoding="utf-8")
             tmp.replace(out_dir / (Path(f).stem + ".json"))
             done += 1
         print(f"{done}/{len(todo)} transcribed -> {out_dir}",
@@ -421,7 +445,8 @@ def main(argv=None):
     from yoho_tpu.utils.profiling import trace
 
     if args.output_dir:
-        return _bulk_transcribe(t, args)
+        with trace(args.profile):
+            return _bulk_transcribe(t, args)
 
     with trace(args.profile):
         # Multiple files pool their 30 s windows into SHARED decode

@@ -159,10 +159,18 @@ def parse_rttm(data: str) -> Dict[str, List[SpeakerTurn]]:
 
 def compose_rttm(turns: Sequence[SpeakerTurn], file_id: str,
                  channel: int = 1) -> str:
-    """Serialize turns as RTTM SPEAKER lines (speaker label via str())."""
+    """Serialize turns as RTTM SPEAKER lines (speaker label via str()).
+
+    RTTM is space-delimited, so whitespace in a label (an enrolled name
+    like "Alice Smith") would shift every following column for NIST
+    md-eval / :func:`parse_rttm` — labels are sanitized to underscores.
+    """
+    def label(s) -> str:
+        return "_".join(str(s).split()) or "_"
+
     lines = [
         f"SPEAKER {file_id} {channel} {t.start:.3f} {t.duration:.3f} "
-        f"<NA> <NA> {t.speaker} <NA> <NA>"
+        f"<NA> <NA> {label(t.speaker)} <NA> <NA>"
         for t in sorted(turns, key=lambda t: (t.start, t.end))
     ]
     return "\n".join(lines) + ("\n" if lines else "")

@@ -79,10 +79,16 @@ class StreamingTranscriber:
         t._attach_quality([segs], lengths, aux)
         t._attach_voiceprints(mel[:1], tokens[:1], [segs], lengths[:1])
         t._attach_words(mel[:1], tokens[:1], lengths[:1], [segs])
-        if segs and t.diarize_encoder is not None:
+        if (segs and self._tracker is not None and t.family != "yoho"
+                and t.diarize_encoder is not None):
             # Whisper-family voiceprints come from the post-pass encoder
             # (only _finalize_request runs it; this built-in path must
             # attach them itself or track_speakers has nothing to track).
+            # Gated on the tracker — without one, per-window cluster ids
+            # would leak into finalized output (and the encoder forward
+            # would be paid for nothing). The yoho family keeps its
+            # NATIVE voiceprints (same precedence as _finalize_request):
+            # the tracker must match one embedding space, not two.
             from yoho_tpu.infer.diarize import diarize_segments
 
             diarize_segments(segs, audio, t.sample_rate,
