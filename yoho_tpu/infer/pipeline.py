@@ -1236,30 +1236,10 @@ class Transcriber:
         return langs
 
     def transcribe_batch(self, audios: Sequence[np.ndarray]) -> List[TranscriptionResult]:
-        """Multi-stream serving: decode up to batch_size independent clips
-        (each <= one chunk) in a single padded batch."""
-        results: List[TranscriptionResult] = []
-        b = self.batch_size
-        for i in range(0, len(audios), b):
-            group = audios[i : i + b]
-            batch = np.zeros((b, self.chunk_samples), np.float32)
-            for j, a in enumerate(group):
-                a = np.asarray(a, np.float32)[: self.chunk_samples]
-                batch[j, : len(a)] = a
-            mel = self._features(self._to_device(batch))
-            tokens, lengths, aux = self._decode_with_fallback(b, mel)
-            silent = self._silent_mask(lengths, aux)
-            segs = [
-                [] if silent[j] else self._tokens_to_segments(tokens[j], int(lengths[j]))
-                for j in range(len(group))
-            ]
-            self._attach_quality(segs, lengths, aux)
-            # Full padded batch: a remainder-sized slice would compile a
-            # fresh program per distinct final-group size.
-            self._attach_voiceprints(mel, tokens, segs, lengths)
-            self._attach_words(mel, tokens, lengths, segs)
-            for s in segs:
-                text = " ".join(x.text for x in s if x.text).strip()
-                results.append(TranscriptionResult(text=text, segments=s,
-                                                   language=self.language))
-        return results
+        """Multi-stream serving: decode independent clips through shared
+        padded batches. Delegates to :meth:`transcribe_many` — one code
+        path means diarization, speaker naming, VAD and stitching behave
+        identically here (this used to be a reduced duplicate that
+        silently skipped diarization and truncated clips to one chunk).
+        """
+        return self.transcribe_many(audios)
