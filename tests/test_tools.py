@@ -126,6 +126,15 @@ def test_umbrella_cli_dispatch(tmp_path, capsys):
     assert "unknown command" in capsys.readouterr().err
     for mod_name, _desc in COMMANDS.values():
         assert callable(getattr(importlib.import_module(mod_name), "main"))
+    # --help must parse for EVERY advertised subcommand (argparse exits 0;
+    # catches import rot / broken add_argument wiring across the board).
+    import pytest
+
+    for name in COMMANDS:
+        with pytest.raises(SystemExit) as e:
+            main([name, "--help"])
+        assert e.value.code == 0, name
+        capsys.readouterr()
     # end-to-end through the dispatcher: create a session
     assert main(["create-session", "disp", "--root", str(tmp_path)]) == 0
     assert (tmp_path / "disp" / "config.toml").exists()
