@@ -95,6 +95,17 @@ junk-line
     assert per_file == {"f1": {"spkA": "<unk> he said yes"}}
 
 
+def test_parse_stm_turns():
+    """The same STM yields timed SpeakerTurns for DER scoring."""
+    from yoho_tpu.eval.diarization import parse_stm_turns
+
+    turns = parse_stm_turns(
+        "f1 1 spkB 4.0 6.0 later words\n"
+        "f1 1 spkA 0.0 2.0 hello there\n")
+    got = [(t.speaker, t.start, t.end) for t in turns["f1"]]
+    assert got == [("spkA", 0.0, 2.0), ("spkB", 4.0, 6.0)]  # time-ordered
+
+
 # ---------------------------------------------------------------------------
 # CLI e2e on the committed trained tiny session: `yoho evaluate --stm`
 # scores cpWER 0 when the diarized transcription matches the reference.
@@ -133,6 +144,7 @@ def test_evaluate_stm_cli(tmp_path, capsys):
     assert report["files"] == 1
     assert report["cpwer"] == 0.0
     assert report["ref_speakers"] == 1
+    assert "der" in report and report["der"] >= 0.0  # same STM scores DER
 
 
 def test_evaluate_stm_whisper_requires_diarize_session():

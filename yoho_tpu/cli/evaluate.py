@@ -56,9 +56,17 @@ def _evaluate_stm(t, args, norm) -> int:
     text per diarized speaker, and score with the minimum-permutation
     assignment (``yoho_tpu.eval.cp_wer``). The metric for joint
     ASR + diarization quality."""
+    from yoho_tpu.eval.diarization import (
+        DERBreakdown,
+        diarization_error_rate,
+        parse_stm_turns,
+        segments_to_turns,
+    )
     from yoho_tpu.eval.wer import EditStats, cp_wer, parse_stm, texts_by_speaker
 
-    per_file = parse_stm(Path(args.stm).read_text(encoding="utf-8"))
+    stm_text = Path(args.stm).read_text(encoding="utf-8")
+    per_file = parse_stm(stm_text)
+    ref_turns = parse_stm_turns(stm_text)
     root = Path(args.dataset)
     files = []
     for fid in sorted(per_file):
@@ -75,6 +83,7 @@ def _evaluate_stm(t, args, norm) -> int:
 
     results = t.transcribe_many([str(p) for _fid, p in files])
     total = EditStats(0, 0, 0, 0)
+    der_total = DERBreakdown(0.0, 0.0, 0.0, 0.0)
     n_ref_speakers = n_hyp_speakers = 0
     for (fid, _path), result in zip(files, results):
         ref = {k: norm(v) for k, v in per_file[fid].items()}
@@ -87,9 +96,22 @@ def _evaluate_stm(t, args, norm) -> int:
         total.insertions += st.insertions
         total.deletions += st.deletions
         total.hits += st.hits
+        # The same STM carries utterance times -> DER from the same run
+        # (NIST 0.25 s collar).
+        d = diarization_error_rate(ref_turns[fid],
+                                   segments_to_turns(result.segments),
+                                   collar=0.25)
+        der_total.missed += d.missed
+        der_total.false_alarm += d.false_alarm
+        der_total.confusion += d.confusion
+        der_total.total_reference += d.total_reference
     report = {
         "files": len(files),
         "cpwer": round(total.rate, 4),
+        "der": round(der_total.der, 4),
+        "der_missed_s": round(der_total.missed, 2),
+        "der_false_alarm_s": round(der_total.false_alarm, 2),
+        "der_confusion_s": round(der_total.confusion, 2),
         "ref_speakers": n_ref_speakers,
         "hyp_speakers": n_hyp_speakers,
         "substitutions": total.substitutions,

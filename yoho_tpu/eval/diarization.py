@@ -131,6 +131,18 @@ def diarization_error_rate(
 
 
 # ---------------------------------------------------------------- RTTM
+def parse_stm_turns(data: str) -> Dict[str, List[SpeakerTurn]]:
+    """NIST STM -> {file_id: [SpeakerTurn]}: the same reference file
+    that scores cpWER also carries utterance TIMES, so one STM scores
+    DER too (``yoho evaluate --stm`` reports both)."""
+    from yoho_tpu.eval.wer import stm_rows
+
+    per_file: Dict[str, List[SpeakerTurn]] = {}
+    for fid, start, end, speaker, _text in stm_rows(data):
+        per_file.setdefault(fid, []).append(SpeakerTurn(start, end, speaker))
+    return per_file
+
+
 def parse_rttm(data: str) -> Dict[str, List[SpeakerTurn]]:
     """Parse RTTM (the NIST diarization interchange format) into
     per-recording turn lists.

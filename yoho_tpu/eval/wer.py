@@ -159,13 +159,15 @@ def texts_by_speaker(segments) -> dict:
     return out
 
 
-def parse_stm(data: str) -> dict:
-    """Parse NIST STM (the standard speaker-labeled reference format):
+def stm_rows(data: str) -> List[tuple]:
+    """Parse NIST STM (the standard speaker-labeled reference format:
     ``<file> <channel> <speaker> <t_start> <t_end> [<flags>] transcript``
-    per line (``;;`` comments skipped). Returns {file_id: {speaker:
-    concatenated text}} with per-speaker utterances joined in time order.
-    """
-    per_file: dict = {}
+    per line) into ``(file_id, t_start, t_end, speaker, text)`` rows,
+    time-ordered per file. Tolerates ``;;`` comments and malformed rows.
+    The optional ``<flags>`` block is a comma-separated list (e.g.
+    ``<o,f0,male>``) — the comma is required, so a transcript
+    legitimately STARTING with an angle token (``<unk>``) is kept.
+    ``ignore_time_segment_in_scoring`` rows are dropped."""
     rows = []
     for line in data.splitlines():
         line = line.strip()
@@ -174,22 +176,26 @@ def parse_stm(data: str) -> dict:
         parts = line.split(None, 5)
         if len(parts) < 6:
             continue
-        fid, _ch, speaker, t0, _t1, rest = parts
+        fid, _ch, speaker, t0, t1, rest = parts
         try:
-            start = float(t0)
+            start, end = float(t0), float(t1)
         except ValueError:
             continue  # stray header / malformed row: tolerate like the rest
-        # Optional <flags> block before the text: NIST flags are a
-        # comma-separated list (e.g. ``<o,f0,male>``). Require the comma so
-        # a transcript legitimately STARTING with an angle token (``<unk>``)
-        # is not eaten.
         if (rest.startswith("<") and ">" in rest
                 and "," in rest.split(">", 1)[0]):
             rest = rest.split(">", 1)[1].strip()
         if not rest or rest.lower() == "ignore_time_segment_in_scoring":
             continue
-        rows.append((fid, start, speaker, rest))
-    for fid, _t0, speaker, text in sorted(rows, key=lambda r: (r[0], r[1])):
+        rows.append((fid, start, end, speaker, rest))
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return rows
+
+
+def parse_stm(data: str) -> dict:
+    """NIST STM -> {file_id: {speaker: concatenated text}} (per-speaker
+    utterances joined in time order) — the cpWER reference shape."""
+    per_file: dict = {}
+    for fid, _t0, _t1, speaker, text in stm_rows(data):
         spk = per_file.setdefault(fid, {})
         spk[speaker] = (spk[speaker] + " " + text) if speaker in spk else text
     return per_file
