@@ -97,6 +97,26 @@ def test_cli_exact_transcripts(tmp_path, capsys):
         assert line["text"] == g["text"]
 
 
+def test_yoho_word_timestamps(tiny):
+    """Word-level timestamps on the yoho family: DTW over the custom
+    decoder's cross-attention (same machinery as whisper — the GQA layer
+    exposes the head-averaged alignment map). The trained fixture's
+    exact transcript splits into per-word timings inside the window."""
+    from yoho_tpu.infer.pipeline import Transcriber
+
+    t = Transcriber(tiny.model, tiny.variables, family="yoho",
+                    tokenizer=tiny.tokenizer, batch_size=1,
+                    word_timestamps=True)
+    n = t.model.cfg.n_samples
+    res = t.transcribe(_tone_clip(0, n))
+    seg = next(s for s in res.segments if s.text)
+    assert seg.text == "hello world"
+    assert seg.words and [w.word for w in seg.words] == ["hello", "world"]
+    horizon = n / 16000
+    for w in seg.words:
+        assert 0.0 <= w.start <= w.end <= horizon + 1e-6
+
+
 def test_bulk_output_dir_resume(tmp_path, capsys):
     """--output-dir writes one <stem>.json per input with the exact
     transcript, and a re-run skips existing outputs (resumable corpus

@@ -29,7 +29,7 @@ def test_load_transcriber_argument_errors(tmp_path):
         yoho_tpu.load_transcriber(hf="x", session="y")
     with pytest.raises(ValueError, match="whisper-family option"):
         yoho_tpu.load_transcriber(session="tiny", root=str(FIXROOT),
-                                  word_timestamps=True)
+                                  initial_prompt="steer this")
     with pytest.raises(ValueError, match="whisper-family option"):
         yoho_tpu.load_transcriber(session="tiny", root=str(FIXROOT),
                                   task="translate")

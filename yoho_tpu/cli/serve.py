@@ -787,7 +787,8 @@ def main(argv=None):
         t = build_yoho_transcriber(args.session, args.root, args.beams,
                                    args.batch, vad_filter=args.vad,
                                    mesh=mesh, enrolled_speakers=enrolled,
-                                   speaker_threshold=args.speaker_threshold)
+                                   speaker_threshold=args.speaker_threshold,
+                                   word_timestamps=args.word_timestamps)
 
     server = serve(t, args.port, args.host, args.max_wait_ms,
                    continuous=args.continuous,

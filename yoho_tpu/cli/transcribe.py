@@ -127,7 +127,8 @@ def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
                            int8_weights: bool = False,
                            vad_filter: bool = False, mesh=None,
                            enrolled_speakers=None,
-                           speaker_threshold: float = 0.75):
+                           speaker_threshold: float = 0.75,
+                           word_timestamps: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -169,7 +170,8 @@ def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
                        batch_size=batch, beams=beams, cache_dtype=jnp.bfloat16,
                        vad_filter=vad_filter, mesh=mesh,
                        enrolled_speakers=enrolled_speakers,
-                       speaker_threshold=speaker_threshold)
+                       speaker_threshold=speaker_threshold,
+                       word_timestamps=word_timestamps)
 
 
 def _result_payload(f, result) -> dict:
@@ -440,7 +442,8 @@ def main(argv=None):
                                    args.batch, int8_weights=args.int8_weights,
                                    vad_filter=args.vad, mesh=mesh,
                                    enrolled_speakers=enrolled,
-                                   speaker_threshold=args.speaker_threshold)
+                                   speaker_threshold=args.speaker_threshold,
+                                   word_timestamps=args.word_timestamps)
 
     from yoho_tpu.utils.profiling import trace
 

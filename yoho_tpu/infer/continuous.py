@@ -507,8 +507,9 @@ class ContinuousBatcher:
             if t.family == "yoho":
                 self._post_pass(req, lambda mel, tok, sl: t._attach_voiceprints(
                     mel, tok, segs[sl], lengths[sl]), mel_cache)
-            if (t.word_timestamps and t.family == "whisper"
-                    and t.token_table.text_backend is not None):
+            if t.word_timestamps and (
+                    t.family == "yoho"
+                    or t.token_table.text_backend is not None):
                 self._post_pass(req, lambda mel, tok, sl: t._attach_words(
                     mel, tok, lengths[sl], segs[sl]), mel_cache)
             per_window = segs

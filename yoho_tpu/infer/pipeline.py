@@ -415,19 +415,37 @@ class Transcriber:
         return self._jitted[key]
 
     def _decode_piece(self, tid: int) -> str:
+        if self.family == "yoho":
+            # Byte-BPE pieces carry a literal leading space on word
+            # starts (bpe.encode_text's marker) -- already the convention
+            # split_words expects.
+            return self.tokenizer.bpe.id_to_piece(int(tid))
         tb = self.token_table.text_backend
         piece = tb.convert_ids_to_tokens([int(tid)])[0]
+        return self._space_piece(piece)
+
+    def _space_piece(self, piece: str) -> str:
         return piece.replace("\u0120", " ").replace("Ġ", " ")
+
+    def _is_text_token(self, t: int) -> bool:
+        """Word-grouping filter: plain text ids only (no specials,
+        timestamps, or voiceprint slots)."""
+        if self.family == "whisper":
+            return t < self.token_table.eot
+        return t >= self.tokenizer.bpe.n_special
 
     def _attach_words(self, mel, tokens: np.ndarray, lengths: np.ndarray,
                       per_window, n_prompt: Optional[int] = None) -> None:
         """Word-level timestamps: DTW over teacher-forced cross-attention
-        (whisper family; needs a text backend for word grouping).
-        ``n_prompt`` excludes prompt positions from word grouping — with
-        initial_prompt/conditioning the prompt contains TEXT tokens that
-        must not become words."""
-        if (not self.word_timestamps or self.family != "whisper"
-                or self.token_table.text_backend is None):
+        (both families — the yoho decoder exposes the same head-averaged
+        alignment map; whisper additionally needs a text backend for word
+        grouping). ``n_prompt`` excludes prompt positions from word
+        grouping — with initial_prompt/conditioning the prompt contains
+        TEXT tokens that must not become words."""
+        if not self.word_timestamps:
+            return
+        if (self.family == "whisper"
+                and self.token_table.text_backend is None):
             return
         from yoho_tpu.infer.word_timestamps import (
             token_frame_alignment,
@@ -444,7 +462,7 @@ class Transcriber:
             L = int(lengths[j])
             ids = [int(t) for t in tokens[j, :L]]
             text_pos = [i for i, t in enumerate(ids)
-                        if i >= skip and t < self.token_table.eot]
+                        if i >= skip and self._is_text_token(t)]
             if not text_pos or not segs:
                 continue
             frames = token_frame_alignment(amap[j, :L])
@@ -456,10 +474,14 @@ class Transcriber:
                 max_duration=self.chunk_samples / self.sample_rate,
                 decode_group=self._render,
             )
-            # Assign words to segments by midpoint time.
+            # Assign words to segments by midpoint time (with a float
+            # epsilon: a word ending exactly at the segment boundary
+            # must not fall out on 0.29 + 4e-17 > 0.29).
             for seg in segs:
-                seg.words = [w for w in words
-                             if seg.start <= (w.start + w.end) / 2 <= seg.end]
+                seg.words = [
+                    w for w in words
+                    if seg.start - 1e-6 <= (w.start + w.end) / 2
+                    <= seg.end + 1e-6]
 
     def align(self, audio: Union[str, Path, np.ndarray], text: str,
               sample_rate: Optional[int] = None):

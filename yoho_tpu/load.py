@@ -96,7 +96,6 @@ def load_transcriber(
         ("language", language, "en"),
         ("timestamps", timestamps, True),
         ("int8_kv", int8_kv, False),
-        ("word_timestamps", word_timestamps, False),
         ("temperature_fallback", temperature_fallback, False),
         ("initial_prompt", initial_prompt, None),
         ("condition_on_previous_text", condition_on_previous_text, False),
@@ -110,4 +109,5 @@ def load_transcriber(
     return build_yoho_transcriber(
         session, root, beams, batch, int8_weights=int8_weights,
         vad_filter=vad, mesh=mesh, enrolled_speakers=enrolled,
-        speaker_threshold=speaker_threshold)
+        speaker_threshold=speaker_threshold,
+        word_timestamps=word_timestamps)

@@ -753,6 +753,29 @@ class GroupedQueryAttention(nn.Module):
         k = apply_rope(k, cos, sin)
         return _bhdt(k), _bhdt(v)
 
+    def attention_map(self, x: jnp.ndarray, xa: jnp.ndarray) -> jnp.ndarray:
+        """Head-averaged cross-attention weights (B, S, T) in f32 — the
+        alignment signal for word-level timestamps (DTW), mirroring the
+        whisper MHA's method. RoPE is applied to q and k exactly as in
+        ``__call__`` so the weights match the decode's attention."""
+        kvh = self.kv_heads or self.q_heads
+        groups = self.q_heads // kvh
+        head_dim = self.dims // self.q_heads
+        q = self.q_proj(x)
+        cos_q, sin_q = rope_angles(jnp.arange(x.shape[1]), head_dim,
+                                   self.rope_variant)
+        q = apply_rope(q, cos_q, sin_q)
+        k = self.k_proj(xa)
+        cos_k, sin_k = rope_angles(jnp.arange(xa.shape[1]), head_dim,
+                                   self.rope_variant)
+        k = _bhdt(apply_rope(k, cos_k, sin_k))
+        if groups > 1:
+            k = jnp.repeat(k, groups, axis=1)
+        q = _bhsd(q) * (head_dim**-0.5)
+        scores = jnp.einsum("bhsd,bhdt->bhst", *_f32_accum_operands(q, k),
+                            preferred_element_type=jnp.float32)
+        return jax.nn.softmax(scores, axis=-1).mean(axis=1)
+
     def __call__(
         self,
         x: jnp.ndarray,

@@ -191,6 +191,30 @@ class YOHOTextDecoder(nn.Module):
     def __call__(self, tokens, xa):
         return self._logits(self._hidden(tokens, xa))
 
+    def cross_attention_map(self, tokens, xa):
+        """Teacher-forced forward collecting the word-alignment signal:
+        mean cross-attention over the upper half of the decoder blocks
+        (the same heuristic as ``whisper.py:cross_attention_map`` — no
+        checkpoint ships an alignment-head mask). Returns
+        (B, S_text, T_audio) f32. Each block RMSNorms the encoder output
+        (``ln_kv``) before its cross-attention, exactly like the main
+        forward."""
+        t = tokens.shape[1]
+        x = self.token_embedding(tokens)
+        mask = causal_mask(t, t)
+        align_from = len(self.blocks) // 2
+        acc = None
+        for i, blk in enumerate(self.blocks):
+            x = x + blk.attn(blk.ln1(x), mask=mask)
+            x_attn_in = blk.ln2(x)
+            xa_in = blk.ln_kv(xa)
+            if i >= align_from:
+                w = blk.cross_attn.attention_map(x_attn_in, xa_in)
+                acc = w if acc is None else acc + w
+            x = x + blk.cross_attn(x_attn_in, xa=xa_in)
+            x = x + blk.mlp(blk.ln3(x))
+        return acc / max(len(self.blocks) - align_from, 1)
+
     def with_voiceprints(self, tokens, xa):
         """Returns (logits, voiceprint embeddings per position).
 
@@ -258,6 +282,9 @@ class YOHOModel(nn.Module):
 
     def decode_text(self, tokens, xa):
         return self.decoder(tokens, xa)
+
+    def cross_attention_map(self, tokens, xa):
+        return self.decoder.cross_attention_map(tokens, xa)
 
     def forward_with_voiceprints(self, tokens, mel):
         return self.decoder.with_voiceprints(tokens, self.encoder(mel))
