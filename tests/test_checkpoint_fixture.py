@@ -117,6 +117,22 @@ def test_yoho_word_timestamps(tiny):
         assert 0.0 <= w.start <= w.end <= horizon + 1e-6
 
 
+def test_yoho_forced_alignment(tiny):
+    """align()/align_many() on the yoho family: a known transcript
+    teacher-forces through the custom decoder and every word gets a
+    timing inside the window."""
+    n = tiny.model.cfg.n_samples
+    words = tiny.align(_tone_clip(0, n), "hello world")
+    assert [w.word for w in words] == ["hello", "world"]
+    horizon = n / 16000
+    assert all(0.0 <= w.start <= w.end <= horizon + 1e-6 for w in words)
+
+    many = tiny.align_many([(_tone_clip(0, n), "hello world"),
+                            (_tone_clip(1, n), "good morning")])
+    assert [[w.word for w in ws] for ws in many] == [
+        ["hello", "world"], ["good", "morning"]]
+
+
 def test_bulk_output_dir_resume(tmp_path, capsys):
     """--output-dir writes one <stem>.json per input with the exact
     transcript, and a re-run skips existing outputs (resumable corpus

@@ -483,6 +483,21 @@ class Transcriber:
                     if seg.start - 1e-6 <= (w.start + w.end) / 2
                     <= seg.end + 1e-6]
 
+    def _align_ids(self, text: str):
+        """(prompt_ids, text_ids) for a teacher-forced alignment pass."""
+        if self.family == "whisper":
+            tt = self.token_table
+            # language=None (auto) has no token; align against English —
+            # forced alignment is language-insensitive up to tokenizer
+            # text.
+            return (tt.sot_sequence(self.language or "en", "transcribe",
+                                    timestamps=False),
+                    [int(t) for t in tt.encode_text(" " + text.strip())])
+        tok = self.tokenizer
+        return ([tok.sot_id],
+                [int(t) for t in tok.encode(text.strip())
+                 if self._is_text_token(t)])
+
     def align(self, audio: Union[str, Path, np.ndarray], text: str,
               sample_rate: Optional[int] = None):
         """Forced alignment: word timings for a KNOWN transcript.
@@ -492,14 +507,13 @@ class Transcriber:
         caller-supplied reference — subtitle/karaoke alignment). Audio
         must fit one chunk window (30 s for whisper); split longer
         material at sentence boundaries first (cli/split_tracks.py).
-        Returns a list of WordTiming. Whisper family; needs a text
-        backend on the token table."""
+        Returns a list of WordTiming. Both families (whisper needs a
+        text backend on the token table)."""
         from yoho_tpu.infer.word_timestamps import (
             token_frame_alignment,
             words_from_alignment,
         )
 
-        assert self.family == "whisper", "align() is a whisper feature"
         audio = self._prepare_audio(audio, sample_rate)
         if len(audio) > self.chunk_samples:
             raise ValueError(
@@ -509,13 +523,8 @@ class Transcriber:
         window[0, : len(audio)] = audio
         mel = self._features(self._to_device(window))
 
-        tt = self.token_table
-        text_ids = [int(t) for t in tt.encode_text(" " + text.strip())]
-        # language=None (auto) has no token; align against English —
-        # forced alignment is language-insensitive up to tokenizer text.
-        sot = tt.sot_sequence(self.language or "en", "transcribe",
-                              timestamps=False)
-        ids = sot + text_ids + [tt.eot]
+        sot, text_ids = self._align_ids(text)
+        ids = sot + text_ids + [self.eot]
         if len(ids) > self.max_len:
             raise ValueError(f"text too long ({len(ids)} tokens > {self.max_len})")
         pad = np.full((1, self.max_len), self.eot, np.int32)
@@ -546,12 +555,6 @@ class Transcriber:
             words_from_alignment,
         )
 
-        assert self.family == "whisper", "align() is a whisper feature"
-        tt = self.token_table
-        # language=None (auto) has no token; align against English —
-        # forced alignment is language-insensitive up to tokenizer text.
-        sot = tt.sot_sequence(self.language or "en", "transcribe",
-                              timestamps=False)
         spf = 2 * self.hop / self.sample_rate
 
         prepped = []
@@ -561,12 +564,12 @@ class Transcriber:
                 raise ValueError(
                     "align_many() takes one window per pair; split longer "
                     "audio at utterance boundaries first")
-            text_ids = [int(t) for t in tt.encode_text(" " + text.strip())]
-            ids = sot + text_ids + [tt.eot]
+            sot, text_ids = self._align_ids(text)
+            ids = sot + text_ids + [self.eot]
             if len(ids) > self.max_len:
                 raise ValueError(
                     f"text too long ({len(ids)} tokens > {self.max_len})")
-            prepped.append((audio, text_ids, ids))
+            prepped.append((audio, text_ids, ids, len(sot)))
 
         results: List[list] = []
         b = self.batch_size
@@ -574,15 +577,15 @@ class Transcriber:
             group = prepped[i : i + b]
             window = np.zeros((b, self.chunk_samples), np.float32)
             pad = np.full((b, self.max_len), self.eot, np.int32)
-            for j, (audio, _text_ids, ids) in enumerate(group):
+            for j, (audio, _text_ids, ids, _n_sot) in enumerate(group):
                 window[j, : len(audio)] = audio
                 pad[j, : len(ids)] = ids
             mel = self._features(self._to_device(window))
             amap = np.asarray(self._align_fn(b)(self.variables, mel,
                                                 jnp.asarray(pad)))
-            for j, (audio, text_ids, ids) in enumerate(group):
+            for j, (audio, text_ids, ids, n_sot) in enumerate(group):
                 frames = token_frame_alignment(amap[j, : len(ids)])
-                text_pos = list(range(len(sot), len(sot) + len(text_ids)))
+                text_pos = list(range(n_sot, n_sot + len(text_ids)))
                 results.append(words_from_alignment(
                     text_ids, frames[text_pos], spf,
                     lambda ii: "".join(self._decode_piece(t) for t in ii),
