@@ -133,6 +133,34 @@ def test_yoho_forced_alignment(tiny):
         ["hello", "world"], ["good", "morning"]]
 
 
+def test_align_cli(tmp_path, capsys):
+    """`yoho align`: word-timing JSONL + per-word SRT from a known
+    transcript (sibling .txt pairing and --text both)."""
+    from yoho_tpu.cli.align import main as align_main
+
+    clip = _tone_clip(0, 10480)
+    pcm = np.clip(clip * 32768, -32768, 32767).astype(np.int16)
+    wav = tmp_path / "tone0.wav"
+    with wave.open(str(wav), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    (tmp_path / "tone0.txt").write_text("hello world", encoding="utf-8")
+
+    rc = align_main([str(wav), "--session", "tiny", "--root", str(FIXROOT),
+                     "--srt", str(tmp_path / "srt")])
+    assert rc == 0
+    doc = json.loads(capsys.readouterr().out.strip())
+    assert [w["word"] for w in doc["words"]] == ["hello", "world"]
+    srt_text = (tmp_path / "srt" / "tone0.srt").read_text()
+    assert "hello" in srt_text and "world" in srt_text
+
+    with pytest.raises(SystemExit):  # --text with several files refuses
+        align_main([str(wav), str(wav), "--session", "tiny",
+                    "--root", str(FIXROOT), "--text", "x"])
+
+
 def test_bulk_output_dir_resume(tmp_path, capsys):
     """--output-dir writes one <stem>.json per input with the exact
     transcript, and a re-run skips existing outputs (resumable corpus

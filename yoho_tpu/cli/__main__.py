@@ -31,6 +31,8 @@ COMMANDS = {
     "summary": ("yoho_tpu.cli.summary", "Model/param summary"),
     "enroll": ("yoho_tpu.cli.enroll",
                "Enroll speaker voiceprints for recognition"),
+    "align": ("yoho_tpu.cli.align",
+              "Forced alignment: word timings for known transcripts"),
     "score-diarization": ("yoho_tpu.cli.score_diarization",
                           "DER between reference and hypothesis RTTM"),
 }
