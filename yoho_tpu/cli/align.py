@@ -61,8 +61,9 @@ def main(argv=None):
         build_yoho_transcriber,
     )
 
+    language = None if args.language == "auto" else args.language
     if args.hf:
-        t = build_whisper_transcriber(args.hf, 0, args.batch, args.language,
+        t = build_whisper_transcriber(args.hf, 0, args.batch, language,
                                       True)
     else:
         t = build_yoho_transcriber(args.session, args.root, 0, args.batch)

@@ -64,9 +64,11 @@ def _evaluate_stm(t, args, norm) -> int:
     )
     from yoho_tpu.eval.wer import EditStats, cp_wer, parse_stm, texts_by_speaker
 
-    stm_text = Path(args.stm).read_text(encoding="utf-8")
-    per_file = parse_stm(stm_text)
-    ref_turns = parse_stm_turns(stm_text)
+    from yoho_tpu.eval.wer import stm_rows
+
+    rows = stm_rows(Path(args.stm).read_text(encoding="utf-8"))
+    per_file = parse_stm(rows)
+    ref_turns = parse_stm_turns(rows)
     root = Path(args.dataset)
     files = []
     for fid in sorted(per_file):

@@ -131,14 +131,16 @@ def diarization_error_rate(
 
 
 # ---------------------------------------------------------------- RTTM
-def parse_stm_turns(data: str) -> Dict[str, List[SpeakerTurn]]:
+def parse_stm_turns(data) -> Dict[str, List[SpeakerTurn]]:
     """NIST STM -> {file_id: [SpeakerTurn]}: the same reference file
     that scores cpWER also carries utterance TIMES, so one STM scores
-    DER too (``yoho evaluate --stm`` reports both)."""
+    DER too (``yoho evaluate --stm`` reports both). Accepts the raw STM
+    string or pre-parsed ``stm_rows`` output."""
     from yoho_tpu.eval.wer import stm_rows
 
     per_file: Dict[str, List[SpeakerTurn]] = {}
-    for fid, start, end, speaker, _text in stm_rows(data):
+    rows = data if isinstance(data, list) else stm_rows(data)
+    for fid, start, end, speaker, _text in rows:
         per_file.setdefault(fid, []).append(SpeakerTurn(start, end, speaker))
     return per_file
 

@@ -178,9 +178,17 @@ def stm_rows(data: str) -> List[tuple]:
             continue
         fid, _ch, speaker, t0, t1, rest = parts
         try:
-            start, end = float(t0), float(t1)
+            start = float(t0)
         except ValueError:
             continue  # stray header / malformed row: tolerate like the rest
+        try:
+            end = float(t1)
+        except ValueError:
+            # Keep the row for cpWER (words still count) with a
+            # zero-length turn — only the start time gated rows before
+            # the stm_rows refactor, and dropping text would silently
+            # shrink the reference.
+            end = start
         if (rest.startswith("<") and ">" in rest
                 and "," in rest.split(">", 1)[0]):
             rest = rest.split(">", 1)[1].strip()
@@ -191,11 +199,14 @@ def stm_rows(data: str) -> List[tuple]:
     return rows
 
 
-def parse_stm(data: str) -> dict:
+def parse_stm(data) -> dict:
     """NIST STM -> {file_id: {speaker: concatenated text}} (per-speaker
-    utterances joined in time order) — the cpWER reference shape."""
+    utterances joined in time order) — the cpWER reference shape.
+    Accepts the raw STM string or pre-parsed :func:`stm_rows` output
+    (so one parse can feed both this and :func:`parse_stm_turns`)."""
     per_file: dict = {}
-    for fid, _t0, _t1, speaker, text in stm_rows(data):
+    rows = data if isinstance(data, list) else stm_rows(data)
+    for fid, _t0, _t1, speaker, text in rows:
         spk = per_file.setdefault(fid, {})
         spk[speaker] = (spk[speaker] + " " + text) if speaker in spk else text
     return per_file
