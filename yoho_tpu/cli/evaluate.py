@@ -20,11 +20,10 @@ def collect_pairs(root: Path, limit=None):
     pairs = []
     if (root / "transcripts").exists():
         from yoho_tpu.text.srt import parse_srt
+        from yoho_tpu.train.dataloader import AUDIO_SUFFIXES
 
         for srt_path in sorted((root / "transcripts").iterdir()):
             stem = srt_path.stem
-            from yoho_tpu.train.dataloader import AUDIO_SUFFIXES
-
             for suf in AUDIO_SUFFIXES:
                 cand = root / "audio" / (stem + suf)
                 if cand.exists():
@@ -62,9 +61,13 @@ def _evaluate_stm(t, args, norm) -> int:
         parse_stm_turns,
         segments_to_turns,
     )
-    from yoho_tpu.eval.wer import EditStats, cp_wer, parse_stm, texts_by_speaker
-
-    from yoho_tpu.eval.wer import stm_rows
+    from yoho_tpu.eval.wer import (
+        EditStats,
+        cp_wer,
+        parse_stm,
+        stm_rows,
+        texts_by_speaker,
+    )
 
     rows = stm_rows(Path(args.stm).read_text(encoding="utf-8"))
     per_file = parse_stm(rows)

@@ -611,16 +611,22 @@ def warmup(server) -> None:
     batcher = getattr(server, "batcher", None)
     if t is None or batcher is None:
         return  # duck-typed server (tests / custom backends): nothing to warm
-    batcher.submit(np.zeros(t.chunk_samples, np.float32))
+    # Snapshot counters: warmup runs before serve_forever, so nothing
+    # else dispatches concurrently and restoring the snapshots exactly
+    # un-counts the synthetic request (the continuous engine counts
+    # batches per CHUNK — a fixed "-1" would leave phantom batches).
+    served = getattr(batcher, "requests_served", 0)
+    batches = getattr(batcher, "batches_dispatched", 0)
+    # vad=False: with --vad the all-zeros window would be collapsed to
+    # empty audio and NOTHING would compile — the per-request override
+    # forces the window through the same decode programs real speech
+    # uses (VAD itself is host-side and compiles nothing).
+    batcher.submit(np.zeros(t.chunk_samples, np.float32), vad=False)
     # The synthetic request must not pollute /statz: its latency IS the
     # XLA compile (minutes on a cold chip) and would sit in the p99
     # percentiles until 512 real requests evict it.
-    served = getattr(batcher, "requests_served", 0)
-    if served:
-        batcher.requests_served = served - 1
-    batches = getattr(batcher, "batches_dispatched", 0)
-    if batches:  # the warmup batch too, or served/batches turn inconsistent
-        batcher.batches_dispatched = batches - 1
+    batcher.requests_served = served
+    batcher.batches_dispatched = batches
     lat = getattr(batcher, "_latencies", None)
     if lat is not None:
         lat.clear()

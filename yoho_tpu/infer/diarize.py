@@ -167,13 +167,21 @@ class OnlineSpeakerTracker:
     def __init__(self, threshold: float = 0.75, enrolled: Optional[dict] = None):
         self.threshold = float(threshold)
         self.enrolled = dict(enrolled or {})
-        self._centroids: List[np.ndarray] = []  # unit-normalized
-        self._counts: List[int] = []
+        # Per speaker: the UNNORMALIZED sum of member unit vectors (the
+        # true running mean's direction); unit centroids are derived for
+        # comparisons. Rescaling a normalized centroid by the count
+        # would over-weight history whenever members disagree
+        # (||sum of k unit vectors|| < k).
+        self._sums: List[np.ndarray] = []
         self._names: List[Optional[str]] = []
 
     @property
     def n_speakers(self) -> int:
-        return len(self._centroids)
+        return len(self._sums)
+
+    def _centroids(self) -> np.ndarray:
+        c = np.stack(self._sums)
+        return c / np.maximum(np.linalg.norm(c, axis=-1, keepdims=True), 1e-9)
 
     def assign(self, segments) -> None:
         """Set ``speaker`` (stable stream-wide id) and ``speaker_name``
@@ -187,23 +195,20 @@ class OnlineSpeakerTracker:
             v = np.asarray(seg.voiceprint, np.float64)
             v = v / max(np.linalg.norm(v), 1e-9)
             k = None
-            if self._centroids:
-                sims = np.stack(self._centroids) @ v
+            if self._sums:
+                sims = self._centroids() @ v
                 best = int(np.argmax(sims))
                 if sims[best] >= self.threshold:
                     k = best
-                    c = self._centroids[k] * self._counts[k] + v
-                    self._counts[k] += 1
-                    self._centroids[k] = c / max(np.linalg.norm(c), 1e-9)
+                    self._sums[k] = self._sums[k] + v
             if k is None:
-                self._centroids.append(v)
-                self._counts.append(1)
+                self._sums.append(v)
                 self._names.append(None)
-                k = len(self._centroids) - 1
+                k = len(self._sums) - 1
             if self.enrolled:
+                c = self._sums[k] / max(np.linalg.norm(self._sums[k]), 1e-9)
                 self._names[k] = identify_speaker(
-                    self._centroids[k], self.enrolled,
-                    threshold=self.threshold)
+                    c, self.enrolled, threshold=self.threshold)
             seg.speaker = k
             seg.speaker_name = self._names[k]
 
@@ -215,11 +220,11 @@ class OnlineSpeakerTracker:
         Unmatched voices get ``speaker=None`` until finalization."""
         for seg in segments:
             seg.speaker = seg.speaker_name = None
-            if seg.voiceprint is None or not self._centroids:
+            if seg.voiceprint is None or not self._sums:
                 continue
             v = np.asarray(seg.voiceprint, np.float64)
             v = v / max(np.linalg.norm(v), 1e-9)
-            sims = np.stack(self._centroids) @ v
+            sims = self._centroids() @ v
             best = int(np.argmax(sims))
             if sims[best] >= self.threshold:
                 seg.speaker = best

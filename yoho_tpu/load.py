@@ -52,6 +52,8 @@ def load_transcriber(
     """
     if (hf is None) == (session is None):
         raise ValueError("pass exactly one of hf= or session=")
+    if language == "auto":  # the CLI sentinel for per-file detection
+        language = None
 
     if isinstance(mesh, str):
         from yoho_tpu.parallel.mesh import parse_mesh
