@@ -105,6 +105,25 @@ def test_online_speaker_tracker():
     assert tr.n_speakers == 2  # unchanged
 
 
+def test_tracker_centroid_is_true_running_mean():
+    """The tracked centroid is the normalized MEAN of member unit
+    vectors — not a count-rescaled renormalization, which over-weights
+    history whenever members disagree."""
+    from yoho_tpu.infer.diarize import OnlineSpeakerTracker
+
+    g = np.random.default_rng(0)
+    base = np.array([1.0, 0.2, 0.1])
+    members = [base + 0.1 * g.standard_normal(3) for _ in range(8)]
+    units = [m / np.linalg.norm(m) for m in members]
+
+    tr = OnlineSpeakerTracker(threshold=0.5)
+    tr.assign([_seg(m, None) for m in members])
+    assert tr.n_speakers == 1
+    want = np.mean(np.stack(units), axis=0)
+    want /= np.linalg.norm(want)
+    np.testing.assert_allclose(tr._centroids()[0], want, atol=1e-12)
+
+
 def test_streaming_track_speakers_stable_ids():
     """StreamingTranscriber(track_speakers=True) on a yoho model: every
     finalized voiced segment gets a stream-wide id; the id count never
