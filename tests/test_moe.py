@@ -1,0 +1,151 @@
+"""MoE SwiGLU + expert parallelism: dispatch invariants, brute-force
+exactness, capacity drops, and ep-sharded == single-device on the faked
+8-device mesh. SURVEY.md §2.3 extension (reference has none)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from yoho_tpu.nn.layers import SwiGLU
+from yoho_tpu.nn.moe import MoESwiGLU, moe_dispatch
+
+
+def _gates(t, e, seed=0):
+    g = np.random.default_rng(seed)
+    logits = g.standard_normal((t, e)).astype(np.float32)
+    return jnp.asarray(jax.nn.softmax(jnp.asarray(logits), axis=-1))
+
+
+def test_dispatch_top1_ample_capacity():
+    """With capacity >= T every token lands exactly in its argmax expert,
+    weighted by its gate value."""
+    t, e = 16, 4
+    gates = _gates(t, e)
+    dispatch, combine, aux, kept = moe_dispatch(gates, top_k=1, capacity=t)
+
+    d = np.asarray(dispatch)
+    c = np.asarray(combine)
+    g = np.asarray(gates)
+    assert d.sum() == t  # every token exactly once
+    np.testing.assert_array_equal(np.asarray(kept), np.ones(t))
+    idx = g.argmax(-1)
+    for ti in range(t):
+        assert d[ti, idx[ti]].sum() == 1.0
+        np.testing.assert_allclose(c[ti].sum(), g[ti, idx[ti]], rtol=1e-6)
+    # Each (expert, slot) pair used at most once.
+    assert (d.sum(axis=0) <= 1.0 + 1e-6).all()
+    # Balanced-uniform gates would give aux == 1; any routing stays >= 1
+    # in expectation — just check finiteness and scale here.
+    assert 0.5 < float(aux) < e + 1e-6
+
+
+def test_dispatch_capacity_drops_in_token_order():
+    """capacity=1: only the FIRST token routed to each expert keeps its
+    slot; later ones are dropped (kept == 0)."""
+    gates = jnp.asarray([
+        [0.9, 0.1],
+        [0.8, 0.2],   # second token to expert 0 -> dropped
+        [0.1, 0.9],
+    ], jnp.float32)
+    dispatch, combine, aux, kept = moe_dispatch(gates, top_k=1, capacity=1)
+    np.testing.assert_array_equal(np.asarray(kept), [1, 0, 1])
+    assert float(np.asarray(combine)[1].sum()) == 0.0
+
+
+def test_dispatch_top2_renormalizes():
+    """top-2 with ample capacity: per-token combine weights sum to 1
+    (gates renormalized over the two chosen experts)."""
+    t, e = 12, 4
+    gates = _gates(t, e, seed=1)
+    dispatch, combine, aux, kept = moe_dispatch(gates, top_k=2, capacity=t)
+    np.testing.assert_array_equal(np.asarray(kept), np.full(t, 2))
+    np.testing.assert_allclose(np.asarray(combine).sum(axis=(1, 2)),
+                               np.ones(t), rtol=1e-5)
+    # No (expert, slot) double-occupancy across the two rounds.
+    assert (np.asarray(dispatch).sum(axis=0) <= 1.0 + 1e-6).all()
+
+
+@pytest.mark.parametrize("top_k", [1, 2])
+def test_moe_layer_matches_bruteforce(top_k):
+    """With ample capacity the MoE layer equals the brute-force per-token
+    computation: sum over the chosen experts of (renormalized) gate *
+    SwiGLU_e(x) with that expert's param slice."""
+    b, s, d, e, h = 2, 6, 16, 4, 24
+    layer = MoESwiGLU(n_experts=e, hidden_dim=h, top_k=top_k,
+                      capacity_factor=float(e))  # capacity == T
+    g = np.random.default_rng(2)
+    x = jnp.asarray(g.standard_normal((b, s, d)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x)
+
+    out = np.asarray(layer.apply(variables, x))
+
+    # Brute force: route each token by the router's softmax.
+    router_kernel = np.asarray(variables["params"]["router"]["kernel"])
+    xt = np.asarray(x).reshape(-1, d)
+    gates = np.asarray(jax.nn.softmax(jnp.asarray(xt @ router_kernel), -1))
+    expert_params = variables["params"]["experts"]
+    single = SwiGLU(h)
+    per_expert = []
+    for ei in range(e):
+        p = jax.tree_util.tree_map(lambda l, ei=ei: l[ei], expert_params)
+        per_expert.append(np.asarray(single.apply({"params": p},
+                                                  jnp.asarray(xt))))
+    ref = np.zeros_like(xt)
+    for ti in range(xt.shape[0]):
+        order = np.argsort(-gates[ti])[:top_k]
+        denom = gates[ti, order].sum() if top_k > 1 else 1.0
+        for ei in order:
+            ref[ti] += gates[ti, ei] / denom * per_expert[ei][ti]
+    np.testing.assert_allclose(out.reshape(-1, d), ref, atol=2e-5)
+
+
+def test_moe_sows_aux_loss_and_dropped_fraction():
+    layer = MoESwiGLU(n_experts=4, hidden_dim=8, capacity_factor=0.25,
+                      top_k=1)
+    x = jnp.asarray(np.random.default_rng(3)
+                    .standard_normal((1, 16, 8)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    out, state = layer.apply(variables, x, mutable=["intermediates"])
+    inter = state["intermediates"]
+    (aux,) = inter["moe_aux_loss"]
+    (dropped,) = inter["moe_dropped_fraction"]
+    assert np.isfinite(float(aux)) and float(aux) >= 0.9
+    # capacity_factor 0.25 over 16 tokens / 4 experts = capacity 1: with
+    # any imbalance some tokens must drop.
+    assert 0.0 <= float(dropped) <= 1.0
+
+
+def test_moe_expert_parallel_matches_single_device():
+    """Expert params sharded over an 8-way 'model' axis (leading expert
+    dim) produce the exact same output as the unsharded layer — expert
+    parallelism via GSPMD on the dense dispatch einsums."""
+    b, s, d, e, h = 2, 8, 16, 8, 24
+    layer = MoESwiGLU(n_experts=e, hidden_dim=h, top_k=2,
+                      capacity_factor=2.0)
+    g = np.random.default_rng(4)
+    x = jnp.asarray(g.standard_normal((b, s, d)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x)
+
+    ref = np.asarray(jax.jit(layer.apply)(variables, x))
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("model",))
+
+    def _put(path, leaf):
+        names = [getattr(k, "key", "") for k in path]
+        if "experts" in names:
+            spec = P("model", *([None] * (leaf.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    sharded = jax.tree_util.tree_map_with_path(_put, variables)
+    out = np.asarray(jax.jit(layer.apply)(sharded, x))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+    # The stacked expert leaves really are split 8 ways.
+    lead = sharded["params"]["experts"]["gate"]["kernel"]
+    shapes = {sh.data.shape for sh in lead.addressable_shards}
+    assert shapes == {(1, d, h)}
