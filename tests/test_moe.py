@@ -118,6 +118,113 @@ def test_moe_sows_aux_loss_and_dropped_fraction():
     assert 0.0 <= float(dropped) <= 1.0
 
 
+def test_yoho_moe_model_forward_and_grads():
+    """YOHOConfig.n_experts wires MoE into every moe_every_n-th encoder
+    block: the model forwards, sows aux losses, and grads flow to experts
+    AND router."""
+    import optax
+
+    from yoho_tpu.core.config import YOHOConfig
+    from yoho_tpu.nn.moe import collect_aux_losses
+    from yoho_tpu.nn.yoho import YOHOModel
+
+    cfg = YOHOConfig(
+        n_mel_bands=8, max_audio_len=32, max_text_len=8, dims=32,
+        n_audio_heads=4, n_audio_blocks=2, n_text_heads=4, n_text_blocks=1,
+        n_experts=4, moe_every_n=2,
+    )
+    model = YOHOModel(cfg, vocab_size=64)
+    g = np.random.default_rng(5)
+    mel = jnp.asarray(g.standard_normal((2, 32, 8)).astype(np.float32))
+    tokens = jnp.asarray(g.integers(0, 64, size=(2, 8)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), tokens, mel)
+    enc = variables["params"]["encoder"]
+    assert "experts" in enc["blocks_1"]["mlp"]  # block 1 is MoE
+    assert "experts" not in enc["blocks_0"]["mlp"]  # block 0 stays dense
+    assert enc["blocks_1"]["mlp"]["experts"]["gate"]["kernel"].shape[0] == 4
+
+    def loss(p):
+        logits, st = model.apply({"params": p}, tokens, mel,
+                                 mutable=["intermediates"])
+        aux = collect_aux_losses(st["intermediates"])
+        ce = jnp.mean(logits ** 2)
+        return ce + cfg.moe_aux_weight * aux
+
+    grads = jax.grad(loss)(variables["params"])
+    moe = grads["encoder"]["blocks_1"]["mlp"]
+    assert float(optax.global_norm(moe["experts"])) > 0
+    assert float(optax.global_norm(moe["router"])) > 0
+
+
+def test_partition_specs_shard_experts_over_model():
+    """YOHO_RULES lead the stacked expert axis with ``model`` and keep the
+    router replicated."""
+    from yoho_tpu.core.config import YOHOConfig
+    from yoho_tpu.nn.yoho import YOHOModel
+    from yoho_tpu.parallel.sharding import YOHO_RULES, partition_specs
+
+    cfg = YOHOConfig(
+        n_mel_bands=8, max_audio_len=32, max_text_len=8, dims=32,
+        n_audio_heads=4, n_audio_blocks=2, n_text_heads=4, n_text_blocks=1,
+        n_experts=8, moe_every_n=2,
+    )
+    model = YOHOModel(cfg, vocab_size=64)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8), jnp.int32),
+                           jnp.zeros((1, 32, 8), jnp.float32))
+    specs = partition_specs(variables["params"], YOHO_RULES)
+    mlp = specs["encoder"]["blocks_1"]["mlp"]
+    assert mlp["experts"]["gate"]["kernel"] == P("model")
+    assert mlp["experts"]["down"]["kernel"] == P("model")
+    assert mlp["router"]["kernel"] == P()
+
+
+def test_pipeline_rejects_mixed_dense_moe_stack():
+    from yoho_tpu.core.config import YOHOConfig
+    from yoho_tpu.nn.yoho import YOHOModel
+    from yoho_tpu.parallel.pipeline import pipeline_encode
+
+    cfg = YOHOConfig(
+        n_mel_bands=8, max_audio_len=32, max_text_len=8, dims=32,
+        n_audio_heads=4, n_audio_blocks=4, n_text_heads=4, n_text_blocks=1,
+        n_experts=4, moe_every_n=2,
+    )
+    model = YOHOModel(cfg, vocab_size=64)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8), jnp.int32),
+                           jnp.zeros((1, 32, 8), jnp.float32))
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
+    mel = jnp.zeros((4, 32, 8), jnp.float32)
+    with pytest.raises(ValueError, match="homogeneous"):
+        pipeline_encode(model, variables, mel, mesh, n_microbatches=2)
+
+
+def test_pipeline_runs_all_moe_stack():
+    """An all-MoE stack (moe_every_n=1) IS homogeneous: GPipe over it
+    matches the sequential forward exactly."""
+    from yoho_tpu.core.config import YOHOConfig
+    from yoho_tpu.nn.yoho import YOHOModel
+    from yoho_tpu.parallel.pipeline import pipeline_encode
+
+    cfg = YOHOConfig(
+        n_mel_bands=8, max_audio_len=32, max_text_len=8, dims=32,
+        n_audio_heads=4, n_audio_blocks=4, n_text_heads=4, n_text_blocks=1,
+        n_experts=2, moe_every_n=1, expert_capacity_factor=4.0,
+    )
+    model = YOHOModel(cfg, vocab_size=64)
+    g = np.random.default_rng(6)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8), jnp.int32),
+                           jnp.zeros((1, 32, 8), jnp.float32))
+    mel = jnp.asarray(g.standard_normal((4, 32, 8)).astype(np.float32))
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
+    out = np.asarray(pipeline_encode(model, variables, mel, mesh,
+                                     n_microbatches=2))
+    from yoho_tpu.nn.yoho import YOHOModel as YM
+    ref = np.asarray(model.apply(variables, mel, method=YM.encode_audio))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
 def test_moe_expert_parallel_matches_single_device():
     """Expert params sharded over an 8-way 'model' axis (leading expert
     dim) produce the exact same output as the unsharded layer — expert

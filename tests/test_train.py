@@ -531,6 +531,90 @@ def test_long_context_session_training(dataset, tmp_path_factory):
     assert len(lines) >= 3
 
 
+def test_moe_session_training(dataset, tmp_path_factory):
+    """ASRTrainer with an MoE encoder (n_experts=2): expert params shard
+    over the mesh ``model`` axis, the loss carries the Switch aux term,
+    and two updates run end-to-end with metrics written."""
+    from yoho_tpu.train.trainer import ASRTrainer
+
+    root, _ = dataset
+    sess_root = tmp_path_factory.mktemp("moe_sessions")
+    moe_cfg = YOHOConfig(**{**TINY_YOHO, "n_audio_blocks": 2},
+                         n_experts=2, moe_every_n=2)
+    hp = Hyperparameters()
+    hp.transcribe_pretrain = TrainingASRHP(
+        learning_rate=1e-3, final_learning_rate=1e-5, batch_size=4,
+        accumulated_batches=1, updates=4, warmup_updates=1,
+        validation_frequency=4, validation_samples=1,
+        speechless_sample_ratio=0.0,
+    )
+    config = SessionConfig(
+        name="moe", yoho=moe_cfg,
+        dataset=DatasetConfig(**{k: root / k for k in
+                                 ("noisy", "clean", "finetune", "ambient",
+                                  "speakers")}),
+        hyperparameters=hp, sessions_root=sess_root,
+        mesh=MeshConfig(data=-1, model=2),  # (4, 2) over the 8 fake devices
+    )
+    config.path.mkdir(parents=True, exist_ok=True)
+    config.reroot_weights()
+    tok = train_tokenizer(SENTENCES * 5,
+                          vocab_size=moe_cfg.max_audio_len + 3 + 256 + 200,
+                          max_audio_len=moe_cfg.max_audio_len,
+                          backend="python")
+
+    trainer = ASRTrainer(config, tokenizer=tok, stage=1,
+                         use_multiprocessing=False)
+    # Expert leaves exist and are split over the model axis.
+    moe_leaf = trainer.state.params["encoder"]["blocks_1"]["mlp"][
+        "experts"]["gate"]["kernel"]
+    assert moe_leaf.shape[0] == 2
+    shard_shapes = {s.data.shape for s in moe_leaf.addressable_shards}
+    assert all(sh[0] == 1 for sh in shard_shapes), (
+        f"experts not sharded: {moe_leaf.sharding}")
+
+    trainer.run(max_updates=2)
+    lines = (trainer.stage_path / "metrics.csv").read_text().strip().splitlines()
+    assert len(lines) >= 3
+    losses = [float(l.split(",")[2]) for l in lines[1:]]
+    assert all(np.isfinite(l) for l in losses)
+
+
+def test_trainer_rejects_long_context_with_moe(dataset, tmp_path_factory):
+    """long_context_factor x MoE is unsupported (the ring encoder drops
+    sown aux losses) — the trainer refuses loudly."""
+    from yoho_tpu.train.trainer import ASRTrainer
+
+    root, _ = dataset
+    sess_root = tmp_path_factory.mktemp("moe_lc_sessions")
+    moe_cfg = YOHOConfig(**{**TINY_YOHO, "n_audio_blocks": 2},
+                         n_experts=2, moe_every_n=2)
+    hp = Hyperparameters()
+    hp.transcribe_pretrain = TrainingASRHP(
+        learning_rate=1e-3, final_learning_rate=1e-5, batch_size=2,
+        accumulated_batches=1, updates=4, warmup_updates=1,
+        validation_frequency=4, validation_samples=1,
+        speechless_sample_ratio=0.0, long_context_factor=2,
+    )
+    config = SessionConfig(
+        name="moelc", yoho=moe_cfg,
+        dataset=DatasetConfig(**{k: root / k for k in
+                                 ("noisy", "clean", "finetune", "ambient",
+                                  "speakers")}),
+        hyperparameters=hp, sessions_root=sess_root,
+        mesh=MeshConfig(data=2, model=1, seq=4),
+    )
+    config.path.mkdir(parents=True, exist_ok=True)
+    config.reroot_weights()
+    tok = train_tokenizer(SENTENCES * 5,
+                          vocab_size=2 * moe_cfg.max_audio_len + 3 + 256 + 200,
+                          max_audio_len=2 * moe_cfg.max_audio_len,
+                          backend="python")
+    with pytest.raises(ValueError, match="n_experts"):
+        ASRTrainer(config, tokenizer=tok, stage=1,
+                   use_multiprocessing=False)
+
+
 def test_dataloader_compressed_corpus(dataset, tokenizer, tmp_path):
     """A corpus of FLAC + m4a audio (no WAV anywhere, no ffmpeg binary)
     flows through the TranscriptionDataloader end-to-end — the decode

@@ -43,6 +43,17 @@ class YOHOConfig(BaseModel):
     n_text_heads: int = 6
     n_text_blocks: int = 4
 
+    # Mixture-of-Experts encoder (0 = dense, the reference architecture).
+    # When n_experts > 0, every ``moe_every_n``-th encoder block (1-based
+    # from the top: blocks with index % moe_every_n == moe_every_n - 1)
+    # replaces its SwiGLU with a top-k MoE (``yoho_tpu.nn.moe``); expert
+    # params shard over the mesh ``model`` axis (expert parallelism).
+    n_experts: int = 0
+    moe_every_n: int = 2
+    moe_top_k: int = 2
+    expert_capacity_factor: float = 2.0
+    moe_aux_weight: float = 0.01  # Switch load-balancing loss weight
+
     @property
     def n_samples(self) -> int:
         return self.n_fft + (self.max_audio_len - 1) * self.stft_hop

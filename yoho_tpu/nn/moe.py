@@ -93,6 +93,26 @@ def moe_dispatch(
     return dispatch, combine, aux_loss, total_kept.sum(axis=-1)
 
 
+def collect_aux_losses(intermediates: dict) -> jnp.ndarray:
+    """Mean of every ``moe_aux_loss`` sown anywhere in an intermediates
+    collection (one per MoE layer). Returns 0.0 when no MoE layer ran —
+    safe to add unconditionally."""
+    found = []
+
+    def _walk(node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                if k == "moe_aux_loss":
+                    found.extend(v if isinstance(v, (tuple, list)) else [v])
+                else:
+                    _walk(v)
+
+    _walk(intermediates)
+    if not found:
+        return jnp.asarray(0.0, jnp.float32)
+    return jnp.mean(jnp.stack([jnp.asarray(x, jnp.float32) for x in found]))
+
+
 class MoESwiGLU(nn.Module):
     """Drop-in MoE replacement for :class:`yoho_tpu.nn.layers.SwiGLU`.
 

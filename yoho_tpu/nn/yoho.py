@@ -36,6 +36,10 @@ class YOHOEncoderBlock(nn.Module):
     dims: int
     dtype: jnp.dtype = jnp.float32
     attention_fn: object = None  # see GroupedQueryAttention.attention_fn
+    # Mixture-of-Experts MLP (0 = dense SwiGLU, the reference shape).
+    n_experts: int = 0
+    moe_top_k: int = 2
+    expert_capacity_factor: float = 2.0
 
     def setup(self):
         self.ln1 = nn.RMSNorm(dtype=self.dtype, name="ln1")
@@ -44,7 +48,15 @@ class YOHOEncoderBlock(nn.Module):
                                           attention_fn=self.attention_fn,
                                           name="attn")
         self.ln2 = nn.RMSNorm(dtype=self.dtype, name="ln2")
-        self.mlp = SwiGLU(int(self.dims * 3), dtype=self.dtype, name="mlp")
+        if self.n_experts > 0:
+            from yoho_tpu.nn.moe import MoESwiGLU
+
+            self.mlp = MoESwiGLU(self.n_experts, int(self.dims * 3),
+                                 top_k=self.moe_top_k,
+                                 capacity_factor=self.expert_capacity_factor,
+                                 dtype=self.dtype, name="mlp")
+        else:
+            self.mlp = SwiGLU(int(self.dims * 3), dtype=self.dtype, name="mlp")
 
     def __call__(self, x, pos=None):
         # ``pos``: global RoPE offset of this (possibly time-sharded)
@@ -107,10 +119,19 @@ class YOHOAudioEncoder(nn.Module):
         self.norm1 = nn.RMSNorm(dtype=d, name="norm1")
         self.conv2 = nn.Conv(c.dims, (3,), dtype=d, name="conv2")
         self.norm2 = nn.RMSNorm(dtype=d, name="norm2")
+        def _moe(i: int) -> bool:
+            # Every moe_every_n-th block (e.g. every other, GShard-style)
+            # carries the MoE MLP; the rest stay dense.
+            return (c.n_experts > 0
+                    and i % c.moe_every_n == c.moe_every_n - 1)
+
         self.blocks = [
             YOHOEncoderBlock(
                 c.n_audio_heads, max(1, c.n_audio_heads // 2), c.dims,
                 dtype=d, attention_fn=self.attention_fn, name=f"blocks_{i}",
+                n_experts=c.n_experts if _moe(i) else 0,
+                moe_top_k=c.moe_top_k,
+                expert_capacity_factor=c.expert_capacity_factor,
             )
             for i in range(c.n_audio_blocks)
         ]

@@ -18,3 +18,7 @@ from yoho_tpu.parallel.long_encoder import (  # noqa: F401
     make_long_context_train_step,
     yoho_encode_long,
 )
+from yoho_tpu.parallel.pipeline import (  # noqa: F401
+    make_pipeline_train_step,
+    pipeline_encode,
+)

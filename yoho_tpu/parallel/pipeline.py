@@ -62,12 +62,27 @@ def unstack_block_params(stacked: dict, n_blocks: int) -> dict:
     }
 
 
+def _check_homogeneous(cfg) -> None:
+    # Stacking block params requires a HOMOGENEOUS stack: all-dense, or
+    # all-MoE (moe_every_n == 1). Mixed dense/MoE stacks have different
+    # param trees per block and cannot pipeline this way.
+    if getattr(cfg, "n_experts", 0) > 0 and cfg.moe_every_n != 1:
+        raise ValueError(
+            "pipeline parallelism requires a homogeneous block stack: "
+            f"n_experts={cfg.n_experts} with moe_every_n={cfg.moe_every_n} "
+            "mixes dense and MoE blocks (set moe_every_n=1 or n_experts=0)")
+
+
 def _single_block(cfg, dtype):
     from yoho_tpu.nn.yoho import YOHOEncoderBlock
 
+    _check_homogeneous(cfg)
+    n_experts = getattr(cfg, "n_experts", 0)
     return YOHOEncoderBlock(
         cfg.n_audio_heads, max(1, cfg.n_audio_heads // 2), cfg.dims,
-        dtype=dtype,
+        dtype=dtype, n_experts=n_experts,
+        moe_top_k=getattr(cfg, "moe_top_k", 2),
+        expert_capacity_factor=getattr(cfg, "expert_capacity_factor", 2.0),
     )
 
 
@@ -143,6 +158,7 @@ def pipeline_encode(model, variables, mel: jnp.ndarray, mesh: Mesh,
     from yoho_tpu.nn.yoho import YOHOAudioEncoder
 
     cfg = model.cfg
+    _check_homogeneous(cfg)
     n_stages = mesh.shape[axis_name]
     if cfg.n_audio_blocks % n_stages:
         raise ValueError(
@@ -180,6 +196,7 @@ def make_pipeline_loss_fn(model, mesh: Mesh, n_microbatches: int = 2,
     from yoho_tpu.nn.yoho import YOHOAudioEncoder, YOHOModel
 
     cfg = model.cfg
+    _check_homogeneous(cfg)
     run = _pipeline_runner(cfg, model.dtype, mesh, axis_name,
                            n_microbatches)
 

@@ -29,6 +29,12 @@ _COMMON_RULES: PartitionRules = (
     (r".*(q_proj|k_proj|v_proj)/bias$", P(AXIS_MODEL)),
     (r".*out_proj/kernel$", P(AXIS_MODEL, None)),
     (r".*out_proj/bias$", P()),
+    # MoE experts: stacked params lead with the expert axis — shard it
+    # over ``model`` (expert parallelism; GSPMD inserts the all-to-alls
+    # around the dense dispatch einsums, see yoho_tpu.nn.moe). The router
+    # stays replicated (it is tiny and every token needs it).
+    (r".*mlp/experts/.*$", P(AXIS_MODEL)),
+    (r".*mlp/router/.*$", P()),
     # MLP: up projections shard hidden, down projection shards input.
     (r".*mlp/(fc1|gate|up)/kernel$", P(None, AXIS_MODEL)),
     (r".*mlp/(fc1|gate|up)/bias$", P(AXIS_MODEL)),

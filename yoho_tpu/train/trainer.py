@@ -244,7 +244,21 @@ class ASRTrainer:
         if self.long_context_factor > 1:
             from yoho_tpu.parallel.long_encoder import make_long_context_loss_fn
 
+            if cfg.n_experts > 0:
+                raise ValueError(
+                    "long_context_factor > 1 with n_experts > 0 is not "
+                    "supported: the ring encoder does not collect MoE aux "
+                    "losses (train MoE models with the standard step)")
             loss_fn = make_long_context_loss_fn(model, self.mesh)
+        elif cfg.n_experts > 0:
+            from yoho_tpu.nn.moe import collect_aux_losses
+
+            def loss_fn(params, mel, tokens, loss_mask):
+                logits, st = model.apply({"params": params}, tokens, mel,
+                                         mutable=["intermediates"])
+                aux = collect_aux_losses(st["intermediates"])
+                return (masked_ce_loss(logits, tokens, loss_mask)
+                        + cfg.moe_aux_weight * aux)
         else:
             def loss_fn(params, mel, tokens, loss_mask):
                 logits = model.apply({"params": params}, tokens, mel)
