@@ -201,7 +201,9 @@ def test_pipeline_rejects_mixed_dense_moe_stack():
 
 def test_pipeline_runs_all_moe_stack():
     """An all-MoE stack (moe_every_n=1) IS homogeneous: GPipe over it
-    matches the sequential forward exactly."""
+    matches the sequential forward exactly — with a TIGHT capacity that
+    forces drops (per-sample routing makes the microbatch split
+    irrelevant to which tokens drop)."""
     from yoho_tpu.core.config import YOHOConfig
     from yoho_tpu.nn.yoho import YOHOModel
     from yoho_tpu.parallel.pipeline import pipeline_encode
@@ -209,13 +211,22 @@ def test_pipeline_runs_all_moe_stack():
     cfg = YOHOConfig(
         n_mel_bands=8, max_audio_len=32, max_text_len=8, dims=32,
         n_audio_heads=4, n_audio_blocks=4, n_text_heads=4, n_text_blocks=1,
-        n_experts=2, moe_every_n=1, expert_capacity_factor=4.0,
+        n_experts=2, moe_every_n=1, expert_capacity_factor=0.6,
     )
     model = YOHOModel(cfg, vocab_size=64)
     g = np.random.default_rng(6)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 8), jnp.int32),
                            jnp.zeros((1, 32, 8), jnp.float32))
+    # Drops really occur at this capacity (otherwise the test is vacuous).
+    _, st = model.apply(variables, jnp.zeros((4, 8), jnp.int32),
+                        jnp.asarray(g.standard_normal((4, 32, 8))
+                                    .astype(np.float32)),
+                        mutable=["intermediates"])
+    dropped = [float(np.asarray(v[0])) for k, v in _collect(
+        st["intermediates"], "moe_dropped_fraction")]
+    assert any(d > 0 for d in dropped), "capacity never bound; raise S"
+
     mel = jnp.asarray(g.standard_normal((4, 32, 8)).astype(np.float32))
     mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
     out = np.asarray(pipeline_encode(model, variables, mel, mesh,
@@ -223,6 +234,121 @@ def test_pipeline_runs_all_moe_stack():
     from yoho_tpu.nn.yoho import YOHOModel as YM
     ref = np.asarray(model.apply(variables, mel, method=YM.encode_audio))
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def _collect(node, key, path=""):
+    out = []
+    if isinstance(node, dict):
+        for k, v in node.items():
+            if k == key:
+                out.append((path, v))
+            else:
+                out.extend(_collect(v, key, f"{path}/{k}"))
+    return out
+
+
+def test_moe_batch_invariance_under_capacity_drops():
+    """Per-sample routing: a row's output is IDENTICAL whether it is
+    processed alone or co-batched — even when capacity binds and tokens
+    drop. (Capacity competition never crosses batch rows.)"""
+    b, s, d, e, h = 4, 16, 16, 4, 24
+    layer = MoESwiGLU(n_experts=e, hidden_dim=h, top_k=2,
+                      capacity_factor=0.5)  # tight: forces drops
+    g = np.random.default_rng(7)
+    x = jnp.asarray(g.standard_normal((b, s, d)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x)
+
+    full = np.asarray(layer.apply(variables, x))
+    for i in range(b):
+        solo = np.asarray(layer.apply(variables, x[i:i + 1]))
+        np.testing.assert_allclose(solo[0], full[i], atol=1e-6,
+                                   err_msg=f"row {i} depends on co-batch")
+
+
+def test_pipeline_moe_train_step_matches_single_device():
+    """Pipelined MoE training keeps the Switch aux loss: one GPipe step
+    on an all-MoE stack takes EXACTLY the single-device step (CE +
+    moe_aux_weight * mean aux), per-sample routing making the microbatch
+    split immaterial."""
+    import optax
+    from flax.training.train_state import TrainState
+
+    from yoho_tpu.core.config import YOHOConfig
+    from yoho_tpu.nn.moe import collect_aux_losses
+    from yoho_tpu.nn.yoho import YOHOModel
+    from yoho_tpu.parallel.pipeline import make_pipeline_train_step
+    from yoho_tpu.train.trainer import masked_ce_loss
+
+    cfg = YOHOConfig(
+        n_mel_bands=8, max_audio_len=32, max_text_len=8, dims=32,
+        n_audio_heads=4, n_audio_blocks=4, n_text_heads=4, n_text_blocks=1,
+        n_experts=2, moe_every_n=1, expert_capacity_factor=0.6,
+    )
+    model = YOHOModel(cfg, vocab_size=64)
+    g = np.random.default_rng(8)
+    mel = jnp.asarray(g.standard_normal((4, 32, 8)).astype(np.float32))
+    tokens = jnp.asarray(g.integers(0, 64, size=(4, 8)).astype(np.int32))
+    mask = jnp.ones((4, 8), jnp.uint8)
+    params = model.init(jax.random.PRNGKey(0), tokens, mel)["params"]
+
+    tx = optax.sgd(0.1)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("pipe",))
+    step = make_pipeline_train_step(model, mesh, n_microbatches=2)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    new_state, loss = step(state, mel, tokens, mask)
+
+    def ref_loss(p):
+        logits, st = model.apply({"params": p}, tokens, mel,
+                                 mutable=["intermediates"])
+        aux = collect_aux_losses(st["intermediates"])
+        return (masked_ce_loss(logits, tokens, mask)
+                + cfg.moe_aux_weight * aux)
+
+    ref_l, ref_grads = jax.value_and_grad(ref_loss)(params)
+    ref_state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    ref_state = ref_state.apply_gradients(grads=ref_grads)
+
+    np.testing.assert_allclose(float(loss), float(ref_l), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(new_state.params),
+                    jax.tree_util.tree_leaves(ref_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
+
+
+def test_moe_config_validation():
+    from yoho_tpu.core.config import YOHOConfig
+
+    with pytest.raises(ValueError, match="moe_every_n"):
+        YOHOConfig(n_experts=4, moe_every_n=0)
+    with pytest.raises(ValueError, match="moe_top_k"):
+        YOHOConfig(n_experts=2, moe_top_k=3)
+    with pytest.raises(ValueError, match="capacity_factor"):
+        YOHOConfig(n_experts=2, expert_capacity_factor=0.0)
+    YOHOConfig(moe_every_n=0)  # fields unchecked while MoE is off
+
+
+def test_ring_encoder_rejects_moe():
+    """The sequence-parallel encoder refuses MoE configs at the library
+    level (per-time-shard routing would silently diverge)."""
+    from yoho_tpu.core.config import YOHOConfig
+    from yoho_tpu.nn.yoho import YOHOModel
+    from yoho_tpu.parallel.long_encoder import (
+        make_long_context_loss_fn, yoho_encode_long)
+
+    cfg = YOHOConfig(
+        n_mel_bands=8, max_audio_len=32, max_text_len=8, dims=32,
+        n_audio_heads=4, n_audio_blocks=2, n_text_heads=4, n_text_blocks=1,
+        n_experts=2, moe_every_n=1,
+    )
+    model = YOHOModel(cfg, vocab_size=64)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8), jnp.int32),
+                           jnp.zeros((1, 32, 8), jnp.float32))
+    mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+    with pytest.raises(ValueError, match="n_experts"):
+        yoho_encode_long(model, variables,
+                         jnp.zeros((1, 64, 8), jnp.float32), mesh)
+    with pytest.raises(ValueError, match="n_experts"):
+        make_long_context_loss_fn(model, mesh)
 
 
 def test_moe_expert_parallel_matches_single_device():

@@ -65,6 +65,29 @@ def test_pipeline_encode_guards():
         pipeline_encode(model, variables, mel, mesh, n_microbatches=2)
 
 
+def test_pipeline_train_guards():
+    """The training path raises the same clear errors as pipeline_encode
+    (block/stage and batch/microbatch divisibility) instead of cryptic
+    reshape or shard_map failures."""
+    cfg, model, variables, mel = _setup(n_blocks=3)
+    mesh = _pipe_mesh(4)
+    with pytest.raises(ValueError, match="pipeline stages"):
+        make_pipeline_train_step(model, mesh, n_microbatches=2)
+
+    cfg, model, variables, mel = _setup(n_blocks=4, batch=3)
+    import optax
+    from flax.training.train_state import TrainState
+
+    step = make_pipeline_train_step(model, mesh, n_microbatches=2)
+    state = TrainState.create(apply_fn=model.apply,
+                              params=variables["params"],
+                              tx=optax.sgd(0.1))
+    tokens = jnp.zeros((3, 8), jnp.int32)
+    mask = jnp.ones((3, 8), jnp.uint8)
+    with pytest.raises(ValueError, match="microbatches"):
+        step(state, mel, tokens, mask)
+
+
 def test_stack_unstack_roundtrip():
     _, _, variables, _ = _setup(n_blocks=4)
     enc = variables["params"]["encoder"]

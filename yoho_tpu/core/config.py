@@ -54,6 +54,22 @@ class YOHOConfig(BaseModel):
     expert_capacity_factor: float = 2.0
     moe_aux_weight: float = 0.01  # Switch load-balancing loss weight
 
+    @model_validator(mode="after")
+    def _check_moe(self) -> "YOHOConfig":
+        if self.n_experts > 0:
+            if self.moe_every_n < 1:
+                raise ValueError(
+                    f"moe_every_n must be >= 1, got {self.moe_every_n}")
+            if not 1 <= self.moe_top_k <= self.n_experts:
+                raise ValueError(
+                    f"moe_top_k ({self.moe_top_k}) must be in "
+                    f"[1, n_experts={self.n_experts}]")
+            if self.expert_capacity_factor <= 0:
+                raise ValueError(
+                    "expert_capacity_factor must be > 0, got "
+                    f"{self.expert_capacity_factor}")
+        return self
+
     @property
     def n_samples(self) -> int:
         return self.n_fft + (self.max_audio_len - 1) * self.stft_hop

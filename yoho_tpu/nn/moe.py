@@ -17,6 +17,12 @@ from that expert) — the standard static-shape trade; the dropped
 fraction is sown as a metric. The Switch load-balancing auxiliary loss
 is sown as ``moe_aux_loss`` (collect with ``mutable=["intermediates"]``;
 the trainer adds it when ``YOHOConfig.n_experts > 0``).
+
+Routing is PER SAMPLE (each batch row competes only against its own
+tokens for capacity, ``capacity = ceil(S / E * capacity_factor)`` per
+row): a sample's output never depends on what it is co-batched with,
+preserving this framework's batch-invariance guarantees (continuous
+batching, microbatched pipelines) for MoE checkpoints.
 """
 
 from __future__ import annotations
@@ -132,33 +138,40 @@ class MoESwiGLU(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (B, S, D)
         b, s, d = x.shape
-        t = b * s
-        xt = x.reshape(t, d)
 
         logits = nn.Dense(self.n_experts, use_bias=False,
                           dtype=jnp.float32, name="router")(
-            xt.astype(jnp.float32))
-        gates = jax.nn.softmax(logits, axis=-1)
+            x.astype(jnp.float32))
+        gates = jax.nn.softmax(logits, axis=-1)  # (B, S, E)
 
+        # Per-SAMPLE capacity: each row routes independently, so results
+        # are identical at any batch size / microbatch split.
         capacity = max(
-            1, int(math.ceil(t / self.n_experts * self.capacity_factor)))
-        capacity = min(capacity * max(1, self.top_k), t)
-        dispatch, combine, aux_loss, kept = moe_dispatch(
-            gates, self.top_k, capacity, self.normalize_topk)
+            1, int(math.ceil(s / self.n_experts * self.capacity_factor)))
+        capacity = min(capacity * max(1, self.top_k), s)
+        dispatch, combine, aux_loss, kept = jax.vmap(
+            lambda g: moe_dispatch(g, self.top_k, capacity,
+                                   self.normalize_topk))(gates)
+        # dispatch/combine: (B, S, E, C); aux_loss: (B,); kept: (B, S)
 
-        expert_in = jnp.einsum("tec,td->ecd", dispatch.astype(self.dtype),
-                               xt.astype(self.dtype))
+        expert_in = jnp.einsum("bsec,bsd->becd",
+                               dispatch.astype(self.dtype),
+                               x.astype(self.dtype))
+        expert_in = expert_in.transpose(1, 0, 2, 3).reshape(
+            self.n_experts, b * capacity, d)
         experts = nn.vmap(
             SwiGLU,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=0, out_axes=0,
         )(self.hidden_dim, dtype=self.dtype, name="experts")
-        expert_out = experts(expert_in)  # (E, C, D)
+        expert_out = experts(expert_in)  # (E, B*C, D)
+        expert_out = expert_out.reshape(
+            self.n_experts, b, capacity, d).transpose(1, 0, 2, 3)
 
-        out = jnp.einsum("tec,ecd->td", combine.astype(self.dtype),
+        out = jnp.einsum("bsec,becd->bsd", combine.astype(self.dtype),
                          expert_out)
-        self.sow("intermediates", "moe_aux_loss", aux_loss)
+        self.sow("intermediates", "moe_aux_loss", aux_loss.mean())
         self.sow("intermediates", "moe_dropped_fraction",
                  1.0 - kept.astype(jnp.float32).mean() / max(1, self.top_k))
-        return out.reshape(b, s, d)
+        return out

@@ -30,6 +30,22 @@ from yoho_tpu.nn.layers import (
 )
 
 
+def encoder_block_kwargs(cfg: YOHOConfig, index: int) -> dict:
+    """Constructor kwargs of encoder block ``index`` — the single source
+    shared by :class:`YOHOAudioEncoder` and the pipeline-parallel stage
+    runner (``parallel/pipeline.py``), so the two can never diverge."""
+    moe = (cfg.n_experts > 0
+           and index % cfg.moe_every_n == cfg.moe_every_n - 1)
+    return dict(
+        q_heads=cfg.n_audio_heads,
+        kv_heads=max(1, cfg.n_audio_heads // 2),
+        dims=cfg.dims,
+        n_experts=cfg.n_experts if moe else 0,
+        moe_top_k=cfg.moe_top_k,
+        expert_capacity_factor=cfg.expert_capacity_factor,
+    )
+
+
 class YOHOEncoderBlock(nn.Module):
     q_heads: int
     kv_heads: int
@@ -119,19 +135,12 @@ class YOHOAudioEncoder(nn.Module):
         self.norm1 = nn.RMSNorm(dtype=d, name="norm1")
         self.conv2 = nn.Conv(c.dims, (3,), dtype=d, name="conv2")
         self.norm2 = nn.RMSNorm(dtype=d, name="norm2")
-        def _moe(i: int) -> bool:
-            # Every moe_every_n-th block (e.g. every other, GShard-style)
-            # carries the MoE MLP; the rest stay dense.
-            return (c.n_experts > 0
-                    and i % c.moe_every_n == c.moe_every_n - 1)
-
+        # Every moe_every_n-th block (e.g. every other, GShard-style)
+        # carries the MoE MLP; the rest stay dense (encoder_block_kwargs).
         self.blocks = [
             YOHOEncoderBlock(
-                c.n_audio_heads, max(1, c.n_audio_heads // 2), c.dims,
                 dtype=d, attention_fn=self.attention_fn, name=f"blocks_{i}",
-                n_experts=c.n_experts if _moe(i) else 0,
-                moe_top_k=c.moe_top_k,
-                expert_capacity_factor=c.expert_capacity_factor,
+                **encoder_block_kwargs(c, i),
             )
             for i in range(c.n_audio_blocks)
         ]

@@ -43,6 +43,7 @@ def yoho_encode_long(
     """
     from yoho_tpu.nn.yoho import YOHOAudioEncoder
 
+    _reject_moe(model.cfg)
     n = mesh.shape[axis_name]
     enc_params = {"params": variables["params"]["encoder"]}
 
@@ -56,6 +57,18 @@ def yoho_encode_long(
 
     run = _block_runner(model.cfg, model.dtype, mesh, axis_name, s2 // n)
     return run(enc_params, x)
+
+
+def _reject_moe(cfg) -> None:
+    # MoE routes per sample over the FULL time axis; a time-sharded run
+    # would route per shard (different capacity pool -> different drops,
+    # breaking this module's exactness contract) and would silently drop
+    # the sown aux losses. Refuse rather than diverge quietly.
+    if getattr(cfg, "n_experts", 0) > 0:
+        raise ValueError(
+            "sequence-parallel (ring) encoding does not support MoE "
+            f"configs (n_experts={cfg.n_experts}): routing is per time "
+            "shard, which changes capacity drops and loses aux losses")
 
 
 _RUNNERS: dict = {}
@@ -101,6 +114,7 @@ def make_long_context_loss_fn(model, mesh: Mesh, axis_name: str = "seq"):
     (tested on the faked mesh)."""
     from yoho_tpu.nn.yoho import YOHOAudioEncoder, YOHOModel
 
+    _reject_moe(model.cfg)
     n = mesh.shape[axis_name]
     batch_axis = "data" if "data" in mesh.axis_names else None
 

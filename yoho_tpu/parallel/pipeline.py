@@ -74,16 +74,12 @@ def _check_homogeneous(cfg) -> None:
 
 
 def _single_block(cfg, dtype):
-    from yoho_tpu.nn.yoho import YOHOEncoderBlock
+    from yoho_tpu.nn.yoho import YOHOEncoderBlock, encoder_block_kwargs
 
     _check_homogeneous(cfg)
-    n_experts = getattr(cfg, "n_experts", 0)
-    return YOHOEncoderBlock(
-        cfg.n_audio_heads, max(1, cfg.n_audio_heads // 2), cfg.dims,
-        dtype=dtype, n_experts=n_experts,
-        moe_top_k=getattr(cfg, "moe_top_k", 2),
-        expert_capacity_factor=getattr(cfg, "expert_capacity_factor", 2.0),
-    )
+    # Homogeneous stack (checked above): block 0's kwargs are every
+    # block's kwargs. Single-sourced with YOHOAudioEncoder.setup.
+    return YOHOEncoderBlock(dtype=dtype, **encoder_block_kwargs(cfg, 0))
 
 
 _RUNNERS: dict = {}
@@ -107,17 +103,29 @@ def _pipeline_runner(cfg, dtype, mesh: Mesh, axis_name: str,
 
     def stage_fn(local_params, h):
         # Apply this stage's consecutive blocks (a scan over the local
-        # slice of the stacked leading axis).
-        def body(h, p):
-            return blk.apply({"params": p}, h, pos=pos), None
+        # slice of the stacked leading axis), collecting any sown MoE
+        # aux losses so pipelined MoE training keeps its load-balancing
+        # pressure. Returns (h, mean aux over this stage's blocks).
+        from yoho_tpu.nn.moe import collect_aux_losses
 
-        h, _ = jax.lax.scan(body, h, local_params)
-        return h
+        n_local = jax.tree_util.tree_leaves(local_params)[0].shape[0]
+
+        def body(carry, p):
+            h, aux = carry
+            y, st = blk.apply({"params": p}, h, pos=pos,
+                              mutable=["intermediates"])
+            # Dense blocks sow nothing -> the collection may be absent.
+            aux_b = collect_aux_losses(dict(st).get("intermediates", {}))
+            return (y, aux + aux_b), None
+
+        (h, aux), _ = jax.lax.scan(
+            body, (h, jnp.asarray(0.0, jnp.float32)), local_params)
+        return h, aux / n_local
 
     @jax.jit
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis_name), P(None, batch_axis, None, None)),
-             out_specs=P(None, batch_axis, None, None),
+             out_specs=(P(None, batch_axis, None, None), P()),
              check_rep=False)
     def run(stacked_local, x):
         i = jax.lax.axis_index(axis_name)
@@ -128,18 +136,29 @@ def _pipeline_runner(cfg, dtype, mesh: Mesh, axis_name: str,
             # the pipe with garbage compute that is masked out below).
             inject = x[jnp.minimum(t, n_micro - 1)]
             cur = jnp.where(i == 0, inject, buf)
-            y = stage_fn(stacked_local, cur)
+            y, aux = stage_fn(stacked_local, cur)
+            # Stage i holds microbatch t - i at tick t; other ticks are
+            # fill/drain garbage whose aux must not count.
+            valid = (t >= i) & (t < i + n_micro)
+            aux = jnp.where(valid, aux, 0.0)
             nxt = jax.lax.ppermute(y, axis_name, perm)
-            return nxt, y
+            return nxt, (y, aux)
 
-        _, ys = jax.lax.scan(tick, jnp.zeros_like(x[0]),
-                             jnp.arange(n_micro + n_stages - 1))
+        _, (ys, auxes) = jax.lax.scan(tick, jnp.zeros_like(x[0]),
+                                      jnp.arange(n_micro + n_stages - 1))
         # Microbatch m leaves the last stage at tick m + P - 1.
         outs = ys[n_stages - 1:]
         # Broadcast the last stage's outputs to every stage (psum of a
         # one-hot-by-stage tensor) so the result is replicated over pipe.
         outs = jnp.where(i == n_stages - 1, outs, jnp.zeros_like(outs))
-        return jax.lax.psum(outs, axis_name)
+        outs = jax.lax.psum(outs, axis_name)
+        # Mean aux over (stage, microbatch) and, when present, the data
+        # axis — matching the replicated step's batch-mean semantics.
+        axes = (axis_name,) + ((batch_axis,) if batch_axis else ())
+        denom = n_stages * n_micro * (mesh.shape.get(batch_axis, 1)
+                                      if batch_axis else 1)
+        aux = jax.lax.psum(jnp.sum(auxes), axes) / denom
+        return outs, aux
 
     _RUNNERS[key] = run
     return run
@@ -153,7 +172,9 @@ def pipeline_encode(model, variables, mel: jnp.ndarray, mesh: Mesh,
     ``variables`` are reused as-is. The batch must divide evenly by
     ``n_microbatches`` and the block count by the ``axis_name`` size.
     Returns (B, S_frames // 2, dims), numerically identical to
-    ``model.encode_audio`` (same function, different schedule).
+    ``model.encode_audio`` (same function, different schedule) — for MoE
+    stacks too, because routing is per sample (yoho_tpu.nn.moe), so the
+    microbatch split cannot change capacity drops.
     """
     from yoho_tpu.nn.yoho import YOHOAudioEncoder
 
@@ -178,7 +199,7 @@ def pipeline_encode(model, variables, mel: jnp.ndarray, mesh: Mesh,
 
     stacked = stack_block_params(enc_params, cfg.n_audio_blocks)
     run = _pipeline_runner(cfg, model.dtype, mesh, axis_name, n_microbatches)
-    out = run(stacked, x)
+    out, _ = run(stacked, x)
     return out.reshape(b, *out.shape[2:])
 
 
@@ -197,6 +218,11 @@ def make_pipeline_loss_fn(model, mesh: Mesh, n_microbatches: int = 2,
 
     cfg = model.cfg
     _check_homogeneous(cfg)
+    n_stages = mesh.shape[axis_name]
+    if cfg.n_audio_blocks % n_stages:
+        raise ValueError(
+            f"{cfg.n_audio_blocks} encoder blocks do not divide into "
+            f"{n_stages} pipeline stages")
     run = _pipeline_runner(cfg, model.dtype, mesh, axis_name,
                            n_microbatches)
 
@@ -208,15 +234,25 @@ def make_pipeline_loss_fn(model, mesh: Mesh, n_microbatches: int = 2,
         x = plain.apply({"params": enc_params}, mel,
                         method=YOHOAudioEncoder.stem)
         b = x.shape[0]
+        if b % n_microbatches:
+            raise ValueError(
+                f"batch {b} does not divide into {n_microbatches} "
+                "microbatches")
         mb = b // n_microbatches
         x = x.reshape(n_microbatches, mb, *x.shape[1:])
 
         stacked = stack_block_params(enc_params, cfg.n_audio_blocks)
-        xa = run(stacked, x)
+        xa, aux = run(stacked, x)
         xa = xa.reshape(b, *xa.shape[2:])
         logits = model.apply({"params": params}, tokens, xa,
                              method=YOHOModel.decode_text)
-        return masked_ce_loss(logits, tokens, loss_mask)
+        loss = masked_ce_loss(logits, tokens, loss_mask)
+        if getattr(cfg, "n_experts", 0) > 0:
+            # Keep the Switch load-balancing pressure in pipelined MoE
+            # training (collected inside the shard_map, see
+            # _pipeline_runner.stage_fn).
+            loss = loss + cfg.moe_aux_weight * aux
+        return loss
 
     return loss_fn
 
