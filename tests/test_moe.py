@@ -314,6 +314,40 @@ def test_pipeline_moe_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5)
 
 
+def test_transcriber_serves_moe_checkpoint():
+    """The serving pipeline handles an MoE yoho checkpoint end-to-end,
+    and transcripts are identical across serving batch sizes (per-sample
+    routing keeps capacity competition inside each row)."""
+    from yoho_tpu.core.config import YOHOConfig
+    from yoho_tpu.infer.pipeline import Transcriber
+    from yoho_tpu.nn.yoho import YOHOModel
+    from yoho_tpu.text.tokenizer import train_tokenizer
+
+    cfg = YOHOConfig(
+        n_mel_bands=16, max_audio_len=32, max_text_len=24, dims=32,
+        n_audio_heads=4, n_audio_blocks=2, n_text_heads=4, n_text_blocks=1,
+        n_experts=2, moe_every_n=2, expert_capacity_factor=0.6,
+    )
+    corpus = ["hello world this is a test", "the quick brown fox"] * 5
+    tok = train_tokenizer(corpus, vocab_size=cfg.max_audio_len + 3 + 256 + 200,
+                          max_audio_len=cfg.max_audio_len, backend="python")
+    model = YOHOModel(cfg, vocab_size=tok.vocab_size)
+    g = np.random.default_rng(9)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.max_text_len), jnp.int32),
+        jnp.zeros((1, cfg.max_audio_len, 16), jnp.float32),
+        method=model.forward_with_voiceprints)
+
+    audio = (0.1 * g.standard_normal(int(cfg.n_samples * 1.5))
+             ).astype(np.float32)
+    r1 = Transcriber(model, variables, family="yoho", tokenizer=tok,
+                     batch_size=1).transcribe(audio)
+    r2 = Transcriber(model, variables, family="yoho", tokenizer=tok,
+                     batch_size=4).transcribe(audio)
+    assert [s.tokens for s in r1.segments] == [s.tokens for s in r2.segments]
+
+
 def test_moe_config_validation():
     from yoho_tpu.core.config import YOHOConfig
 
