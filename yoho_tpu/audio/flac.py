@@ -604,7 +604,17 @@ def encode_flac(samples: np.ndarray, sample_rate: int, bps: int = 16,
 def decode_flac(data: bytes) -> Tuple[np.ndarray, int, int]:
     """Decode a FLAC stream -> ((n, channels) int32, sample_rate, bps).
 
-    Pure-Python mirror of ``yoho_tpu/native/flac.cpp`` (cross-checked)."""
+    Pure-Python mirror of ``yoho_tpu/native/flac.cpp`` (cross-checked).
+    Raises ``ValueError`` on ANY malformed input — including truncation,
+    which the bit reader reports as running off the end (IndexError) —
+    so callers need exactly one exception type for corrupt files."""
+    try:
+        return _decode_flac(data)
+    except (IndexError, OverflowError) as e:
+        raise ValueError(f"truncated or corrupt FLAC stream: {e}") from e
+
+
+def _decode_flac(data: bytes) -> Tuple[np.ndarray, int, int]:
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     r = BitReader(data)
