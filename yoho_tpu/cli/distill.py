@@ -45,6 +45,9 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=3e-4)
     parser.add_argument("--final-lr", type=float, default=1e-6)
     parser.add_argument("--accum", type=int, default=1)
+    parser.add_argument("--remat", action="store_true",
+                        help="gradient-checkpoint the student's blocks "
+                             "(same grads, less activation memory)")
     parser.add_argument("--no-timestamps", action="store_true")
     parser.add_argument("--language", type=str, action="append", default=None)
     parser.add_argument("--no-augment", action="store_true")
@@ -124,6 +127,7 @@ def main(argv=None):
         max_target_len=args.max_target_len,
         use_multiprocessing=args.workers,
         src_dir=args.hf, seed=args.seed,
+        remat=args.remat,
     )
     out = distiller.run(progress=True)
     if distiller.last_agreement is not None:

@@ -37,6 +37,10 @@ def main(argv=None):
     parser.add_argument("--final-lr", type=float, default=1e-7)
     parser.add_argument("--accum", type=int, default=1,
                         help="gradient-accumulation micro-steps per update")
+    parser.add_argument("--remat", action="store_true",
+                        help="gradient-checkpoint every transformer block: "
+                             "same loss/grads, ~one extra forward, far less "
+                             "activation memory — lets bigger batches fit")
     parser.add_argument("--freeze-encoder", action="store_true",
                         help="train the decoder only (halves optimizer "
                              "memory and most backward FLOPs)")
@@ -108,6 +112,7 @@ def main(argv=None):
         max_target_len=args.max_target_len,
         use_multiprocessing=args.workers,
         src_dir=args.hf, seed=args.seed,
+        remat=args.remat,
     )
     out = tuner.run(progress=True)
     print(f"exported fine-tuned checkpoint to {out}")

@@ -187,6 +187,11 @@ class TrainingHP(BaseModel):
     warmup_updates: int = 2500
     validation_frequency: int = 25
     validation_samples: int = 8
+    # Gradient-checkpoint every transformer block (jax.checkpoint): exact
+    # same loss/grads, ~one extra forward of FLOPs, activation memory drops
+    # from O(depth) to O(1) blocks — the lever for bigger batches on a
+    # fixed HBM budget. Honored by every stage that trains an encoder.
+    remat: bool = False
 
 
 class TrainingASRHP(TrainingHP):
@@ -346,6 +351,9 @@ warmup_updates = 2500
 validation_frequency = 25
 validation_samples = 8
 speechless_sample_ratio = 0.1
+# Gradient-checkpoint every transformer block: exact, ~one extra forward,
+# O(depth) less activation memory (any [hyperparameters.*] section).
+remat = false
 # Train on clips N x the base window via sequence-parallel ring
 # attention over the mesh's seq axis (1 = off).
 long_context_factor = 1

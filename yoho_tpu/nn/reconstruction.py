@@ -28,17 +28,21 @@ class VoiceReconstructionVAE(nn.Module):
     cfg: YOHOConfig
     latent_dim: int = 64
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # see YOHOAudioEncoder.remat
 
     def setup(self):
         c = self.cfg
         d = self.dtype
-        self.encoder = YOHOAudioEncoder(c, dtype=d, name="encoder")
+        self.encoder = YOHOAudioEncoder(c, dtype=d, remat=self.remat,
+                                        name="encoder")
         self.to_mu = nn.Dense(self.latent_dim, dtype=d, name="to_mu")
         self.to_logvar = nn.Dense(self.latent_dim, dtype=d, name="to_logvar")
         self.from_latent = nn.Dense(c.dims, dtype=d, name="from_latent")
+        dec_cls = (nn.remat(YOHOEncoderBlock, prevent_cse=False)
+                   if self.remat else YOHOEncoderBlock)
         self.decoder_blocks = [
-            YOHOEncoderBlock(c.n_audio_heads, max(1, c.n_audio_heads // 2), c.dims,
-                             dtype=d, name=f"dec_blocks_{i}")
+            dec_cls(c.n_audio_heads, max(1, c.n_audio_heads // 2), c.dims,
+                    dtype=d, name=f"dec_blocks_{i}")
             for i in range(max(1, c.n_audio_blocks // 2))
         ]
         self.ln = nn.RMSNorm(dtype=d, name="ln")

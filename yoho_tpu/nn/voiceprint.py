@@ -24,9 +24,11 @@ class VoiceprintEncoder(nn.Module):
     cfg: YOHOConfig
     embedding_dim: int = 256
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False  # see YOHOAudioEncoder.remat
 
     def setup(self):
-        self.encoder = YOHOAudioEncoder(self.cfg, dtype=self.dtype, name="encoder")
+        self.encoder = YOHOAudioEncoder(self.cfg, dtype=self.dtype,
+                                        remat=self.remat, name="encoder")
         self.proj = nn.Dense(self.embedding_dim, use_bias=False, dtype=self.dtype,
                              name="proj")
 

@@ -105,6 +105,10 @@ class AudioEncoder(nn.Module):
     cfg: WhisperConfig
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    # Per-block gradient checkpointing for fine-tuning: exact, trades one
+    # recompute forward for O(depth) activation memory (see
+    # yoho_tpu.nn.yoho.YOHOAudioEncoder.remat).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
@@ -116,9 +120,11 @@ class AudioEncoder(nn.Module):
         x = nn.Conv(c.n_audio_state, (3,), strides=2, padding=1, dtype=d, name="conv2")(x)
         x = nn.gelu(x, approximate=False)
         x = x + jnp.asarray(sinusoids(c.n_audio_ctx, c.n_audio_state), d)
+        block_cls = (nn.remat(EncoderBlock, prevent_cse=False)
+                     if self.remat else EncoderBlock)
         for i in range(c.n_audio_layer):
-            x = EncoderBlock(c.n_audio_state, c.n_audio_head, dtype=d,
-                             use_flash=self.use_flash, name=f"blocks_{i}")(x)
+            x = block_cls(c.n_audio_state, c.n_audio_head, dtype=d,
+                          use_flash=self.use_flash, name=f"blocks_{i}")(x)
         return nn.LayerNorm(epsilon=1e-5, dtype=d, name="ln_post")(x)
 
 
@@ -126,6 +132,7 @@ class TextDecoder(nn.Module):
     cfg: WhisperConfig
     dtype: jnp.dtype = jnp.float32
     weights_int8: bool = False
+    remat: bool = False  # see AudioEncoder.remat
 
     def setup(self):
         c = self.cfg
@@ -142,9 +149,13 @@ class TextDecoder(nn.Module):
             nn.initializers.normal(0.01),
             (c.n_text_ctx, c.n_text_state),
         )
+        # Only __call__ is lifted; the KV-cached decode path (step /
+        # cross_kv) never differentiates.
+        block_cls = (nn.remat(DecoderBlock, prevent_cse=False)
+                     if self.remat else DecoderBlock)
         self.blocks = [
-            DecoderBlock(c.n_text_state, c.n_text_head, dtype=self.dtype,
-                         weights_int8=self.weights_int8, name=f"blocks_{i}")
+            block_cls(c.n_text_state, c.n_text_head, dtype=self.dtype,
+                      weights_int8=self.weights_int8, name=f"blocks_{i}")
             for i in range(c.n_text_layer)
         ]
         self.ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln")
@@ -284,12 +295,17 @@ class Whisper(nn.Module):
     # repeats per token). ~1.6x on the B=1 weight-bound step; weights come
     # from yoho_tpu.nn.quantize.quantize_whisper_decoder, not training.
     weights_int8: bool = False
+    # Gradient-checkpoint every transformer block (fine-tuning memory
+    # lever, exact; `yoho finetune --remat`). See AudioEncoder.remat.
+    remat: bool = False
 
     def setup(self):
         self.encoder = AudioEncoder(self.cfg, dtype=self.dtype,
-                                    use_flash=self.use_flash, name="encoder")
+                                    use_flash=self.use_flash,
+                                    remat=self.remat, name="encoder")
         self.decoder = TextDecoder(self.cfg, dtype=self.dtype,
                                    weights_int8=self.weights_int8,
+                                   remat=self.remat,
                                    name="decoder")
 
     def __call__(self, mel: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:

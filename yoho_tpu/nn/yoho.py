@@ -127,6 +127,12 @@ class YOHOAudioEncoder(nn.Module):
     cfg: YOHOConfig
     dtype: jnp.dtype = jnp.float32
     attention_fn: object = None  # swap in ring attention (long encoder)
+    # Per-block gradient checkpointing: the backward pass recomputes each
+    # block's activations from its input instead of keeping them live, so
+    # training activation memory drops from O(depth) to O(1) blocks at the
+    # cost of one extra forward. Exact (same function, same grads); only
+    # the training path cares — under jit without grads it is a no-op.
+    remat: bool = False
 
     def setup(self):
         c = self.cfg
@@ -135,10 +141,15 @@ class YOHOAudioEncoder(nn.Module):
         self.norm1 = nn.RMSNorm(dtype=d, name="norm1")
         self.conv2 = nn.Conv(c.dims, (3,), dtype=d, name="conv2")
         self.norm2 = nn.RMSNorm(dtype=d, name="norm2")
+        # prevent_cse=False: safe (and faster) because every consumer jits
+        # the whole step; lifted remat keeps the block's parameter names,
+        # so checkpoints are identical with remat on or off.
+        block_cls = (nn.remat(YOHOEncoderBlock, prevent_cse=False)
+                     if self.remat else YOHOEncoderBlock)
         # Every moe_every_n-th block (e.g. every other, GShard-style)
         # carries the MoE MLP; the rest stay dense (encoder_block_kwargs).
         self.blocks = [
-            YOHOEncoderBlock(
+            block_cls(
                 dtype=d, attention_fn=self.attention_fn, name=f"blocks_{i}",
                 **encoder_block_kwargs(c, i),
             )
@@ -175,6 +186,7 @@ class YOHOTextDecoder(nn.Module):
     voiceprint_dim: int = 256
     dtype: jnp.dtype = jnp.float32
     weights_int8: bool = False
+    remat: bool = False  # see YOHOAudioEncoder.remat
 
     def setup(self):
         c = self.cfg
@@ -190,10 +202,14 @@ class YOHOTextDecoder(nn.Module):
                                             dtype=self.dtype,
                                             name="token_embedding")
             vp_dense = nn.Dense
+        # Only __call__ is lifted: the decode path (step / cross_kv) never
+        # differentiates, and cross_attention_map reaches into sublayers.
+        block_cls = (nn.remat(YOHODecoderBlock, prevent_cse=False)
+                     if self.remat else YOHODecoderBlock)
         self.blocks = [
-            YOHODecoderBlock(c.n_text_heads, max(1, c.n_text_heads // 2), c.dims,
-                             dtype=self.dtype, weights_int8=self.weights_int8,
-                             name=f"blocks_{i}")
+            block_cls(c.n_text_heads, max(1, c.n_text_heads // 2), c.dims,
+                      dtype=self.dtype, weights_int8=self.weights_int8,
+                      name=f"blocks_{i}")
             for i in range(c.n_text_blocks)
         ]
         self.ln = nn.RMSNorm(dtype=self.dtype, name="ln")
@@ -294,12 +310,18 @@ class YOHOModel(nn.Module):
     # Serve the decoder with int8 kernels (see Whisper.weights_int8 and
     # yoho_tpu.nn.quantize.quantize_yoho_decoder).
     weights_int8: bool = False
+    # Gradient-checkpoint every transformer block (training memory lever,
+    # exact — see YOHOAudioEncoder.remat). Set from the session TOML via
+    # [hyperparameters.<stage>] remat = true.
+    remat: bool = False
 
     def setup(self):
-        self.encoder = YOHOAudioEncoder(self.cfg, dtype=self.dtype, name="encoder")
+        self.encoder = YOHOAudioEncoder(self.cfg, dtype=self.dtype,
+                                        remat=self.remat, name="encoder")
         self.decoder = YOHOTextDecoder(self.cfg, self.vocab_size, self.voiceprint_dim,
                                        dtype=self.dtype,
                                        weights_int8=self.weights_int8,
+                                       remat=self.remat,
                                        name="decoder")
 
     def __call__(self, tokens: jnp.ndarray, mel: jnp.ndarray) -> jnp.ndarray:

@@ -38,7 +38,9 @@ class ReconstructionTrainer:
         self.metrics = MetricsWriter(self.stage_path / "metrics.csv")
         self.mesh = mesh or make_mesh(config.mesh.data, config.mesh.model)
 
-        self.model = VoiceReconstructionVAE(config.yoho, latent_dim=self.hp.latent_dim)
+        self.model = VoiceReconstructionVAE(config.yoho,
+                                            latent_dim=self.hp.latent_dim,
+                                            remat=self.hp.remat)
         self.dataloader = AudioChunkDataloader(
             config, self.hp.batch_size, augment=False,
             use_multiprocessing=use_multiprocessing, disable_warnings=True,

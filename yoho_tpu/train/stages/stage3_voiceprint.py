@@ -44,7 +44,8 @@ class VoiceprintTrainer:
         self.mesh = mesh or make_mesh(config.mesh.data, config.mesh.model)
 
         self.model = VoiceprintEncoder(config.yoho,
-                                       embedding_dim=self.hp.embedding_dim)
+                                       embedding_dim=self.hp.embedding_dim,
+                                       remat=self.hp.remat)
         self.dataloader = SpeakerDataloader(
             config, self.hp.batch_size, use_multiprocessing=use_multiprocessing,
             disable_warnings=True, warmup_queue=False,

@@ -54,7 +54,8 @@ class JointTrainer(ASRTrainer):
             )
         self.teacher_params = teacher_params
 
-        model = YOHOModel(config.yoho, tokenizer.vocab_size, voiceprint_dim=vp_dim)
+        model = YOHOModel(config.yoho, tokenizer.vocab_size, voiceprint_dim=vp_dim,
+                          remat=config.hyperparameters.transcribe_finetune.remat)
 
         # Warm-start from the stage-1 ASR export when present.
         init_params = None

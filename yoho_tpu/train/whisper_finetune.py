@@ -216,7 +216,8 @@ class WhisperFinetuner:
                  validation_samples: int = 4,
                  max_target_len: Optional[int] = None,
                  use_multiprocessing: bool = False,
-                 src_dir=None, ambient_dir=None, seed: int = 0):
+                 src_dir=None, ambient_dir=None, seed: int = 0,
+                 remat: bool = False):
         self.cfg = cfg
         self.table = table
         self.out_dir = Path(out_dir)
@@ -233,7 +234,10 @@ class WhisperFinetuner:
                                      self.out_dir / "validations.jsonl")
 
         self.compute_dtype = compute_dtype
-        self.model = Whisper(cfg, dtype=compute_dtype)
+        # remat: gradient-checkpoint every block — exact, ~one extra
+        # forward, O(depth) less activation memory (bigger batches on the
+        # big checkpoints; see yoho_tpu.nn.whisper.Whisper.remat).
+        self.model = Whisper(cfg, dtype=compute_dtype, remat=remat)
         self.mesh = mesh or make_mesh(-1, 1)
 
         dl_kwargs = dict(
