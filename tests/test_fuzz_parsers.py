@@ -143,6 +143,29 @@ def test_websocket_oversized_length_rejected_without_allocation():
         read_message(io.BytesIO(hdr), io.BytesIO())
 
 
+def test_websocket_fragmented_message_total_bound(monkeypatch):
+    """Reassembly is bounded too: endless small continuation frames (each
+    under the per-frame cap) must not grow the message buffer forever."""
+    import yoho_tpu.utils.websocket as ws
+
+    def masked_frame(fin, opcode, payload):
+        hdr = bytes([(0x80 if fin else 0) | opcode, 0x80 | len(payload)])
+        return hdr + b"\x00" * 4 + payload  # zero mask = identity
+
+    monkeypatch.setattr(ws, "MAX_MESSAGE_BYTES", 256)
+    chunk = b"a" * 100
+    stream = masked_frame(False, ws.OP_TEXT, chunk) + \
+        masked_frame(False, ws.OP_CONT, chunk) * 40
+    with pytest.raises(ValueError, match="exceeds"):
+        ws.read_message(io.BytesIO(stream), io.BytesIO())
+
+    # Under the bound the same fragmentation reassembles fine.
+    ok = masked_frame(False, ws.OP_TEXT, chunk) + \
+        masked_frame(True, ws.OP_CONT, chunk)
+    op, msg = ws.read_message(io.BytesIO(ok), io.BytesIO())
+    assert (op, msg) == (ws.OP_TEXT, chunk * 2)
+
+
 def test_srt_parser_survives_garbage():
     from yoho_tpu.text.srt import parse_srt
 

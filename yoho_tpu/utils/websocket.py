@@ -19,6 +19,10 @@ _GUID = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 # DoS guard: reject absurd declared frame lengths before allocating
 # (RFC 6455 also caps control-frame payloads at 125 bytes).
 MAX_FRAME_BYTES = 64 * 1024 * 1024
+# The same bound applies to a REASSEMBLED message: without it a client
+# could stream endless small non-FIN continuation frames and grow the
+# buffer unboundedly even though every frame passes the per-frame cap.
+MAX_MESSAGE_BYTES = MAX_FRAME_BYTES
 
 OP_CONT = 0x0
 OP_TEXT = 0x1
@@ -119,6 +123,9 @@ def read_message(rfile, wfile) -> Optional[Tuple[int, bytes]]:
             message += payload
         else:
             raise ValueError(f"unexpected websocket opcode {opcode:#x}")
+        if len(message) > MAX_MESSAGE_BYTES:
+            raise ValueError(
+                f"websocket message exceeds {MAX_MESSAGE_BYTES}-byte limit")
         if fin and message_op is not None:
             return message_op, message
 
