@@ -25,13 +25,14 @@ import time
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")  # compile probe: CPU default
-
 import jax
 
-from yoho_tpu.utils.platform import apply_platform_env
-
-apply_platform_env()
+# Compile probe: CPU by default, ALWAYS — this environment exports
+# JAX_PLATFORMS=axon (a setdefault would be a no-op and the probe would
+# cold-compile two full models through the TPU relay). Opt into another
+# backend explicitly with SCAN_PROBE_PLATFORM=tpu.
+jax.config.update("jax_platforms",
+                  os.environ.get("SCAN_PROBE_PLATFORM", "cpu"))
 
 import jax.numpy as jnp  # noqa: E402
 

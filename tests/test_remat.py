@@ -120,6 +120,39 @@ def test_yoho_remat_decode_path_unchanged():
     np.testing.assert_array_equal(outs[False][1], outs[True][1])
 
 
+def test_long_context_remat_is_exact():
+    """The sequence-parallel (ring) training path honors model.remat and
+    stays the same function: identical loss and grads on the faked mesh."""
+    from jax.sharding import Mesh
+
+    from yoho_tpu.parallel.long_encoder import make_long_context_loss_fn
+
+    cfg = _yoho_cfg(n_audio_blocks=1, n_text_blocks=1)
+    g = np.random.default_rng(4)
+    mel = jnp.asarray(g.standard_normal((2, cfg.max_audio_len * 2, 8))
+                      .astype(np.float32))
+    tokens = jnp.asarray(g.integers(0, 64, size=(2, 8)).astype(np.int32))
+    mask = jnp.ones((2, 8), jnp.uint8)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("seq",))
+
+    results = {}
+    for flag in (False, True):
+        model = YOHOModel(cfg, vocab_size=64, remat=flag)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 8), jnp.int32),
+                            jnp.zeros((1, cfg.max_audio_len, 8),
+                                      jnp.float32))["params"]
+        loss_fn = make_long_context_loss_fn(model, mesh)
+        results[flag] = jax.jit(jax.value_and_grad(loss_fn))(
+            params, mel, tokens, mask)
+
+    np.testing.assert_allclose(np.asarray(results[False][0]),
+                               np.asarray(results[True][0]), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+        results[False][1], results[True][1])
+
+
 def test_whisper_remat_is_exact():
     cfg = WhisperConfig(
         n_mels=8, n_audio_ctx=16, n_audio_state=32, n_audio_head=4,

@@ -33,6 +33,25 @@ import jax.numpy as jnp
 from flax import struct
 
 
+def maybe_remat(block_cls, flag: bool):
+    """Per-block gradient checkpointing (lifted ``nn.remat``) when ``flag``.
+
+    Exact: same function, same grads; the backward pass recomputes each
+    block's activations from its input instead of keeping them live, so
+    training activation memory drops from O(depth) to O(1) blocks at the
+    cost of one extra forward. Lifted remat preserves parameter names, so
+    checkpoints are interchangeable with the flag on or off.
+
+    Keeps JAX's default ``prevent_cse=True``: every consumer runs the
+    blocks in a plain Python loop under ``jit``, which is exactly the
+    case the default protects — without the CSE barriers XLA may dedupe
+    the backward recomputation against the kept forward values and
+    silently reinstate O(depth) live activations (``prevent_cse=False``
+    is for bodies already inside ``lax.scan``/``pmap``).
+    """
+    return nn.remat(block_cls) if flag else block_cls
+
+
 @struct.dataclass
 class KVCache:
     """Static-shape decode cache for one attention layer.

@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from yoho_tpu.core.config import YOHOConfig
+from yoho_tpu.nn.layers import maybe_remat
 from yoho_tpu.nn.yoho import YOHOAudioEncoder, YOHOEncoderBlock
 
 
@@ -38,8 +39,7 @@ class VoiceReconstructionVAE(nn.Module):
         self.to_mu = nn.Dense(self.latent_dim, dtype=d, name="to_mu")
         self.to_logvar = nn.Dense(self.latent_dim, dtype=d, name="to_logvar")
         self.from_latent = nn.Dense(c.dims, dtype=d, name="from_latent")
-        dec_cls = (nn.remat(YOHOEncoderBlock, prevent_cse=False)
-                   if self.remat else YOHOEncoderBlock)
+        dec_cls = maybe_remat(YOHOEncoderBlock, self.remat)
         self.decoder_blocks = [
             dec_cls(c.n_audio_heads, max(1, c.n_audio_heads // 2), c.dims,
                     dtype=d, name=f"dec_blocks_{i}")

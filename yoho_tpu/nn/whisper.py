@@ -29,6 +29,7 @@ from yoho_tpu.nn.layers import (
     MultiHeadAttention,
     QuantizedEmbed,
     causal_mask,
+    maybe_remat,
 )
 
 
@@ -120,8 +121,7 @@ class AudioEncoder(nn.Module):
         x = nn.Conv(c.n_audio_state, (3,), strides=2, padding=1, dtype=d, name="conv2")(x)
         x = nn.gelu(x, approximate=False)
         x = x + jnp.asarray(sinusoids(c.n_audio_ctx, c.n_audio_state), d)
-        block_cls = (nn.remat(EncoderBlock, prevent_cse=False)
-                     if self.remat else EncoderBlock)
+        block_cls = maybe_remat(EncoderBlock, self.remat)
         for i in range(c.n_audio_layer):
             x = block_cls(c.n_audio_state, c.n_audio_head, dtype=d,
                           use_flash=self.use_flash, name=f"blocks_{i}")(x)
@@ -151,8 +151,7 @@ class TextDecoder(nn.Module):
         )
         # Only __call__ is lifted; the KV-cached decode path (step /
         # cross_kv) never differentiates.
-        block_cls = (nn.remat(DecoderBlock, prevent_cse=False)
-                     if self.remat else DecoderBlock)
+        block_cls = maybe_remat(DecoderBlock, self.remat)
         self.blocks = [
             block_cls(c.n_text_state, c.n_text_head, dtype=self.dtype,
                       weights_int8=self.weights_int8, name=f"blocks_{i}")

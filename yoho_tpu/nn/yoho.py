@@ -27,6 +27,7 @@ from yoho_tpu.nn.layers import (
     KVCache,
     SwiGLU,
     causal_mask,
+    maybe_remat,
 )
 
 
@@ -141,11 +142,7 @@ class YOHOAudioEncoder(nn.Module):
         self.norm1 = nn.RMSNorm(dtype=d, name="norm1")
         self.conv2 = nn.Conv(c.dims, (3,), dtype=d, name="conv2")
         self.norm2 = nn.RMSNorm(dtype=d, name="norm2")
-        # prevent_cse=False: safe (and faster) because every consumer jits
-        # the whole step; lifted remat keeps the block's parameter names,
-        # so checkpoints are identical with remat on or off.
-        block_cls = (nn.remat(YOHOEncoderBlock, prevent_cse=False)
-                     if self.remat else YOHOEncoderBlock)
+        block_cls = maybe_remat(YOHOEncoderBlock, self.remat)
         # Every moe_every_n-th block (e.g. every other, GShard-style)
         # carries the MoE MLP; the rest stay dense (encoder_block_kwargs).
         self.blocks = [
@@ -204,8 +201,7 @@ class YOHOTextDecoder(nn.Module):
             vp_dense = nn.Dense
         # Only __call__ is lifted: the decode path (step / cross_kv) never
         # differentiates, and cross_attention_map reaches into sublayers.
-        block_cls = (nn.remat(YOHODecoderBlock, prevent_cse=False)
-                     if self.remat else YOHODecoderBlock)
+        block_cls = maybe_remat(YOHODecoderBlock, self.remat)
         self.blocks = [
             block_cls(c.n_text_heads, max(1, c.n_text_heads // 2), c.dims,
                       dtype=self.dtype, weights_int8=self.weights_int8,

@@ -118,10 +118,16 @@ def make_long_context_loss_fn(model, mesh: Mesh, axis_name: str = "seq"):
     n = mesh.shape[axis_name]
     batch_axis = "data" if "data" in mesh.axis_names else None
 
+    # model.remat carries through to the ring construction: long-context
+    # clips are exactly where O(depth) activation memory hurts most, and
+    # the decoder already honors it via model's own setup. jax.checkpoint
+    # recomputes the in-block ppermute collectives in the backward pass —
+    # still exact (ppermute differentiates to the reverse permutation).
     ring = YOHOAudioEncoder(
         model.cfg, dtype=model.dtype,
         attention_fn=partial(ring_attention, axis_name=axis_name,
                              scale=1.0),
+        remat=model.remat,
     )
 
     def loss_fn(params, mel, tokens, loss_mask):

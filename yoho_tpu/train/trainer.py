@@ -116,8 +116,7 @@ class ASRTrainer:
         self.tokenizer = tokenizer or YOHOTokenizer.load(config.weights.tokenizer)
         self.model = model or YOHOModel(config.yoho, self.tokenizer.vocab_size,
                                         dtype=self.compute_dtype,
-                                        remat=bool(getattr(self.hp, "remat",
-                                                           False)))
+                                        remat=self.hp.remat)
 
         # Long-context training (session TOML alone turns it on): with
         # [hyperparameters.<stage>] long_context_factor = N > 1, clips are
