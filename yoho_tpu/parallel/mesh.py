@@ -30,14 +30,35 @@ def init_distributed() -> None:
     """Initialize multi-host JAX if running under a multi-process launcher.
 
     Safe to call unconditionally: a no-op for single-process runs.
+
+    Two launch shapes are recognized:
+
+    * TPU pods / megascale: ``MEGASCALE_COORDINATOR_ADDRESS`` is set by
+      the launcher and ``jax.distributed.initialize()`` auto-detects the
+      rest from the TPU metadata service.
+    * Explicit clusters: ``JAX_COORDINATOR_ADDRESS`` (+
+      ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` where the platform
+      cannot infer them, e.g. CPU/Gloo) — this is how
+      ``tests/test_multihost.py`` forms a REAL 2-process cluster on CPU
+      and runs the framework's mesh collectives across process
+      boundaries, so the multi-host path is exercised without a pod.
     """
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or "MEGASCALE_COORDINATOR_ADDRESS" in os.environ:
-        try:
-            jax.distributed.initialize()
-        except RuntimeError:
-            pass  # already initialized
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord is None and "MEGASCALE_COORDINATOR_ADDRESS" not in os.environ:
+        return
+    kwargs = {}
+    if coord is not None:
+        kwargs["coordinator_address"] = coord
+        if "JAX_NUM_PROCESSES" in os.environ:
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        if "JAX_PROCESS_ID" in os.environ:
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialized
 
 
 def make_mesh(
