@@ -41,6 +41,15 @@ def main() -> None:
     mesh = make_mesh(data=-1, model=2)
     assert dict(mesh.shape) == {"data": 4, "model": 2}, mesh.shape
 
+    # Pin the row-order contract the trainer's validation path relies
+    # on: local blocks concatenate PROCESS-MAJOR along the data axis.
+    local = np.arange(4, dtype=np.float32) + 4 * jax.process_index()
+    g = shard_batch(mesh, local.reshape(4, 1))
+    rep = jax.jit(lambda t: t,
+                  out_shardings=replicated_sharding(mesh))(g)
+    np.testing.assert_array_equal(np.asarray(rep).ravel(),
+                                  np.arange(8, dtype=np.float32))
+
     # A DP grad step through the framework helpers: batch sharded over
     # `data` (spanning both processes), params replicated, loss/grads
     # reduced globally by GSPMD — the multi-host form of the reference's

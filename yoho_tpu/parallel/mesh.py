@@ -120,9 +120,51 @@ def shard_batch(mesh: Mesh, batch):
     TPU-native replacement for ``flax.training.common_utils.shard``
     (reference trainer :231-236) — no leading device axis is introduced;
     the arrays stay logically global.
+
+    Multi-process (``jax.process_count() > 1``): the input is this
+    process's LOCAL rows; the global batch is their concatenation in
+    process order along the ``data`` axis (each process loads a disjoint
+    corpus shard — see the dataloaders' ``shard=`` argument — so the
+    global batch size is ``local_rows x process_count``). Every process
+    must call this with the same tree structure; it assembles a global
+    ``jax.Array`` without any host gather.
     """
+    multiprocess = jax.process_count() > 1
 
     def _put(x):
-        return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
+        sharding = batch_sharding(mesh, np.ndim(x))
+        if multiprocess:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(_put, batch)
+
+
+def process_shard() -> tuple:
+    """This process's ``(index, count)`` in the cluster — the dataloader
+    sharding contract (disjoint corpus shards) and the writer-gating
+    predicate. ``(0, 1)`` for single-process runs."""
+    return jax.process_index(), jax.process_count()
+
+
+def is_coordinator() -> bool:
+    """True on the process that owns artifact writes (metrics,
+    checkpoints, exports) — process 0, or any single-process run."""
+    return jax.process_index() == 0
+
+
+def fetch_to_host(mesh: Mesh, tree):
+    """Host (numpy) copies of a possibly cross-process sharded pytree.
+
+    Single-process: plain ``device_get``. Multi-process: model-sharded
+    leaves span devices this process cannot address, so the tree is
+    first replicated through a collective identity jit (an all-gather
+    over ICI/DCN) — EVERY process must call this, in the same program
+    order, even though only the coordinator typically uses the result.
+    """
+    if jax.process_count() == 1:
+        return jax.device_get(tree)
+    rep = jax.jit(lambda t: t,
+                  out_shardings=replicated_sharding(mesh))(tree)
+    return jax.device_get(rep)

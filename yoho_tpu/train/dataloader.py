@@ -251,10 +251,15 @@ class TranscriptionDataloader(Dataloader):
         augment: bool = True,
         return_spans: bool = False,
         max_utterances: int = 8,
+        shard: Tuple[int, int] = (0, 1),
         **kwargs,
     ):
         self.return_spans = return_spans
         self.max_utterances = max_utterances
+        # Multi-host: ``shard=(process_index, process_count)`` strides the
+        # epoch permutation so each process draws a DISJOINT slice of
+        # every epoch (together the shards cover the corpus exactly once).
+        self.shard = shard
         self.config = config
         self.tokenizer = tokenizer
         self.shuffle = shuffle
@@ -312,23 +317,32 @@ class TranscriptionDataloader(Dataloader):
         self.paths = paths
         self.langs = langs
         self.index_table = self._epoch_table(0)
+        if len(self.index_table) == 0:
+            raise ValueError(
+                f"corpus has {int(self.sizes[-1])} utterances — fewer than "
+                f"the {self.shard[1]} processes sharding it")
 
         super().__init__(batch_size, **kwargs)
 
     def _epoch_table(self, epoch: int) -> np.ndarray:
         """Sample order for ``epoch`` — a PURE function of (seed, epoch)
         so spawned workers reconstruct it from the task's epoch tag even
-        if they never saw the intermediate epochs."""
+        if they never saw the intermediate epochs. Under multi-host
+        ``shard``-ing, this process keeps every ``count``-th entry of the
+        (seed-identical) global order — disjoint across processes."""
         if not self.shuffle:
-            return np.arange(self.sizes[-1], dtype=np.int64)
-        return np.random.default_rng(
-            (self.seed, epoch)).permutation(int(self.sizes[-1]))
+            table = np.arange(self.sizes[-1], dtype=np.int64)
+        else:
+            table = np.random.default_rng(
+                (self.seed, epoch)).permutation(int(self.sizes[-1]))
+        idx, count = self.shard
+        return table[idx::count] if count > 1 else table
 
     # ------------------------------------------------------------------
     def get_num_batches(self) -> int:
         # At least one batch: sample indices wrap via the index table, so a
         # corpus smaller than one batch still yields full batches.
-        return max(1, int(self.sizes[-1] // self.batch_size))
+        return max(1, int(len(self.index_table) // self.batch_size))
 
     def on_epoch(self) -> None:
         # The base increments _epoch (parent: on wrap; workers: from the
@@ -492,10 +506,11 @@ class AudioChunkDataloader(Dataloader):
 
     def __init__(self, config: SessionConfig, batch_size: int, seed: int = 0,
                  augment: bool = False, dirs: Optional[Sequence[Path]] = None,
-                 **kwargs):
+                 shard: Tuple[int, int] = (0, 1), **kwargs):
         self.config = config
         self.seed = seed
         self.augment = augment
+        self.shard = shard
         cfg = config.yoho
 
         files: List[Path] = []
@@ -514,6 +529,14 @@ class AudioChunkDataloader(Dataloader):
             audio = self._cached_audio(f, cfg.sample_rate)
             n = max(1, len(audio) // cfg.n_samples)
             self.chunks += [(fi, ci) for ci in range(n)]
+        if shard[1] > 1:
+            # Multi-host: disjoint chunk stride per process.
+            sharded = self.chunks[shard[0]::shard[1]]
+            if not sharded:
+                raise ValueError(
+                    f"{len(self.chunks)} chunks — fewer than the "
+                    f"{shard[1]} processes sharding them")
+            self.chunks = sharded
         super().__init__(batch_size, **kwargs)
 
     def get_num_batches(self) -> int:
@@ -545,12 +568,15 @@ class SpeakerDataloader(Dataloader):
 
     def __init__(self, config: SessionConfig, batch_size: int,
                  clips_per_speaker: int = 2, seed: int = 0, augment: bool = True,
-                 **kwargs):
+                 shard: Tuple[int, int] = (0, 1), **kwargs):
         assert batch_size % clips_per_speaker == 0
         self.config = config
         self.clips_per_speaker = clips_per_speaker
         self.seed = seed
         self.augment = augment
+        # Sampling (not permutation) based: decorrelate processes by
+        # folding the shard index into every batch's RNG stream.
+        self.shard = shard
         cfg = config.yoho
 
         root = Path(config.dataset.speakers)
@@ -573,7 +599,7 @@ class SpeakerDataloader(Dataloader):
 
     def get_batch(self, idx: int):
         cfg = self.config.yoho
-        rng = np.random.default_rng((self.seed, idx))
+        rng = np.random.default_rng((self.seed, self.shard[0], idx))
         n_spk = self.batch_size // self.clips_per_speaker
         chosen = rng.choice(len(self.speakers), size=n_spk,
                             replace=len(self.speakers) < n_spk)

@@ -155,7 +155,7 @@ class WhisperDistiller(WhisperFinetuner):
         batch = self._last_val_batch  # same batch as val_loss
         self.last_agreement = float(self._agreement(
             self.state.params, self._t_params,
-            *map(jnp.asarray, batch[:3])))
+            *self._place_batch(batch[:3])))
         print(f"[distill] update {update}: teacher-agreement "
               f"{self.last_agreement:.3f} (projected speculative "
               "acceptance)", flush=True)
@@ -167,7 +167,10 @@ class WhisperDistiller(WhisperFinetuner):
         TEACHER checkpoint (src_dir) but config.json must describe the
         student architecture, so it is always synthesized."""
         from yoho_tpu.nn.export import export_hf_whisper
+        from yoho_tpu.parallel.mesh import fetch_to_host
 
-        params = jax.device_get(self.state.params)
+        params = fetch_to_host(self.mesh, self.state.params)
+        if self.metrics is None:
+            return self.out_dir  # non-coordinator: participated in the gather
         return export_hf_whisper(params, self.cfg, self.out_dir,
                                  src_dir=self.src_dir, copy_config=False)

@@ -20,7 +20,13 @@ from flax.training.train_state import TrainState
 from yoho_tpu.audio.frontend import yoho_log_mel
 from yoho_tpu.core.config import SessionConfig
 from yoho_tpu.nn.voiceprint import VoiceprintEncoder, nt_xent_loss
-from yoho_tpu.parallel.mesh import make_mesh, shard_batch
+from yoho_tpu.parallel.mesh import (
+    fetch_to_host,
+    is_coordinator,
+    make_mesh,
+    process_shard,
+    shard_batch,
+)
 from yoho_tpu.parallel.sharding import shard_params
 from yoho_tpu.train.checkpoint import (
     AsyncCheckpointer,
@@ -40,14 +46,27 @@ class VoiceprintTrainer:
         self.hp = config.hyperparameters.voiceprint_finetune
         self.stage_path = stage_dir(config, 3)
         self.checkpoint_path = self.stage_path / "checkpoint.msgpack"
-        self.metrics = MetricsWriter(self.stage_path / "metrics.csv")
+        # Multi-host (same contract as ASRTrainer): global hp.batch_size,
+        # decorrelated per-process sampling, coordinator-only writers.
+        # NB the NT-Xent in-batch negatives then come from the process's
+        # LOCAL rows only (the loss is computed on the global batch, but
+        # each process contributes batch/process_count clips per step).
+        self.process_index, self.n_processes = process_shard()
+        if self.hp.batch_size % self.n_processes:
+            raise ValueError(
+                f"batch_size {self.hp.batch_size} must divide by the "
+                f"process count {self.n_processes}")
+        self.metrics = (MetricsWriter(self.stage_path / "metrics.csv")
+                        if is_coordinator() else None)
         self.mesh = mesh or make_mesh(config.mesh.data, config.mesh.model)
 
         self.model = VoiceprintEncoder(config.yoho,
                                        embedding_dim=self.hp.embedding_dim,
                                        remat=self.hp.remat)
         self.dataloader = SpeakerDataloader(
-            config, self.hp.batch_size, use_multiprocessing=use_multiprocessing,
+            config, self.hp.batch_size // self.n_processes,
+            shard=(self.process_index, self.n_processes),
+            use_multiprocessing=use_multiprocessing,
             disable_warnings=True, warmup_queue=False,
         )
 
@@ -107,7 +126,8 @@ class VoiceprintTrainer:
         hp = self.hp
         acc = hp.accumulated_batches
         target = (max_updates or hp.updates) * acc
-        ckpt = AsyncCheckpointer(self.checkpoint_path, install_sigterm=True)
+        ckpt = (AsyncCheckpointer(self.checkpoint_path, install_sigterm=True)
+                if self.metrics is not None else None)
         acc_loss, seen = 0.0, 0
         try:
             while int(self.state.step) < target:
@@ -121,16 +141,28 @@ class VoiceprintTrainer:
                 seen += 1
                 if step % acc == acc - 1:
                     update = (step + 1) // acc
-                    self.metrics.log(update, float(self.lr_schedule(self.state.step)),
-                                     acc_loss / max(seen, 1))
+                    if self.metrics is not None:
+                        self.metrics.log(
+                            update, float(self.lr_schedule(self.state.step)),
+                            acc_loss / max(seen, 1))
                     acc_loss, seen = 0.0, 0
                     if update % hp.validation_frequency == 0:
-                        ckpt.save(self.state.step, self.state.params,
-                                  self.state.opt_state)
+                        self._save_checkpoint(ckpt)
         finally:
-            ckpt.save(self.state.step, self.state.params, self.state.opt_state)
-            ckpt.close()
-            save_params(self.config.weights.voiceprint, self.state.params)
+            self._save_checkpoint(ckpt)
+            if ckpt is not None:
+                ckpt.close()
+            params = fetch_to_host(self.mesh, self.state.params)
+            if self.metrics is not None:
+                save_params(self.config.weights.voiceprint, params)
+
+    def _save_checkpoint(self, ckpt: Optional[AsyncCheckpointer]) -> None:
+        """Collective host-gather on every process; coordinator writes."""
+        step = int(self.state.step)
+        params = fetch_to_host(self.mesh, self.state.params)
+        opt_state = fetch_to_host(self.mesh, self.state.opt_state)
+        if ckpt is not None:
+            ckpt.save(step, params, opt_state)
 
 
 def main(config: SessionConfig, max_updates=None,

@@ -32,7 +32,13 @@ from yoho_tpu.audio.frontend import yoho_log_mel
 from yoho_tpu.core.config import SessionConfig, TrainingHP
 from yoho_tpu.infer.decode import greedy_decode, make_yoho_step_fn
 from yoho_tpu.nn.yoho import YOHOModel
-from yoho_tpu.parallel.mesh import make_mesh, shard_batch
+from yoho_tpu.parallel.mesh import (
+    fetch_to_host,
+    is_coordinator,
+    make_mesh,
+    process_shard,
+    shard_batch,
+)
 from yoho_tpu.parallel.sharding import YOHO_RULES, shard_params
 from yoho_tpu.text.tokenizer import YOHOTokenizer
 from yoho_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint
@@ -109,8 +115,14 @@ class ASRTrainer:
         )
         self.stage_path = stage_dir(config, stage)
         self.checkpoint_path = self.stage_path / checkpoint_name
-        self.metrics = MetricsWriter(
-            self.stage_path / "metrics.csv", self.stage_path / "validations.jsonl"
+        # Artifact writers are coordinator-only: on a multi-host shared
+        # filesystem every process sees the same paths, and concurrent
+        # writers would interleave/clobber. Non-coordinators carry None
+        # and every use below is gated.
+        self.metrics = (
+            MetricsWriter(self.stage_path / "metrics.csv",
+                          self.stage_path / "validations.jsonl")
+            if is_coordinator() else None
         )
 
         self.tokenizer = tokenizer or YOHOTokenizer.load(config.weights.tokenizer)
@@ -143,13 +155,23 @@ class ASRTrainer:
             self.mesh = mesh or make_mesh(config.mesh.data, config.mesh.model)
         self.data_config = data_config
 
+        # Multi-host: hp.batch_size is the GLOBAL batch. Each process
+        # loads a disjoint corpus shard of batch_size/process_count rows
+        # (shard_batch assembles them into the global array); artifact
+        # writers below are coordinator-only.
+        self.process_index, self.n_processes = process_shard()
+        if self.hp.batch_size % self.n_processes:
+            raise ValueError(
+                f"batch_size {self.hp.batch_size} must divide by the "
+                f"process count {self.n_processes}")
         dl_kwargs = dict(
             config=data_config,
             tokenizer=self.tokenizer,
             # Each stage's OWN ratio (stage 4 has its own field; the
             # dataloader default would silently read the stage-1 value).
             speechless_ratio=getattr(self.hp, "speechless_sample_ratio", 0.0),
-            batch_size=self.hp.batch_size,
+            batch_size=self.hp.batch_size // self.n_processes,
+            shard=(self.process_index, self.n_processes),
             shuffle=True,
             use_multiprocessing=use_multiprocessing,
             disable_warnings=True,
@@ -304,20 +326,45 @@ class ASRTrainer:
     def _validate(self, update: int) -> float:
         hp = self.hp
         val_batch = self.val_dataloader.get_prepared_batch()
-        val_loss = float(
-            self._val_loss(self.state.params, *map(jnp.asarray, val_batch[:3]))
-        )
-
         train_batch = self.train_dataloader.get_prepared_batch()
         n = min(hp.validation_samples, len(val_batch[0]), len(train_batch[0]))
         audio = np.concatenate([val_batch[0][:n], train_batch[0][:n]])
         tokens = np.concatenate([val_batch[1][:n], train_batch[1][:n]])
         masks = np.concatenate([val_batch[2][:n], train_batch[2][:n]])
-        prompt = jnp.full((2 * n, 1), self.tokenizer.sot_id, jnp.int32)
-        decoded, _lengths = self._decode_samples(
-            self.state.params, jnp.asarray(audio), prompt
-        )
-        decoded = np.asarray(decoded)
+        prompt = np.full((2 * n, 1), self.tokenizer.sot_id, np.int32)
+
+        if self.n_processes == 1:
+            val_loss = float(
+                self._val_loss(self.state.params,
+                               *map(jnp.asarray, val_batch[:3]))
+            )
+            decoded, _lengths = self._decode_samples(
+                self.state.params, jnp.asarray(audio), jnp.asarray(prompt)
+            )
+            decoded = np.asarray(decoded)
+        else:
+            # Multi-host: every process contributes its local rows to ONE
+            # global computation — this whole block is collective and must
+            # run on all processes in lockstep. The coordinator then
+            # renders ITS rows: the first 2n of the process-major global
+            # batch. Rows are wrap-padded to the per-process data extent
+            # (global decode batches must divide over the data axis).
+            val_loss = float(self._val_loss(
+                self.state.params,
+                *shard_batch(self.mesh,
+                             tuple(np.asarray(x) for x in val_batch[:3]))))
+            extent = max(1, self.mesh.shape["data"] // self.n_processes)
+            rows = 2 * n
+            idx = np.arange(rows + (-rows) % extent) % rows
+            audio_g, prompt_g = shard_batch(self.mesh,
+                                            (audio[idx], prompt[idx]))
+            decoded_g, _lengths = self._decode_samples(
+                self.state.params, audio_g, prompt_g
+            )
+            decoded = np.asarray(
+                fetch_to_host(self.mesh, decoded_g))[:rows]
+            if self.metrics is None:
+                return val_loss
 
         def _true_len(mask):
             nz = np.nonzero(mask)[0]
@@ -338,7 +385,10 @@ class ASRTrainer:
         hp = self.hp
         acc = hp.accumulated_batches
         target_steps = (max_updates or hp.updates) * acc
-        ckpt = AsyncCheckpointer(self.checkpoint_path, install_sigterm=True)
+        # Coordinator-only writer; every process still participates in the
+        # collective host-gather inside _save_checkpoint.
+        ckpt = (AsyncCheckpointer(self.checkpoint_path, install_sigterm=True)
+                if self.metrics is not None else None)
         pbar = None
         if progress:
             from tqdm import tqdm
@@ -390,16 +440,16 @@ class ASRTrainer:
                     val_loss = None
                     if update % hp.validation_frequency == 0:
                         val_loss = self._validate(update)
-                        ckpt.save(self.state.step, self.state.params,
-                                  self.state.opt_state)
+                        self._save_checkpoint(ckpt)
                     # The schedule is indexed by APPLIED updates (see the
                     # MultiSteps note at construction) — logging it at the
                     # micro-step count would show a value the optimizer
                     # never applies.
-                    self.metrics.log(
-                        update, float(self.lr_schedule(update)),
-                        batch_loss, val_loss,
-                    )
+                    if self.metrics is not None:
+                        self.metrics.log(
+                            update, float(self.lr_schedule(update)),
+                            batch_loss, val_loss,
+                        )
             # Export the cross-stage weights artifact only on SUCCESSFUL
             # completion (this line is unreached on exceptions) — a
             # crashed/interrupted re-run must not overwrite a previous
@@ -411,12 +461,22 @@ class ASRTrainer:
                 import jax.profiler
 
                 jax.profiler.stop_trace()
-            ckpt.save(self.state.step, self.state.params, self.state.opt_state)
-            ckpt.close()
+            self._save_checkpoint(ckpt)
+            if ckpt is not None:
+                ckpt.close()
             if completed:
                 self._export_weights()
             if pbar is not None:
                 pbar.close()
+
+    def _save_checkpoint(self, ckpt: Optional[AsyncCheckpointer]) -> None:
+        """Collective on all processes (model-sharded leaves are gathered
+        to host through the mesh); only the coordinator's ckpt writes."""
+        step = int(self.state.step)
+        params = fetch_to_host(self.mesh, self.state.params)
+        opt_state = fetch_to_host(self.mesh, self.state.opt_state)
+        if ckpt is not None:
+            ckpt.save(step, params, opt_state)
 
     def _export_weights(self) -> None:
         """Write the stage's params artifact into its weights.* slot
@@ -425,4 +485,6 @@ class ASRTrainer:
 
         target = (self.config.weights.asr if self.stage == 1
                   else self.config.weights.yoho)
-        save_params(target, self.state.params)
+        params = fetch_to_host(self.mesh, self.state.params)
+        if self.metrics is not None:
+            save_params(target, params)

@@ -42,7 +42,13 @@ from yoho_tpu.core.config import (
 )
 from yoho_tpu.infer.decode import greedy_decode, make_whisper_step_fn
 from yoho_tpu.nn.whisper import Whisper
-from yoho_tpu.parallel.mesh import make_mesh, shard_batch
+from yoho_tpu.parallel.mesh import (
+    fetch_to_host,
+    is_coordinator,
+    make_mesh,
+    process_shard,
+    shard_batch,
+)
 from yoho_tpu.parallel.sharding import WHISPER_RULES, shard_params
 from yoho_tpu.text.whisper_tokens import WhisperTokenTable
 from yoho_tpu.train.checkpoint import AsyncCheckpointer
@@ -230,8 +236,17 @@ class WhisperFinetuner:
         self.freeze_encoder = freeze_encoder
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.checkpoint_path = self.out_dir / "finetune_checkpoint.msgpack"
-        self.metrics = MetricsWriter(self.out_dir / "metrics.csv",
-                                     self.out_dir / "validations.jsonl")
+        # Multi-host (same contract as ASRTrainer): batch_size is GLOBAL,
+        # each process loads a disjoint corpus shard, writers are
+        # coordinator-only.
+        self.process_index, self.n_processes = process_shard()
+        if batch_size % self.n_processes:
+            raise ValueError(
+                f"batch_size {batch_size} must divide by the process "
+                f"count {self.n_processes}")
+        self.metrics = (MetricsWriter(self.out_dir / "metrics.csv",
+                                      self.out_dir / "validations.jsonl")
+                        if is_coordinator() else None)
 
         self.compute_dtype = compute_dtype
         # remat: gradient-checkpoint every block — exact, ~one extra
@@ -241,7 +256,9 @@ class WhisperFinetuner:
         self.mesh = mesh or make_mesh(-1, 1)
 
         dl_kwargs = dict(
-            data_dir=data_dir, cfg=cfg, table=table, batch_size=batch_size,
+            data_dir=data_dir, cfg=cfg, table=table,
+            batch_size=batch_size // self.n_processes,
+            shard=(self.process_index, self.n_processes),
             task=task, timestamps=timestamps, max_target_len=max_target_len,
             language_whitelist=language_whitelist,
             speechless_ratio=speechless_ratio, ambient_dir=ambient_dir,
@@ -306,7 +323,8 @@ class WhisperFinetuner:
                     f"{meta['src']!r}) — resuming would silently ignore "
                     "the new --hf weights. Delete the checkpoint (or pick "
                     "a fresh --out) to start over.")
-        self._provenance_path.write_text(json.dumps(meta))
+        if is_coordinator():
+            self._provenance_path.write_text(json.dumps(meta))
 
     def _init_state(self, params) -> TrainState:
         from yoho_tpu.train.trainer import restore_train_state
@@ -379,10 +397,11 @@ class WhisperFinetuner:
         val_batch = self.val_dataloader.get_prepared_batch()
         # Exposed so subclasses (the distiller's agreement metric) can
         # report on the SAME batch as val_loss instead of consuming
-        # another one.
+        # another one. Under multi-host this is the LOCAL shard; pair it
+        # with _place_batch.
         self._last_val_batch = val_batch
         val_loss = float(self._val_loss(
-            self.state.params, *map(jnp.asarray, val_batch[:3])))
+            self.state.params, *self._place_batch(val_batch[:3])))
 
         n = min(self.validation_samples, len(val_batch[0]))
         # Decode under each sample's OWN prompt (sot/language/task as the
@@ -392,21 +411,45 @@ class WhisperFinetuner:
         plen = len(self.table.sot_sequence(
             self.table.languages[0], self.train_dataloader.task,
             timestamps=self.train_dataloader.timestamps))
-        prompt = jnp.asarray(val_batch[1][:n, :plen], jnp.int32)
-        decoded, _lengths = self._decode_samples(
-            self.state.params, jnp.asarray(val_batch[0][:n]), prompt)
-        decoded = np.asarray(decoded)
+        if self.n_processes == 1:
+            decoded, _lengths = self._decode_samples(
+                self.state.params, jnp.asarray(val_batch[0][:n]),
+                jnp.asarray(val_batch[1][:n, :plen], jnp.int32))
+            decoded = np.asarray(decoded)
+        else:
+            # Collective: all processes decode their rows in one global
+            # batch (wrap-padded to the per-process data extent); the
+            # coordinator keeps its own — the first n of the
+            # process-major order.
+            extent = max(1, self.mesh.shape["data"] // self.n_processes)
+            idx = np.arange(n + (-n) % extent) % n
+            audio_g, prompt_g = shard_batch(self.mesh, (
+                np.asarray(val_batch[0][idx]),
+                np.asarray(val_batch[1][idx][:, :plen], np.int32)))
+            decoded_g, _lengths = self._decode_samples(
+                self.state.params, audio_g, prompt_g)
+            decoded = np.asarray(fetch_to_host(self.mesh, decoded_g))[:n]
+            if self.metrics is None:
+                return val_loss
         correct = [self._render(t[plen:], m[plen:])
                    for t, m in zip(val_batch[1][:n], val_batch[2][:n])]
         predicted = [self._render(row[plen:]) for row in decoded]
         self.metrics.write_validation(correct, predicted, [], [])
         return val_loss
 
+    def _place_batch(self, batch):
+        """Local rows -> device arrays: plain asarray single-process,
+        global assembly (collective) under multi-host."""
+        if self.n_processes == 1:
+            return tuple(map(jnp.asarray, batch))
+        return shard_batch(self.mesh, tuple(np.asarray(x) for x in batch))
+
     # ------------------------------------------------------------------
     def run(self, progress: bool = False) -> Path:
         acc = self.accumulated_batches
         target_steps = self.updates * acc
-        ckpt = AsyncCheckpointer(self.checkpoint_path, install_sigterm=True)
+        ckpt = (AsyncCheckpointer(self.checkpoint_path, install_sigterm=True)
+                if self.metrics is not None else None)
         pbar = None
         if progress:
             from tqdm import tqdm
@@ -435,14 +478,16 @@ class WhisperFinetuner:
                     if (self.validation_frequency > 0
                             and update % self.validation_frequency == 0):
                         val_loss = self._validate(update)
-                        ckpt.save(self.state.step, self.state.params,
-                                  self.state.opt_state)
-                    self.metrics.log(update, float(self.lr_schedule(update)),
-                                     batch_loss, val_loss)
+                        self._save_checkpoint(ckpt)
+                    if self.metrics is not None:
+                        self.metrics.log(update,
+                                         float(self.lr_schedule(update)),
+                                         batch_loss, val_loss)
             completed = True
         finally:
-            ckpt.save(self.state.step, self.state.params, self.state.opt_state)
-            ckpt.close()
+            self._save_checkpoint(ckpt)
+            if ckpt is not None:
+                ckpt.close()
             self.train_dataloader.terminate()
             self.val_dataloader.terminate()
             if completed:
@@ -451,10 +496,20 @@ class WhisperFinetuner:
                 pbar.close()
         return self.out_dir
 
+    def _save_checkpoint(self, ckpt: Optional[AsyncCheckpointer]) -> None:
+        """Collective host-gather on every process; coordinator writes."""
+        step = int(self.state.step)
+        params = fetch_to_host(self.mesh, self.state.params)
+        opt_state = fetch_to_host(self.mesh, self.state.opt_state)
+        if ckpt is not None:
+            ckpt.save(step, params, opt_state)
+
     def export(self) -> Path:
         """Write the tuned params as an HF checkpoint dir (nn/export.py)."""
         from yoho_tpu.nn.export import export_hf_whisper
 
-        params = jax.device_get(self.state.params)
+        params = fetch_to_host(self.mesh, self.state.params)
+        if self.metrics is None:
+            return self.out_dir  # non-coordinator: participated in the gather
         return export_hf_whisper(params, self.cfg, self.out_dir,
                                  src_dir=self.src_dir)
