@@ -123,6 +123,32 @@ def test_stage2_trainer_runs_and_exports(session):
     assert config.weights.voice_reconstruction.exists()
 
 
+def test_stage23_schedule_indexed_in_applied_updates(session):
+    """MultiSteps steps the inner schedule once per APPLIED update —
+    horizons must not be scaled by accumulated_batches (regression: both
+    stages stretched warmup/decay by the accumulation factor)."""
+    from yoho_tpu.train.stages.stage2_reconstruction import ReconstructionTrainer
+    from yoho_tpu.train.stages.stage3_voiceprint import VoiceprintTrainer
+
+    config, _tok = session
+    config = config.model_copy(deep=True)
+    for hp in (config.hyperparameters.reconstruct_pretrain,
+               config.hyperparameters.voiceprint_finetune):
+        hp.accumulated_batches = 4
+        hp.batch_size = 4
+    mesh = make_mesh(data=2, model=1, devices=jax.devices()[:2])
+    for cls in (ReconstructionTrainer, VoiceprintTrainer):
+        tr = cls(config, mesh=mesh)
+        hp = tr.hp
+        # Peak exactly at the end of warmup, final LR at `updates` —
+        # in applied-update units, independent of accumulation.
+        np.testing.assert_allclose(float(tr.lr_schedule(hp.warmup_updates)),
+                                   hp.learning_rate, rtol=1e-6)
+        np.testing.assert_allclose(float(tr.lr_schedule(hp.updates)),
+                                   hp.final_learning_rate, rtol=1e-3)
+        assert float(tr.lr_schedule(hp.warmup_updates * 2)) < hp.learning_rate
+
+
 # ------------------------------------------------------------------- stage 3
 def test_voiceprint_encoder_and_ntxent():
     cfg = YOHOConfig(**TINY_YOHO)

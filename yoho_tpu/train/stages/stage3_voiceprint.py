@@ -71,9 +71,14 @@ class VoiceprintTrainer:
         )
 
         acc = self.hp.accumulated_batches
+        # Horizons in APPLIED updates (see the stage-2/ASRTrainer note):
+        # MultiSteps steps the inner schedule once per applied update, so
+        # scaling by `acc` would stretch warmup/decay by the accumulation
+        # factor. decay_steps is TOTAL (incl. warmup), clamped.
+        warmup = self.hp.warmup_updates
+        total = max(self.hp.updates, warmup + 1)
         self.lr_schedule = optax.schedules.warmup_cosine_decay_schedule(
-            0.0, self.hp.learning_rate, self.hp.warmup_updates * acc,
-            (self.hp.updates - self.hp.warmup_updates) * acc,
+            0.0, self.hp.learning_rate, warmup, total,
             self.hp.final_learning_rate,
         )
         self.optimizer = optax.MultiSteps(optax.adamw(self.lr_schedule), acc)
@@ -143,7 +148,7 @@ class VoiceprintTrainer:
                     update = (step + 1) // acc
                     if self.metrics is not None:
                         self.metrics.log(
-                            update, float(self.lr_schedule(self.state.step)),
+                            update, float(self.lr_schedule(update)),
                             acc_loss / max(seen, 1))
                     acc_loss, seen = 0.0, 0
                     if update % hp.validation_frequency == 0:
