@@ -33,6 +33,38 @@ def setup():
     return cfg, t
 
 
+def test_flush_follows_offline_window_plan(setup):
+    """A stream ending exactly on decoded coverage must not decode one
+    extra overlap window (regression: flush re-decoded the tail, and the
+    final window's unbounded ownership kept any hallucinated segment —
+    streamed text diverged from offline on window-multiple audio)."""
+    cfg, t = setup
+    g = np.random.default_rng(7)
+
+    def counted(n_samples):
+        calls = []
+
+        def decoder(window):
+            calls.append(len(window))
+            return t.transcribe(window).segments
+
+        s = StreamingTranscriber(t, window_decoder=decoder)
+        s.push((0.1 * g.standard_normal(n_samples)).astype(np.float32))
+        s.flush()
+        return calls
+
+    from yoho_tpu.infer.longform import chunk_audio
+
+    for n in (t.chunk_samples,            # exactly one offline window
+              t.chunk_samples + 1,        # tail window IS planned
+              t.chunk_samples // 2,       # short stream: one partial
+              2 * t.stride_samples + t.chunk_samples):
+        _w, starts = chunk_audio(
+            np.zeros(max(n, t.chunk_samples), np.float32),
+            t.chunk_samples, t.stride_samples)
+        assert len(counted(n)) == len(starts), n
+
+
 def test_streaming_matches_offline(setup):
     cfg, t = setup
     g = np.random.default_rng(1)

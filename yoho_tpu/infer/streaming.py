@@ -169,10 +169,21 @@ class StreamingTranscriber:
             return []
         self._flushed = True
         t = self.t
-        rel = self._next_window_start - (self._consumed - len(self._buffer))
-        tail = self._buffer[max(rel, 0):]
-        if len(tail) > 0:
-            self._decode_window(self._next_window_start, tail)
+        # Decode the tail only when the OFFLINE window plan would: for
+        # (padded) length m, offline starts are range(0, m - chunk +
+        # stride, stride) (longform.plan_windows). A stream ending
+        # exactly on decoded coverage must not decode one more
+        # overlap-window — its final-window ownership extends to
+        # infinity, so any hallucinated segment in the re-decoded
+        # overlap would be KEPT, breaking streamed == offline parity
+        # (observed: a micro model duplicating the tail sentence).
+        m = max(self._consumed, t.chunk_samples)
+        if (self._next_window_start
+                < m - t.chunk_samples + t.stride_samples):
+            rel = self._next_window_start - (self._consumed - len(self._buffer))
+            tail = self._buffer[max(rel, 0):]
+            if len(tail) > 0:
+                self._decode_window(self._next_window_start, tail)
         out = self._finalize(final=True)
         self._buffer = np.zeros((0,), np.float32)
         return out
