@@ -247,6 +247,33 @@ def test_openai_transcriptions_text_and_srt(server):
     assert body == "" or "-->" in body
 
 
+def test_openai_transcriptions_sse_stream(server):
+    """stream=true -> Server-Sent Events: delta events concatenate to the
+    done event's text, which matches the non-streaming transcript."""
+    ctype, body = _multipart({"file": ("a.wav", _wav_bytes(48000)),
+                              "stream": (None, b"true")})
+    req = urllib.request.Request(server + "/v1/audio/transcriptions",
+                                 data=body, headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req) as r:
+        assert r.headers["Content-Type"] == "text/event-stream"
+        raw = r.read().decode()
+
+    events = []
+    for blk in raw.strip().split("\n\n"):
+        lines = dict(line.split(": ", 1) for line in blk.splitlines())
+        events.append((lines["event"], json.loads(lines["data"])))
+    assert events, "no SSE events received"
+    etype, done = events[-1]
+    assert etype == "transcript.text.done"
+    assert done["type"] == "transcript.text.done"
+    deltas = [p for e, p in events[:-1] if e == "transcript.text.delta"]
+    assert all(p["type"] == "transcript.text.delta" for p in deltas)
+    assert "".join(p["delta"] for p in deltas) == done["text"]
+
+    with _post_openai(server, {"file": ("a.wav", _wav_bytes(48000))}) as r2:
+        assert json.load(r2)["text"] == done["text"]
+
+
 def test_openai_translations_rejected_on_transcribe_server(server):
     try:
         _post_openai(server, {"file": ("a.wav", _wav_bytes())},

@@ -16,9 +16,11 @@ import sys
 
 
 def main(argv=None):
+    from yoho_tpu.parallel.mesh import init_distributed
     from yoho_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
+    init_distributed()  # no-op single-process; pods launch one per host
     parser = argparse.ArgumentParser(
         description="Distill a small draft Whisper from a teacher "
                     "checkpoint on an SRT corpus")

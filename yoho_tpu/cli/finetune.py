@@ -18,9 +18,11 @@ import sys
 
 
 def main(argv=None):
+    from yoho_tpu.parallel.mesh import init_distributed
     from yoho_tpu.utils.platform import apply_platform_env
 
     apply_platform_env()
+    init_distributed()  # no-op single-process; pods launch one per host
     parser = argparse.ArgumentParser(
         description="Fine-tune a Whisper checkpoint on an SRT corpus")
     parser.add_argument("--hf", type=str, required=True,

@@ -15,6 +15,12 @@ The serving layer the reference lacks entirely (SURVEY.md §1). Stdlib-only:
   ``model``/``prompt``/``temperature`` fields are accepted but decode
   policy is fixed by the server's flags (one compiled program serves
   every request), so those do not override it per-request.
+  ``stream=true`` switches the response to Server-Sent Events (OpenAI's
+  streaming shape): one ``transcript.text.delta`` event per batch of
+  finalized windows while the audio decodes, then a
+  ``transcript.text.done`` with the full text — the upload decodes
+  through the same shared batcher, so streamed requests still pool with
+  everything else.
 * ``GET /stream``: WebSocket real-time transcription (RFC 6455, stdlib
   framing in ``yoho_tpu/utils/websocket.py``). Client streams binary
   little-endian float32 mono PCM frames at the server sample rate;
@@ -487,6 +493,11 @@ def make_handler(transcriber, batcher):
                     self._json(400, {"error": {
                         "message": err, "type": "invalid_request_error"}})
                     return
+                stream_flag = (fields.get("stream", (None, b""))[1]
+                               .decode().strip().lower() in ("true", "1"))
+                if stream_flag:
+                    self._openai_audio_sse(audio, language)
+                    return
                 result = self._submit(audio, language=language)
                 duration = len(audio) / transcriber.sample_rate
                 ctype_out, out = _render_openai(result, fmt, duration, task)
@@ -501,6 +512,80 @@ def make_handler(transcriber, batcher):
                 self._json(500, {"error": {
                     "message": f"{type(e).__name__}: {e}",
                     "type": "server_error"}})
+
+        def _openai_audio_sse(self, audio, language) -> None:
+            """OpenAI ``stream=true``: Server-Sent Events over the upload.
+
+            The audio is fed window-by-window through a
+            :class:`StreamingTranscriber` whose decoder is the SHARED
+            batcher (streamed requests pool with everything else); every
+            batch of finalized segments becomes a
+            ``transcript.text.delta`` event, and the final
+            ``transcript.text.done`` carries the assembled text (deltas
+            concatenate to it exactly)."""
+            from yoho_tpu.infer.streaming import StreamingTranscriber
+
+            lang = language or transcriber.language
+            if lang is None and getattr(transcriber, "family", "") == "whisper":
+                lang = "en"  # match /stream: never per-window auto-detect
+
+            def _decode_shared(window_audio):
+                # Same overload policy as /stream: a started SSE response
+                # cannot be retried by the client, so wait out transient
+                # overload instead of shedding mid-stream.
+                while True:
+                    try:
+                        return self._submit(window_audio, language=lang,
+                                            vad=False).segments
+                    except ServerOverloaded:
+                        if self._client_gone():
+                            raise ConnectionError(
+                                "client left during overload wait")
+                        time.sleep(0.25)
+
+            stream = StreamingTranscriber(transcriber,
+                                          window_decoder=_decode_shared)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            # No Content-Length: the body ends when the socket closes.
+            self.close_connection = True
+
+            def _event(etype: str, payload: dict) -> None:
+                data = json.dumps(payload, ensure_ascii=False)
+                self.wfile.write(f"event: {etype}\ndata: {data}\n\n".encode())
+                self.wfile.flush()
+
+            sent_any = False
+
+            def _delta(segments) -> None:
+                nonlocal sent_any
+                text = " ".join(s.text for s in segments if s.text).strip()
+                if not text:
+                    return
+                delta = text if not sent_any else " " + text
+                sent_any = True
+                _event("transcript.text.delta",
+                       {"type": "transcript.text.delta", "delta": delta})
+
+            try:
+                step = getattr(transcriber, "chunk_samples", 0) or len(audio)
+                for off in range(0, max(len(audio), 1), step):
+                    _delta(stream.push(audio[off:off + step]))
+                _delta(stream.flush())
+                _event("transcript.text.done",
+                       {"type": "transcript.text.done", "text": stream.text()})
+            except (ConnectionError, OSError, RequestCancelled):
+                pass  # client went away mid-stream; nothing to answer
+            except Exception as e:  # noqa: BLE001 — headers are out; report
+                # in-band (an HTTP error status is no longer possible).
+                try:
+                    _event("error", {"type": "error",
+                                     "message": f"{type(e).__name__}: {e}"})
+                except OSError:
+                    pass
 
         def do_POST(self):
             from urllib.parse import parse_qs, urlsplit
