@@ -124,6 +124,22 @@ def main() -> None:
     print(f"MH_TRAIN_OK pid={pid} step={int(trainer.state.step)} "
           f"loss={loss}", flush=True)
 
+    # Resume on the cluster: a fresh trainer must restore the
+    # coordinator-written checkpoint on EVERY process (host arrays
+    # re-placed onto the global mesh via cross-process device_put) and
+    # pick up at the finished step. Barrier first: the write is the
+    # coordinator's (a real pod restarts all processes together, so
+    # only this in-process handoff needs it).
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("mh_ckpt_written")
+    resumed = ASRTrainer(config, tokenizer=tok, stage=1,
+                         use_multiprocessing=False)
+    assert int(resumed.state.step) == 2, int(resumed.state.step)
+    resumed.run(progress=False)  # target already reached: exits at once
+    print(f"MH_RESUME_OK pid={pid} step={int(resumed.state.step)}",
+          flush=True)
+
     # Stage 2 on the same cluster: AudioChunkDataloader shards chunks
     # disjointly, writers stay coordinator-only.
     rec = ReconstructionTrainer(config)

@@ -151,6 +151,7 @@ def test_two_process_cluster_trains_a_session(mh_corpus, tmp_path):
     for p, out in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
         assert "MH_TRAIN_OK" in out, out[-4000:]
+        assert "MH_RESUME_OK" in out, out[-4000:]
         assert "MH_STAGE2_OK" in out, out[-4000:]
 
     # The two processes' epoch shards are disjoint and cover the corpus.
