@@ -46,6 +46,33 @@ def tiny():
     return build_yoho_transcriber("tiny", str(FIXROOT), beams=0, batch=1)
 
 
+def test_fixture_is_git_tracked():
+    """The fixture must be COMMITTED, not just present in the worktree.
+
+    Round-2 regression guard: a ``sessions/`` .gitignore pattern once
+    matched ``tests/fixtures/sessions/`` too, so the trained checkpoint
+    existed locally (tests green) but was silently excluded from every
+    commit — and vanished on the next clean checkout."""
+    import subprocess
+
+    repo = Path(__file__).parent.parent
+    if not (repo / ".git").exists():
+        pytest.skip("not a git checkout")
+    try:
+        out = subprocess.run(
+            ["git", "-C", str(repo), "ls-files",
+             "tests/fixtures/sessions/tiny"],
+            capture_output=True, text=True, check=True).stdout
+    except (OSError, subprocess.CalledProcessError):
+        pytest.skip("git unavailable")
+    tracked = set(out.split())
+    for name in ("golden.json", "config.toml", "weights/asr.ckpt",
+                 "weights/tokenizer.model"):
+        assert f"tests/fixtures/sessions/tiny/{name}" in tracked, (
+            f"{name} exists in the worktree but is not git-tracked — "
+            "check .gitignore and `git add -f` the fixture")
+
+
 def test_library_exact_transcripts(tiny):
     n = tiny.model.cfg.n_samples
     for s, g in enumerate(GOLDEN):
