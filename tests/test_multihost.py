@@ -44,6 +44,12 @@ def _child_env(port: int, pid: int) -> dict:
     env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
     env["JAX_NUM_PROCESSES"] = "2"
     env["JAX_PROCESS_ID"] = str(pid)
+    # The workers must import yoho_tpu even from a source checkout
+    # without an editable install (pytest itself gets the repo root via
+    # the invocation CWD; a bare subprocess does not).
+    repo_root = str(Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH")) if p)
     return env
 
 

@@ -46,6 +46,20 @@ def main(argv=None):
     parser.add_argument("--freeze-encoder", action="store_true",
                         help="train the decoder only (halves optimizer "
                              "memory and most backward FLOPs)")
+    parser.add_argument("--lora", type=int, default=0, metavar="RANK",
+                        help="LoRA parameter-efficient fine-tune: train "
+                             "rank-RANK adapters on frozen base weights "
+                             "(<1%% of params; exports BOTH the merged "
+                             "checkpoint and a re-applicable "
+                             "lora_adapter.msgpack)")
+    parser.add_argument("--lora-alpha", type=float, default=None,
+                        help="LoRA scale numerator (merged delta = "
+                             "alpha/rank * A@B; default 2*rank)")
+    parser.add_argument("--lora-targets", type=str, default=None,
+                        metavar="REGEX",
+                        help="module-path regex choosing adapted kernels "
+                             "(default: q/v projections of every "
+                             "attention)")
     parser.add_argument("--task", type=str, default="transcribe",
                         choices=("transcribe", "translate"))
     parser.add_argument("--no-timestamps", action="store_true",
@@ -78,6 +92,8 @@ def main(argv=None):
         parser.error("--updates must be >= 1")
     if args.accum < 1:
         parser.error("--accum must be >= 1")
+    if args.lora < 0:
+        parser.error("--lora must be >= 0 (0 = full fine-tune)")
 
     import jax.numpy as jnp
 
@@ -115,6 +131,8 @@ def main(argv=None):
         use_multiprocessing=args.workers,
         src_dir=args.hf, seed=args.seed,
         remat=args.remat,
+        lora_rank=args.lora, lora_alpha=args.lora_alpha,
+        lora_targets=args.lora_targets,
     )
     out = tuner.run(progress=True)
     print(f"exported fine-tuned checkpoint to {out}")

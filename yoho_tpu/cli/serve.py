@@ -826,7 +826,12 @@ def main(argv=None):
                              "--batch 1)")
     parser.add_argument("--gamma", type=int, default=4,
                         help="draft tokens per verify step (--draft-hf)")
+    parser.add_argument("--lora", type=str, default=None, metavar="PATH",
+                        help="merge a LoRA adapter (yoho finetune --lora "
+                             "output) into the --hf base weights at load")
     args = parser.parse_args(argv)
+    if args.lora and not args.hf:
+        parser.error("--lora adapts an --hf whisper checkpoint")
     if args.max_pending < 0:
         parser.error("--max-pending must be >= 0")
     if args.draft_hf and not args.hf:
@@ -869,7 +874,8 @@ def main(argv=None):
                                       draft_hf=args.draft_hf,
                                       speculative_gamma=args.gamma,
                                       mesh=mesh, enrolled_speakers=enrolled,
-                                      speaker_threshold=args.speaker_threshold)
+                                      speaker_threshold=args.speaker_threshold,
+                                      lora=args.lora)
     else:
         if args.diarize_session:
             print("warning: --diarize-session is ignored with --session — "

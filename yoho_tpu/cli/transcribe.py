@@ -54,7 +54,8 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
                               diarize=None,
                               draft_hf=None, speculative_gamma: int = 4,
                               mesh=None, enrolled_speakers=None,
-                              speaker_threshold: float = 0.75):
+                              speaker_threshold: float = 0.75,
+                              lora=None):
     import jax.numpy as jnp
 
     from yoho_tpu.infer.pipeline import Transcriber
@@ -63,6 +64,13 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
     from yoho_tpu.text.whisper_tokens import WhisperTokenTable
 
     cfg, params = load_hf_whisper(hf_path)
+    if lora:
+        # Merge a LoRA adapter (yoho finetune --lora) into the base at
+        # load — zero runtime cost, and it happens BEFORE int8 weight
+        # quantization so the quantizer sees the adapted weights.
+        from yoho_tpu.nn.lora import apply_adapter
+
+        params = apply_adapter(params, lora)
     if int8_weights:
         from yoho_tpu.nn.quantize import quantize_whisper_decoder
 
@@ -394,6 +402,10 @@ def main(argv=None):
                              "Whisper checkpoint drafts tokens the main "
                              "model verifies (greedy-identical; a "
                              "single-stream latency feature — use --batch 1)")
+    parser.add_argument("--lora", type=str, default=None, metavar="PATH",
+                        help="merge a LoRA adapter (yoho finetune --lora "
+                             "output dir or lora_adapter.msgpack) into the "
+                             "--hf base weights at load")
     parser.add_argument("--gamma", type=int, default=4,
                         help="draft tokens proposed per verify step "
                              "(--draft-hf)")
@@ -432,8 +444,13 @@ def main(argv=None):
                                       draft_hf=args.draft_hf,
                                       speculative_gamma=args.gamma,
                                       mesh=mesh, enrolled_speakers=enrolled,
-                                      speaker_threshold=args.speaker_threshold)
+                                      speaker_threshold=args.speaker_threshold,
+                                      lora=args.lora)
     else:
+        if args.lora:
+            print("warning: --lora is ignored with --session (adapters "
+                  "are a whisper fine-tune artifact; yoho sessions load "
+                  "their own trained weights)", file=sys.stderr)
         if args.diarize_session:
             print("warning: --diarize-session is ignored with --session — "
                   "the yoho family emits voiceprints in the decode forward "

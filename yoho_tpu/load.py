@@ -42,6 +42,7 @@ def load_transcriber(
     speaker_threshold: float = 0.75,
     draft_hf: Optional[str] = None,
     gamma: int = 4,
+    lora: Optional[str] = None,  # adapter dir/file from finetune --lora
 ):
     """Build a ready :class:`yoho_tpu.infer.Transcriber` from either an
     HF Whisper checkpoint (``hf=`` path or hub id) or a trained YOHO
@@ -91,7 +92,7 @@ def load_transcriber(
             task=task, vad_filter=vad, diarize=diarize,
             draft_hf=draft_hf, speculative_gamma=gamma, mesh=mesh,
             enrolled_speakers=enrolled,
-            speaker_threshold=speaker_threshold)
+            speaker_threshold=speaker_threshold, lora=lora)
 
     for name, val, default in (
         ("task", task, "transcribe"),
@@ -103,6 +104,7 @@ def load_transcriber(
         ("condition_on_previous_text", condition_on_previous_text, False),
         ("diarize_session", diarize_session, None),
         ("draft_hf", draft_hf, None),
+        ("lora", lora, None),
     ):
         if val != default:
             raise ValueError(f"{name}= is a whisper-family option "

@@ -97,10 +97,18 @@ def convert_hf_whisper(state_dict: Dict[str, "np.ndarray"], cfg: WhisperConfig) 
 
 
 def hf_config_to_whisper(hf_config) -> WhisperConfig:
-    """Map a transformers.WhisperConfig to our WhisperConfig."""
+    """Map a transformers.WhisperConfig to our WhisperConfig.
+
+    ``chunk_seconds`` is not an HF field — it is DERIVED from the
+    encoder geometry (stride-2 conv stem: ``n_frames = 2*n_audio_ctx``),
+    so non-30s checkpoints (e.g. exported tiny test geometries) load
+    with a consistent window instead of the default 30 s.
+    """
+    sr, hop = 16000, 160
     return WhisperConfig(
         n_mels=hf_config.num_mel_bins,
         n_audio_ctx=hf_config.max_source_positions,
+        chunk_seconds=2 * hf_config.max_source_positions * hop / sr,
         n_audio_state=hf_config.d_model,
         n_audio_head=hf_config.encoder_attention_heads,
         n_audio_layer=hf_config.encoder_layers,

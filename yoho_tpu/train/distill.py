@@ -67,6 +67,11 @@ class WhisperDistiller(WhisperFinetuner):
                 "token ids, so the draft must share the tokenizer")
         if not 0.0 <= alpha <= 1.0:
             raise ValueError(f"alpha must be in [0, 1], got {alpha}")
+        if kwargs.get("lora_rank"):
+            raise ValueError(
+                "LoRA adapts a PRETRAINED base; the distilled student "
+                "starts from random init, so every weight must train — "
+                "use --lora with `yoho finetune` instead")
         if tau <= 0:
             raise ValueError(
                 f"tau must be > 0, got {tau} — log_softmax(logits/tau) "

@@ -10,6 +10,10 @@ that writes the tuned params back as a standard HF checkpoint dir
 (``nn/export.py``) so the result serves anywhere — including this
 framework's ``--hf`` serving path.
 
+``lora_rank > 0`` switches to parameter-efficient fine-tuning: the base
+stays frozen (and sharded) while rank-r adapters train via
+merge-on-the-fly inside the same jitted step (``nn/lora.py``).
+
 Data recipe: reuses ``TranscriptionDataloader``'s corpus indexing,
 utterance packing, context randomization, augmentation and
 reject-and-advance (parity chain back to reference
@@ -223,7 +227,11 @@ class WhisperFinetuner:
                  max_target_len: Optional[int] = None,
                  use_multiprocessing: bool = False,
                  src_dir=None, ambient_dir=None, seed: int = 0,
-                 remat: bool = False):
+                 remat: bool = False,
+                 lora_rank: int = 0, lora_alpha: Optional[float] = None,
+                 lora_targets: Optional[str] = None):
+        from yoho_tpu.nn import lora as lora_mod
+
         self.cfg = cfg
         self.table = table
         self.out_dir = Path(out_dir)
@@ -234,6 +242,15 @@ class WhisperFinetuner:
         self.validation_frequency = validation_frequency
         self.validation_samples = validation_samples
         self.freeze_encoder = freeze_encoder
+        # LoRA: train rank-r adapters on frozen base weights
+        # (nn/lora.py). freeze_encoder composes by restricting the
+        # adapters to the decoder; the base is frozen either way.
+        self.lora_rank = int(lora_rank)
+        self.lora_alpha = lora_alpha
+        self.lora_targets = lora_targets or lora_mod.DEFAULT_TARGETS
+        self.lora_scale = (lora_mod.lora_scale(self.lora_rank, lora_alpha)
+                           if self.lora_rank else 0.0)
+        self.base_params = None
         self.out_dir.mkdir(parents=True, exist_ok=True)
         self.checkpoint_path = self.out_dir / "finetune_checkpoint.msgpack"
         # Multi-host (same contract as ASRTrainer): batch_size is GLOBAL,
@@ -287,7 +304,7 @@ class WhisperFinetuner:
         self.lr_schedule = optax.schedules.warmup_cosine_decay_schedule(
             0.0, learning_rate, warmup, total, final_learning_rate)
         inner = optax.adamw(self.lr_schedule)
-        if freeze_encoder:
+        if freeze_encoder and not self.lora_rank:
             # The encoder is usually the part worth preserving (domain
             # shift lives in the text side); freezing it also halves
             # optimizer memory and most of the backward FLOPs.
@@ -313,7 +330,10 @@ class WhisperFinetuner:
         import json
 
         meta = {"src": str(self.src_dir) if self.src_dir else None,
-                "cfg": self.cfg.model_dump()}
+                "cfg": self.cfg.model_dump(),
+                "lora": ({"rank": self.lora_rank, "alpha": self.lora_alpha,
+                          "targets": self.lora_targets}
+                         if self.lora_rank else None)}
         if self.checkpoint_path.exists() and self._provenance_path.exists():
             prev = json.loads(self._provenance_path.read_text())
             if prev != meta:
@@ -333,6 +353,32 @@ class WhisperFinetuner:
         params = jax.tree_util.tree_map(
             lambda x: np.asarray(x, dtype=np.float32), params)
         params = shard_params(params, self.mesh, WHISPER_RULES)
+        if self.lora_rank:
+            from yoho_tpu.nn import lora as lora_mod
+
+            # Frozen sharded base + a tiny trainable adapter tree. The
+            # TrainState (and so the optimizer + checkpoint) holds ONLY
+            # the adapters; adapters replicate (rank-r factors are a few
+            # hundred KB — sharding them would just add collectives).
+            self.base_params = params
+            adapters = lora_mod.init_lora(
+                jax.random.PRNGKey(0x10_4a), params, self.lora_rank,
+                self.lora_targets)
+            if self.freeze_encoder:
+                adapters = {k: v for k, v in adapters.items()
+                            if not k.startswith("encoder/")}
+                if not adapters:
+                    raise ValueError(
+                        "--freeze-encoder left no LoRA targets (the "
+                        f"targets regex {self.lora_targets!r} only "
+                        "matched encoder modules)")
+            adapters = shard_params(adapters, self.mesh, ())
+            state = jax.jit(lambda p: TrainState.create(
+                apply_fn=self.model.apply, params=p,
+                tx=self.optimizer))(adapters)
+            return restore_train_state(state, self.checkpoint_path,
+                                       self.mesh, (), self.model.apply,
+                                       self.optimizer)
         state = jax.jit(lambda p: TrainState.create(
             apply_fn=self.model.apply, params=p, tx=self.optimizer))(params)
         return restore_train_state(state, self.checkpoint_path, self.mesh,
@@ -350,16 +396,43 @@ class WhisperFinetuner:
             logits = model.apply({"params": params}, mel, tokens)
             return masked_ce_loss(logits, tokens, loss_mask)
 
-        def train_step(state, audio, tokens, loss_mask):
-            mel = mel_fn(audio.astype(jnp.float32))
-            loss, grads = jax.value_and_grad(loss_fn)(
-                state.params, mel, tokens.astype(jnp.int32),
-                loss_mask.astype(jnp.uint8))
-            # No explicit pmean: grads of data-sharded batches are
-            # reduced by XLA through the sharded ops (GSPMD).
-            return state.apply_gradients(grads=grads), loss
+        if self.lora_rank:
+            from yoho_tpu.nn.lora import merge_lora
 
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+            scale = self.lora_scale
+
+            def lora_train_step(state, base_params, audio, tokens,
+                                loss_mask):
+                mel = mel_fn(audio.astype(jnp.float32))
+
+                def adapter_loss(adapters):
+                    # Merge-on-the-fly: O(d^2 * r) extra FLOPs, grads
+                    # flow only into the adapters (nn/lora.py docstring).
+                    merged = merge_lora(base_params, adapters, scale)
+                    return loss_fn(merged, mel, tokens.astype(jnp.int32),
+                                   loss_mask.astype(jnp.uint8))
+
+                loss, grads = jax.value_and_grad(adapter_loss)(state.params)
+                return state.apply_gradients(grads=grads), loss
+
+            # base_params is an ARGUMENT, not a closure: closed-over
+            # arrays bake into the program as constants, which the axon
+            # relay re-ships per compile (CLAUDE.md).
+            self._train_step = jax.jit(lora_train_step, donate_argnums=(0,))
+            self._step_extra = (self.base_params,)
+            self._merge = jax.jit(partial(merge_lora, scale=scale))
+        else:
+            def train_step(state, audio, tokens, loss_mask):
+                mel = mel_fn(audio.astype(jnp.float32))
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    state.params, mel, tokens.astype(jnp.int32),
+                    loss_mask.astype(jnp.uint8))
+                # No explicit pmean: grads of data-sharded batches are
+                # reduced by XLA through the sharded ops (GSPMD).
+                return state.apply_gradients(grads=grads), loss
+
+            self._train_step = jax.jit(train_step, donate_argnums=(0,))
+            self._step_extra = ()
 
         def val_loss_fn(params, audio, tokens, loss_mask):
             mel = mel_fn(audio.astype(jnp.float32))
@@ -393,6 +466,13 @@ class WhisperFinetuner:
             ids = ids[:ids.index(self.table.eot)]
         return self.table.decode_text(ids)
 
+    def _eval_params(self):
+        """Params for full forward passes: merged base+adapters under
+        LoRA, else the trained params themselves."""
+        if self.lora_rank:
+            return self._merge(self.base_params, self.state.params)
+        return self.state.params
+
     def _validate(self, update: int) -> float:
         val_batch = self.val_dataloader.get_prepared_batch()
         # Exposed so subclasses (the distiller's agreement metric) can
@@ -400,8 +480,9 @@ class WhisperFinetuner:
         # another one. Under multi-host this is the LOCAL shard; pair it
         # with _place_batch.
         self._last_val_batch = val_batch
+        eval_params = self._eval_params()
         val_loss = float(self._val_loss(
-            self.state.params, *self._place_batch(val_batch[:3])))
+            eval_params, *self._place_batch(val_batch[:3])))
 
         n = min(self.validation_samples, len(val_batch[0]))
         # Decode under each sample's OWN prompt (sot/language/task as the
@@ -413,7 +494,7 @@ class WhisperFinetuner:
             timestamps=self.train_dataloader.timestamps))
         if self.n_processes == 1:
             decoded, _lengths = self._decode_samples(
-                self.state.params, jnp.asarray(val_batch[0][:n]),
+                eval_params, jnp.asarray(val_batch[0][:n]),
                 jnp.asarray(val_batch[1][:n, :plen], jnp.int32))
             decoded = np.asarray(decoded)
         else:
@@ -427,7 +508,7 @@ class WhisperFinetuner:
                 np.asarray(val_batch[0][idx]),
                 np.asarray(val_batch[1][idx][:, :plen], np.int32)))
             decoded_g, _lengths = self._decode_samples(
-                self.state.params, audio_g, prompt_g)
+                eval_params, audio_g, prompt_g)
             decoded = np.asarray(fetch_to_host(self.mesh, decoded_g))[:n]
             if self.metrics is None:
                 return val_loss
@@ -464,7 +545,8 @@ class WhisperFinetuner:
                 batch = self.train_dataloader.get_prepared_batch()
                 batch = shard_batch(self.mesh,
                                     tuple(np.asarray(x) for x in batch))
-                self.state, loss = self._train_step(self.state, *batch)
+                self.state, loss = self._train_step(
+                    self.state, *self._step_extra, *batch)
                 acc_loss += float(loss)
                 seen += 1
                 if step % acc == acc - 1:
@@ -505,9 +587,27 @@ class WhisperFinetuner:
             ckpt.save(step, params, opt_state)
 
     def export(self) -> Path:
-        """Write the tuned params as an HF checkpoint dir (nn/export.py)."""
+        """Write the tuned params as an HF checkpoint dir (nn/export.py).
+
+        Under LoRA, two artifacts: the merged full checkpoint (serves
+        anywhere, zero runtime cost) AND the bare adapter
+        (``lora_adapter.msgpack`` + meta — re-applicable to the same base
+        via ``--lora``, shippable at <1% of the checkpoint size)."""
         from yoho_tpu.nn.export import export_hf_whisper
 
+        if self.lora_rank:
+            from yoho_tpu.nn.lora import save_adapter
+
+            params = fetch_to_host(self.mesh, self._eval_params())
+            adapters = fetch_to_host(self.mesh, self.state.params)
+            if self.metrics is None:
+                return self.out_dir  # non-coordinator: gathered above
+            save_adapter(self.out_dir, adapters, rank=self.lora_rank,
+                         alpha=self.lora_alpha, targets=self.lora_targets,
+                         extra_meta={"src": str(self.src_dir)
+                                     if self.src_dir else None})
+            return export_hf_whisper(params, self.cfg, self.out_dir,
+                                     src_dir=self.src_dir)
         params = fetch_to_host(self.mesh, self.state.params)
         if self.metrics is None:
             return self.out_dir  # non-coordinator: participated in the gather
