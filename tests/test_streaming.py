@@ -108,7 +108,7 @@ def test_streaming_stitching_with_synthetic_segments(setup, monkeypatch):
     tok = t.tokenizer
     text_ids = tok.encode("hello world")
 
-    def fake_decode(b, mel, prompt=None):
+    def fake_decode(b, mel, prompt=None, temperatures=None):
         # one segment spanning frames 4..20 in every window
         seq = [tok.sot_id, tok.timestamp_id(4), *text_ids,
                tok.timestamp_id(20), tok.voiceprint_id, tok.eot_id]

@@ -12,9 +12,13 @@ The serving layer the reference lacks entirely (SURVEY.md §1). Stdlib-only:
   (it only changes the decode prompt's content, never its length, so
   mixed-language requests share one compiled program and one batch;
   ``POST /transcribe`` takes it as a ``?language=`` query parameter).
-  ``model``/``prompt``/``temperature`` fields are accepted but decode
-  policy is fixed by the server's flags (one compiled program serves
-  every request), so those do not override it per-request.
+  ``prompt`` and ``temperature`` are honored per request under the
+  micro-batching engine: prompts ride the traced prompt argument at a
+  FIXED padded length (every prompted request shares ONE extra compiled
+  program — see ``Transcriber._request_prompt_ids``) and temperatures
+  pool requests per ladder rung; under ``--continuous`` they are
+  rejected with 400 (the slot engine's programs bake both). ``model``
+  is accepted and ignored (the server loads one checkpoint).
   ``stream=true`` switches the response to Server-Sent Events (OpenAI's
   streaming shape): one ``transcript.text.delta`` event per batch of
   finalized windows while the audio decodes, then a
@@ -90,6 +94,29 @@ def _prometheus_text(stats: dict) -> str:
                     f'yoho_request_latency_seconds{{quantile="{q}"}} '
                     f"{v / 1000.0:.6f}")
     return "\n".join(lines) + "\n"
+
+
+def _validate_overrides(transcriber, continuous: bool, prompt,
+                        temperature) -> str:
+    """'' when OK; an error message when per-request prompt/temperature
+    can't be honored by THIS server's engine/model — silently ignoring
+    them (the pre-feature behavior) risks wrong transcripts."""
+    if prompt is None and temperature is None:
+        return ""
+    if continuous:
+        return ("per-request prompt/temperature need the micro-batching "
+                "engine; this server runs --continuous")
+    if temperature is not None and getattr(transcriber, "beams", 0) > 1:
+        return "per-request temperature is greedy-only; this server beams"
+    if prompt is not None:
+        if getattr(transcriber, "family", "") != "whisper":
+            return ("prompt conditioning is a whisper-family feature "
+                    "(<|startofprev|> tokens)")
+        table = getattr(transcriber, "token_table", None)
+        if table is None or getattr(table, "text_backend", None) is None:
+            return ("this server cannot tokenize 'prompt': the checkpoint "
+                    "dir lacks vocab.json+merges.txt / tokenizer.json")
+    return ""
 
 
 def _validate_language(transcriber, language) -> str:
@@ -211,7 +238,7 @@ def _render_openai(result, response_format: str, duration: float, task: str):
             json.dumps({"text": result.text}, ensure_ascii=False).encode())
 
 
-def make_handler(transcriber, batcher):
+def make_handler(transcriber, batcher, continuous: bool = False):
     import inspect
 
     try:
@@ -493,12 +520,45 @@ def make_handler(transcriber, batcher):
                     self._json(400, {"error": {
                         "message": err, "type": "invalid_request_error"}})
                     return
+                prompt = (fields.get("prompt", (None, b""))[1]
+                          .decode("utf-8", "replace").strip() or None)
+                temp_raw = (fields.get("temperature", (None, b""))[1]
+                            .decode().strip())
+                temperature = None
+                if temp_raw:
+                    try:
+                        temperature = float(temp_raw)
+                    except ValueError:
+                        self._json(400, {"error": {
+                            "message": f"temperature {temp_raw!r} is not "
+                                       "a number",
+                            "type": "invalid_request_error"}})
+                        return
+                    if not 0.0 <= temperature <= 2.0:
+                        self._json(400, {"error": {
+                            "message": f"temperature {temperature} outside "
+                                       "[0, 2]",
+                            "type": "invalid_request_error"}})
+                        return
+                err = _validate_overrides(transcriber, continuous,
+                                          prompt, temperature)
+                if err:
+                    self._json(400, {"error": {
+                        "message": err, "type": "invalid_request_error"}})
+                    return
                 stream_flag = (fields.get("stream", (None, b""))[1]
                                .decode().strip().lower() in ("true", "1"))
                 if stream_flag:
-                    self._openai_audio_sse(audio, language)
+                    self._openai_audio_sse(audio, language,
+                                           prompt=prompt,
+                                           temperature=temperature)
                     return
-                result = self._submit(audio, language=language)
+                kw = {}
+                if prompt is not None:
+                    kw["prompt"] = prompt
+                if temperature is not None:
+                    kw["temperature"] = temperature
+                result = self._submit(audio, language=language, **kw)
                 duration = len(audio) / transcriber.sample_rate
                 ctype_out, out = _render_openai(result, fmt, duration, task)
                 self._send(200, ctype_out, out)
@@ -513,7 +573,8 @@ def make_handler(transcriber, batcher):
                     "message": f"{type(e).__name__}: {e}",
                     "type": "server_error"}})
 
-        def _openai_audio_sse(self, audio, language) -> None:
+        def _openai_audio_sse(self, audio, language, prompt=None,
+                              temperature=None) -> None:
             """OpenAI ``stream=true``: Server-Sent Events over the upload.
 
             The audio is fed window-by-window through a
@@ -529,6 +590,12 @@ def make_handler(transcriber, batcher):
             if lang is None and getattr(transcriber, "family", "") == "whisper":
                 lang = "en"  # match /stream: never per-window auto-detect
 
+            kw = {}
+            if prompt is not None:
+                kw["prompt"] = prompt  # conditions every window
+            if temperature is not None:
+                kw["temperature"] = temperature
+
             def _decode_shared(window_audio):
                 # Same overload policy as /stream: a started SSE response
                 # cannot be retried by the client, so wait out transient
@@ -536,7 +603,7 @@ def make_handler(transcriber, batcher):
                 while True:
                     try:
                         return self._submit(window_audio, language=lang,
-                                            vad=False).segments
+                                            vad=False, **kw).segments
                     except ServerOverloaded:
                         if self._client_gone():
                             raise ConnectionError(
@@ -676,7 +743,8 @@ def serve(transcriber, port: int = 8000, host: str = "127.0.0.1",
                                max_wait_ms=max_wait_ms,
                                max_pending=max_pending)
     server = ThreadingHTTPServer((host, port),
-                                 make_handler(transcriber, batcher))
+                                 make_handler(transcriber, batcher,
+                                              continuous=continuous))
     server.batcher = batcher  # so callers/tests can read counters / close
     server.transcriber = transcriber  # for warmup()/introspection
     server.stream_conns = set()  # live websocket sockets, for drain()
@@ -829,6 +897,13 @@ def main(argv=None):
     parser.add_argument("--lora", type=str, default=None, metavar="PATH",
                         help="merge a LoRA adapter (yoho finetune --lora "
                              "output) into the --hf base weights at load")
+    parser.add_argument("--hotwords", type=str, default=None,
+                        metavar="PHRASES",
+                        help="comma-separated phrases whose tokens get a "
+                             "logit boost in every decode (fixed per "
+                             "server: the bias bakes into the compiled "
+                             "programs)")
+    parser.add_argument("--hotword-boost", type=float, default=4.0)
     args = parser.parse_args(argv)
     if args.lora and not args.hf:
         parser.error("--lora adapts an --hf whisper checkpoint")
@@ -875,7 +950,8 @@ def main(argv=None):
                                       speculative_gamma=args.gamma,
                                       mesh=mesh, enrolled_speakers=enrolled,
                                       speaker_threshold=args.speaker_threshold,
-                                      lora=args.lora)
+                                      lora=args.lora, hotwords=args.hotwords,
+                                      hotword_boost=args.hotword_boost)
     else:
         if args.diarize_session:
             print("warning: --diarize-session is ignored with --session — "
@@ -885,7 +961,9 @@ def main(argv=None):
                                    args.batch, vad_filter=args.vad,
                                    mesh=mesh, enrolled_speakers=enrolled,
                                    speaker_threshold=args.speaker_threshold,
-                                   word_timestamps=args.word_timestamps)
+                                   word_timestamps=args.word_timestamps,
+                                   hotwords=args.hotwords,
+                                   hotword_boost=args.hotword_boost)
 
     server = serve(t, args.port, args.host, args.max_wait_ms,
                    continuous=args.continuous,

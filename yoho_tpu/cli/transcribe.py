@@ -55,7 +55,8 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
                               draft_hf=None, speculative_gamma: int = 4,
                               mesh=None, enrolled_speakers=None,
                               speaker_threshold: float = 0.75,
-                              lora=None):
+                              lora=None, hotwords=None,
+                              hotword_boost: float = 4.0, logit_bias=None):
     import jax.numpy as jnp
 
     from yoho_tpu.infer.pipeline import Transcriber
@@ -128,6 +129,8 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
         speculative_gamma=speculative_gamma,
         enrolled_speakers=enrolled_speakers,
         speaker_threshold=speaker_threshold,
+        hotwords=hotwords, hotword_boost=hotword_boost,
+        logit_bias=logit_bias,
     )
 
 
@@ -136,7 +139,9 @@ def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
                            vad_filter: bool = False, mesh=None,
                            enrolled_speakers=None,
                            speaker_threshold: float = 0.75,
-                           word_timestamps: bool = False):
+                           word_timestamps: bool = False,
+                           hotwords=None, hotword_boost: float = 4.0,
+                           logit_bias=None):
     import jax
     import jax.numpy as jnp
 
@@ -179,7 +184,9 @@ def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
                        vad_filter=vad_filter, mesh=mesh,
                        enrolled_speakers=enrolled_speakers,
                        speaker_threshold=speaker_threshold,
-                       word_timestamps=word_timestamps)
+                       word_timestamps=word_timestamps,
+                       hotwords=hotwords, hotword_boost=hotword_boost,
+                       logit_bias=logit_bias)
 
 
 def _result_payload(f, result) -> dict:
@@ -406,6 +413,15 @@ def main(argv=None):
                         help="merge a LoRA adapter (yoho finetune --lora "
                              "output dir or lora_adapter.msgpack) into the "
                              "--hf base weights at load")
+    parser.add_argument("--hotwords", type=str, default=None,
+                        metavar="PHRASES",
+                        help="comma-separated phrases whose tokens get a "
+                             "logit boost (domain names, jargon); bakes "
+                             "into the compiled decode programs")
+    parser.add_argument("--hotword-boost", type=float, default=4.0,
+                        help="logit delta added to each hotword token "
+                             "(default 4.0; too high forces false "
+                             "positives)")
     parser.add_argument("--gamma", type=int, default=4,
                         help="draft tokens proposed per verify step "
                              "(--draft-hf)")
@@ -445,7 +461,8 @@ def main(argv=None):
                                       speculative_gamma=args.gamma,
                                       mesh=mesh, enrolled_speakers=enrolled,
                                       speaker_threshold=args.speaker_threshold,
-                                      lora=args.lora)
+                                      lora=args.lora, hotwords=args.hotwords,
+                                      hotword_boost=args.hotword_boost)
     else:
         if args.lora:
             print("warning: --lora is ignored with --session (adapters "
@@ -460,7 +477,9 @@ def main(argv=None):
                                    vad_filter=args.vad, mesh=mesh,
                                    enrolled_speakers=enrolled,
                                    speaker_threshold=args.speaker_threshold,
-                                   word_timestamps=args.word_timestamps)
+                                   word_timestamps=args.word_timestamps,
+                                   hotwords=args.hotwords,
+                                   hotword_boost=args.hotword_boost)
 
     from yoho_tpu.utils.profiling import trace
 

@@ -53,6 +53,8 @@ class _Pending:
     sample_rate: Optional[int]
     language: Optional[str] = None
     vad: Optional[bool] = None
+    prompt: Optional[str] = None
+    temperature: Optional[float] = None
     done: threading.Event = field(default_factory=threading.Event)
     result: Any = None
     error: Optional[BaseException] = None
@@ -85,6 +87,8 @@ class MicroBatcher:
     def submit(self, audio, sample_rate: Optional[int] = None,
                language: Optional[str] = None,
                vad: Optional[bool] = None,
+               prompt: Optional[str] = None,
+               temperature: Optional[float] = None,
                cancelled: Optional[Callable[[], bool]] = None):
         """Enqueue one request and block until its result is ready.
 
@@ -93,10 +97,14 @@ class MicroBatcher:
         languages still share one batch and one compiled program.
         ``vad`` overrides the configured vad_filter for this request
         (the streaming path submits pre-gated windows with ``False``).
+        ``prompt``/``temperature`` are per-request decode overrides
+        (``Transcriber.transcribe_many(prompts=, temperatures=)`` pools
+        them by compiled-program key internally).
         ``cancelled`` is polled while blocked (the HTTP layer passes a
         socket-liveness probe); when it turns true the queued request is
         dropped and :class:`RequestCancelled` raised."""
-        req = _Pending(audio, sample_rate, language, vad)
+        req = _Pending(audio, sample_rate, language, vad, prompt,
+                       temperature)
         t0 = time.monotonic()
         with self._cv:
             if self._closed:
@@ -197,6 +205,11 @@ class MicroBatcher:
                         kwargs["languages"] = [r.language for r in reqs]
                     if any(r.vad is not None for r in reqs):
                         kwargs["vad"] = [r.vad for r in reqs]
+                    if any(r.prompt is not None for r in reqs):
+                        kwargs["prompts"] = [r.prompt for r in reqs]
+                    if any(r.temperature is not None for r in reqs):
+                        kwargs["temperatures"] = [r.temperature
+                                                  for r in reqs]
                     results = self.transcriber.transcribe_many(
                         [r.audio for r in reqs], rate, **kwargs
                     )

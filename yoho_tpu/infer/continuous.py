@@ -104,6 +104,9 @@ class ContinuousWhisperDecoder:
 
             self._rules = make_timestamp_rules(t.token_table, self.prompt_len)
         self._suppress = t._suppress_ids()
+        # Same logit bias (hotwords / logit_bias=) as the offline decode
+        # programs — applied before the rules, mirroring pipeline.py.
+        self._bias = t._bias_logits_fn()
 
         # Family-dependent model surfaces (mirrors infer/pipeline.py):
         # whisper's init_caches takes the quantized flag and its
@@ -165,6 +168,8 @@ class ContinuousWhisperDecoder:
         from yoho_tpu.infer.decode import _suppress, as_f32_logits
 
         logits = _suppress(as_f32_logits(logits), self._suppress)
+        if self._bias is not None:
+            logits = self._bias(logits)
         if self._rules is not None:
             logits = self._rules(logits, tokens, pos)
         nxt = jnp.argmax(logits, axis=-1)
@@ -386,13 +391,25 @@ class ContinuousBatcher:
     def submit(self, audio, sample_rate: Optional[int] = None,
                language: Optional[str] = None,
                vad: Optional[bool] = None,
+               prompt: Optional[str] = None,
+               temperature: Optional[float] = None,
                cancelled: Optional[Callable[[], bool]] = None):
         """``language``/``vad``/``cancelled`` are per-request overrides
         (same contract as :meth:`MicroBatcher.submit`). A cancelled
         request's queued windows are dropped and its occupied slots are
         RELEASED at the next chunk boundary — the big win over the
-        micro-batcher, where a dispatched batch runs to completion."""
+        micro-batcher, where a dispatched batch runs to completion.
+
+        ``prompt``/``temperature`` are NOT supported here: the slot
+        engine's two compiled programs bake the prompt length and the
+        temperature ladder — use the micro-batching engine for those."""
         from yoho_tpu.infer.batching import RequestCancelled, ServerOverloaded
+
+        if prompt is not None or temperature is not None:
+            raise ValueError(
+                "per-request prompt/temperature need the micro-batching "
+                "engine (drop --continuous): the slot engine's compiled "
+                "programs bake the prompt shape and temperature ladder")
 
         req = _Request(audio, sample_rate, language, vad)
         t0 = time.monotonic()

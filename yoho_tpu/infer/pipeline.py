@@ -71,6 +71,9 @@ class Transcriber:
         initial_prompt: Optional[str] = None,
         condition_on_previous_text: bool = False,
         suppress_tokens: Sequence[int] = (),
+        logit_bias=None,  # {token_id: delta} added to decode logits
+        hotwords: Optional[str] = None,  # comma-separated boosted phrases
+        hotword_boost: float = 4.0,
         vad_filter: bool = False,
         vad_options=None,
         diarize_encoder=None,  # VoiceprintEncoder (whisper-family diarization)
@@ -217,6 +220,15 @@ class Transcriber:
         overlap = min(int(overlap_seconds * self.sample_rate), self.chunk_samples // 2)
         self.stride_samples = self.chunk_samples - overlap
         assert 0 < self.stride_samples <= self.chunk_samples
+        # Logit-space vocabulary biasing: explicit {token_id: delta}
+        # entries (OpenAI logit_bias semantics) plus hotword phrases whose
+        # token ids each get +hotword_boost. Applied inside every compiled
+        # decode program (greedy/beam/speculative/continuous), BEFORE the
+        # timestamp rules so their text-vs-timestamp decisions see the
+        # biased distribution. Fixed per Transcriber: the bias bakes into
+        # the compiled programs (a per-request bias would recompile).
+        self._logit_bias_entries = self._build_logit_bias(
+            logit_bias, hotwords, hotword_boost)
         self._jitted = {}
         # Serializes program construction: concurrent server threads
         # (HTTP batcher + WebSocket streams) asking for the same (batch,
@@ -243,6 +255,96 @@ class Transcriber:
                 return [tt.sot_prev] + list(map(int, ctx)) + sot
             return sot
         return [self.tokenizer.sot_id]
+
+    def _request_prompt_ids(self, language: Optional[str],
+                            prompt_text: Optional[str]) -> List[int]:
+        """Prompt for one request, honoring a PER-REQUEST context string
+        (the OpenAI ``prompt`` field).
+
+        TPU-first shape discipline: the context is truncated/LEFT-padded
+        (with repeated ``<|startofprev|>``) to a FIXED budget, so every
+        prompted request shares ONE extra compiled program regardless of
+        its prompt's token count — never one program per length. A
+        per-request prompt overrides the instance-level initial_prompt.
+        """
+        if prompt_text is None:
+            return self._prompt_ids(language)
+        if self.family != "whisper":
+            raise ValueError("per-request prompt is a whisper-family "
+                             "feature (<|startofprev|> conditioning)")
+        tt = self.token_table
+        if tt.text_backend is None:
+            raise ValueError(
+                "per-request prompt needs a text backend to tokenize it — "
+                "load the model from a checkpoint dir with vocab.json+"
+                "merges.txt or tokenizer.json")
+        sot = tt.sot_sequence(language or self.language or "en", self.task,
+                              timestamps=self.timestamps)
+        # Same budget formula as sequential conditioning
+        # (_transcribe_sequential): half the text context stays available
+        # for generation.
+        ctx_budget = max(8, self.max_len // 2 - len(sot) - 1)
+        ctx = list(map(int, tt.encode_text(" " + prompt_text.strip())))
+        ctx = ctx[-ctx_budget:]
+        pad = [tt.sot_prev] * (ctx_budget - len(ctx))
+        return [tt.sot_prev] + pad + ctx + list(sot)
+
+    def _build_logit_bias(self, logit_bias, hotwords, hotword_boost):
+        """-> sorted {token_id: delta}. Validates ids against the vocab
+        and resolves hotword phrases through the family's tokenizer."""
+        entries: dict = {}
+        for tid, delta in dict(logit_bias or {}).items():
+            entries[int(tid)] = entries.get(int(tid), 0.0) + float(delta)
+        if hotwords:
+            phrases = ([p.strip() for p in hotwords.split(",") if p.strip()]
+                       if isinstance(hotwords, str) else
+                       [str(p).strip() for p in hotwords if str(p).strip()])
+            if not phrases:
+                raise ValueError(f"hotwords {hotwords!r} contains no phrases")
+            boosted = set()
+            for phrase in phrases:
+                if self.family == "whisper":
+                    if self.token_table.text_backend is None:
+                        raise ValueError(
+                            "hotwords need a text backend to tokenize the "
+                            "phrases — load the model from a checkpoint "
+                            "dir with vocab.json+merges.txt or "
+                            "tokenizer.json")
+                    # Leading space: GPT-2 byte-BPE merges expect
+                    # space-prefixed words mid-sentence.
+                    ids = self.token_table.encode_text(" " + phrase)
+                else:
+                    ids = self.tokenizer.encode(phrase)
+                boosted.update(int(t) for t in ids)
+            for tid in boosted:
+                entries[tid] = entries.get(tid, 0.0) + float(hotword_boost)
+        if not entries:
+            return {}
+        n_vocab = int(getattr(self.model.cfg, "n_vocab", 0) or
+                      getattr(self.model, "vocab_size", 0) or 0)
+        bad = [t for t in entries if t < 0 or (n_vocab and t >= n_vocab)]
+        if bad:
+            raise ValueError(
+                f"logit_bias token ids out of range [0, {n_vocab}): {bad}")
+        return dict(sorted(entries.items()))
+
+    def _bias_logits_fn(self):
+        """None, or a jit-traceable ``logits -> logits`` adding the
+        configured per-token deltas (built via scatter-add so the vocab
+        width comes from the traced logits, and XLA folds the dense bias
+        vector to a program constant)."""
+        if not self._logit_bias_entries:
+            return None
+        ids = jnp.asarray(list(self._logit_bias_entries), jnp.int32)
+        deltas = jnp.asarray(list(self._logit_bias_entries.values()),
+                             jnp.float32)
+
+        def add_bias(logits):
+            vec = jnp.zeros((logits.shape[-1],), logits.dtype)
+            vec = vec.at[ids].add(deltas.astype(logits.dtype))
+            return logits + vec
+
+        return add_bias
 
     def _suppress_ids(self):
         extra = list(self.suppress_tokens)
@@ -291,6 +393,13 @@ class Transcriber:
             from yoho_tpu.infer.whisper_rules import make_timestamp_rules
 
             logits_fn = make_timestamp_rules(self.token_table, prompt_len)
+        bias_fn = self._bias_logits_fn()
+        if bias_fn is not None:
+            rules_fn = logits_fn
+
+            def logits_fn(logits, tokens, pos, _rules=rules_fn):
+                logits = bias_fn(logits)
+                return logits if _rules is None else _rules(logits, tokens, pos)
 
         quantize = self.quantized_cross_kv if self.family == "whisper" else False
 
@@ -603,27 +712,32 @@ class Transcriber:
             return 0.0
         return len(data) / max(len(zlib.compress(data)), 1)
 
-    def _decode_with_fallback(self, b: int, mel, prompt=None):
+    def _decode_with_fallback(self, b: int, mel, prompt=None,
+                              temperatures=None):
         """Greedy first; windows failing the whisper quality checks (low
         mean logprob, pathological compression ratio) are replaced by
         higher-temperature re-decodes (parity with OpenAI's fallback).
         ``prompt`` (B, P) overrides the default prompt (previous-text
-        conditioning); ``aux["used_temperature"]`` records the ladder rung
-        each window ended on."""
+        conditioning); ``temperatures`` overrides the configured ladder
+        (per-request temperature: a single-rung ladder decodes exactly at
+        that temperature); ``aux["used_temperature"]`` records the ladder
+        rung each window ended on."""
+        ladder = tuple(temperatures) if temperatures is not None \
+            else self.temperatures
         prompt_len = None if prompt is None else prompt.shape[1]
         tokens, lengths, aux = self._decode_fn(
-            b, self.temperatures[0], prompt_len)(self.variables, mel, prompt)
+            b, ladder[0], prompt_len)(self.variables, mel, prompt)
         tokens = np.array(tokens)  # writable host copies
         lengths = np.array(lengths)
         aux = {k: np.array(v) for k, v in aux.items()}
-        aux["used_temperature"] = np.full((b,), self.temperatures[0],
-                                          np.float32)
-        self._run_fallback_ladder(b, mel, prompt, tokens, lengths, aux)
+        aux["used_temperature"] = np.full((b,), ladder[0], np.float32)
+        self._run_fallback_ladder(b, mel, prompt, tokens, lengths, aux,
+                                  temperatures=ladder)
         return tokens, lengths, aux
 
     def _run_fallback_ladder(self, b: int, mel, prompt,
                              tokens: np.ndarray, lengths: np.ndarray,
-                             aux) -> None:
+                             aux, temperatures=None) -> None:
         """Ladder rungs > 0: re-decode failed windows at rising
         temperature, mutating ``tokens``/``lengths``/``aux`` in place.
         Shared by :meth:`_decode_with_fallback` and the continuous
@@ -634,12 +748,14 @@ class Transcriber:
         is only materialized if some window actually fails (the
         continuous path would otherwise recompute features per request
         just to discover nothing needs retrying)."""
-        if len(self.temperatures) <= 1 or self.family != "whisper" or self.beams > 1:
+        ladder = tuple(temperatures) if temperatures is not None \
+            else self.temperatures
+        if len(ladder) <= 1 or self.family != "whisper" or self.beams > 1:
             return
 
         prompt_len = None if prompt is None else prompt.shape[1]
         n_prompt = prompt_len if prompt_len is not None else len(self._prompt_ids())
-        for temp in self.temperatures[1:]:
+        for temp in ladder[1:]:
             gen = np.maximum(lengths - n_prompt, 1)
             avg_lp = aux["sum_logprob"] / gen
             failed = avg_lp < self.logprob_threshold
@@ -938,18 +1054,29 @@ class Transcriber:
         audio: Union[str, Path, np.ndarray],
         sample_rate: Optional[int] = None,
         language: Optional[str] = None,
+        prompt: Optional[str] = None,
+        temperature: Optional[float] = None,
     ) -> TranscriptionResult:
         """Transcribe one audio source of any length.
 
         ``language`` overrides the configured language for THIS call only
         (whisper family). The decode prompt rides as a traced argument
         with a language-independent length, so the override reuses the
-        already-compiled program — no recompile per language."""
+        already-compiled program — no recompile per language.
+        ``prompt``/``temperature`` are per-call overrides with the same
+        semantics as ``transcribe_many(prompts=, temperatures=)``."""
         if self.condition_on_previous_text:
+            if prompt is not None or temperature is not None:
+                raise ValueError("per-call prompt/temperature overrides "
+                                 "don't compose with "
+                                 "condition_on_previous_text (use "
+                                 "initial_prompt/temperatures instead)")
             return self._transcribe_sequential(
                 self._prepare_audio(audio, sample_rate), language=language)
         return self.transcribe_many([audio], sample_rate,
-                                    languages=[language])[0]
+                                    languages=[language],
+                                    prompts=[prompt],
+                                    temperatures=[temperature])[0]
 
     def _transcribe_sequential(self, audio: np.ndarray,
                                language: Optional[str] = None,
@@ -1037,6 +1164,8 @@ class Transcriber:
         sample_rate: Optional[int] = None,
         languages: Optional[Sequence[Optional[str]]] = None,
         vad: Optional[Sequence[Optional[bool]]] = None,
+        prompts: Optional[Sequence[Optional[str]]] = None,
+        temperatures: Optional[Sequence[Optional[float]]] = None,
     ) -> List[TranscriptionResult]:
         """Transcribe several audio sources through SHARED decode batches.
 
@@ -1055,10 +1184,32 @@ class Transcriber:
         configured ``vad_filter`` per request; ``None`` entries keep the
         configured behavior. The streaming server submits already-gated
         windows with ``vad=False`` so they are never collapsed twice.
+
+        ``prompts`` (optional, one string per audio) carries per-request
+        <|startofprev|> conditioning (the OpenAI ``prompt`` field):
+        contexts are truncated/padded to a fixed budget so ALL prompted
+        requests share one extra compiled program (see
+        ``_request_prompt_ids``). ``temperatures`` (optional, one float
+        per audio) decodes that request exactly at the given temperature
+        instead of the configured fallback ladder. Requests are pooled
+        per (prompt shape, temperature) — mixed batches keep sharing
+        programs within each pool, and entries with ``None`` everywhere
+        batch exactly as before.
         """
         if vad is not None and len(vad) != len(audios):
             raise ValueError(f"vad has {len(vad)} entries for "
                              f"{len(audios)} audios")
+        for name, seq in (("prompts", prompts), ("temperatures", temperatures)):
+            if seq is not None and len(seq) != len(audios):
+                raise ValueError(f"{name} has {len(seq)} entries for "
+                                 f"{len(audios)} audios")
+        req_prompts = list(prompts) if prompts is not None \
+            else [None] * len(audios)
+        req_temps = list(temperatures) if temperatures is not None \
+            else [None] * len(audios)
+        for t in req_temps:
+            if t is not None and not 0.0 <= float(t) <= 2.0:
+                raise ValueError(f"temperature {t} outside [0, 2]")
         prepared = [self._prepare_audio(a, sample_rate) for a in audios]
         # Source-timeline audio per request (the post-pass diarizer slices
         # segment spans from it; VAD replaces `prepared` with the
@@ -1092,46 +1243,62 @@ class Transcriber:
             req_langs = [o or self.language for o in overrides]
 
         all_starts: List[List[int]] = []
-        window_list = []
-        win_prompts: List[List[int]] = []
-        for audio, lang in zip(prepared, req_langs):
+        # Per window: (audio window, prompt ids, temperature override).
+        win_entries: List[tuple] = []
+        for audio, lang, ptext, tover in zip(prepared, req_langs,
+                                             req_prompts, req_temps):
             if len(audio) == 0:  # all-silent after VAD: nothing to decode
                 all_starts.append([])
                 continue
             w, s = chunk_audio(audio, self.chunk_samples, self.stride_samples)
-            window_list.append(w)
             all_starts.append(s)
-            win_prompts += [self._prompt_ids(lang)] * len(w)
-        windows = (np.concatenate(window_list) if window_list
-                   else np.zeros((0, self.chunk_samples), np.float32))
-        n_win = len(windows)
-        per_window: List[List[Segment]] = []
+            ids = self._request_prompt_ids(lang, ptext)
+            tkey = None if tover is None else float(tover)
+            win_entries += [(win, ids, tkey) for win in w]
+        n_win = len(win_entries)
+        per_window: List[Optional[List[Segment]]] = [None] * n_win
+
+        # Pool windows per (prompt length, temperature): each pool shares
+        # one compiled program; the all-defaults case is a single pool in
+        # submission order — identical batching to a plain call.
+        pools: dict = {}
+        for gi, (_win, ids, tkey) in enumerate(win_entries):
+            pools.setdefault((len(ids), tkey), []).append(gi)
 
         b = self.batch_size
-        filler = self._prompt_ids(req_langs[0] if req_langs else None)
-        for i in range(0, n_win, b):
-            batch = windows[i : i + b]
-            actual = len(batch)
-            if actual < b:
-                batch = np.concatenate(
-                    [batch, np.zeros((b - actual, self.chunk_samples), np.float32)]
-                )
-            prompt = np.asarray(
-                win_prompts[i : i + actual] + [filler] * (b - actual), np.int32)
-            mel = self._features(self._to_device(batch))
-            tokens, lengths, aux = self._decode_with_fallback(b, mel, prompt)
-            silent = self._silent_mask(lengths, aux)
-            segs = [
-                [] if silent[j] else self._tokens_to_segments(tokens[j], int(lengths[j]))
-                for j in range(actual)
-            ]
-            self._attach_quality(segs, lengths, aux)
-            # Pass the FULL padded batch: slicing to the remainder would
-            # compile a fresh program per distinct final-batch size (both
-            # helpers only read rows with a per_window entry).
-            self._attach_voiceprints(mel, tokens, segs, lengths)
-            self._attach_words(mel, tokens, lengths, segs)
-            per_window.extend(segs)
+        for (plen, tkey), idxs in pools.items():
+            ladder = None if tkey is None else (tkey,)
+            for i in range(0, len(idxs), b):
+                chunk = idxs[i : i + b]
+                actual = len(chunk)
+                batch = np.stack([win_entries[g][0] for g in chunk])
+                if actual < b:
+                    batch = np.concatenate(
+                        [batch,
+                         np.zeros((b - actual, self.chunk_samples), np.float32)]
+                    )
+                filler = win_entries[chunk[0]][1]
+                prompt = np.asarray(
+                    [win_entries[g][1] for g in chunk]
+                    + [filler] * (b - actual), np.int32)
+                mel = self._features(self._to_device(batch))
+                tokens, lengths, aux = self._decode_with_fallback(
+                    b, mel, prompt, temperatures=ladder)
+                silent = self._silent_mask(lengths, aux, n_prompt=plen)
+                segs = [
+                    [] if silent[j]
+                    else self._tokens_to_segments(tokens[j], int(lengths[j]),
+                                                  n_prompt=plen)
+                    for j in range(actual)
+                ]
+                self._attach_quality(segs, lengths, aux, n_prompt=plen)
+                # Pass the FULL padded batch: slicing to the remainder would
+                # compile a fresh program per distinct final-batch size (both
+                # helpers only read rows with a per_window entry).
+                self._attach_voiceprints(mel, tokens, segs, lengths)
+                self._attach_words(mel, tokens, lengths, segs, n_prompt=plen)
+                for j, g in enumerate(chunk):
+                    per_window[g] = segs[j]
 
         results = []
         off = 0

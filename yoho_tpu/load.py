@@ -43,6 +43,9 @@ def load_transcriber(
     draft_hf: Optional[str] = None,
     gamma: int = 4,
     lora: Optional[str] = None,  # adapter dir/file from finetune --lora
+    hotwords: Optional[str] = None,  # comma-separated boosted phrases
+    hotword_boost: float = 4.0,
+    logit_bias=None,  # {token_id: delta} (OpenAI logit_bias semantics)
 ):
     """Build a ready :class:`yoho_tpu.infer.Transcriber` from either an
     HF Whisper checkpoint (``hf=`` path or hub id) or a trained YOHO
@@ -92,7 +95,9 @@ def load_transcriber(
             task=task, vad_filter=vad, diarize=diarize,
             draft_hf=draft_hf, speculative_gamma=gamma, mesh=mesh,
             enrolled_speakers=enrolled,
-            speaker_threshold=speaker_threshold, lora=lora)
+            speaker_threshold=speaker_threshold, lora=lora,
+            hotwords=hotwords, hotword_boost=hotword_boost,
+            logit_bias=logit_bias)
 
     for name, val, default in (
         ("task", task, "transcribe"),
@@ -114,4 +119,6 @@ def load_transcriber(
         session, root, beams, batch, int8_weights=int8_weights,
         vad_filter=vad, mesh=mesh, enrolled_speakers=enrolled,
         speaker_threshold=speaker_threshold,
-        word_timestamps=word_timestamps)
+        word_timestamps=word_timestamps,
+        hotwords=hotwords, hotword_boost=hotword_boost,
+        logit_bias=logit_bias)
