@@ -28,6 +28,9 @@ COMMANDS = {
                      "Split long (audio, SRT) pairs into chunks"),
     "cache-corpus": ("yoho_tpu.cli.cache_corpus",
                      "Transcode a corpus to FLAC for fast decode"),
+    "import-corpus": ("yoho_tpu.cli.import_corpus",
+                      "Import CommonVoice/LibriSpeech/LJSpeech/CSV "
+                      "corpora into the SRT training layout"),
     "summary": ("yoho_tpu.cli.summary", "Model/param summary"),
     "enroll": ("yoho_tpu.cli.enroll",
                "Enroll speaker voiceprints for recognition"),
