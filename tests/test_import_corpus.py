@@ -178,6 +178,97 @@ def test_generic_csv_with_speaker_col(tmp_path):
     assert (dst / "speakers" / "bob" / "b.wav").exists()
 
 
+def test_duplicate_stems_do_not_overwrite(tmp_path):
+    """spk1/utt1.wav + spk2/utt1.wav share a stem; the second pair must
+    land under a disambiguated name, not clobber the first."""
+    src = tmp_path / "gen"
+    src.mkdir()
+    _write_wav(src / "spk1" / "utt1.wav")
+    _write_wav(src / "spk2" / "utt1.wav")
+    (src / "index.csv").write_text(
+        "audio,transcript\nspk1/utt1.wav,first speaker\n"
+        "spk2/utt1.wav,second speaker\n", encoding="utf-8")
+    dst = tmp_path / "out"
+    stats = import_corpus(src, dst, fmt="csv", audio_col="audio",
+                          text_col="transcript", quiet=True)
+    assert stats["imported"] == 2
+    srts = sorted((dst / "transcripts").glob("*.srt"), key=lambda p: p.stem)
+    assert [p.stem for p in srts] == ["utt1", "utt1-2"]
+    assert _read_single_srt(srts[0]).content == "first speaker"
+    assert _read_single_srt(srts[1]).content == "second speaker"
+    assert len(list((dst / "audio").iterdir())) == 2
+
+
+def test_speaker_id_cannot_escape_speakers_dir(tmp_path):
+    """A hostile/odd speaker id ('../evil', 'a/b') is sanitized into ONE
+    path component under dst/speakers — never a traversal."""
+    src = tmp_path / "gen"
+    src.mkdir()
+    _write_wav(src / "a.wav")
+    _write_wav(src / "b.wav")
+    (src / "index.csv").write_text(
+        "audio,transcript,who\na.wav,first words,../evil\n"
+        "b.wav,more words,x/y\n", encoding="utf-8")
+    dst = tmp_path / "out"
+    import_corpus(src, dst, fmt="csv", audio_col="audio",
+                  text_col="transcript", speaker_col="who",
+                  speakers=True, quiet=True)
+    names = sorted(p.name for p in (dst / "speakers").iterdir())
+    assert names == [".._evil", "x_y"]
+    assert not (tmp_path / "evil").exists() and not (dst / "evil").exists()
+    for d in (dst / "speakers").iterdir():
+        assert d.parent == dst / "speakers" and d.is_dir()
+
+
+def test_commonvoice_fallback_skips_invalidated(tmp_path):
+    """Without validated.tsv the fallback globs other tables but must
+    never ingest invalidated.tsv (community-REJECTED transcripts)."""
+    src = tmp_path / "cv"
+    (src / "clips").mkdir(parents=True)
+    _write_wav(src / "clips" / "good.wav")
+    _write_wav(src / "clips" / "bad.wav")
+    (src / "train.tsv").write_text(
+        "client_id\tpath\tsentence\nspk0\tgood.wav\tkept words\n",
+        encoding="utf-8")
+    (src / "invalidated.tsv").write_text(
+        "client_id\tpath\tsentence\nspk1\tbad.wav\trejected words\n",
+        encoding="utf-8")
+    dst = tmp_path / "out"
+    stats = import_corpus(src, dst, quiet=True)
+    assert stats["imported"] == 1
+    assert [p.stem for p in (dst / "transcripts").glob("*.srt")] == ["good"]
+    # An explicit --tsv still allows deliberate use of any table.
+    dst2 = tmp_path / "out2"
+    stats2 = import_corpus(src, dst2, tsv="invalidated.tsv", quiet=True)
+    assert stats2["imported"] == 1
+
+
+def test_truncated_flac_header_falls_back_to_decode(tmp_path):
+    """A header-damaged FLAC must not blow up the probe with IndexError;
+    _flac_duration returns None and probe_duration decodes instead."""
+    from yoho_tpu.cli.import_corpus import _flac_duration
+
+    good = _write_flac(tmp_path / "good.flac", seconds=0.5)
+    data = good.read_bytes()
+    for cut in (4, 6, 20):  # magic only / mid-header / mid-STREAMINFO
+        p = tmp_path / f"cut{cut}.flac"
+        p.write_bytes(data[:cut])
+        assert _flac_duration(p) is None
+    # Full decode fallback still yields the true duration for a file
+    # whose header claims "unknown length" (total_samples=0 is legal).
+    patched = bytearray(data)
+    # STREAMINFO total-samples field: bits 108..143 of the block = bytes
+    # 21.5..26 of the file (8 magic+header bytes + 13.5 offset); zero the
+    # low nibble of byte 21 and bytes 22..25.
+    patched[8 + 13] &= 0xF0
+    for i in range(14, 18):
+        patched[8 + i] = 0
+    p = tmp_path / "unknown_len.flac"
+    p.write_bytes(bytes(patched))
+    assert _flac_duration(p) is None
+    assert probe_duration(p) == pytest.approx(0.5, abs=1e-3)
+
+
 def test_generic_csv_missing_column_errors(tmp_path):
     src = tmp_path / "gen"
     src.mkdir()

@@ -189,6 +189,28 @@ def test_apply_adapter_rejects_wrong_architecture(tiny_params, tmp_path):
         L.load_adapter(tmp_path / "nonexistent")
 
 
+def test_apply_adapter_refuses_unknown_scale(tiny_params, tmp_path):
+    """Missing meta json must NOT silently merge at scale 1.0 — that
+    would serve half the trained delta under the default alpha=2*rank."""
+    _cfg, params = tiny_params
+    lora = L.init_lora(jax.random.PRNGKey(7), params, rank=4)
+    key = "encoder/blocks_0/attn/v_proj"
+    lora[key]["b"] = jnp.ones_like(lora[key]["b"])
+    L.save_adapter(tmp_path, lora, rank=4, alpha=None,
+                   targets=L.DEFAULT_TARGETS)
+    (tmp_path / L.ADAPTER_META_FILE).unlink()
+
+    host = jax.tree_util.tree_map(np.asarray, params)
+    with pytest.raises(ValueError, match="scale"):
+        L.apply_adapter(host, tmp_path)
+    # An explicit scale= substitutes for the lost meta.
+    applied = L.apply_adapter(host, tmp_path, scale=2.0)
+    want = L.merge_lora(host, jax.device_get(lora), 2.0)
+    np.testing.assert_allclose(
+        np.asarray(L._node(applied, key)["kernel"]),
+        np.asarray(L._node(want, key)["kernel"]), atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # Fine-tuning integration
 # ---------------------------------------------------------------------------

@@ -270,11 +270,14 @@ def test_openai_prompt_and_temperature_honored(whisper_server):
         prompted = json.load(r)
     assert [s["tokens"] for s in prompted["segments"]] != \
         [s["tokens"] for s in plain["segments"]]
+    # 0.7 snaps DOWN to the 0.6 rung: per-request temperatures are
+    # quantized to a bounded rung set (each distinct value is a separate
+    # compiled TPU program — see serve._snap_temperature).
     with _post(url, {"file": ("a.wav", wav),
                      "temperature": (None, b"0.7"),
                      "response_format": (None, b"verbose_json")}) as r:
         temp = json.load(r)
-    assert all(s["temperature"] == pytest.approx(0.7)
+    assert all(s["temperature"] == pytest.approx(0.6)
                for s in temp["segments"])
 
 
@@ -285,3 +288,41 @@ def test_openai_temperature_rejected_when_invalid(whisper_server):
         with pytest.raises(urllib.error.HTTPError) as e:
             _post(url, {"file": ("a.wav", wav), "temperature": (None, bad)})
         assert e.value.code == 400
+
+
+def test_temperature_snapping_bounds_compiled_programs():
+    """Arbitrary floats quantize to the 11-rung grid; 0.0 (the OpenAI SDK
+    default) means 'server default' so beam/continuous servers accept it."""
+    from yoho_tpu.cli.serve import _snap_temperature, _validate_overrides
+
+    assert _snap_temperature(None) is None
+    assert _snap_temperature(0.0) is None       # SDK default -> no override
+    assert _snap_temperature(0.05) is None      # rounds to rung 0.0
+    assert _snap_temperature(0.31) == pytest.approx(0.4)
+    assert _snap_temperature(0.7) == pytest.approx(0.6)  # ties pick lower
+    assert _snap_temperature(2.0) == pytest.approx(2.0)
+    # The whole float surface collapses to <= 10 distinct programs.
+    rungs = {_snap_temperature(i / 100.0) for i in range(201)}
+    assert len(rungs - {None}) == 10
+
+    class _Beamy:
+        beams = 4
+        family = "whisper"
+
+    # temperature=0 on a beam server: snapped to None upstream, so the
+    # validator never rejects the SDK default...
+    assert _validate_overrides(_Beamy(), False, None,
+                               _snap_temperature(0.0)) == ""
+    # ...while a real sampling request still gets the 400.
+    assert "greedy-only" in _validate_overrides(_Beamy(), False, None, 0.4)
+
+
+def test_transcribe_many_rejects_temperature_with_beams(setup):
+    """The library API refuses (not ignores) sampling temps under beam
+    search — stamping an unapplied temperature would misreport decodes."""
+    cfg, _model, _variables, _table, audios = setup
+    t = _t(setup, beams=2, batch_size=1)
+    with pytest.raises(ValueError, match="greedy-only"):
+        t.transcribe_many(audios[:1], temperatures=[0.7])
+    # Explicit 0.0 (greedy) remains valid — it IS what beam decode does.
+    t.transcribe_many(audios[:1], temperatures=[0.0])

@@ -36,8 +36,8 @@ from __future__ import annotations
 import argparse
 import csv
 import datetime as dt
+import re
 import shutil
-import struct
 import sys
 from pathlib import Path
 from typing import Iterator, Optional, Tuple
@@ -75,29 +75,18 @@ def probe_duration(path: Path, sample_rate: int = 16000) -> float:
 
 
 def _flac_duration(path: Path) -> Optional[float]:
-    """STREAMINFO-only FLAC duration (the first metadata block is
-    mandatory and always STREAMINFO per the spec)."""
+    """STREAMINFO-only FLAC duration via the owned decoder's header
+    parser (``audio/flac.py``); None on ANY unreadable/malformed header
+    so ``probe_duration`` falls back to a full decode — a damaged header
+    does not imply an undecodable file."""
+    from yoho_tpu.audio.flac import flac_stream_info
+
     try:
         with open(path, "rb") as f:
-            if f.read(4) != b"fLaC":
-                return None
-            header = f.read(4)
-            if (header[0] & 0x7F) != 0:  # block type 0 = STREAMINFO
-                return None
-            (size,) = struct.unpack(">I", b"\0" + header[1:4])
-            info = f.read(size)
-            if len(info) < 18:
-                return None
-            # bits 80..99 sample rate, 100..102 channels-1, 103..107
-            # bps-1, 108..143 total samples (36 bits)
-            packed = int.from_bytes(info[10:18], "big")
-            rate = packed >> 44
-            total = packed & ((1 << 36) - 1)
-            if rate == 0 or total == 0:  # total==0 = "unknown" per spec
-                return None
-            return total / rate
-    except OSError:
+            rate, _, _, total = flac_stream_info(f.read(64))
+    except (OSError, ValueError):
         return None
+    return total / rate if total else None  # 0 = "unknown" per spec
 
 
 def _iter_commonvoice(src: Path, tsv: Optional[str]) -> Iterator[Row]:
@@ -108,7 +97,13 @@ def _iter_commonvoice(src: Path, tsv: Optional[str]) -> Iterator[Row]:
     else:
         tables = [src / "validated.tsv"]
         if not tables[0].exists():
-            tables = sorted(src.glob("*.tsv"))
+            # Tables that must never be auto-imported: invalidated.tsv is
+            # community-REJECTED clips (same schema, known-bad
+            # transcripts) and reported.tsv is a complaint log. Pass
+            # --tsv explicitly to override.
+            bad = {"invalidated.tsv", "reported.tsv"}
+            tables = [t for t in sorted(src.glob("*.tsv"))
+                      if t.name not in bad]
         if not tables:
             raise FileNotFoundError(f"no .tsv table under {src}")
     clips = src / "clips"
@@ -203,6 +198,18 @@ def _one_utterance_srt(text: str, duration: float) -> str:
         end=dt.timedelta(seconds=max(duration, 0.01)), content=text)])
 
 
+def _safe_component(name: str) -> str:
+    """One path component: no separators, no traversal, never empty.
+
+    Speaker ids (and stems) come straight out of corpus tables — a value
+    like ``a/b`` or ``..`` used raw under ``dst/speakers/`` would write
+    outside the tree."""
+    name = re.sub(r"[^\w.-]", "_", name)
+    if not name.strip("._"):  # '', '.', '..', '___' -> unusable
+        return "_"
+    return name
+
+
 def _place(src: Path, dst: Path, copy: bool) -> None:
     if dst.exists() or dst.is_symlink():
         dst.unlink()
@@ -233,6 +240,10 @@ def import_corpus(src: Path, dst: Path, fmt: str = "auto",
     (dst / "transcripts").mkdir(parents=True, exist_ok=True)
     (dst / "audio").mkdir(parents=True, exist_ok=True)
     imported = skipped = 0
+    # Stems from different source subdirs can collide (e.g. generic CSV
+    # rows spk1/utt1.wav + spk2/utt1.wav); a raw stem would silently
+    # overwrite the earlier pair while still counting it as imported.
+    seen: dict = {}
     for stem, audio, text, speaker in rows:
         if limit is not None and imported >= limit:
             break
@@ -250,11 +261,16 @@ def import_corpus(src: Path, dst: Path, fmt: str = "auto",
                       file=sys.stderr)
             skipped += 1
             continue
+        stem = _safe_component(stem)
+        n = seen.get(stem, 0)
+        seen[stem] = n + 1
+        if n:
+            stem = f"{stem}-{n + 1}"
         (dst / "transcripts" / f"{stem}.srt").write_text(
             _one_utterance_srt(text, duration), encoding="utf-8")
         _place(audio, dst / "audio" / (stem + audio.suffix.lower()), copy)
         if speakers and speaker:
-            spk_dir = dst / "speakers" / speaker
+            spk_dir = dst / "speakers" / _safe_component(speaker)
             spk_dir.mkdir(parents=True, exist_ok=True)
             _place(audio, spk_dir / (stem + audio.suffix.lower()), copy)
         imported += 1

@@ -16,8 +16,11 @@ The serving layer the reference lacks entirely (SURVEY.md §1). Stdlib-only:
   micro-batching engine: prompts ride the traced prompt argument at a
   FIXED padded length (every prompted request shares ONE extra compiled
   program — see ``Transcriber._request_prompt_ids``) and temperatures
-  pool requests per ladder rung; under ``--continuous`` they are
-  rejected with 400 (the slot engine's programs bake both). ``model``
+  snap to 0.2-wide rungs in [0, 2] and pool requests per rung (a bounded
+  set of compiled programs; ``_snap_temperature``). ``temperature=0``
+  — the OpenAI SDK default — means "server default" and is accepted by
+  every engine; under ``--continuous`` nonzero overrides are rejected
+  with 400 (the slot engine's programs bake both). ``model``
   is accepted and ignored (the server loads one checkpoint).
   ``stream=true`` switches the response to Server-Sent Events (OpenAI's
   streaming shape): one ``transcript.text.delta`` event per batch of
@@ -94,6 +97,29 @@ def _prometheus_text(stats: dict) -> str:
                     f'yoho_request_latency_seconds{{quantile="{q}"}} '
                     f"{v / 1000.0:.6f}")
     return "\n".join(lines) + "\n"
+
+
+# Per-request temperatures snap to these rungs. Each DISTINCT temperature
+# value compiles — and caches forever — one more TPU decode program per
+# batch shape (``Transcriber._decode_fn`` keys on the float), so an
+# open-ended float surface would let clients force unbounded minutes-long
+# XLA compiles that stall the shared decode worker. Snapping bounds the
+# program count at 11 and matches the documented "pooled per ladder rung"
+# behavior exactly.
+_TEMPERATURE_RUNGS = tuple(round(0.2 * i, 1) for i in range(11))  # 0.0..2.0
+
+
+def _snap_temperature(temperature):
+    """Nearest rung; 0.0 -> None (= the server's default decode).
+
+    Mapping 0.0 to "no override" is what the OpenAI SDK's default
+    ``temperature=0`` means — greedy, the behavior every engine already
+    has — so beam/continuous servers keep accepting it instead of
+    rejecting the SDK default with a 400."""
+    if temperature is None:
+        return None
+    snapped = min(_TEMPERATURE_RUNGS, key=lambda r: abs(r - temperature))
+    return None if snapped == 0.0 else snapped
 
 
 def _validate_overrides(transcriber, continuous: bool, prompt,
@@ -540,6 +566,7 @@ def make_handler(transcriber, batcher, continuous: bool = False):
                                        "[0, 2]",
                             "type": "invalid_request_error"}})
                         return
+                    temperature = _snap_temperature(temperature)
                 err = _validate_overrides(transcriber, continuous,
                                           prompt, temperature)
                 if err:

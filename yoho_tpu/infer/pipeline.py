@@ -1210,6 +1210,14 @@ class Transcriber:
         for t in req_temps:
             if t is not None and not 0.0 <= float(t) <= 2.0:
                 raise ValueError(f"temperature {t} outside [0, 2]")
+        if self.beams > 1 and any(t is not None and float(t) != 0.0
+                                  for t in req_temps):
+            # Beam search has no sampling path; honoring the field is
+            # impossible and stamping segment.temperature with an
+            # unapplied value would misreport the decode.
+            raise ValueError(
+                f"per-request temperatures are greedy-only; this "
+                f"Transcriber runs beam search (beams={self.beams})")
         prepared = [self._prepare_audio(a, sample_rate) for a in audios]
         # Source-timeline audio per request (the post-pass diarizer slices
         # segment spans from it; VAD replaces `prepared` with the

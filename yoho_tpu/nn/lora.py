@@ -188,13 +188,25 @@ def load_adapter(path) -> Tuple[dict, dict]:
     return lora, meta
 
 
-def apply_adapter(params, path):
+def apply_adapter(params, path, *, scale: Optional[float] = None):
     """Merge a saved adapter into a (host) param tree at load time.
 
     Raises if any adapter path is absent from the tree — a silent skip
-    would serve the UNADAPTED base while claiming otherwise.
+    would serve the UNADAPTED base while claiming otherwise. Likewise
+    raises when the merge scale is unknown (``lora_adapter.meta.json``
+    lost and no explicit ``scale=``): guessing 1.0 would silently serve
+    half the trained delta under the default alpha=2*rank recipe.
     """
     lora, meta = load_adapter(path)
+    if scale is None:
+        if "scale" not in meta:
+            raise ValueError(
+                f"adapter at {path} has no {ADAPTER_META_FILE} (or it "
+                "lacks 'scale') — the merge scale alpha/rank is unknown "
+                "and a guessed value would quietly mis-scale the trained "
+                "delta; restore the meta file written next to the "
+                "adapter, or pass scale= explicitly")
+        scale = float(meta["scale"])
     missing = []
     for mod_path in lora:
         try:
@@ -216,5 +228,4 @@ def apply_adapter(params, path):
             f"adapter modules absent from this checkpoint: {missing[:4]}"
             f"{'...' if len(missing) > 4 else ''} — the adapter belongs "
             "to a different architecture")
-    scale = float(meta.get("scale", 1.0))
     return merge_lora(params, lora, scale)
