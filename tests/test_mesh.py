@@ -68,3 +68,23 @@ def test_shard_params_on_mesh():
     odd = {"attn": {"q_proj": {"kernel": np.zeros((16, 15), np.float32)}}}
     sharded = shard_params(odd, mesh)
     assert sharded["attn"]["q_proj"]["kernel"].sharding.spec == P()
+
+
+def test_local_batch_size_single_process():
+    from yoho_tpu.parallel.mesh import local_batch_size
+
+    # Single-process (this test env): the local batch IS the global batch.
+    assert local_batch_size(32) == 32
+
+
+def test_barrier_noop_single_process():
+    from yoho_tpu.parallel.mesh import barrier
+
+    barrier("test")  # must not raise or block when process_count() == 1
+
+
+def test_replicate_jit_cached_per_mesh():
+    from yoho_tpu.parallel.mesh import _replicate_jit
+
+    mesh = make_mesh(model=1)
+    assert _replicate_jit(mesh) is _replicate_jit(mesh)

@@ -165,6 +165,49 @@ def fetch_to_host(mesh: Mesh, tree):
     """
     if jax.process_count() == 1:
         return jax.device_get(tree)
-    rep = jax.jit(lambda t: t,
-                  out_shardings=replicated_sharding(mesh))(tree)
-    return jax.device_get(rep)
+    return jax.device_get(_replicate_jit(mesh)(tree))
+
+
+# jax's jit cache is keyed on function identity: building a fresh
+# ``jax.jit(lambda t: t)`` per call would re-trace AND XLA-recompile the
+# full-model all-gather at every checkpoint save / validation fetch /
+# export on every process. One jitted identity per mesh (meshes are few
+# and live for the whole run).
+_REPLICATE_JIT: dict = {}
+
+
+def _replicate_jit(mesh: Mesh):
+    fn = _REPLICATE_JIT.get(mesh)
+    if fn is None:
+        fn = jax.jit(lambda t: t, out_shardings=replicated_sharding(mesh))
+        _REPLICATE_JIT[mesh] = fn
+    return fn
+
+
+def local_batch_size(global_batch: int) -> int:
+    """This process's share of a GLOBAL batch.
+
+    Multi-host contract (all trainers): ``hp.batch_size`` is the global
+    batch; each process loads ``global/process_count`` disjoint rows and
+    ``shard_batch`` assembles the global array. Raises a config error —
+    naming the real constraint — when it doesn't divide.
+    """
+    count = jax.process_count()
+    if global_batch % count:
+        raise ValueError(
+            f"batch_size {global_batch} must divide by the process "
+            f"count {count} (each process loads batch_size/process_count "
+            "local rows)")
+    return global_batch // count
+
+
+def barrier(name: str) -> None:
+    """Cross-process sync point; a no-op for single-process runs.
+
+    Orders shared-filesystem reads/writes between processes (e.g. every
+    process reads a provenance file BEFORE the coordinator rewrites it).
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)

@@ -174,6 +174,26 @@ class AsyncCheckpointer:
         self.flush()
 
 
+def save_train_state(mesh, state, ckpt: Optional["AsyncCheckpointer"]):
+    """The multi-host checkpoint contract, in ONE place for all trainers.
+
+    Collective on every process (model-sharded leaves are gathered to
+    host through the mesh — see ``parallel.mesh.fetch_to_host``); only
+    the coordinator's ``ckpt`` writes (non-coordinators pass None).
+
+    Returns the host copy of ``state.params`` so completion paths
+    (weight export in the trainers' ``finally``) can reuse it instead of
+    paying a second full cross-host gather of the same tree.
+    """
+    from yoho_tpu.parallel.mesh import fetch_to_host
+
+    params = fetch_to_host(mesh, state.params)
+    opt_state = fetch_to_host(mesh, state.opt_state)
+    if ckpt is not None:
+        ckpt.save(int(state.step), params, opt_state)
+    return params
+
+
 def save_params(path, params) -> None:
     """Export a params-only artifact (the weights.* session slots)."""
     path = Path(path)

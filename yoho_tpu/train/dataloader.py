@@ -336,7 +336,16 @@ class TranscriptionDataloader(Dataloader):
             table = np.random.default_rng(
                 (self.seed, epoch)).permutation(int(self.sizes[-1]))
         idx, count = self.shard
-        return table[idx::count] if count > 1 else table
+        if count > 1:
+            # Truncate to a multiple of count FIRST so every process sees
+            # the same number of entries (and so the same batches/epoch).
+            # Uneven shards would advance processes' epoch counters at
+            # different rates, putting them on DIFFERENT epoch
+            # permutations — strides of different permutations are not
+            # disjoint, silently breaking the cover-once contract.
+            table = table[: (len(table) // count) * count]
+            return table[idx::count]
+        return table
 
     # ------------------------------------------------------------------
     def get_num_batches(self) -> int:
@@ -569,7 +578,12 @@ class SpeakerDataloader(Dataloader):
     def __init__(self, config: SessionConfig, batch_size: int,
                  clips_per_speaker: int = 2, seed: int = 0, augment: bool = True,
                  shard: Tuple[int, int] = (0, 1), **kwargs):
-        assert batch_size % clips_per_speaker == 0
+        if batch_size % clips_per_speaker:
+            raise ValueError(
+                f"per-process batch size {batch_size} must be divisible "
+                f"by clips_per_speaker={clips_per_speaker} (on a cluster "
+                "the global batch_size is divided by process_count first, "
+                "so batch_size/process_count must divide it)")
         self.config = config
         self.clips_per_speaker = clips_per_speaker
         self.seed = seed

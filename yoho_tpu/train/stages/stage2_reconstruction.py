@@ -21,14 +21,19 @@ from yoho_tpu.audio.frontend import yoho_log_mel
 from yoho_tpu.core.config import SessionConfig
 from yoho_tpu.nn.reconstruction import VoiceReconstructionVAE, vae_loss
 from yoho_tpu.parallel.mesh import (
-    fetch_to_host,
     is_coordinator,
+    local_batch_size,
     make_mesh,
     process_shard,
     shard_batch,
 )
 from yoho_tpu.parallel.sharding import shard_params
-from yoho_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint, save_params
+from yoho_tpu.train.checkpoint import (
+    AsyncCheckpointer,
+    load_checkpoint,
+    save_params,
+    save_train_state,
+)
 from yoho_tpu.train.dataloader import AudioChunkDataloader
 from yoho_tpu.train.metrics import MetricsWriter
 from yoho_tpu.train.session import stage_dir
@@ -44,10 +49,7 @@ class ReconstructionTrainer:
         # Multi-host (same contract as ASRTrainer): global hp.batch_size,
         # disjoint per-process dataloader shards, coordinator-only writers.
         self.process_index, self.n_processes = process_shard()
-        if self.hp.batch_size % self.n_processes:
-            raise ValueError(
-                f"batch_size {self.hp.batch_size} must divide by the "
-                f"process count {self.n_processes}")
+        local_batch = local_batch_size(self.hp.batch_size)
         self.metrics = (MetricsWriter(self.stage_path / "metrics.csv")
                         if is_coordinator() else None)
         self.mesh = mesh or make_mesh(config.mesh.data, config.mesh.model)
@@ -56,7 +58,7 @@ class ReconstructionTrainer:
                                             latent_dim=self.hp.latent_dim,
                                             remat=self.hp.remat)
         self.dataloader = AudioChunkDataloader(
-            config, self.hp.batch_size // self.n_processes, augment=False,
+            config, local_batch, augment=False,
             shard=(self.process_index, self.n_processes),
             use_multiprocessing=use_multiprocessing, disable_warnings=True,
             warmup_queue=False,
@@ -144,20 +146,16 @@ class ReconstructionTrainer:
                     if update % hp.validation_frequency == 0:
                         self._save_checkpoint(ckpt)
         finally:
-            self._save_checkpoint(ckpt)
+            params = self._save_checkpoint(ckpt)
             if ckpt is not None:
                 ckpt.close()
-            params = fetch_to_host(self.mesh, self.state.params)
             if self.metrics is not None:
                 save_params(self.config.weights.voice_reconstruction, params)
 
-    def _save_checkpoint(self, ckpt: Optional[AsyncCheckpointer]) -> None:
-        """Collective host-gather on every process; coordinator writes."""
-        step = int(self.state.step)
-        params = fetch_to_host(self.mesh, self.state.params)
-        opt_state = fetch_to_host(self.mesh, self.state.opt_state)
-        if ckpt is not None:
-            ckpt.save(step, params, opt_state)
+    def _save_checkpoint(self, ckpt: Optional[AsyncCheckpointer]):
+        """Collective on all processes; coordinator writes. Returns the
+        host params (see ``checkpoint.save_train_state``)."""
+        return save_train_state(self.mesh, self.state, ckpt)
 
 
 def main(config: SessionConfig, max_updates=None,

@@ -21,8 +21,8 @@ from yoho_tpu.audio.frontend import yoho_log_mel
 from yoho_tpu.core.config import SessionConfig
 from yoho_tpu.nn.voiceprint import VoiceprintEncoder, nt_xent_loss
 from yoho_tpu.parallel.mesh import (
-    fetch_to_host,
     is_coordinator,
+    local_batch_size,
     make_mesh,
     process_shard,
     shard_batch,
@@ -33,6 +33,7 @@ from yoho_tpu.train.checkpoint import (
     load_checkpoint,
     load_params,
     save_params,
+    save_train_state,
 )
 from yoho_tpu.train.dataloader import SpeakerDataloader
 from yoho_tpu.train.metrics import MetricsWriter
@@ -52,10 +53,7 @@ class VoiceprintTrainer:
         # LOCAL rows only (the loss is computed on the global batch, but
         # each process contributes batch/process_count clips per step).
         self.process_index, self.n_processes = process_shard()
-        if self.hp.batch_size % self.n_processes:
-            raise ValueError(
-                f"batch_size {self.hp.batch_size} must divide by the "
-                f"process count {self.n_processes}")
+        local_batch = local_batch_size(self.hp.batch_size)
         self.metrics = (MetricsWriter(self.stage_path / "metrics.csv")
                         if is_coordinator() else None)
         self.mesh = mesh or make_mesh(config.mesh.data, config.mesh.model)
@@ -64,7 +62,7 @@ class VoiceprintTrainer:
                                        embedding_dim=self.hp.embedding_dim,
                                        remat=self.hp.remat)
         self.dataloader = SpeakerDataloader(
-            config, self.hp.batch_size // self.n_processes,
+            config, local_batch,
             shard=(self.process_index, self.n_processes),
             use_multiprocessing=use_multiprocessing,
             disable_warnings=True, warmup_queue=False,
@@ -154,20 +152,16 @@ class VoiceprintTrainer:
                     if update % hp.validation_frequency == 0:
                         self._save_checkpoint(ckpt)
         finally:
-            self._save_checkpoint(ckpt)
+            params = self._save_checkpoint(ckpt)
             if ckpt is not None:
                 ckpt.close()
-            params = fetch_to_host(self.mesh, self.state.params)
             if self.metrics is not None:
                 save_params(self.config.weights.voiceprint, params)
 
-    def _save_checkpoint(self, ckpt: Optional[AsyncCheckpointer]) -> None:
-        """Collective host-gather on every process; coordinator writes."""
-        step = int(self.state.step)
-        params = fetch_to_host(self.mesh, self.state.params)
-        opt_state = fetch_to_host(self.mesh, self.state.opt_state)
-        if ckpt is not None:
-            ckpt.save(step, params, opt_state)
+    def _save_checkpoint(self, ckpt: Optional[AsyncCheckpointer]):
+        """Collective on all processes; coordinator writes. Returns the
+        host params (see ``checkpoint.save_train_state``)."""
+        return save_train_state(self.mesh, self.state, ckpt)
 
 
 def main(config: SessionConfig, max_updates=None,

@@ -35,13 +35,18 @@ from yoho_tpu.nn.yoho import YOHOModel
 from yoho_tpu.parallel.mesh import (
     fetch_to_host,
     is_coordinator,
+    local_batch_size,
     make_mesh,
     process_shard,
     shard_batch,
 )
 from yoho_tpu.parallel.sharding import YOHO_RULES, shard_params
 from yoho_tpu.text.tokenizer import YOHOTokenizer
-from yoho_tpu.train.checkpoint import AsyncCheckpointer, load_checkpoint
+from yoho_tpu.train.checkpoint import (
+    AsyncCheckpointer,
+    load_checkpoint,
+    save_train_state,
+)
 from yoho_tpu.train.dataloader import TranscriptionDataloader
 from yoho_tpu.train.metrics import MetricsWriter
 from yoho_tpu.train.session import stage_dir
@@ -160,17 +165,14 @@ class ASRTrainer:
         # (shard_batch assembles them into the global array); artifact
         # writers below are coordinator-only.
         self.process_index, self.n_processes = process_shard()
-        if self.hp.batch_size % self.n_processes:
-            raise ValueError(
-                f"batch_size {self.hp.batch_size} must divide by the "
-                f"process count {self.n_processes}")
+        local_batch = local_batch_size(self.hp.batch_size)
         dl_kwargs = dict(
             config=data_config,
             tokenizer=self.tokenizer,
             # Each stage's OWN ratio (stage 4 has its own field; the
             # dataloader default would silently read the stage-1 value).
             speechless_ratio=getattr(self.hp, "speechless_sample_ratio", 0.0),
-            batch_size=self.hp.batch_size // self.n_processes,
+            batch_size=local_batch,
             shard=(self.process_index, self.n_processes),
             shuffle=True,
             use_multiprocessing=use_multiprocessing,
@@ -461,30 +463,29 @@ class ASRTrainer:
                 import jax.profiler
 
                 jax.profiler.stop_trace()
-            self._save_checkpoint(ckpt)
+            params_host = self._save_checkpoint(ckpt)
             if ckpt is not None:
                 ckpt.close()
             if completed:
-                self._export_weights()
+                self._export_weights(params_host)
             if pbar is not None:
                 pbar.close()
 
-    def _save_checkpoint(self, ckpt: Optional[AsyncCheckpointer]) -> None:
-        """Collective on all processes (model-sharded leaves are gathered
-        to host through the mesh); only the coordinator's ckpt writes."""
-        step = int(self.state.step)
-        params = fetch_to_host(self.mesh, self.state.params)
-        opt_state = fetch_to_host(self.mesh, self.state.opt_state)
-        if ckpt is not None:
-            ckpt.save(step, params, opt_state)
+    def _save_checkpoint(self, ckpt: Optional[AsyncCheckpointer]):
+        """Collective on all processes; coordinator writes. Returns the
+        host params (see ``checkpoint.save_train_state``)."""
+        return save_train_state(self.mesh, self.state, ckpt)
 
-    def _export_weights(self) -> None:
+    def _export_weights(self, params_host=None) -> None:
         """Write the stage's params artifact into its weights.* slot
-        (stage 1 -> weights.asr, stage 4 -> weights.yoho)."""
+        (stage 1 -> weights.asr, stage 4 -> weights.yoho). Pass the host
+        params from the final checkpoint save to skip a redundant
+        cross-host gather of the same tree."""
         from yoho_tpu.train.checkpoint import save_params
 
         target = (self.config.weights.asr if self.stage == 1
                   else self.config.weights.yoho)
-        params = fetch_to_host(self.mesh, self.state.params)
+        if params_host is None:
+            params_host = fetch_to_host(self.mesh, self.state.params)
         if self.metrics is not None:
-            save_params(target, params)
+            save_params(target, params_host)

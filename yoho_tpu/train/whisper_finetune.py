@@ -47,15 +47,17 @@ from yoho_tpu.core.config import (
 from yoho_tpu.infer.decode import greedy_decode, make_whisper_step_fn
 from yoho_tpu.nn.whisper import Whisper
 from yoho_tpu.parallel.mesh import (
+    barrier,
     fetch_to_host,
     is_coordinator,
+    local_batch_size,
     make_mesh,
     process_shard,
     shard_batch,
 )
 from yoho_tpu.parallel.sharding import WHISPER_RULES, shard_params
 from yoho_tpu.text.whisper_tokens import WhisperTokenTable
-from yoho_tpu.train.checkpoint import AsyncCheckpointer
+from yoho_tpu.train.checkpoint import AsyncCheckpointer, save_train_state
 from yoho_tpu.train.dataloader import TranscriptionDataloader
 from yoho_tpu.train.metrics import MetricsWriter
 from yoho_tpu.train.trainer import masked_ce_loss
@@ -257,10 +259,7 @@ class WhisperFinetuner:
         # each process loads a disjoint corpus shard, writers are
         # coordinator-only.
         self.process_index, self.n_processes = process_shard()
-        if batch_size % self.n_processes:
-            raise ValueError(
-                f"batch_size {batch_size} must divide by the process "
-                f"count {self.n_processes}")
+        local_batch = local_batch_size(batch_size)
         self.metrics = (MetricsWriter(self.out_dir / "metrics.csv",
                                       self.out_dir / "validations.jsonl")
                         if is_coordinator() else None)
@@ -274,7 +273,7 @@ class WhisperFinetuner:
 
         dl_kwargs = dict(
             data_dir=data_dir, cfg=cfg, table=table,
-            batch_size=batch_size // self.n_processes,
+            batch_size=local_batch,
             shard=(self.process_index, self.n_processes),
             task=task, timestamps=timestamps, max_target_len=max_target_len,
             language_whitelist=language_whitelist,
@@ -343,6 +342,11 @@ class WhisperFinetuner:
                     f"{meta['src']!r}) — resuming would silently ignore "
                     "the new --hf weights. Delete the checkpoint (or pick "
                     "a fresh --out) to start over.")
+        # All processes must finish READING the old provenance before the
+        # coordinator rewrites it (shared filesystem): a slow process
+        # reading the fresh file would compare meta against itself and
+        # miss a genuine mismatch.
+        barrier("whisper-finetune-provenance")
         if is_coordinator():
             self._provenance_path.write_text(json.dumps(meta))
 
@@ -579,12 +583,8 @@ class WhisperFinetuner:
         return self.out_dir
 
     def _save_checkpoint(self, ckpt: Optional[AsyncCheckpointer]) -> None:
-        """Collective host-gather on every process; coordinator writes."""
-        step = int(self.state.step)
-        params = fetch_to_host(self.mesh, self.state.params)
-        opt_state = fetch_to_host(self.mesh, self.state.opt_state)
-        if ckpt is not None:
-            ckpt.save(step, params, opt_state)
+        """Collective on all processes; coordinator writes."""
+        save_train_state(self.mesh, self.state, ckpt)
 
     def export(self) -> Path:
         """Write the tuned params as an HF checkpoint dir (nn/export.py).

@@ -101,7 +101,12 @@ def read_message(rfile, wfile) -> Optional[Tuple[int, bytes]]:
 
     Reassembles fragmented messages and answers pings transparently.
     """
-    message = b""
+    # Accumulate fragments in a list and join once at FIN: `bytes +=`
+    # re-copies the whole message per continuation frame, which a client
+    # sending 1-byte fragments turns into quadratic CPU (the size cap
+    # below bounds memory, not copies).
+    parts: list = []
+    total = 0
     message_op = None
     while True:
         fin, opcode, payload = _read_frame(rfile)
@@ -118,16 +123,18 @@ def read_message(rfile, wfile) -> Optional[Tuple[int, bytes]]:
             continue
         if opcode in (OP_TEXT, OP_BINARY):
             message_op = opcode
-            message = payload
+            parts = [payload]
+            total = len(payload)
         elif opcode == OP_CONT and message_op is not None:
-            message += payload
+            parts.append(payload)
+            total += len(payload)
         else:
             raise ValueError(f"unexpected websocket opcode {opcode:#x}")
-        if len(message) > MAX_MESSAGE_BYTES:
+        if total > MAX_MESSAGE_BYTES:
             raise ValueError(
                 f"websocket message exceeds {MAX_MESSAGE_BYTES}-byte limit")
         if fin and message_op is not None:
-            return message_op, message
+            return message_op, b"".join(parts)
 
 
 def _write_frame(wfile, opcode: int, payload: bytes) -> None:
