@@ -21,7 +21,7 @@ from yoho_tpu.nn.yoho import YOHOModel
 from yoho_tpu.text.tokenizer import train_tokenizer
 
 
-def _tiny_transcriber():
+def _tiny_transcriber(**kw):
     cfg = YOHOConfig(
         n_mel_bands=16, max_audio_len=32, max_text_len=16, dims=32,
         n_audio_heads=4, n_audio_blocks=1, n_text_heads=4, n_text_blocks=1,
@@ -36,7 +36,7 @@ def _tiny_transcriber():
     variables = model.init(jax.random.PRNGKey(0), tokens, mel,
                            method=YOHOModel.forward_with_voiceprints)
     return Transcriber(model, variables, family="yoho", tokenizer=tok,
-                       batch_size=1)
+                       batch_size=1, **kw)
 
 
 def _tiny_server():
@@ -194,16 +194,19 @@ def _wav_bytes(n=5360, sr=16000):
 
 
 def _multipart(fields):
-    """fields: {name: (filename|None, bytes)} -> (content_type, body)."""
+    """fields: {name: (filename|None, bytes) | [(filename|None, bytes), ...]}
+    -> (content_type, body); a list value emits repeated same-name parts
+    (OpenAI's ``timestamp_granularities[]``)."""
     boundary = "yohoboundary123"
     parts = []
-    for name, (filename, data) in fields.items():
-        disp = f'form-data; name="{name}"'
-        if filename:
-            disp += f'; filename="{filename}"'
-        parts.append(
-            (f"--{boundary}\r\nContent-Disposition: {disp}\r\n\r\n").encode()
-            + data + b"\r\n")
+    for name, value in fields.items():
+        for filename, data in (value if isinstance(value, list) else [value]):
+            disp = f'form-data; name="{name}"'
+            if filename:
+                disp += f'; filename="{filename}"'
+            parts.append(
+                (f"--{boundary}\r\nContent-Disposition: {disp}\r\n\r\n")
+                .encode() + data + b"\r\n")
     body = b"".join(parts) + f"--{boundary}--\r\n".encode()
     return f"multipart/form-data; boundary={boundary}", body
 
@@ -245,6 +248,89 @@ def test_openai_transcriptions_text_and_srt(server):
                                "response_format": (None, b"srt")}) as r:
         body = r.read().decode()
     assert body == "" or "-->" in body
+
+
+def test_openai_timestamp_granularities(server):
+    """OpenAI ``timestamp_granularities[]``: 'word' needs a server started
+    with --word-timestamps (400 here); non-verbose_json combos are 400;
+    unknown values are 400; the default stays segments-only."""
+    # word on a server without the alignment pass -> explicit 400
+    try:
+        _post_openai(server, {
+            "file": ("a.wav", _wav_bytes()),
+            "response_format": (None, b"verbose_json"),
+            "timestamp_granularities[]": [(None, b"word")],
+        })
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "--word-timestamps" in json.load(e)["error"]["message"]
+    # granularities outside verbose_json -> 400
+    try:
+        _post_openai(server, {
+            "file": ("a.wav", _wav_bytes()),
+            "response_format": (None, b"srt"),
+            "timestamp_granularities[]": [(None, b"segment"),
+                                          (None, b"word")],
+        })
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "verbose_json" in json.load(e)["error"]["message"]
+    # unknown granularity -> 400
+    try:
+        _post_openai(server, {
+            "file": ("a.wav", _wav_bytes()),
+            "response_format": (None, b"verbose_json"),
+            "timestamp_granularities[]": [(None, b"sentence")],
+        })
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    # explicit segment-only: same shape as the default
+    with _post_openai(server, {
+        "file": ("a.wav", _wav_bytes()),
+        "response_format": (None, b"verbose_json"),
+        "timestamp_granularities[]": [(None, b"segment")],
+    }) as r:
+        payload = json.load(r)
+    assert "segments" in payload and "words" not in payload
+
+
+def test_openai_timestamp_granularities_word_server():
+    """On a --word-timestamps server: 'word' yields a top-level words
+    array; segments appear only when 'segment' is also requested."""
+    srv = serve(_tiny_transcriber(word_timestamps=True), port=0)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+    try:
+        with _post_openai(base, {
+            "file": ("a.wav", _wav_bytes()),
+            "response_format": (None, b"verbose_json"),
+            "timestamp_granularities[]": [(None, b"word")],
+        }) as r:
+            payload = json.load(r)
+        assert isinstance(payload.get("words"), list)
+        assert "segments" not in payload
+        with _post_openai(base, {
+            "file": ("a.wav", _wav_bytes()),
+            "response_format": (None, b"verbose_json"),
+            "timestamp_granularities[]": [(None, b"word"),
+                                          (None, b"segment")],
+        }) as r:
+            payload = json.load(r)
+        assert isinstance(payload.get("words"), list)
+        assert isinstance(payload.get("segments"), list)
+        # default (no granularities field): segments only, like OpenAI
+        with _post_openai(base, {
+            "file": ("a.wav", _wav_bytes()),
+            "response_format": (None, b"verbose_json"),
+        }) as r:
+            payload = json.load(r)
+        assert "segments" in payload and "words" not in payload
+    finally:
+        srv.shutdown()
 
 
 def test_openai_transcriptions_sse_stream(server):

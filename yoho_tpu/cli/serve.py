@@ -22,6 +22,11 @@ The serving layer the reference lacks entirely (SURVEY.md §1). Stdlib-only:
   every engine; under ``--continuous`` nonzero overrides are rejected
   with 400 (the slot engine's programs bake both). ``model``
   is accepted and ignored (the server loads one checkpoint).
+  ``timestamp_granularities[]`` shapes verbose_json like OpenAI:
+  'segment' (default) includes the segments array, 'word' the flattened
+  words array — 'word' requires starting the server with
+  ``--word-timestamps`` (the alignment pass is a serve-time config, so
+  requests get an explicit 400 instead of silently-empty words).
   ``stream=true`` switches the response to Server-Sent Events (OpenAI's
   streaming shape): one ``transcript.text.delta`` event per batch of
   finalized windows while the audio decodes, then a
@@ -177,7 +182,11 @@ def _decode_wav_bytes(body: bytes, target_sr: int) -> np.ndarray:
 
 
 def _parse_multipart(body: bytes, content_type: str):
-    """multipart/form-data -> {field: (filename | None, bytes)} (stdlib)."""
+    """multipart/form-data -> {field: (filename | None, bytes)} (stdlib).
+
+    Repeated fields keep the LAST value (HTML-form convention) except
+    array fields (OpenAI's ``timestamp_granularities[]``), whose every
+    value is appended under the bracketed name as a list of bytes."""
     msg = BytesParser(policy=_HTTP_POLICY).parsebytes(
         b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body)
     if not msg.is_multipart():
@@ -185,8 +194,13 @@ def _parse_multipart(body: bytes, content_type: str):
     fields = {}
     for part in msg.iter_parts():
         name = part.get_param("name", header="content-disposition")
-        if name:
-            fields[name] = (part.get_filename(), part.get_payload(decode=True))
+        if not name:
+            continue
+        payload = part.get_payload(decode=True)
+        if name.endswith("[]"):
+            fields.setdefault(name, []).append(payload)
+        else:
+            fields[name] = (part.get_filename(), payload)
     return fields
 
 
@@ -228,8 +242,13 @@ def _segment_payload(s, index: int) -> dict:
     return payload
 
 
-def _render_openai(result, response_format: str, duration: float, task: str):
-    """-> (content_type, bytes) per the OpenAI audio API response formats."""
+def _render_openai(result, response_format: str, duration: float, task: str,
+                   granularities=("segment",)):
+    """-> (content_type, bytes) per the OpenAI audio API response formats.
+
+    ``granularities`` mirrors ``timestamp_granularities[]`` and shapes
+    only ``verbose_json``: "segment" includes the segments array,
+    "word" includes the flattened words array; either may be omitted."""
     if response_format == "text":
         return "text/plain; charset=utf-8", (result.text + "\n").encode()
     if response_format in ("srt", "vtt"):
@@ -248,14 +267,15 @@ def _render_openai(result, response_format: str, duration: float, task: str):
             "language": result.language,
             "duration": round(duration, 3),
             "text": result.text,
-            "segments": [
-                _segment_payload(s, i) for i, s in enumerate(result.segments)
-            ],
         }
-        words = [w for s in result.segments for w in (s.words or [])]
-        if words:
+        if "segment" in granularities:
+            payload["segments"] = [
+                _segment_payload(s, i) for i, s in enumerate(result.segments)
+            ]
+        if "word" in granularities:
             payload["words"] = [
-                {"word": w.word, "start": w.start, "end": w.end} for w in words
+                {"word": w.word, "start": w.start, "end": w.end}
+                for s in result.segments for w in (s.words or [])
             ]
         return ("application/json",
                 json.dumps(payload, ensure_ascii=False).encode())
@@ -539,6 +559,32 @@ def make_handler(transcriber, batcher, continuous: bool = False):
                         "message": f"unsupported response_format {fmt!r}",
                         "type": "invalid_request_error"}})
                     return
+                granularities = tuple(
+                    v.decode().strip().lower()
+                    for v in fields.get("timestamp_granularities[]", [])
+                    if v.strip()) or ("segment",)
+                if unknown := set(granularities) - {"segment", "word"}:
+                    self._json(400, {"error": {
+                        "message": "unknown timestamp_granularities "
+                                   f"{sorted(unknown)} (use 'segment' "
+                                   "and/or 'word')",
+                        "type": "invalid_request_error"}})
+                    return
+                if granularities != ("segment",) and fmt != "verbose_json":
+                    self._json(400, {"error": {
+                        "message": "timestamp_granularities requires "
+                                   "response_format=verbose_json",
+                        "type": "invalid_request_error"}})
+                    return
+                if ("word" in granularities
+                        and not getattr(transcriber, "word_timestamps",
+                                        False)):
+                    self._json(400, {"error": {
+                        "message": "word timestamp_granularities need the "
+                                   "cross-attention alignment pass; start "
+                                   "the server with --word-timestamps",
+                        "type": "invalid_request_error"}})
+                    return
                 language = (fields.get("language", (None, b""))[1]
                             .decode().strip().lower() or None)
                 err = _validate_language(transcriber, language)
@@ -587,7 +633,8 @@ def make_handler(transcriber, batcher, continuous: bool = False):
                     kw["temperature"] = temperature
                 result = self._submit(audio, language=language, **kw)
                 duration = len(audio) / transcriber.sample_rate
-                ctype_out, out = _render_openai(result, fmt, duration, task)
+                ctype_out, out = _render_openai(result, fmt, duration, task,
+                                                granularities=granularities)
                 self._send(200, ctype_out, out)
             except ServerOverloaded as e:
                 self._json(503, {"error": {
