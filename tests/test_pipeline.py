@@ -165,6 +165,66 @@ def test_temperature_fallback_smoke():
     assert Transcriber._compression_ratio("the quick brown fox") < 2.4
 
 
+def _tiny_whisper_transcriber(**kw):
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.text.whisper_tokens import WhisperTokenTable
+
+    cfg = WhisperConfig(n_mels=8, n_audio_ctx=16, n_audio_state=32,
+                        n_audio_head=4, n_audio_layer=1, n_vocab=51865,
+                        n_text_ctx=16, n_text_state=32, n_text_head=4,
+                        n_text_layer=1, chunk_seconds=0.32)
+    model = Whisper(cfg)
+    table = WhisperTokenTable(multilingual=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           jnp.zeros((1, 4), jnp.int32))
+    return Transcriber(model, variables, family="whisper",
+                       token_table=table, batch_size=1, **kw), cfg
+
+
+def test_best_of_selects_highest_avg_logprob():
+    """best_of=3 at a sampling rung returns exactly the candidate a manual
+    3-seed sweep would pick by mean logprob (OpenAI whisper's rule), and
+    the PRNG seed rides the SAME compiled program as a traced argument."""
+    t, cfg = _tiny_whisper_transcriber(temperatures=(1.0,), best_of=3)
+    mel = jnp.zeros((1, 32, 8), jnp.float32)
+    tokens, lengths, aux = t._decode_with_fallback(1, mel)
+
+    fn = t._decode_fn(1, 1.0, None)
+    n_prompt = len(t._prompt_ids())
+    best_lp, want = -np.inf, None
+    cands = []
+    for seed in range(3):
+        tk, ln, ax = fn(t.variables, mel, seed=seed)
+        tk, ln = np.asarray(tk), np.asarray(ln)
+        cands.append(tk[0, : ln[0]].tolist())
+        lp = float(np.asarray(ax["sum_logprob"])[0]) / max(ln[0] - n_prompt, 1)
+        if lp > best_lp:
+            best_lp, want = lp, tk[0, : ln[0]].tolist()
+    got = tokens[0, : lengths[0]].tolist()
+    assert got == want
+    # Distinct seeds actually sample distinct candidates (vocab 51865,
+    # random weights: a collision means the seed is not reaching the
+    # sampler).
+    assert len({tuple(c) for c in cands}) > 1
+    # Exactly ONE compiled program serves all three seeds.
+    assert len(t._jitted) == 1
+
+
+def test_best_of_default_is_single_sample():
+    """best_of=1 (default) at temperature>0 is exactly the seed-0 sample;
+    best_of < 1 is rejected."""
+    t, cfg = _tiny_whisper_transcriber(temperatures=(1.0,))
+    mel = jnp.zeros((1, 32, 8), jnp.float32)
+    tokens, lengths, _ = t._decode_with_fallback(1, mel)
+    tk, ln, _ = t._decode_fn(1, 1.0, None)(t.variables, mel, seed=0)
+    assert tokens[0, : lengths[0]].tolist() == \
+        np.asarray(tk)[0, : np.asarray(ln)[0]].tolist()
+    with pytest.raises(ValueError):
+        _tiny_whisper_transcriber(best_of=0)
+
+
 def test_transcriber_speculative_matches_plain():
     """Transcriber with a draft model produces EXACTLY the plain greedy
     transcript (speculative decoding changes throughput, never content)."""

@@ -947,6 +947,11 @@ def main(argv=None):
                         help="retry low-quality windows at higher "
                              "temperatures (whisper quality ladder; works "
                              "with --continuous too)")
+    parser.add_argument("--best-of", type=int, default=1,
+                        help="sampled candidates per window at fallback "
+                             "temperatures > 0 (also applies to "
+                             "per-request temperature>0 decodes); the "
+                             "highest-mean-logprob candidate wins")
     parser.add_argument("--diarize-session", type=str, default=None,
                         metavar="NAME",
                         help="whisper-family diarization: embed segment "
@@ -1019,6 +1024,7 @@ def main(argv=None):
                                       task=args.task,
                                       word_timestamps=args.word_timestamps,
                                       temperatures=temps,
+                                      best_of=args.best_of,
                                       vad_filter=args.vad, diarize=diarize,
                                       draft_hf=args.draft_hf,
                                       speculative_gamma=args.gamma,

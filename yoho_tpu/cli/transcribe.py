@@ -46,7 +46,8 @@ def load_voiceprint_encoder(session: str, root: str):
 def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: str,
                               timestamps: bool, quantized: bool = False,
                               word_timestamps: bool = False,
-                              temperatures=(0.0,), int8_weights: bool = False,
+                              temperatures=(0.0,), best_of: int = 1,
+                              int8_weights: bool = False,
                               initial_prompt=None,
                               condition_on_previous_text: bool = False,
                               task: str = "transcribe",
@@ -120,7 +121,7 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
         cache_dtype=jnp.bfloat16, timestamps=timestamps,
         quantized_cross_kv=quantized, quantized_cache=quantized,
         word_timestamps=word_timestamps, temperatures=temperatures,
-        initial_prompt=initial_prompt,
+        best_of=best_of, initial_prompt=initial_prompt,
         condition_on_previous_text=condition_on_previous_text,
         task=task, vad_filter=vad_filter, mesh=mesh,
         diarize_encoder=diarize[0] if diarize else None,
@@ -368,6 +369,10 @@ def main(argv=None):
     parser.add_argument("--word-timestamps", action="store_true")
     parser.add_argument("--temperature-fallback", action="store_true",
                         help="retry low-quality windows at higher temperatures")
+    parser.add_argument("--best-of", type=int, default=1,
+                        help="sampled candidates per window at fallback "
+                             "temperatures > 0; the highest-mean-logprob "
+                             "candidate wins (OpenAI whisper's best_of)")
     parser.add_argument("--initial-prompt", type=str, default=None,
                         help="context text for <|startofprev|> conditioning "
                              "(spelling/vocabulary steering; whisper only)")
@@ -451,6 +456,7 @@ def main(argv=None):
                                       quantized=args.int8_kv,
                                       word_timestamps=args.word_timestamps,
                                       temperatures=temps,
+                                      best_of=args.best_of,
                                       int8_weights=args.int8_weights,
                                       initial_prompt=args.initial_prompt,
                                       condition_on_previous_text=(

@@ -65,6 +65,7 @@ class Transcriber:
         word_timestamps: bool = False,
         temperatures: Sequence[float] = (0.0,),
         compression_ratio_threshold: float = 2.4,
+        best_of: int = 1,  # sampled candidates per window at temperature>0
         draft_model=None,
         draft_variables=None,
         speculative_gamma: int = 4,
@@ -86,6 +87,15 @@ class Transcriber:
         # sampling temperatures (one extra compiled program per temperature).
         self.temperatures = tuple(temperatures)
         self.compression_ratio_threshold = compression_ratio_threshold
+        # OpenAI-whisper ``best_of``: at sampling rungs (temperature>0)
+        # decode best_of independent candidates and keep, per window, the
+        # one with the highest mean logprob. TPU-shaped: the SAME compiled
+        # program runs best_of times with the PRNG seed as a traced
+        # argument — no extra compilation, cost paid only when a rung
+        # actually samples (reference greedy-only: whisper.py:279).
+        self.best_of = int(best_of)
+        if self.best_of < 1:
+            raise ValueError(f"best_of must be >= 1, got {best_of}")
         self.word_timestamps = word_timestamps
         # Whisper-style silence filtering: a window is treated as
         # speech-free when p(<|nospeech|>) exceeds no_speech_threshold AND
@@ -405,7 +415,9 @@ class Transcriber:
 
         # NB: draft weights also ride as a traced jit argument (d_vars) —
         # closing over them would bake them into the program as constants.
-        def run(variables, d_vars, mel, prompt):
+        # The sampling rng is traced too, so one compiled program serves
+        # every best_of candidate (greedy/beam/speculative ignore it).
+        def run(variables, d_vars, mel, prompt, rng):
             xa = model.apply(variables, mel, method=type(model).encode_audio)
             if quantize:
                 ckv = model.apply(variables, xa, quantize,
@@ -489,7 +501,7 @@ class Transcriber:
                     suppress_ids=suppress, logits_fn=logits_fn,
                     return_aux=True, no_speech_id=ns_id,
                     temperature=float(temperature),
-                    rng=jax.random.PRNGKey(42),
+                    rng=rng,
                 )
                 aux.setdefault("no_speech_prob", jnp.zeros((batch,), jnp.float32))
             return tokens, lengths, aux
@@ -497,13 +509,14 @@ class Transcriber:
         jfn = jax.jit(run)
         default_prompt = np.asarray([self._prompt_ids()] * batch, np.int32)
 
-        def fn(variables, mel, prompt=None):
+        def fn(variables, mel, prompt=None, seed: int = 0):
             if prompt is None:
                 prompt = default_prompt
             assert prompt.shape == (batch, prompt_len), (
                 f"prompt {prompt.shape} != ({batch}, {prompt_len})")
             return jfn(variables, self.draft_variables, mel,
-                       jnp.asarray(prompt, jnp.int32))
+                       jnp.asarray(prompt, jnp.int32),
+                       jax.random.PRNGKey(42 + seed))
 
         self._jitted[key] = fn
         return fn
@@ -712,6 +725,44 @@ class Transcriber:
             return 0.0
         return len(data) / max(len(zlib.compress(data)), 1)
 
+    def _decode_rung(self, b: int, temp: float, prompt_len, mel, prompt):
+        """Decode one ladder rung, returning writable host arrays.
+
+        At sampling rungs (temp > 0) with ``best_of > 1``, decodes
+        best_of independent candidates through the SAME compiled program
+        (the PRNG seed is a traced argument — zero extra compiles) and
+        keeps, per window, the candidate with the highest mean logprob:
+        OpenAI whisper's best_of selection rule. Greedy rungs are
+        deterministic, so extra candidates would be identical — skipped.
+        """
+        fn = self._decode_fn(b, temp, prompt_len)
+        tokens, lengths, aux = fn(self.variables, mel, prompt)
+        tokens = np.array(tokens)
+        lengths = np.array(lengths)
+        aux = {k: np.array(v) for k, v in aux.items()}
+        if float(temp) <= 0.0 or self.best_of <= 1:
+            return tokens, lengths, aux
+        n_prompt = (prompt_len if prompt_len is not None
+                    else len(self._prompt_ids()))
+
+        def avg_lp(length, a):
+            return a["sum_logprob"] / np.maximum(length - n_prompt, 1)
+
+        best = avg_lp(lengths, aux)
+        for seed in range(1, self.best_of):
+            t2, l2, a2 = fn(self.variables, mel, prompt, seed=seed)
+            l2 = np.asarray(l2)
+            a2 = {k: np.asarray(v) for k, v in a2.items()}
+            better = avg_lp(l2, a2) > best
+            if better.any():
+                t2 = np.asarray(t2)
+                tokens[better] = t2[better]
+                lengths[better] = l2[better]
+                for k in a2:
+                    aux[k][better] = a2[k][better]
+                best[better] = avg_lp(l2, a2)[better]
+        return tokens, lengths, aux
+
     def _decode_with_fallback(self, b: int, mel, prompt=None,
                               temperatures=None):
         """Greedy first; windows failing the whisper quality checks (low
@@ -725,11 +776,8 @@ class Transcriber:
         ladder = tuple(temperatures) if temperatures is not None \
             else self.temperatures
         prompt_len = None if prompt is None else prompt.shape[1]
-        tokens, lengths, aux = self._decode_fn(
-            b, ladder[0], prompt_len)(self.variables, mel, prompt)
-        tokens = np.array(tokens)  # writable host copies
-        lengths = np.array(lengths)
-        aux = {k: np.array(v) for k, v in aux.items()}
+        tokens, lengths, aux = self._decode_rung(b, ladder[0], prompt_len,
+                                                 mel, prompt)
         aux["used_temperature"] = np.full((b,), ladder[0], np.float32)
         self._run_fallback_ladder(b, mel, prompt, tokens, lengths, aux,
                                   temperatures=ladder)
@@ -770,10 +818,7 @@ class Transcriber:
                 break
             if callable(mel):
                 mel = mel()
-            t2, l2, a2 = self._decode_fn(b, temp, prompt_len)(
-                self.variables, mel, prompt)
-            t2, l2 = np.asarray(t2), np.asarray(l2)
-            a2 = {k: np.asarray(v) for k, v in a2.items()}
+            t2, l2, a2 = self._decode_rung(b, temp, prompt_len, mel, prompt)
             tokens[failed] = t2[failed]
             lengths[failed] = l2[failed]
             for k in a2:

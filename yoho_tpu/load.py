@@ -33,6 +33,7 @@ def load_transcriber(
     int8_weights: bool = False,
     word_timestamps: bool = False,
     temperature_fallback: bool = False,
+    best_of: int = 1,  # sampled candidates per window at temperature>0
     initial_prompt: Optional[str] = None,
     condition_on_previous_text: bool = False,
     vad: bool = False,
@@ -90,7 +91,7 @@ def load_transcriber(
             hf, beams, batch, language, timestamps,
             quantized=int8_kv, int8_weights=int8_weights,
             word_timestamps=word_timestamps, temperatures=temps,
-            initial_prompt=initial_prompt,
+            best_of=best_of, initial_prompt=initial_prompt,
             condition_on_previous_text=condition_on_previous_text,
             task=task, vad_filter=vad, diarize=diarize,
             draft_hf=draft_hf, speculative_gamma=gamma, mesh=mesh,
@@ -105,6 +106,7 @@ def load_transcriber(
         ("timestamps", timestamps, True),
         ("int8_kv", int8_kv, False),
         ("temperature_fallback", temperature_fallback, False),
+        ("best_of", best_of, 1),
         ("initial_prompt", initial_prompt, None),
         ("condition_on_previous_text", condition_on_previous_text, False),
         ("diarize_session", diarize_session, None),
