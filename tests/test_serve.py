@@ -333,6 +333,18 @@ def test_openai_timestamp_granularities_word_server():
         srv.shutdown()
 
 
+def test_openai_models_listing(server):
+    """GET /v1/models lists the single loaded checkpoint as whisper-1
+    (OpenAI SDKs list models before first use); the per-model GET works."""
+    with urllib.request.urlopen(server + "/v1/models", timeout=30) as r:
+        payload = json.load(r)
+    assert payload["object"] == "list"
+    assert payload["data"][0]["id"] == "whisper-1"
+    with urllib.request.urlopen(server + "/v1/models/whisper-1",
+                                timeout=30) as r:
+        assert json.load(r)["id"] == "whisper-1"
+
+
 def test_openai_transcriptions_sse_stream(server):
     """stream=true -> Server-Sent Events: delta events concatenate to the
     done event's text, which matches the non-streaming transcript."""

@@ -102,6 +102,49 @@ def test_pipeline_word_timestamps_integration():
             for w in seg.words:
                 assert w.end >= w.start >= 0
                 assert isinstance(w.word, str) and w.word
+                # Probabilities come from the same teacher-forced pass
+                # (softmax values, never the 1.0 "absent" default for a
+                # 51865-way random-weight softmax).
+                assert 0.0 < w.probability < 1.0
+
+
+def test_words_from_alignment_probabilities():
+    """A word's probability is the mean of its tokens' probabilities
+    (faster-whisper convention); omitted probs default to 1.0."""
+    ids = [1, 2, 3, 4]
+    frames = np.asarray([0, 10, 14, 20])
+    probs = np.asarray([0.5, 0.7, 0.2, 0.9])
+    words = words_from_alignment(ids, frames, 0.02, _PieceDecoder(),
+                                 max_duration=1.0, probs=probs)
+    # _PieceDecoder groups ids as [1]=hello [2,3]=world [4]=there
+    assert [w.word for w in words] == ["hello", "world", "there"]
+    assert words[0].probability == 0.5
+    assert words[1].probability == round((0.7 + 0.2) / 2, 4)
+    assert words[2].probability == 0.9
+    plain = words_from_alignment(ids, frames, 0.02, _PieceDecoder(),
+                                 max_duration=1.0)
+    assert all(w.probability == 1.0 for w in plain)
+
+
+def test_realized_token_probs_matches_manual_softmax():
+    """layers.realized_token_probs == softmax(logits[:, i-1])[tok[:, i]]
+    with probability 1 at the forced first position."""
+    import jax.numpy as jnp
+
+    from yoho_tpu.nn.layers import realized_token_probs
+
+    g = np.random.default_rng(0)
+    logits = g.standard_normal((2, 5, 11)).astype(np.float32)
+    tokens = g.integers(0, 11, size=(2, 5))
+    got = np.asarray(realized_token_probs(jnp.asarray(logits),
+                                          jnp.asarray(tokens)))
+    e = np.exp(logits - logits.max(-1, keepdims=True))
+    sm = e / e.sum(-1, keepdims=True)
+    want = np.ones((2, 5), np.float32)
+    for b in range(2):
+        for i in range(1, 5):
+            want[b, i] = sm[b, i - 1, tokens[b, i]]
+    np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
 def test_forced_alignment_api():

@@ -72,7 +72,8 @@ def main(argv=None):
     for (f, _text), words in zip(pairs, all_words):
         print(jsonlib.dumps({
             "file": f,
-            "words": [{"word": w.word, "start": w.start, "end": w.end}
+            "words": [{"word": w.word, "start": w.start, "end": w.end,
+                       "probability": w.probability}
                       for w in words],
         }, ensure_ascii=False))
         if args.srt:

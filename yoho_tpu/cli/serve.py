@@ -42,7 +42,9 @@ The serving layer the reference lacks entirely (SURVEY.md §1). Stdlib-only:
   still-revisable live-caption hypotheses (clients replace, not append);
   ``{"op": "flush"}`` / ``{"op": "end"}`` force/terminate.
 * ``GET /healthz`` liveness, ``GET /statz`` batcher counters (JSON),
-  ``GET /metrics`` the same counters in Prometheus text format.
+  ``GET /metrics`` the same counters in Prometheus text format,
+  ``GET /v1/models`` the OpenAI model listing (the one loaded checkpoint
+  as ``whisper-1`` — SDKs commonly list models before first use).
 
 Concurrent requests are MICRO-BATCHED (yoho_tpu.infer.batching): their
 30 s windows share the fixed-batch decode programs instead of serializing
@@ -237,7 +239,8 @@ def _segment_payload(s, index: int) -> dict:
         payload["speaker_name"] = s.speaker_name
     if s.words:
         payload["words"] = [
-            {"word": w.word, "start": w.start, "end": w.end} for w in s.words
+            {"word": w.word, "start": w.start, "end": w.end,
+             "probability": w.probability} for w in s.words
         ]
     return payload
 
@@ -274,7 +277,8 @@ def _render_openai(result, response_format: str, duration: float, task: str,
             ]
         if "word" in granularities:
             payload["words"] = [
-                {"word": w.word, "start": w.start, "end": w.end}
+                {"word": w.word, "start": w.start, "end": w.end,
+                 "probability": w.probability}
                 for s in result.segments for w in (s.words or [])
             ]
         return ("application/json",
@@ -462,6 +466,14 @@ def make_handler(transcriber, batcher, continuous: bool = False):
                 self._stream()
             elif path == "/healthz":
                 self._json(200, {"status": "ok"})
+            elif path in ("/v1/models", "/v1/models/whisper-1"):
+                # OpenAI SDK clients commonly list models before first
+                # use; this server loads exactly one checkpoint, exposed
+                # under the alias OpenAI's audio API uses.
+                entry = {"id": "whisper-1", "object": "model",
+                         "created": 0, "owned_by": "yoho-tpu"}
+                self._json(200, entry if path.endswith("whisper-1")
+                           else {"object": "list", "data": [entry]})
             elif path in ("/statz", "/metrics"):
                 # stats() adds backpressure/cancellation counters, queue
                 # depth and latency percentiles; duck-typed batchers in
@@ -769,7 +781,9 @@ def make_handler(transcriber, batcher, continuous: bool = False):
                          "speaker": s.speaker,
                          "speaker_name": s.speaker_name,
                          **({"words": [{"word": w.word, "start": w.start,
-                                        "end": w.end} for w in s.words]}
+                                        "end": w.end,
+                                        "probability": w.probability}
+                                       for w in s.words]}
                             if s.words else {}),
                          "voiceprint": (s.voiceprint.tolist()
                                         if s.voiceprint is not None else None)}

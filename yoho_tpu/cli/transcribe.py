@@ -202,7 +202,8 @@ def _result_payload(f, result) -> dict:
              "speaker": s.speaker,
              "speaker_name": s.speaker_name,
              "words": ([{"word": w.word, "start": w.start,
-                         "end": w.end} for w in s.words]
+                         "end": w.end, "probability": w.probability}
+                        for w in s.words]
                        if s.words else None),
              "voiceprint": (s.voiceprint.tolist()
                             if s.voiceprint is not None else None)}

@@ -62,7 +62,7 @@ class Segment:
             speaker=self.speaker,
             speaker_name=self.speaker_name,
             words=[type(w)(w.word, round(off + w.start, 3),
-                           round(off + w.end, 3))
+                           round(off + w.end, 3), w.probability)
                    for w in self.words] if self.words else None,
             avg_logprob=self.avg_logprob,
             no_speech_prob=self.no_speech_prob,

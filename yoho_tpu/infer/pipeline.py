@@ -521,15 +521,18 @@ class Transcriber:
         self._jitted[key] = fn
         return fn
 
-    def _align_fn(self, batch: int):
-        key = ("align", batch)
+    def _align_fn(self, batch: int, with_probs: bool = False):
+        """Teacher-forced alignment program; ``with_probs`` also returns
+        the realized-token probabilities (word-confidence surface) from
+        the same forward — one extra logits matmul, not a second pass."""
+        key = ("align", batch, with_probs)
         if key in self._jitted:
             return self._jitted[key]
         model = self.model
 
         def run(variables, mel, tokens):
             xa = model.apply(variables, mel, method=type(model).encode_audio)
-            return model.apply(variables, tokens, xa,
+            return model.apply(variables, tokens, xa, with_probs,
                                method=type(model).cross_attention_map)
 
         with self._compile_lock:
@@ -578,7 +581,9 @@ class Transcriber:
         b = tokens.shape[0]
         pad = np.full((b, self.max_len), self.eot, np.int32)
         pad[:, : tokens.shape[1]] = tokens[:, : self.max_len]
-        amap = np.asarray(self._align_fn(b)(self.variables, mel, jnp.asarray(pad)))
+        amap, probs = self._align_fn(b, with_probs=True)(
+            self.variables, mel, jnp.asarray(pad))
+        amap, probs = np.asarray(amap), np.asarray(probs)
         spf = 2 * self.hop / self.sample_rate  # encoder position = 2 frames
         for j, segs in enumerate(per_window):
             L = int(lengths[j])
@@ -595,6 +600,7 @@ class Transcriber:
                 lambda ii: "".join(self._decode_piece(t) for t in ii),
                 max_duration=self.chunk_samples / self.sample_rate,
                 decode_group=self._render,
+                probs=probs[j][text_pos],
             )
             # Assign words to segments by midpoint time (with a float
             # epsilon: a word ending exactly at the segment boundary
@@ -651,8 +657,9 @@ class Transcriber:
             raise ValueError(f"text too long ({len(ids)} tokens > {self.max_len})")
         pad = np.full((1, self.max_len), self.eot, np.int32)
         pad[0, : len(ids)] = ids
-        amap = np.asarray(self._align_fn(1)(self.variables, mel,
-                                            jnp.asarray(pad)))
+        amap, probs = self._align_fn(1, with_probs=True)(
+            self.variables, mel, jnp.asarray(pad))
+        amap, probs = np.asarray(amap), np.asarray(probs)
         frames = token_frame_alignment(amap[0, : len(ids)])
         text_pos = list(range(len(sot), len(sot) + len(text_ids)))
         spf = 2 * self.hop / self.sample_rate
@@ -661,6 +668,7 @@ class Transcriber:
             lambda ii: "".join(self._decode_piece(t) for t in ii),
             max_duration=len(audio) / self.sample_rate,
             decode_group=self._render,
+            probs=probs[0][text_pos],
         )
 
     def align_many(self, pairs: Sequence[tuple],
@@ -703,8 +711,9 @@ class Transcriber:
                 window[j, : len(audio)] = audio
                 pad[j, : len(ids)] = ids
             mel = self._features(self._to_device(window))
-            amap = np.asarray(self._align_fn(b)(self.variables, mel,
-                                                jnp.asarray(pad)))
+            amap, probs = self._align_fn(b, with_probs=True)(
+                self.variables, mel, jnp.asarray(pad))
+            amap, probs = np.asarray(amap), np.asarray(probs)
             for j, (audio, text_ids, ids, n_sot) in enumerate(group):
                 frames = token_frame_alignment(amap[j, : len(ids)])
                 text_pos = list(range(n_sot, n_sot + len(text_ids)))
@@ -713,6 +722,7 @@ class Transcriber:
                     lambda ii: "".join(self._decode_piece(t) for t in ii),
                     max_duration=len(audio) / self.sample_rate,
                     decode_group=self._render,
+                    probs=probs[j][text_pos],
                 ))
         return results
 

@@ -25,6 +25,10 @@ class WordTiming:
     word: str
     start: float
     end: float
+    # Mean realized-token probability of the word's tokens from the same
+    # teacher-forced pass that produced the alignment (faster-whisper's
+    # word.probability). 1.0 when the caller supplied no probabilities.
+    probability: float = 1.0
 
 
 def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
@@ -138,8 +142,13 @@ def words_from_alignment(
     decode_pieces,
     max_duration: Optional[float] = None,
     decode_group=None,
+    probs: Optional[np.ndarray] = None,
 ) -> List[WordTiming]:
-    """Combine the token->frame alignment with word grouping."""
+    """Combine the token->frame alignment with word grouping.
+
+    ``probs`` (len(token_ids),): per-token realized probabilities; a
+    word's ``probability`` is the mean over its tokens (faster-whisper's
+    convention)."""
     words = split_words(token_ids, decode_pieces, decode_group)
     out: List[WordTiming] = []
     n = len(token_ids)
@@ -156,5 +165,8 @@ def words_from_alignment(
         if max_duration is not None:
             end = min(end, max_duration)
             end = max(end, start)
-        out.append(WordTiming(word=word, start=round(start, 3), end=round(end, 3)))
+        p = (1.0 if probs is None
+             else float(np.mean([probs[i] for i in idxs])))
+        out.append(WordTiming(word=word, start=round(start, 3),
+                              end=round(end, 3), probability=round(p, 4)))
     return out

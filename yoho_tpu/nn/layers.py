@@ -862,3 +862,22 @@ class GroupedQueryAttention(nn.Module):
         if cache is not None:
             return out, new_cache
         return out
+
+
+def realized_token_probs(logits: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
+    """p(tokens[:, i] | tokens[:, :i]) from teacher-forced logits.
+
+    ``logits`` (B, S, V) are the decoder's outputs at every position of a
+    teacher-forced pass over ``tokens`` (B, S); position i predicts the
+    token at i+1, so probs[:, i] = softmax(logits[:, i-1])[tokens[:, i]]
+    and the forced first position gets probability 1. f32 throughout
+    (word-confidence surface; see infer/word_timestamps.py).
+    """
+    logits = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(logits[:, :-1], axis=-1)
+    picked = jnp.take_along_axis(
+        logits[:, :-1], tokens[:, 1:, None].astype(jnp.int32),
+        axis=-1)[..., 0]
+    probs = jnp.exp(picked - lse)
+    return jnp.concatenate(
+        [jnp.ones((tokens.shape[0], 1), jnp.float32), probs], axis=1)

@@ -232,11 +232,16 @@ class TextDecoder(nn.Module):
             raise ValueError(f"unknown quantize mode {quantize!r}")
         return [blk.cross_kv(xa) for blk in self.blocks]
 
-    def cross_attention_map(self, tokens: jnp.ndarray, xa: jnp.ndarray) -> jnp.ndarray:
+    def cross_attention_map(self, tokens: jnp.ndarray, xa: jnp.ndarray,
+                            with_probs: bool = False):
         """Teacher-forced forward collecting the alignment signal: mean
         cross-attention over the upper half of the decoder layers (the
         standard heuristic when a checkpoint ships no alignment-head mask).
-        Returns (B, S_text, T_audio) f32."""
+        Returns (B, S_text, T_audio) f32; with ``with_probs`` also the
+        per-position realized-token probabilities (B, S_text) f32 —
+        probs[:, i] = p(tokens[:, i] | tokens[:, :i]), probs[:, 0] = 1 —
+        from the same forward (the logits head is one extra matmul on
+        activations the alignment pass already computed)."""
         t = tokens.shape[1]
         x = self.token_embedding(tokens)
         x = x + self.positional_embedding[:t].astype(self.dtype)
@@ -254,7 +259,12 @@ class TextDecoder(nn.Module):
                 acc = w if acc is None else acc + w
             x = x + blk.cross_attn(x_attn_in, xa=xa)
             x = x + blk.mlp(blk.ln3(x))
-        return acc / max(len(self.blocks) - align_from, 1)
+        amap = acc / max(len(self.blocks) - align_from, 1)
+        if not with_probs:
+            return amap
+        from yoho_tpu.nn.layers import realized_token_probs
+
+        return amap, realized_token_probs(self._logits(self.ln(x)), tokens)
 
     def decode_step(self, tokens, caches: List[KVCache], cross_kvs, pos):
         """Cached step: tokens (B, S_new) at absolute position ``pos``.
@@ -327,5 +337,5 @@ class Whisper(nn.Module):
     def decode_step(self, tokens, caches, cross_kvs, pos):
         return self.decoder.decode_step(tokens, caches, cross_kvs, pos)
 
-    def cross_attention_map(self, tokens, xa):
-        return self.decoder.cross_attention_map(tokens, xa)
+    def cross_attention_map(self, tokens, xa, with_probs: bool = False):
+        return self.decoder.cross_attention_map(tokens, xa, with_probs)

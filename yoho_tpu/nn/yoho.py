@@ -233,14 +233,16 @@ class YOHOTextDecoder(nn.Module):
     def __call__(self, tokens, xa):
         return self._logits(self._hidden(tokens, xa))
 
-    def cross_attention_map(self, tokens, xa):
+    def cross_attention_map(self, tokens, xa, with_probs: bool = False):
         """Teacher-forced forward collecting the word-alignment signal:
         mean cross-attention over the upper half of the decoder blocks
         (the same heuristic as ``whisper.py:cross_attention_map`` — no
         checkpoint ships an alignment-head mask). Returns
-        (B, S_text, T_audio) f32. Each block RMSNorms the encoder output
-        (``ln_kv``) before its cross-attention, exactly like the main
-        forward."""
+        (B, S_text, T_audio) f32; with ``with_probs`` also the realized-
+        token probabilities (B, S_text) from the same forward (see
+        ``layers.realized_token_probs``). Each block RMSNorms the encoder
+        output (``ln_kv``) before its cross-attention, exactly like the
+        main forward."""
         t = tokens.shape[1]
         x = self.token_embedding(tokens)
         mask = causal_mask(t, t)
@@ -255,7 +257,12 @@ class YOHOTextDecoder(nn.Module):
                 acc = w if acc is None else acc + w
             x = x + blk.cross_attn(x_attn_in, xa=xa_in)
             x = x + blk.mlp(blk.ln3(x))
-        return acc / max(len(self.blocks) - align_from, 1)
+        amap = acc / max(len(self.blocks) - align_from, 1)
+        if not with_probs:
+            return amap
+        from yoho_tpu.nn.layers import realized_token_probs
+
+        return amap, realized_token_probs(self._logits(self.ln(x)), tokens)
 
     def with_voiceprints(self, tokens, xa):
         """Returns (logits, voiceprint embeddings per position).
@@ -331,8 +338,8 @@ class YOHOModel(nn.Module):
     def decode_text(self, tokens, xa):
         return self.decoder(tokens, xa)
 
-    def cross_attention_map(self, tokens, xa):
-        return self.decoder.cross_attention_map(tokens, xa)
+    def cross_attention_map(self, tokens, xa, with_probs: bool = False):
+        return self.decoder.cross_attention_map(tokens, xa, with_probs)
 
     def forward_with_voiceprints(self, tokens, mel):
         return self.decoder.with_voiceprints(tokens, self.encoder(mel))
