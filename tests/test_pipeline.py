@@ -183,6 +183,32 @@ def _tiny_whisper_transcriber(**kw):
                        token_table=table, batch_size=1, **kw), cfg
 
 
+def test_language_probability_on_autodetect():
+    """language=None populates result.language_probability (softmax prob
+    of the detected language token) on both the single and batched
+    paths; a pinned language leaves it None."""
+    t, cfg = _tiny_whisper_transcriber(language=None, no_speech_threshold=1.1)
+    g = np.random.default_rng(0)
+    audio = (0.1 * g.standard_normal(cfg.n_samples)).astype(np.float32)
+    res = t.transcribe(audio)
+    assert res.language in t.token_table.languages
+    assert res.language_probability is not None
+    assert 0.0 < res.language_probability <= 1.0
+    # consistency with the detection APIs
+    lang, probs = t.detect_language(audio)
+    assert res.language == lang
+    assert abs(res.language_probability - probs[lang]) < 1e-5
+    (langs, lp) = t.detect_language_many([audio], return_probs=True)
+    assert langs[0] == lang and abs(lp[0] - probs[lang]) < 1e-5
+    many = t.transcribe_many([audio])[0]
+    assert many.language == lang
+    assert abs(many.language_probability - probs[lang]) < 1e-5
+
+    pinned, cfg = _tiny_whisper_transcriber(language="en")
+    res = pinned.transcribe(audio)
+    assert res.language == "en" and res.language_probability is None
+
+
 def test_best_of_selects_highest_avg_logprob():
     """best_of=3 at a sampling rung returns exactly the candidate a manual
     3-seed sweep would pick by mean logprob (OpenAI whisper's rule), and

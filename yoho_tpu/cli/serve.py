@@ -775,6 +775,7 @@ def make_handler(transcriber, batcher, continuous: bool = False):
                 self._json(200, {
                     "text": result.text,
                     "language": result.language,
+                    "language_probability": result.language_probability,
                     "segments": [
                         {"start": s.start, "end": s.end, "text": s.text,
                          **s.quality_payload(),

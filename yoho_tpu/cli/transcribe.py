@@ -196,6 +196,7 @@ def _result_payload(f, result) -> dict:
         "file": f,
         "text": result.text,
         "language": result.language,
+        "language_probability": result.language_probability,
         "segments": [
             {"start": s.start, "end": s.end, "text": s.text,
              **s.quality_payload(),

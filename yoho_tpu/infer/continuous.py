@@ -355,6 +355,7 @@ class _Request:
     vmap: Any = None
     original: Any = None
     lang: Optional[str] = None
+    lang_prob: Optional[float] = None  # softmax prob when auto-detected
     remaining: int = 0
     cancelled: bool = False
 
@@ -484,7 +485,8 @@ class ContinuousBatcher:
         elif t.language is not None or t.family != "whisper":
             req.lang = t.language
         else:
-            req.lang = t.detect_language_many([audio])[0]
+            (req.lang,), (req.lang_prob,) = t.detect_language_many(
+                [audio], return_probs=True)
         prompt = np.asarray(t._prompt_ids(req.lang), np.int32)
         windows, starts = chunk_audio(audio, t.chunk_samples,
                                       t.stride_samples)
@@ -531,7 +533,8 @@ class ContinuousBatcher:
                     mel, tok, lengths[sl], segs[sl]), mel_cache)
             per_window = segs
         req.result = t._finalize_request(per_window, req.starts, req.vmap,
-                                         req.original, req.lang)
+                                         req.original, req.lang,
+                                         language_probability=req.lang_prob)
 
     def _group_mel(self, group, start: int, mel_cache: dict):
         """Features for one pad-to-slot-count window group, computed at

@@ -39,6 +39,10 @@ class TranscriptionResult:
     text: str
     segments: List[Segment]
     language: Optional[str] = None
+    # Softmax probability of the detected language token when the
+    # language was AUTO-detected (faster-whisper's language_probability);
+    # None when the language was pinned by config or per-request.
+    language_probability: Optional[float] = None
 
 
 class Transcriber:
@@ -1150,7 +1154,11 @@ class Transcriber:
         if len(audio) == 0:  # all-silent after VAD
             return TranscriptionResult(text="", segments=[],
                                        language=self.language)
-        lang = language or self.language or self.detect_language(audio)[0]
+        lang = language or self.language
+        lang_prob = None
+        if lang is None:
+            lang, lang_probs = self.detect_language(audio)
+            lang_prob = lang_probs.get(lang)
         base_ids = self._prompt_ids(lang)
         sot_seq = tt.sot_sequence(lang, self.task,
                                   timestamps=self.timestamps)
@@ -1211,7 +1219,8 @@ class Transcriber:
                           threshold=self.speaker_threshold)
         text = " ".join(s.text for s in segments if s.text).strip()
         return TranscriptionResult(text=text, segments=segments,
-                                   language=lang)
+                                   language=lang,
+                                   language_probability=lang_prob)
 
     def transcribe_many(
         self,
@@ -1293,15 +1302,18 @@ class Transcriber:
                              f"{len(audios)} audios")
         overrides = list(languages) if languages is not None \
             else [None] * len(prepared)
+        req_lang_probs: List[Optional[float]] = [None] * len(prepared)
         if (self.language is None and self.family == "whisper"
                 and any(o is None for o in overrides)):
             # Detect ONLY the requests without an override — a mixed batch
             # must not pay encoder passes for results it would discard.
             need = [i for i, o in enumerate(overrides) if o is None]
-            detected = self.detect_language_many([prepared[i] for i in need])
+            detected, det_probs = self.detect_language_many(
+                [prepared[i] for i in need], return_probs=True)
             req_langs = list(overrides)
-            for i, lang in zip(need, detected):
+            for i, lang, p in zip(need, detected, det_probs):
                 req_langs[i] = lang
+                req_lang_probs[i] = p
         else:
             req_langs = [o or self.language for o in overrides]
 
@@ -1370,13 +1382,15 @@ class Transcriber:
             k = len(starts)
             results.append(self._finalize_request(
                 per_window[off : off + k], starts, vmap, originals[req_i],
-                req_lang))
+                req_lang, language_probability=req_lang_probs[req_i]))
             off += k
         return results
 
     def _finalize_request(self, per_window: List[List[Segment]],
                           starts: Sequence[int], vmap, original_audio,
-                          language: Optional[str]) -> TranscriptionResult:
+                          language: Optional[str],
+                          language_probability: Optional[float] = None,
+                          ) -> TranscriptionResult:
         """One request's decoded windows -> TranscriptionResult: stitch,
         source-timeline remap, diarization, text join. Shared by the
         batched path (``transcribe_many``) and the continuous-batching
@@ -1411,7 +1425,8 @@ class Transcriber:
                           threshold=self.speaker_threshold)
         text = " ".join(s.text for s in segments if s.text).strip()
         return TranscriptionResult(text=text, segments=segments,
-                                   language=language)
+                                   language=language,
+                                   language_probability=language_probability)
 
     def _language_logits(self, windows: np.ndarray) -> np.ndarray:
         """One decoder step after <|startoftranscript|> for a (b, samples)
@@ -1462,11 +1477,14 @@ class Transcriber:
 
     def detect_language_many(
         self, audios: Sequence[Union[str, Path, np.ndarray]],
-    ) -> List[str]:
+        return_probs: bool = False,
+    ):
         """Batched language ID: all requests' first windows share
         ``batch_size``-padded device calls instead of one B=1 call each
         (the auto-language path of ``transcribe_many`` — N concurrent
-        requests cost ceil(N / batch_size) encoder passes, not N)."""
+        requests cost ceil(N / batch_size) encoder passes, not N).
+        ``return_probs``: also return each detected language's softmax
+        probability (None for empty inputs, which default to 'en')."""
         assert self.family == "whisper", "language detection is a whisper feature"
         tt = self.token_table
         prepared: List[np.ndarray] = []
@@ -1476,6 +1494,7 @@ class Transcriber:
             prepared.append(np.asarray(a, np.float32))
 
         langs = ["en"] * len(prepared)
+        probs: List[Optional[float]] = [None] * len(prepared)
         todo = [i for i, a in enumerate(prepared) if len(a)]
         lang_ids = np.arange(tt.language_base, tt.language_base + len(tt.languages))
         b = self.batch_size
@@ -1487,8 +1506,12 @@ class Transcriber:
                 windows[j, : len(clip)] = clip
             logits = self._language_logits(windows)
             for j, i in enumerate(group):
-                langs[i] = tt.languages[int(np.argmax(logits[j][lang_ids]))]
-        return langs
+                row = logits[j][lang_ids]
+                best = int(np.argmax(row))
+                langs[i] = tt.languages[best]
+                e = np.exp(row - row.max())
+                probs[i] = float(e[best] / e.sum())
+        return (langs, probs) if return_probs else langs
 
     def transcribe_batch(self, audios: Sequence[np.ndarray]) -> List[TranscriptionResult]:
         """Multi-stream serving: decode independent clips through shared
