@@ -147,6 +147,29 @@ def test_realized_token_probs_matches_manual_softmax():
     np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
+def test_realized_token_probs_streamed_matches_dense():
+    """The S-chunk streamed variant (used by the alignment program so
+    serving batches never materialize (B, S, V) f32 logits) equals the
+    dense version, including at S not divisible by the chunk."""
+    import jax.numpy as jnp
+
+    from yoho_tpu.nn.layers import (
+        realized_token_probs,
+        realized_token_probs_streamed,
+    )
+
+    g = np.random.default_rng(1)
+    for s in (5, 16, 19):
+        h = jnp.asarray(g.standard_normal((3, s, 8)).astype(np.float32))
+        w = jnp.asarray(g.standard_normal((8, 13)).astype(np.float32))
+        tokens = jnp.asarray(g.integers(0, 13, size=(3, s)))
+        dense = realized_token_probs(h @ w, tokens)
+        streamed = realized_token_probs_streamed(
+            h, lambda hc: hc @ w, tokens, chunk=4)
+        np.testing.assert_allclose(np.asarray(streamed), np.asarray(dense),
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_forced_alignment_api():
     """Transcriber.align: monotonic, in-range word timings for a given
     transcript (random weights — structural properties only)."""

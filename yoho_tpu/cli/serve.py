@@ -1001,6 +1001,14 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if args.lora and not args.hf:
         parser.error("--lora adapts an --hf whisper checkpoint")
+    if args.best_of < 1:
+        parser.error("--best-of must be >= 1")
+    if args.best_of > 1 and not args.hf:
+        # Mirror load_transcriber's ValueError (whisper-family-only):
+        # silently dropping the flag would fake candidate sampling.
+        parser.error("--best-of is a whisper-family option (--hf); the "
+                     "temperature quality ladder does not run on --session "
+                     "models")
     if args.max_pending < 0:
         parser.error("--max-pending must be >= 0")
     if args.draft_hf and not args.hf:

@@ -442,6 +442,15 @@ def main(argv=None):
         parser.error("--gamma must be >= 1")
 
     temps = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0) if args.temperature_fallback else (0.0,)
+    if args.best_of < 1:
+        parser.error("--best-of must be >= 1")
+    if args.best_of > 1 and not args.hf:
+        # Mirror load_transcriber's ValueError: the quality ladder (and
+        # with it best_of) is whisper-family-only — silently ignoring the
+        # flag would let users believe candidate sampling is active.
+        parser.error("--best-of is a whisper-family option (--hf); the "
+                     "temperature quality ladder does not run on --session "
+                     "models")
     language = None if args.language == "auto" else args.language
     enrolled = load_speakers_arg(args.speakers, args.hf,
                                  args.diarize_session, parser.error)

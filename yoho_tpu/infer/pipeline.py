@@ -739,6 +739,14 @@ class Transcriber:
             return 0.0
         return len(data) / max(len(zlib.compress(data)), 1)
 
+    @staticmethod
+    def _mean_logprob(lengths, aux, n_prompt) -> np.ndarray:
+        """Per-window mean generated-token logprob — the ONE normalization
+        shared by best_of candidate selection, the fallback ladder's
+        failure test, and the no-speech rule (drift between them would
+        let best_of pick a candidate the ladder immediately re-fails)."""
+        return aux["sum_logprob"] / np.maximum(lengths - n_prompt, 1)
+
     def _decode_rung(self, b: int, temp: float, prompt_len, mel, prompt):
         """Decode one ladder rung, returning writable host arrays.
 
@@ -754,13 +762,16 @@ class Transcriber:
         tokens = np.array(tokens)
         lengths = np.array(lengths)
         aux = {k: np.array(v) for k, v in aux.items()}
-        if float(temp) <= 0.0 or self.best_of <= 1:
+        # Beam search ignores the sampling rng (deterministic given temp),
+        # so extra candidates would be identical — same gate as the
+        # fallback ladder's.
+        if float(temp) <= 0.0 or self.best_of <= 1 or self.beams > 1:
             return tokens, lengths, aux
         n_prompt = (prompt_len if prompt_len is not None
                     else len(self._prompt_ids()))
 
         def avg_lp(length, a):
-            return a["sum_logprob"] / np.maximum(length - n_prompt, 1)
+            return self._mean_logprob(length, a, n_prompt)
 
         best = avg_lp(lengths, aux)
         for seed in range(1, self.best_of):
@@ -818,8 +829,7 @@ class Transcriber:
         prompt_len = None if prompt is None else prompt.shape[1]
         n_prompt = prompt_len if prompt_len is not None else len(self._prompt_ids())
         for temp in ladder[1:]:
-            gen = np.maximum(lengths - n_prompt, 1)
-            avg_lp = aux["sum_logprob"] / gen
+            avg_lp = self._mean_logprob(lengths, aux, n_prompt)
             failed = avg_lp < self.logprob_threshold
             for j in range(b):
                 text = self._render([int(t) for t in tokens[j, n_prompt:lengths[j]]
@@ -843,11 +853,11 @@ class Transcriber:
                      n_prompt: Optional[int] = None) -> np.ndarray:
         """Whisper no-speech rule: high p(<|nospeech|>) + low mean logprob."""
         ns = np.asarray(aux["no_speech_prob"])[: len(lengths)]
-        sum_lp = np.asarray(aux["sum_logprob"])[: len(lengths)]
         if n_prompt is None:
             n_prompt = len(self._prompt_ids())
-        gen = np.maximum(lengths - n_prompt, 1)
-        avg_lp = sum_lp / gen
+        avg_lp = self._mean_logprob(
+            lengths, {"sum_logprob": np.asarray(aux["sum_logprob"])
+                      [: len(lengths)]}, n_prompt)
         if self.family != "whisper":
             return np.zeros(len(lengths), bool)
         return (ns > self.no_speech_threshold) & (avg_lp < self.logprob_threshold)
@@ -1468,12 +1478,19 @@ class Transcriber:
         logits = self._language_logits(window)[0]
         lang_ids = np.arange(tt.language_base, tt.language_base + len(tt.languages))
         lang_logits = logits[lang_ids]
-        probs = np.exp(lang_logits - lang_logits.max())
-        probs = probs / probs.sum()
+        probs = self._language_softmax(lang_logits)
         best = int(np.argmax(lang_logits))
         return tt.languages[best], {
             lang: float(p) for lang, p in zip(tt.languages, probs)
         }
+
+    @staticmethod
+    def _language_softmax(lang_logits: np.ndarray) -> np.ndarray:
+        """Softmax over the language-token logits — the ONE normalization
+        shared by single and batched detection (the two must report the
+        same language_probability for the same audio)."""
+        e = np.exp(lang_logits - lang_logits.max())
+        return e / e.sum()
 
     def detect_language_many(
         self, audios: Sequence[Union[str, Path, np.ndarray]],
@@ -1509,8 +1526,7 @@ class Transcriber:
                 row = logits[j][lang_ids]
                 best = int(np.argmax(row))
                 langs[i] = tt.languages[best]
-                e = np.exp(row - row.max())
-                probs[i] = float(e[best] / e.sum())
+                probs[i] = float(self._language_softmax(row)[best])
         return (langs, probs) if return_probs else langs
 
     def transcribe_batch(self, audios: Sequence[np.ndarray]) -> List[TranscriptionResult]:

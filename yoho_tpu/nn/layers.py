@@ -881,3 +881,43 @@ def realized_token_probs(logits: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarra
     probs = jnp.exp(picked - lse)
     return jnp.concatenate(
         [jnp.ones((tokens.shape[0], 1), jnp.float32), probs], axis=1)
+
+
+def realized_token_probs_streamed(h: jnp.ndarray, logits_fn,
+                                  tokens: jnp.ndarray,
+                                  chunk: int = 16) -> jnp.ndarray:
+    """:func:`realized_token_probs` of ``logits_fn(h)`` without ever
+    materializing the (B, S, V) logits.
+
+    The alignment pass runs at SERVING batch sizes where full-sequence
+    f32 teacher-forced logits are enormous (whisper-small B=320:
+    320 x 448 x 51865 x 4 B ≈ 30 GB — 2x the chip). Positions stream
+    through ``lax.map`` in S-chunks, so peak extra memory is
+    B x chunk x V f32 (~1 GB at that batch) and the result matches the
+    dense version (each position's logits are an independent dot row —
+    only the materialization order changes; equivalence tested).
+    """
+    b, s, d = h.shape
+    # lp[:, j] = log p(tokens[:, j+1] | ...) from position j's logits;
+    # the trailing dummy column keeps shapes static (discarded below).
+    nxt = jnp.concatenate([tokens[:, 1:], tokens[:, :1]], axis=1)
+    pad = (-s) % chunk
+    if pad:
+        h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+        nxt = jnp.pad(nxt, ((0, 0), (0, pad)))
+    n = h.shape[1] // chunk
+    hs = h.reshape(b, n, chunk, d).transpose(1, 0, 2, 3)
+    ts = nxt.reshape(b, n, chunk).transpose(1, 0, 2)
+
+    def one_chunk(args):
+        hc, tc = args  # (B, chunk, D), (B, chunk)
+        logits = logits_fn(hc).astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(
+            logits, tc[..., None].astype(jnp.int32), axis=-1)[..., 0]
+        return picked - lse
+
+    lp = jax.lax.map(one_chunk, (hs, ts))  # (n, B, chunk)
+    lp = lp.transpose(1, 0, 2).reshape(b, -1)[:, :s]
+    return jnp.concatenate(
+        [jnp.ones((b, 1), jnp.float32), jnp.exp(lp[:, : s - 1])], axis=1)

@@ -262,9 +262,10 @@ class TextDecoder(nn.Module):
         amap = acc / max(len(self.blocks) - align_from, 1)
         if not with_probs:
             return amap
-        from yoho_tpu.nn.layers import realized_token_probs
+        from yoho_tpu.nn.layers import realized_token_probs_streamed
 
-        return amap, realized_token_probs(self._logits(self.ln(x)), tokens)
+        return amap, realized_token_probs_streamed(
+            self.ln(x), self._logits, tokens)
 
     def decode_step(self, tokens, caches: List[KVCache], cross_kvs, pos):
         """Cached step: tokens (B, S_new) at absolute position ``pos``.

@@ -260,9 +260,10 @@ class YOHOTextDecoder(nn.Module):
         amap = acc / max(len(self.blocks) - align_from, 1)
         if not with_probs:
             return amap
-        from yoho_tpu.nn.layers import realized_token_probs
+        from yoho_tpu.nn.layers import realized_token_probs_streamed
 
-        return amap, realized_token_probs(self._logits(self.ln(x)), tokens)
+        return amap, realized_token_probs_streamed(
+            self.ln(x), self._logits, tokens)
 
     def with_voiceprints(self, tokens, xa):
         """Returns (logits, voiceprint embeddings per position).
