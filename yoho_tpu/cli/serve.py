@@ -998,6 +998,13 @@ def main(argv=None):
                              "server: the bias bakes into the compiled "
                              "programs)")
     parser.add_argument("--hotword-boost", type=float, default=4.0)
+    parser.add_argument("--repetition-penalty", type=float, default=None,
+                        help="CTRL-style penalty (>1 damps) on re-emitting "
+                             "already-generated text tokens")
+    parser.add_argument("--no-repeat-ngram", type=int, default=0,
+                        metavar="N",
+                        help="hard-ban completing any text n-gram already "
+                             "generated in the window (0 = off)")
     args = parser.parse_args(argv)
     if args.lora and not args.hf:
         parser.error("--lora adapts an --hf whisper checkpoint")
@@ -1054,7 +1061,9 @@ def main(argv=None):
                                       mesh=mesh, enrolled_speakers=enrolled,
                                       speaker_threshold=args.speaker_threshold,
                                       lora=args.lora, hotwords=args.hotwords,
-                                      hotword_boost=args.hotword_boost)
+                                      hotword_boost=args.hotword_boost,
+                                      repetition_penalty=args.repetition_penalty,
+                                      no_repeat_ngram_size=args.no_repeat_ngram)
     else:
         if args.diarize_session:
             print("warning: --diarize-session is ignored with --session — "
@@ -1066,7 +1075,9 @@ def main(argv=None):
                                    speaker_threshold=args.speaker_threshold,
                                    word_timestamps=args.word_timestamps,
                                    hotwords=args.hotwords,
-                                   hotword_boost=args.hotword_boost)
+                                   hotword_boost=args.hotword_boost,
+                                   repetition_penalty=args.repetition_penalty,
+                                   no_repeat_ngram_size=args.no_repeat_ngram)
 
     server = serve(t, args.port, args.host, args.max_wait_ms,
                    continuous=args.continuous,

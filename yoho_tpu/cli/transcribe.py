@@ -57,7 +57,9 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
                               mesh=None, enrolled_speakers=None,
                               speaker_threshold: float = 0.75,
                               lora=None, hotwords=None,
-                              hotword_boost: float = 4.0, logit_bias=None):
+                              hotword_boost: float = 4.0, logit_bias=None,
+                              repetition_penalty=None,
+                              no_repeat_ngram_size: int = 0):
     import jax.numpy as jnp
 
     from yoho_tpu.infer.pipeline import Transcriber
@@ -131,7 +133,8 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
         enrolled_speakers=enrolled_speakers,
         speaker_threshold=speaker_threshold,
         hotwords=hotwords, hotword_boost=hotword_boost,
-        logit_bias=logit_bias,
+        logit_bias=logit_bias, repetition_penalty=repetition_penalty,
+        no_repeat_ngram_size=no_repeat_ngram_size,
     )
 
 
@@ -142,7 +145,8 @@ def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
                            speaker_threshold: float = 0.75,
                            word_timestamps: bool = False,
                            hotwords=None, hotword_boost: float = 4.0,
-                           logit_bias=None):
+                           logit_bias=None, repetition_penalty=None,
+                           no_repeat_ngram_size: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -187,7 +191,9 @@ def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
                        speaker_threshold=speaker_threshold,
                        word_timestamps=word_timestamps,
                        hotwords=hotwords, hotword_boost=hotword_boost,
-                       logit_bias=logit_bias)
+                       logit_bias=logit_bias,
+                       repetition_penalty=repetition_penalty,
+                       no_repeat_ngram_size=no_repeat_ngram_size)
 
 
 def _result_payload(f, result) -> dict:
@@ -425,6 +431,15 @@ def main(argv=None):
                         help="comma-separated phrases whose tokens get a "
                              "logit boost (domain names, jargon); bakes "
                              "into the compiled decode programs")
+    parser.add_argument("--repetition-penalty", type=float, default=None,
+                        help="CTRL-style penalty (>1 damps) on re-emitting "
+                             "already-generated text tokens, applied inside "
+                             "every compiled decode program")
+    parser.add_argument("--no-repeat-ngram", type=int, default=0,
+                        metavar="N",
+                        help="hard-ban completing any text n-gram already "
+                             "generated in the window (hallucination-loop "
+                             "control; 0 = off)")
     parser.add_argument("--hotword-boost", type=float, default=4.0,
                         help="logit delta added to each hotword token "
                              "(default 4.0; too high forces false "
@@ -479,7 +494,9 @@ def main(argv=None):
                                       mesh=mesh, enrolled_speakers=enrolled,
                                       speaker_threshold=args.speaker_threshold,
                                       lora=args.lora, hotwords=args.hotwords,
-                                      hotword_boost=args.hotword_boost)
+                                      hotword_boost=args.hotword_boost,
+                                      repetition_penalty=args.repetition_penalty,
+                                      no_repeat_ngram_size=args.no_repeat_ngram)
     else:
         if args.lora:
             print("warning: --lora is ignored with --session (adapters "
@@ -496,7 +513,9 @@ def main(argv=None):
                                    speaker_threshold=args.speaker_threshold,
                                    word_timestamps=args.word_timestamps,
                                    hotwords=args.hotwords,
-                                   hotword_boost=args.hotword_boost)
+                                   hotword_boost=args.hotword_boost,
+                                   repetition_penalty=args.repetition_penalty,
+                                   no_repeat_ngram_size=args.no_repeat_ngram)
 
     from yoho_tpu.utils.profiling import trace
 

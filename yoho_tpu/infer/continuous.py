@@ -107,6 +107,10 @@ class ContinuousWhisperDecoder:
         # Same logit bias (hotwords / logit_bias=) as the offline decode
         # programs — applied before the rules, mirroring pipeline.py.
         self._bias = t._bias_logits_fn()
+        # Repetition controls, between bias and timestamp rules — the
+        # same order as pipeline._build_decode_fn (per-row pos works:
+        # logit_rules broadcasts pos exactly like whisper_rules).
+        self._rep = t._repetition_rules_fn(self.prompt_len)
 
         # Family-dependent model surfaces (mirrors infer/pipeline.py):
         # whisper's init_caches takes the quantized flag and its
@@ -170,6 +174,8 @@ class ContinuousWhisperDecoder:
         logits = _suppress(as_f32_logits(logits), self._suppress)
         if self._bias is not None:
             logits = self._bias(logits)
+        if self._rep is not None:
+            logits = self._rep(logits, tokens, pos)
         if self._rules is not None:
             logits = self._rules(logits, tokens, pos)
         nxt = jnp.argmax(logits, axis=-1)

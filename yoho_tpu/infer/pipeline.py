@@ -76,6 +76,8 @@ class Transcriber:
         initial_prompt: Optional[str] = None,
         condition_on_previous_text: bool = False,
         suppress_tokens: Sequence[int] = (),
+        repetition_penalty: Optional[float] = None,  # CTRL-style, >1 damps
+        no_repeat_ngram_size: int = 0,  # hard ban on repeating n-grams
         logit_bias=None,  # {token_id: delta} added to decode logits
         hotwords: Optional[str] = None,  # comma-separated boosted phrases
         hotword_boost: float = 4.0,
@@ -120,6 +122,17 @@ class Transcriber:
         self.initial_prompt = initial_prompt
         # User-supplied token ids to suppress on top of the built-ins.
         self.suppress_tokens = tuple(int(t) for t in suppress_tokens)
+        # Repetition controls (infer/logit_rules.py): applied to plain
+        # text ids inside every compiled decode program, before the
+        # timestamp rules so timestamp forcing always wins.
+        if repetition_penalty is not None and repetition_penalty <= 0:
+            raise ValueError(
+                f"repetition_penalty must be > 0, got {repetition_penalty}")
+        if no_repeat_ngram_size < 0:
+            raise ValueError(
+                f"no_repeat_ngram_size must be >= 0, got {no_repeat_ngram_size}")
+        self.repetition_penalty = repetition_penalty
+        self.no_repeat_ngram_size = int(no_repeat_ngram_size)
         # Host-side VAD: collapse silence before windowing so the chip
         # only encodes/decodes speech; timestamps are mapped back to the
         # original timeline afterwards (yoho_tpu.audio.vad).
@@ -342,6 +355,27 @@ class Transcriber:
                 f"logit_bias token ids out of range [0, {n_vocab}): {bad}")
         return dict(sorted(entries.items()))
 
+    def _repetition_rules_fn(self, n_prompt: int):
+        """None, or the repetition-control processor (logit_rules.py)
+        restricted to plain-text ids — penalizing timestamp/special
+        tokens would fight the timestamp pairing rules."""
+        if (self.repetition_penalty in (None, 1.0)
+                and self.no_repeat_ngram_size <= 1):
+            return None
+        from yoho_tpu.infer.logit_rules import make_repetition_rules
+
+        if self.family == "whisper":
+            v = self.model.cfg.n_vocab
+            bannable = np.zeros((v,), bool)
+            bannable[: self.token_table.eot] = True
+        else:
+            v = self.tokenizer.vocab_size
+            bannable = np.zeros((v,), bool)
+            bannable[self.tokenizer.bpe.n_special:] = True
+        return make_repetition_rules(self.repetition_penalty,
+                                     self.no_repeat_ngram_size,
+                                     n_prompt=n_prompt, bannable=bannable)
+
     def _bias_logits_fn(self):
         """None, or a jit-traceable ``logits -> logits`` adding the
         configured per-token deltas (built via scatter-add so the vocab
@@ -402,18 +436,25 @@ class Transcriber:
         suppress = self._suppress_ids()
         k = self.beams if self.beams > 1 else 0
 
-        logits_fn = None
+        ts_fn = None
         if self.family == "whisper" and self.timestamps:
             from yoho_tpu.infer.whisper_rules import make_timestamp_rules
 
-            logits_fn = make_timestamp_rules(self.token_table, prompt_len)
+            ts_fn = make_timestamp_rules(self.token_table, prompt_len)
         bias_fn = self._bias_logits_fn()
-        if bias_fn is not None:
-            rules_fn = logits_fn
-
-            def logits_fn(logits, tokens, pos, _rules=rules_fn):
-                logits = bias_fn(logits)
-                return logits if _rules is None else _rules(logits, tokens, pos)
+        rep_fn = self._repetition_rules_fn(prompt_len)
+        # Order: bias -> repetition -> timestamp rules (the pairing
+        # rules' forcing must win over everything upstream).
+        logits_fn = None
+        if bias_fn is not None or rep_fn is not None or ts_fn is not None:
+            def logits_fn(logits, tokens, pos):
+                if bias_fn is not None:
+                    logits = bias_fn(logits)
+                if rep_fn is not None:
+                    logits = rep_fn(logits, tokens, pos)
+                if ts_fn is not None:
+                    logits = ts_fn(logits, tokens, pos)
+                return logits
 
         quantize = self.quantized_cross_kv if self.family == "whisper" else False
 

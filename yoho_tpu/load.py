@@ -47,6 +47,8 @@ def load_transcriber(
     hotwords: Optional[str] = None,  # comma-separated boosted phrases
     hotword_boost: float = 4.0,
     logit_bias=None,  # {token_id: delta} (OpenAI logit_bias semantics)
+    repetition_penalty: Optional[float] = None,  # CTRL-style, >1 damps
+    no_repeat_ngram: int = 0,  # hard ban on repeating text n-grams
 ):
     """Build a ready :class:`yoho_tpu.infer.Transcriber` from either an
     HF Whisper checkpoint (``hf=`` path or hub id) or a trained YOHO
@@ -98,7 +100,8 @@ def load_transcriber(
             enrolled_speakers=enrolled,
             speaker_threshold=speaker_threshold, lora=lora,
             hotwords=hotwords, hotword_boost=hotword_boost,
-            logit_bias=logit_bias)
+            logit_bias=logit_bias, repetition_penalty=repetition_penalty,
+            no_repeat_ngram_size=no_repeat_ngram)
 
     for name, val, default in (
         ("task", task, "transcribe"),
@@ -123,4 +126,5 @@ def load_transcriber(
         speaker_threshold=speaker_threshold,
         word_timestamps=word_timestamps,
         hotwords=hotwords, hotword_boost=hotword_boost,
-        logit_bias=logit_bias)
+        logit_bias=logit_bias, repetition_penalty=repetition_penalty,
+        no_repeat_ngram_size=no_repeat_ngram)
