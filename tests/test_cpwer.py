@@ -86,13 +86,17 @@ junk-line
         "file1": {"spkA": "hello there", "spkB": "later words"},
         "file2": {"spkC": "other file"},
     }
-    # A transcript legitimately starting with an angle token is NOT a
-    # flags block (flags are comma-separated, e.g. <o,f0,male>); and a
+    # <unk> is the conventional OOV transcript token, NOT a flags block
+    # (single-element flags like <o> ARE stripped — see below); and a
     # malformed time field skips the line instead of crashing.
     per_file = parse_stm(
         "f1 1 spkA 0.0 2.0 <unk> he said yes\n"
         "filename channel speaker start end text\n")
     assert per_file == {"f1": {"spkA": "<unk> he said yes"}}
+    # Single-element comma-less flag blocks are still flags: keeping
+    # "<o>" would add a phantom reference word ("o") per row.
+    per_file = parse_stm("f1 1 spkA 0.0 2.0 <o> hello there\n")
+    assert per_file == {"f1": {"spkA": "hello there"}}
 
 
 def test_parse_stm_turns():

@@ -209,6 +209,32 @@ def test_verification_pairs_balanced_and_separable():
     assert eer < 0.05
 
 
+def test_verification_pairs_budget_sampling():
+    """Past the budget, positive pairs are SAMPLED BY INDEX (never
+    materialized): still balanced, same-speaker, distinct, and unique —
+    and the call stays fast at pair counts that used to blow up as
+    Python tuple lists."""
+    import yoho_tpu.eval.diarization as dz
+
+    captured = []
+    orig = dz.cosine_scores
+    dz.cosine_scores = lambda a, b: (captured.append((a, b)) or orig(a, b))
+    try:
+        n = 600  # 3 speakers x 200 -> ~19900 pos pairs per speaker
+        emb = np.arange(n, dtype=np.float32)[:, None] * np.ones((1, 3))
+        ids = [i % 3 for i in range(n)]
+        _scores, labels = verification_pairs(emb, ids, max_pairs=400)
+        a, b = captured[0]
+        npos = int(labels.sum())
+        assert npos == 200 and (labels == 0).sum() == 200
+        ia, ib = a[:npos, 0].astype(int), b[:npos, 0].astype(int)
+        assert all(x % 3 == y % 3 for x, y in zip(ia, ib))
+        assert all(x != y for x, y in zip(ia, ib))
+        assert len({tuple(sorted(p)) for p in zip(ia, ib)}) == npos
+    finally:
+        dz.cosine_scores = orig
+
+
 def test_verification_pairs_single_speaker_raises():
     """All-one-speaker input raises instead of spinning forever looking
     for a different-speaker pair."""

@@ -114,3 +114,15 @@ def test_normalizer_regression_fixes():
     assert n("born in 1990.") == "born in 1990"
     assert n("room five zero five") == "room 5 0 5"
     assert n("it costs 3.50 dollars") == "it costs 3.50 dollars"
+    # Apostrophe-leading contraction keys (a leading \b can never match
+    # after a space, so these used to be dead table entries).
+    assert n("just 'cause I said so") == "just because i said so"
+    assert n("get 'em now") == "get them now"
+    # A unit after a teen starts a NEW number ("sixteen five" was 21).
+    assert n("sixteen five") == "16 5"
+    assert n("nineteen five") == "19 5"
+    # zero never extends a number ("twenty zero" used to absorb it).
+    assert n("twenty zero") == "20 0"
+    # "oh" is a zero digit only in number context; bare "oh" is a word.
+    assert n("nineteen oh five") == "19 0 5"
+    assert n("oh no") == "oh no"

@@ -270,12 +270,38 @@ def verification_pairs(
     if len(by_spk) < 2:
         raise ValueError("need both same- and different-speaker pairs "
                          "(all embeddings share one speaker label)")
+    # Sample same-speaker pair INDICES against the combinatorial count —
+    # materializing every pair first is O(n^2) lists (10k embeddings of
+    # few speakers => tens of millions of tuples) just to keep 5000.
+    groups = list(by_spk.values())
+    counts = [len(m) * (len(m) - 1) // 2 for m in groups]
+    total_pos = sum(counts)
+    budget = max_pairs // 2
     pos: List[Tuple[int, int]] = []
-    for members in by_spk.values():
-        pos += [(a, b) for i, a in enumerate(members) for b in members[i + 1:]]
-    if len(pos) > max_pairs // 2:
-        sel = rng.choice(len(pos), max_pairs // 2, replace=False)
-        pos = [pos[i] for i in sel]
+    if total_pos <= budget:
+        for members in groups:
+            pos += [(a, b) for i, a in enumerate(members)
+                    for b in members[i + 1:]]
+    else:
+        import math
+
+        offsets = np.cumsum([0] + counts)
+        for g in rng.choice(total_pos, budget, replace=False):
+            s = int(np.searchsorted(offsets, g, side="right")) - 1
+            local = int(g - offsets[s])
+            members = groups[s]
+            k = len(members)
+            # Decode combination index `local` -> (i, j), i < j, in the
+            # (0,1),(0,2)..,(1,2).. order: pairs with first index < i
+            # number F(i) = i*(2k-i-1)/2; invert via isqrt.
+            disc = (2 * k - 1) ** 2 - 8 * local
+            i = ((2 * k - 1) - math.isqrt(disc)) // 2
+            while i * (2 * k - i - 1) // 2 > local:
+                i -= 1
+            while (i + 1) * (2 * k - i - 2) // 2 <= local:
+                i += 1
+            j = i + 1 + (local - i * (2 * k - i - 1) // 2)
+            pos.append((members[i], members[j]))
     neg: List[Tuple[int, int]] = []
     n = len(ids)
     while len(neg) < len(pos):

@@ -122,14 +122,20 @@ class _NumberParser:
                 consumed_any = True
                 continue
             if w in _UNITS:
-                # "five three" is two numbers, not 8: a unit directly after
-                # a unit/ten ends this number (spoken digit sequences are
-                # handled by the caller as separate numbers).
-                if current % 10 in range(1, 10) and current % 100 not in range(10, 20):
+                # "five three" is two numbers, not 8: a unit directly
+                # after a unit (teens included — "sixteen five" is
+                # "16 5", never 21) ends this number; spoken digit
+                # sequences are handled by the caller as separate
+                # numbers.
+                if current % 10 in range(1, 10) or current % 100 in range(10, 20):
                     break
                 if consumed_any and current == 0 and total == 0:
                     # "five zero five" is a digit sequence: a consumed
                     # "zero" ends its number instead of being absorbed.
+                    break
+                if consumed_any and _UNITS[w] == 0:
+                    # "twenty zero" is "20 0": zero never extends a
+                    # number, it can only start one.
                     break
                 current += _UNITS[w]
                 j += 1
@@ -185,7 +191,8 @@ class _NumberParser:
                 k += 1
             if frac:
                 return f"{value}.{''.join(frac)}", k
-        # Bare "zero"/"oh" handled as plain digit by _UNITS path.
+        # Bare "zero" is a plain digit via _UNITS; "oh"-as-zero is
+        # context-dependent and handled in _words_to_digits.
         return str(value), j
 
     @staticmethod
@@ -203,6 +210,15 @@ def _words_to_digits(text: str) -> str:
     out: List[str] = []
     i = 0
     while i < len(words):
+        # "oh" as a zero DIGIT only inside a number context ("nineteen
+        # oh five" -> "19 0 5"); the bare interjection ("oh no") stays a
+        # word. The context test is: the previous emitted token rendered
+        # as a number.
+        if (words[i] == "oh" and out
+                and out[-1].replace(".", "", 1).isdigit()):
+            out.append("0")
+            i += 1
+            continue
         parsed = _PARSER.parse(words, i)
         if parsed is not None:
             rendered, j = parsed
@@ -224,9 +240,12 @@ def normalize_english(text: str) -> str:
     text = text.replace("’", "'")
     import re as _re
     for src, dst in _CONTRACTIONS.items():
-        # \b-anchored: a bare str.replace mangles possessives that
-        # embed a contraction key ("hamlet's" -> "hamlet us" via "let's").
-        text = _re.sub(rf"\b{_re.escape(src)}\b", dst, text)
+        # (?<!\w)-anchored: a bare str.replace mangles possessives that
+        # embed a contraction key ("hamlet's" -> "hamlet us" via
+        # "let's"), and a leading \b can never match apostrophe-leading
+        # keys ("'cause", "'em") because no word boundary sits between a
+        # space and an apostrophe.
+        text = _re.sub(rf"(?<!\w){_re.escape(src)}\b", dst, text)
     for suf, repl in _SUFFIXES:
         text = re.sub(rf"(\w){re.escape(suf)}\b", rf"\1{repl}", text)
     # Titles: abbreviations with optional trailing period.

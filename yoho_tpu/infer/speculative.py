@@ -103,6 +103,9 @@ def speculative_greedy_decode(
     """
     b, p = prompt.shape
     assert p >= 1 and p < max_len
+    # gamma=0 would only surface as an obscure (B,1) vs (B,0) broadcast
+    # error deep inside jit tracing of the agree comparison.
+    assert gamma >= 1, f"gamma must be >= 1, got {gamma}"
     ext = max_len + gamma + 2  # slack so block writes never clamp
 
     sup = jnp.asarray(list(suppress_ids), jnp.int32) if len(suppress_ids) else None
