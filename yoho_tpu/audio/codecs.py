@@ -211,6 +211,8 @@ def decode_ogg(path) -> Optional[Tuple[np.ndarray, int]]:
                             ctypes.byref(bitstream))
             if n == 0:
                 break
+            if n == -3:  # OV_HOLE: recoverable page gap — skip, per the
+                continue  # vorbisfile docs (web-scraped oggs hit this)
             if n < 0:
                 raise ValueError(f"ogg decode error {n} in {path}")
             chunks.append(bytes(buf[:n]))

@@ -495,6 +495,12 @@ def encode_flac(samples: np.ndarray, sample_rate: int, bps: int = 16,
         raise ValueError(f"unsupported channel count {nch}")
     if not (4 <= bps <= 32):
         raise ValueError(f"unsupported bits per sample {bps}")
+    # 16-bit STREAMINFO/frame field and 20-bit sample-rate field: out of
+    # range would wrap into a stream both decoders reject as corrupt.
+    if not (1 <= block_size <= 65535):
+        raise ValueError(f"block_size must be in [1, 65535], got {block_size}")
+    if not (1 <= sample_rate < (1 << 20)):
+        raise ValueError(f"sample_rate must be in [1, 2^20), got {sample_rate}")
     lim = 1 << (bps - 1)
     x = x.astype(np.int64)
     if n and (x.min() < -lim or x.max() >= lim):

@@ -100,6 +100,10 @@ def load_audio(path: Union[str, Path], sample_rate: int) -> np.ndarray:
     raw int16, NOT scaled to [-1, 1].
     """
     path = Path(path)
+    if not path.exists():
+        # Surface a path typo as FileNotFoundError, not as a cryptic
+        # codec error from whatever fallback tries the file last.
+        raise FileNotFoundError(f"no such audio file: {path}")
     suffix = path.suffix.lower()
     if suffix == ".npy":
         arr = np.load(path)
@@ -175,6 +179,10 @@ def save_audio(audio: np.ndarray, path: Union[str, Path], sample_rate: int) -> P
     shells out to ffmpeg for its mp4 target.
 
     Accepts int16 or float32 [-1, 1]. Returns the actual path written.
+    AAC is lossy and carries codec delay: an m4a save->load round trip
+    may differ in length by up to ~1 frame (1024 samples) — the codec's
+    priming, not framework padding (the encoder emits a short final
+    frame, exactly like the ffmpeg binary path).
     """
     path = Path(path)
     if audio.dtype != np.int16:

@@ -40,31 +40,67 @@ def _source_files() -> list[Path]:
                   if p.name != "avdecode.cpp")
 
 
-def _build_lib() -> Optional[Path]:
-    srcs = _source_files()
-    if not srcs:
-        return None
-    tag = hashlib.sha256(b"".join(p.read_bytes() for p in srcs)).hexdigest()[:16]
-    out = _SRC_DIR / f"libyoho_native_{tag}.so"
-    if out.exists():
-        return out
-    # Clean stale builds.
-    for old in _SRC_DIR.glob("libyoho_native_*.so"):
-        try:
-            old.unlink()
-        except OSError:
-            pass
-    cmd = [
-        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native",
-        "-o", str(out), *map(str, srcs),
-    ]
+def _host_tag() -> str:
+    """CPU identity component of the build cache key: the .so is built
+    with -march=native, so a checkout shared between machines (rsync,
+    NFS) must not load another host's binary — dlopen succeeds and the
+    first call dies with SIGILL, past every Python fallback."""
+    import platform
+
+    ident = platform.machine()
+    try:
+        for line in Path("/proc/cpuinfo").read_text().splitlines():
+            if line.startswith("flags") or line.startswith("Features"):
+                ident += line
+                break
+    except OSError:
+        pass
+    return hashlib.sha256(ident.encode()).hexdigest()[:8]
+
+
+def _compile_into_place(cmd_prefix: list, srcs: list, out: Path) -> None:
+    """g++ to a per-PID temp name, then atomic-rename into place.
+
+    Spawn-based dataloader workers all build on first use of a fresh
+    checkout (the .so is gitignored); compiling straight onto the final
+    path lets another worker dlopen a half-written ELF, which fails and
+    silently pins that worker to the pure-Python fallbacks."""
+    tmp = out.with_suffix(f".tmp{os.getpid()}.so")
+    cmd = [*cmd_prefix, "-o", str(tmp), *map(str, srcs)]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, out)
     except (subprocess.CalledProcessError, FileNotFoundError) as e:
         stderr = getattr(e, "stderr", b"")
         raise RuntimeError(
             f"native build failed: {stderr.decode(errors='replace') if stderr else e}"
         ) from e
+    finally:
+        try:
+            tmp.unlink(missing_ok=True)
+        except OSError:
+            pass
+
+
+def _build_lib() -> Optional[Path]:
+    srcs = _source_files()
+    if not srcs:
+        return None
+    tag = hashlib.sha256(b"".join(p.read_bytes() for p in srcs)).hexdigest()[:16]
+    out = _SRC_DIR / f"libyoho_native_{tag}_{_host_tag()}.so"
+    if out.exists():
+        return out
+    # Clean stale builds (other tags only; in-flight same-tag builders
+    # write to temp names, so nothing here can race them).
+    for old in _SRC_DIR.glob("libyoho_native_*.so"):
+        if old != out:
+            try:
+                old.unlink()
+            except OSError:
+                pass
+    _compile_into_place(
+        ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-march=native"],
+        srcs, out)
     return out
 
 
@@ -86,7 +122,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 return None
             _LIB = ctypes.CDLL(str(path))
             _configure(_LIB)
-        except Exception:
+        except Exception as e:
+            # The fallbacks keep everything WORKING, but 15-100x slower
+            # (FLAC/BPE/DTW) — never eat the compiler error silently.
+            import warnings
+
+            warnings.warn(
+                "yoho_tpu native library unavailable — falling back to "
+                f"pure-Python (slow) implementations: {e}", stacklevel=2)
             _LIB_FAILED = True
             _LIB = None
     return _LIB
@@ -165,17 +208,17 @@ def _build_av_lib() -> Optional[Path]:
     if not (have_hdr and have_lib):
         return None
     tag = hashlib.sha256(src.read_bytes()).hexdigest()[:16]
-    out = _SRC_DIR / f"libyoho_av_{tag}.so"
+    out = _SRC_DIR / f"libyoho_av_{tag}_{_host_tag()}.so"
     if out.exists():
         return out
     for old in _SRC_DIR.glob("libyoho_av_*.so"):
-        try:
-            old.unlink()
-        except OSError:
-            pass
-    cmd = ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
-           "-o", str(out), str(src), *_AV_LINK]
-    subprocess.run(cmd, check=True, capture_output=True)
+        if old != out:
+            try:
+                old.unlink()
+            except OSError:
+                pass
+    _compile_into_place(["g++", "-O2", "-std=c++17", "-shared", "-fPIC"],
+                        [src, *_AV_LINK], out)
     return out
 
 

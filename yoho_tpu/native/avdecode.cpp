@@ -217,7 +217,12 @@ int32_t yoho_av_encode_m4a(const char* path, const int16_t* pcm, int64_t n,
 
     for (int64_t off = 0; off < n && ok; off += fs) {
       int chunk = (int)((n - off) < fs ? (n - off) : fs);
-      frame->nb_samples = fs;
+      // A SHORT final frame (nb_samples = chunk, accepted by AAC with
+      // AV_CODEC_CAP_SMALL_LAST_FRAME): padding it to fs would append
+      // up to fs-1 spurious silence samples to every encoded file,
+      // breaking save_audio -> load_audio length round-trips and
+      // disagreeing with the ffmpeg-binary fallback path.
+      frame->nb_samples = chunk;
       frame->format = AV_SAMPLE_FMT_FLTP;
       av_channel_layout_copy(&frame->ch_layout, &enc->ch_layout);
       frame->sample_rate = sample_rate;
@@ -226,16 +231,13 @@ int32_t yoho_av_encode_m4a(const char* path, const int16_t* pcm, int64_t n,
         ok = false;
         break;
       }
-      // s16 -> fltp via swr; zero-pad the final partial frame.
-      std::vector<int16_t> padded((size_t)fs, 0);
-      memcpy(padded.data(), pcm + off, (size_t)chunk * sizeof(int16_t));
-      const uint8_t* in = reinterpret_cast<const uint8_t*>(padded.data());
-      if (swr_convert(swr, frame->data, fs, &in, fs) < 0) {
+      const uint8_t* in = reinterpret_cast<const uint8_t*>(pcm + off);
+      if (swr_convert(swr, frame->data, chunk, &in, chunk) < 0) {
         ok = false;
         break;
       }
       frame->pts = pts;
-      pts += fs;
+      pts += chunk;
       if (!drain(false)) ok = false;
       av_frame_unref(frame);
     }

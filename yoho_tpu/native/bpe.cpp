@@ -241,24 +241,20 @@ int64_t yoho_bpe_encode(void* h, const uint8_t* text, int64_t len, int32_t** ids
         ids.reserve(w.size());
         for (unsigned char c : w) ids.push_back(m->byte_base + (int32_t)c);
         while (ids.size() > 1) {
+            // One scan finds both the minimum rank AND its pair (the
+            // rank->pair mapping is unique, so recording the argmin is
+            // exactly the pair a second recovery scan would return).
             int32_t best_rank = -1;
+            Pair pair{-1, -1};
             for (size_t i = 0; i + 1 < ids.size(); ++i) {
                 auto it = m->rank.find({ids[i], ids[i + 1]});
                 if (it != m->rank.end() &&
                     (best_rank < 0 || it->second < best_rank)) {
                     best_rank = it->second;
+                    pair = {ids[i], ids[i + 1]};
                 }
             }
             if (best_rank < 0) break;
-            // Recover the pair for this rank by scanning once more.
-            Pair pair{-1, -1};
-            for (size_t i = 0; i + 1 < ids.size(); ++i) {
-                auto it = m->rank.find({ids[i], ids[i + 1]});
-                if (it != m->rank.end() && it->second == best_rank) {
-                    pair = {ids[i], ids[i + 1]};
-                    break;
-                }
-            }
             const int32_t merged = m->merge_base + best_rank;
             std::vector<int32_t> nxt;
             nxt.reserve(ids.size());

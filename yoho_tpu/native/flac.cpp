@@ -43,6 +43,12 @@ struct BitReader {
     bool aligned() const { return (pos & 7) == 0; }
     void align() { pos = (pos + 7) & ~size_t(7); }
 
+    void skip_bytes(uint64_t n) {  // bounds-checked direct advance
+        uint64_t target = pos + n * 8;
+        if (target > (uint64_t)size * 8) { error = true; pos = size * 8; return; }
+        pos = (size_t)target;
+    }
+
     uint32_t bits_slow(int n) {
         uint32_t v = 0;
         for (int i = 0; i < n; i++) {
@@ -297,10 +303,13 @@ int64_t yoho_flac_decode(const uint8_t* data, int64_t size,
             stream_bps = (int)br.bits(5) + 1;
             br.bits64(36);                 // total samples (trust frames)
             for (int i = 0; i < 16; i++) br.bits(8);  // MD5
-            for (uint32_t i = 34; i < len; i++) br.bits(8);
+            if (len > 34) br.skip_bytes(len - 34);
             have_streaminfo = true;
         } else {
-            for (uint32_t i = 0; i < len; i++) br.bits(8);
+            // Direct position skip: byte-at-a-time bits(8) cost millions
+            // of iterations on files with embedded artwork (a 10 MB
+            // PICTURE block is standard for music-derived corpora).
+            br.skip_bytes(len);
         }
         if (br.error) return -1;
         if (last) break;
@@ -775,6 +784,11 @@ int64_t yoho_flac_encode(const int32_t* pcm, int64_t n, int32_t nch,
     *out = nullptr;
     if (nch < 1 || nch > 8 || bps < 4 || bps > 32 || n < 0) return -1;
     if (block_size <= 0) block_size = 4096;
+    // Field-width limits: block size is a 16-bit STREAMINFO/frame field,
+    // sample rate a 20-bit field — out-of-range values would silently
+    // wrap into a stream our own decoder rejects as corrupt.
+    if (block_size > 65535) return -1;
+    if (sr <= 0 || sr >= (1 << 20)) return -1;
 
     BitWriter stream;
     stream.out.reserve((size_t)(n * nch * 2 + 1024));

@@ -71,7 +71,21 @@ int64_t yoho_wav_decode(const char* path, float** out, int32_t* sr_out) {
             fseek(f, chunk_start + (long)size + (size & 1), SEEK_SET);
             have_fmt = true;
         } else if (memcmp(tag, "data", 4) == 0) {
-            data.resize(size);
+            // The chunk size is UNTRUSTED: clamp to the bytes actually
+            // remaining in the file before resize — a corrupt header
+            // claiming ~4 GB would otherwise zero-fill gigabytes or
+            // throw bad_alloc across the ctypes boundary (std::terminate
+            // kills the whole Python process; no fallback ever runs).
+            long here = ftell(f);
+            if (here < 0) { fclose(f); return -1; }
+            if (fseek(f, 0, SEEK_END) != 0) { fclose(f); return -1; }
+            long fend = ftell(f);
+            if (fend < 0 || fseek(f, here, SEEK_SET) != 0) { fclose(f); return -1; }
+            uint64_t remaining = (uint64_t)(fend - here);
+            if ((uint64_t)size > remaining) { fclose(f); return -1; }
+            try {
+                data.resize(size);
+            } catch (const std::bad_alloc&) { fclose(f); return -1; }
             if (size && fread(data.data(), 1, size, f) != size) { fclose(f); return -1; }
             if (size & 1) fseek(f, 1, SEEK_CUR);
             have_data = true;
