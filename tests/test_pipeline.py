@@ -183,6 +183,20 @@ def _tiny_whisper_transcriber(**kw):
                        token_table=table, batch_size=1, **kw), cfg
 
 
+def test_length_penalty_plumbs_into_beam_decode():
+    """Transcriber(length_penalty=) reaches beam_search: a beamed decode
+    with an extreme penalty compiles and runs; the knob defaults to the
+    whisper-standard 1.0."""
+    t, cfg = _tiny_whisper_transcriber(beams=2, length_penalty=0.0,
+                                       no_speech_threshold=1.1)
+    assert t.length_penalty == 0.0
+    mel = jnp.zeros((1, 32, 8), jnp.float32)
+    tokens, lengths, _ = t._decode_with_fallback(1, mel)
+    assert int(lengths[0]) >= len(t._prompt_ids())
+    t2, _cfg = _tiny_whisper_transcriber()
+    assert t2.length_penalty == 1.0
+
+
 def test_language_probability_on_autodetect():
     """language=None populates result.language_probability (softmax prob
     of the detected language token) on both the single and batched

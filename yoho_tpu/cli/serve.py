@@ -998,6 +998,9 @@ def main(argv=None):
                              "server: the bias bakes into the compiled "
                              "programs)")
     parser.add_argument("--hotword-boost", type=float, default=4.0)
+    parser.add_argument("--length-penalty", type=float, default=1.0,
+                        help="GNMT length normalization exponent for beam "
+                             "scores (--beams)")
     parser.add_argument("--repetition-penalty", type=float, default=None,
                         help="CTRL-style penalty (>1 damps) on re-emitting "
                              "already-generated text tokens")
@@ -1063,7 +1066,8 @@ def main(argv=None):
                                       lora=args.lora, hotwords=args.hotwords,
                                       hotword_boost=args.hotword_boost,
                                       repetition_penalty=args.repetition_penalty,
-                                      no_repeat_ngram_size=args.no_repeat_ngram)
+                                      no_repeat_ngram_size=args.no_repeat_ngram,
+                                      length_penalty=args.length_penalty)
     else:
         if args.diarize_session:
             print("warning: --diarize-session is ignored with --session — "
@@ -1077,7 +1081,8 @@ def main(argv=None):
                                    hotwords=args.hotwords,
                                    hotword_boost=args.hotword_boost,
                                    repetition_penalty=args.repetition_penalty,
-                                   no_repeat_ngram_size=args.no_repeat_ngram)
+                                   no_repeat_ngram_size=args.no_repeat_ngram,
+                                   length_penalty=args.length_penalty)
 
     server = serve(t, args.port, args.host, args.max_wait_ms,
                    continuous=args.continuous,

@@ -59,7 +59,8 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
                               lora=None, hotwords=None,
                               hotword_boost: float = 4.0, logit_bias=None,
                               repetition_penalty=None,
-                              no_repeat_ngram_size: int = 0):
+                              no_repeat_ngram_size: int = 0,
+                              length_penalty: float = 1.0):
     import jax.numpy as jnp
 
     from yoho_tpu.infer.pipeline import Transcriber
@@ -120,6 +121,7 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
     return Transcriber(
         model, {"params": params}, family="whisper", token_table=table,
         batch_size=batch, beams=beams, language=language,
+        length_penalty=length_penalty,
         cache_dtype=jnp.bfloat16, timestamps=timestamps,
         quantized_cross_kv=quantized, quantized_cache=quantized,
         word_timestamps=word_timestamps, temperatures=temperatures,
@@ -146,7 +148,8 @@ def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
                            word_timestamps: bool = False,
                            hotwords=None, hotword_boost: float = 4.0,
                            logit_bias=None, repetition_penalty=None,
-                           no_repeat_ngram_size: int = 0):
+                           no_repeat_ngram_size: int = 0,
+                           length_penalty: float = 1.0):
     import jax
     import jax.numpy as jnp
 
@@ -186,6 +189,7 @@ def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
                           dtype=jnp.bfloat16, weights_int8=True)
     return Transcriber(model, {"params": params}, family="yoho", tokenizer=tok,
                        batch_size=batch, beams=beams, cache_dtype=jnp.bfloat16,
+                       length_penalty=length_penalty,
                        vad_filter=vad_filter, mesh=mesh,
                        enrolled_speakers=enrolled_speakers,
                        speaker_threshold=speaker_threshold,
@@ -431,6 +435,9 @@ def main(argv=None):
                         help="comma-separated phrases whose tokens get a "
                              "logit boost (domain names, jargon); bakes "
                              "into the compiled decode programs")
+    parser.add_argument("--length-penalty", type=float, default=1.0,
+                        help="GNMT length normalization exponent for beam "
+                             "scores (--beams); 1.0 = whisper default")
     parser.add_argument("--repetition-penalty", type=float, default=None,
                         help="CTRL-style penalty (>1 damps) on re-emitting "
                              "already-generated text tokens, applied inside "
@@ -496,7 +503,8 @@ def main(argv=None):
                                       lora=args.lora, hotwords=args.hotwords,
                                       hotword_boost=args.hotword_boost,
                                       repetition_penalty=args.repetition_penalty,
-                                      no_repeat_ngram_size=args.no_repeat_ngram)
+                                      no_repeat_ngram_size=args.no_repeat_ngram,
+                                      length_penalty=args.length_penalty)
     else:
         if args.lora:
             print("warning: --lora is ignored with --session (adapters "
@@ -515,7 +523,8 @@ def main(argv=None):
                                    hotwords=args.hotwords,
                                    hotword_boost=args.hotword_boost,
                                    repetition_penalty=args.repetition_penalty,
-                                   no_repeat_ngram_size=args.no_repeat_ngram)
+                                   no_repeat_ngram_size=args.no_repeat_ngram,
+                                   length_penalty=args.length_penalty)
 
     from yoho_tpu.utils.profiling import trace
 

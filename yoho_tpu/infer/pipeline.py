@@ -56,6 +56,7 @@ class Transcriber:
         token_table=None,  # WhisperTokenTable (whisper family)
         batch_size: int = 8,
         beams: int = 0,  # 0/1 = greedy
+        length_penalty: float = 1.0,  # GNMT beam score normalization
         overlap_seconds: float = 5.0,
         cache_dtype=jnp.float32,
         language: Optional[str] = "en",  # None = auto-detect (whisper)
@@ -205,6 +206,9 @@ class Transcriber:
         self.token_table = token_table
         self.batch_size = batch_size
         self.beams = max(0, beams)
+        # GNMT length penalty ((5+L)/6)^alpha dividing beam scores;
+        # 1.0 = OpenAI whisper's default. Greedy paths ignore it.
+        self.length_penalty = float(length_penalty)
         self.language = language
         if task not in ("transcribe", "translate"):
             raise ValueError(f"unknown task {task!r}")
@@ -483,7 +487,8 @@ class Transcriber:
                          if self.family == "whisper" else None)
                 tokens, lengths, _scores, aux = beam_search(
                     step, caches, jnp.asarray(prompt), self.max_len, self.eot,
-                    beams=k, suppress_ids=suppress, logits_fn=logits_fn,
+                    beams=k, length_penalty=self.length_penalty,
+                    suppress_ids=suppress, logits_fn=logits_fn,
                     return_aux=True, no_speech_id=ns_id,
                 )
                 aux.setdefault("no_speech_prob", jnp.zeros((batch,), jnp.float32))

@@ -49,6 +49,7 @@ def load_transcriber(
     logit_bias=None,  # {token_id: delta} (OpenAI logit_bias semantics)
     repetition_penalty: Optional[float] = None,  # CTRL-style, >1 damps
     no_repeat_ngram: int = 0,  # hard ban on repeating text n-grams
+    length_penalty: float = 1.0,  # GNMT beam score normalization
 ):
     """Build a ready :class:`yoho_tpu.infer.Transcriber` from either an
     HF Whisper checkpoint (``hf=`` path or hub id) or a trained YOHO
@@ -101,7 +102,8 @@ def load_transcriber(
             speaker_threshold=speaker_threshold, lora=lora,
             hotwords=hotwords, hotword_boost=hotword_boost,
             logit_bias=logit_bias, repetition_penalty=repetition_penalty,
-            no_repeat_ngram_size=no_repeat_ngram)
+            no_repeat_ngram_size=no_repeat_ngram,
+            length_penalty=length_penalty)
 
     for name, val, default in (
         ("task", task, "transcribe"),
@@ -127,4 +129,5 @@ def load_transcriber(
         word_timestamps=word_timestamps,
         hotwords=hotwords, hotword_boost=hotword_boost,
         logit_bias=logit_bias, repetition_penalty=repetition_penalty,
-        no_repeat_ngram_size=no_repeat_ngram)
+        no_repeat_ngram_size=no_repeat_ngram,
+        length_penalty=length_penalty)
