@@ -183,6 +183,34 @@ def _tiny_whisper_transcriber(**kw):
                        token_table=table, batch_size=1, **kw), cfg
 
 
+def test_hallucination_silence_filter():
+    """_drop_silence_hallucinations: a segment over pure silence inside a
+    long silent run is dropped; segments over speech (or silence shorter
+    than the threshold) are kept; disabled by default."""
+    t, cfg = _tiny_whisper_transcriber(hallucination_silence_threshold=2.0)
+    sr = t.sample_rate
+    g = np.random.default_rng(0)
+    # 10 s: speech (tone bursts) at 0-2 s and 8-10 s; silence 2-8 s.
+    audio = np.zeros(10 * sr, np.float32)
+    tone = 0.5 * np.sin(2 * np.pi * 400 * np.arange(2 * sr) / sr)
+    audio[: 2 * sr] = tone
+    audio[8 * sr:] = tone
+    speech_seg = Segment(0.2, 1.8, "real", [5])
+    ghost_seg = Segment(4.0, 5.0, "ghost", [6])
+    kept = t._drop_silence_hallucinations([speech_seg, ghost_seg], audio)
+    assert kept == [speech_seg]
+    # Threshold longer than the silence run: nothing dropped.
+    t2, _ = _tiny_whisper_transcriber(hallucination_silence_threshold=30.0)
+    assert t2._drop_silence_hallucinations(
+        [speech_seg, ghost_seg], audio) == [speech_seg, ghost_seg]
+    # Disabled (default None): untouched.
+    t3, _ = _tiny_whisper_transcriber()
+    assert t3._drop_silence_hallucinations(
+        [speech_seg, ghost_seg], audio) == [speech_seg, ghost_seg]
+    with pytest.raises(ValueError):
+        _tiny_whisper_transcriber(hallucination_silence_threshold=0.0)
+
+
 def test_length_penalty_plumbs_into_beam_decode():
     """Transcriber(length_penalty=) reaches beam_search: a beamed decode
     with an extreme penalty compiles and runs; the knob defaults to the

@@ -998,6 +998,11 @@ def main(argv=None):
                              "server: the bias bakes into the compiled "
                              "programs)")
     parser.add_argument("--hotword-boost", type=float, default=4.0)
+    parser.add_argument("--hallucination-silence-threshold", type=float,
+                        default=None, metavar="SECONDS",
+                        help="drop segments that sit speech-free inside a "
+                             "silence run at least this long (VAD-informed "
+                             "hallucination filter)")
     parser.add_argument("--length-penalty", type=float, default=1.0,
                         help="GNMT length normalization exponent for beam "
                              "scores (--beams)")
@@ -1067,7 +1072,9 @@ def main(argv=None):
                                       hotword_boost=args.hotword_boost,
                                       repetition_penalty=args.repetition_penalty,
                                       no_repeat_ngram_size=args.no_repeat_ngram,
-                                      length_penalty=args.length_penalty)
+                                      length_penalty=args.length_penalty,
+                                      hallucination_silence_threshold=(
+                                          args.hallucination_silence_threshold))
     else:
         if args.diarize_session:
             print("warning: --diarize-session is ignored with --session — "
@@ -1082,7 +1089,9 @@ def main(argv=None):
                                    hotword_boost=args.hotword_boost,
                                    repetition_penalty=args.repetition_penalty,
                                    no_repeat_ngram_size=args.no_repeat_ngram,
-                                   length_penalty=args.length_penalty)
+                                   length_penalty=args.length_penalty,
+                                   hallucination_silence_threshold=(
+                                       args.hallucination_silence_threshold))
 
     server = serve(t, args.port, args.host, args.max_wait_ms,
                    continuous=args.continuous,

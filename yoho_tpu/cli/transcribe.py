@@ -60,7 +60,8 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
                               hotword_boost: float = 4.0, logit_bias=None,
                               repetition_penalty=None,
                               no_repeat_ngram_size: int = 0,
-                              length_penalty: float = 1.0):
+                              length_penalty: float = 1.0,
+                              hallucination_silence_threshold=None):
     import jax.numpy as jnp
 
     from yoho_tpu.infer.pipeline import Transcriber
@@ -128,6 +129,7 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
         best_of=best_of, initial_prompt=initial_prompt,
         condition_on_previous_text=condition_on_previous_text,
         task=task, vad_filter=vad_filter, mesh=mesh,
+        hallucination_silence_threshold=hallucination_silence_threshold,
         diarize_encoder=diarize[0] if diarize else None,
         diarize_variables=diarize[1] if diarize else None,
         draft_model=draft_model, draft_variables=draft_variables,
@@ -149,7 +151,8 @@ def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
                            hotwords=None, hotword_boost: float = 4.0,
                            logit_bias=None, repetition_penalty=None,
                            no_repeat_ngram_size: int = 0,
-                           length_penalty: float = 1.0):
+                           length_penalty: float = 1.0,
+                           hallucination_silence_threshold=None):
     import jax
     import jax.numpy as jnp
 
@@ -190,6 +193,8 @@ def build_yoho_transcriber(session: str, root: str, beams: int, batch: int,
     return Transcriber(model, {"params": params}, family="yoho", tokenizer=tok,
                        batch_size=batch, beams=beams, cache_dtype=jnp.bfloat16,
                        length_penalty=length_penalty,
+                       hallucination_silence_threshold=(
+                           hallucination_silence_threshold),
                        vad_filter=vad_filter, mesh=mesh,
                        enrolled_speakers=enrolled_speakers,
                        speaker_threshold=speaker_threshold,
@@ -435,6 +440,12 @@ def main(argv=None):
                         help="comma-separated phrases whose tokens get a "
                              "logit boost (domain names, jargon); bakes "
                              "into the compiled decode programs")
+    parser.add_argument("--hallucination-silence-threshold", type=float,
+                        default=None, metavar="SECONDS",
+                        help="drop segments whose span is speech-free (by "
+                             "the energy VAD) inside a silence run at "
+                             "least this long — faster-whisper's "
+                             "hallucination filter as a post-pass")
     parser.add_argument("--length-penalty", type=float, default=1.0,
                         help="GNMT length normalization exponent for beam "
                              "scores (--beams); 1.0 = whisper default")
@@ -504,7 +515,9 @@ def main(argv=None):
                                       hotword_boost=args.hotword_boost,
                                       repetition_penalty=args.repetition_penalty,
                                       no_repeat_ngram_size=args.no_repeat_ngram,
-                                      length_penalty=args.length_penalty)
+                                      length_penalty=args.length_penalty,
+                                      hallucination_silence_threshold=(
+                                          args.hallucination_silence_threshold))
     else:
         if args.lora:
             print("warning: --lora is ignored with --session (adapters "
@@ -524,7 +537,9 @@ def main(argv=None):
                                    hotword_boost=args.hotword_boost,
                                    repetition_penalty=args.repetition_penalty,
                                    no_repeat_ngram_size=args.no_repeat_ngram,
-                                   length_penalty=args.length_penalty)
+                                   length_penalty=args.length_penalty,
+                                   hallucination_silence_threshold=(
+                                       args.hallucination_silence_threshold))
 
     from yoho_tpu.utils.profiling import trace
 

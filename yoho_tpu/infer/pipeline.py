@@ -84,6 +84,7 @@ class Transcriber:
         hotword_boost: float = 4.0,
         vad_filter: bool = False,
         vad_options=None,
+        hallucination_silence_threshold: Optional[float] = None,
         diarize_encoder=None,  # VoiceprintEncoder (whisper-family diarization)
         diarize_variables=None,
         enrolled_speakers=None,  # {name: voiceprint} for speaker recognition
@@ -139,6 +140,13 @@ class Transcriber:
         # original timeline afterwards (yoho_tpu.audio.vad).
         self.vad_filter = vad_filter
         self.vad_options = vad_options
+        # faster-whisper's hallucination_silence_threshold as a stitched
+        # post-pass (see _drop_silence_hallucinations).
+        if (hallucination_silence_threshold is not None
+                and hallucination_silence_threshold <= 0):
+            raise ValueError("hallucination_silence_threshold must be > 0 "
+                             f"seconds, got {hallucination_silence_threshold}")
+        self.hallucination_silence_threshold = hallucination_silence_threshold
         # Whisper-family diarization: a trained VoiceprintEncoder embeds
         # segment spans post-decode (yoho embeds in the forward pass).
         self.diarize_encoder = diarize_encoder
@@ -1151,6 +1159,56 @@ class Transcriber:
 
         return collapse_silence(audio, self.sample_rate, self.vad_options)
 
+    def _drop_silence_hallucinations(self, segments: List[Segment],
+                                     audio) -> List[Segment]:
+        """faster-whisper's ``hallucination_silence_threshold`` as a
+        post-pass: drop a segment whose audio span is essentially
+        speech-free (<10% speech by the energy VAD) AND sits inside a
+        silence run at least ``threshold`` seconds long — the model
+        invented text over silence. Documented simplification of
+        faster-whisper's in-loop seek logic: windows decode in parallel
+        batches here, so the filter runs on the stitched result instead
+        of steering the decoder. Runs on the SOURCE timeline (after VAD
+        remap), so it composes with ``vad_filter``."""
+        thr = self.hallucination_silence_threshold
+        if thr is None or not segments or audio is None:
+            return segments
+        from yoho_tpu.audio.vad import detect_speech
+
+        audio = np.asarray(audio, np.float32)
+        if audio.ndim != 1 or len(audio) == 0:
+            return segments
+        sr = self.sample_rate
+        spans = detect_speech(audio, sr, self.vad_options)
+
+        def speech_seconds(a: int, b: int) -> float:
+            return sum(max(0, min(e, b) - max(s, a)) for s, e in spans) / sr
+
+        def silence_run(a: int, b: int) -> float:
+            """Length of the speech-free run containing the segment
+            midpoint (0 when speech covers it)."""
+            mid = (a + b) // 2
+            lo, hi = 0, len(audio)
+            for s, e in spans:
+                if e <= mid:
+                    lo = max(lo, e)
+                elif s >= mid:
+                    hi = min(hi, s)
+                else:
+                    return 0.0
+            return (hi - lo) / sr
+
+        kept = []
+        for seg in segments:
+            a = int(seg.start * sr)
+            b = max(int(seg.end * sr), a + 1)
+            dur = (b - a) / sr
+            if (speech_seconds(a, b) < 0.1 * dur
+                    and silence_run(a, b) >= thr):
+                continue
+            kept.append(seg)
+        return kept
+
     @staticmethod
     def _remap_segments(segments: List[Segment], vmap) -> List[Segment]:
         """Map condensed-timeline times back to the source audio."""
@@ -1260,6 +1318,7 @@ class Transcriber:
         segments = stitch_segments(per_window, starts, self.sample_rate,
                                    self.chunk_samples, self.stride_samples)
         segments = self._remap_segments(segments, vmap)
+        segments = self._drop_silence_hallucinations(segments, original_audio)
         if self.diarize_encoder is not None:
             # Same post-pass as the batched path — sequential conditioning
             # must not silently drop requested diarization.
@@ -1456,6 +1515,8 @@ class Transcriber:
                                    self.sample_rate, self.chunk_samples,
                                    self.stride_samples)
         segments = self._remap_segments(segments, vmap)
+        segments = self._drop_silence_hallucinations(segments,
+                                                     original_audio)
         if self.family == "yoho":
             # Diarization: cluster per-segment voiceprints into speakers.
             from yoho_tpu.infer.diarize import cluster_voiceprints

@@ -50,6 +50,7 @@ def load_transcriber(
     repetition_penalty: Optional[float] = None,  # CTRL-style, >1 damps
     no_repeat_ngram: int = 0,  # hard ban on repeating text n-grams
     length_penalty: float = 1.0,  # GNMT beam score normalization
+    hallucination_silence_threshold: Optional[float] = None,  # seconds
 ):
     """Build a ready :class:`yoho_tpu.infer.Transcriber` from either an
     HF Whisper checkpoint (``hf=`` path or hub id) or a trained YOHO
@@ -103,7 +104,8 @@ def load_transcriber(
             hotwords=hotwords, hotword_boost=hotword_boost,
             logit_bias=logit_bias, repetition_penalty=repetition_penalty,
             no_repeat_ngram_size=no_repeat_ngram,
-            length_penalty=length_penalty)
+            length_penalty=length_penalty,
+            hallucination_silence_threshold=hallucination_silence_threshold)
 
     for name, val, default in (
         ("task", task, "transcribe"),
@@ -130,4 +132,5 @@ def load_transcriber(
         hotwords=hotwords, hotword_boost=hotword_boost,
         logit_bias=logit_bias, repetition_penalty=repetition_penalty,
         no_repeat_ngram_size=no_repeat_ngram,
-        length_penalty=length_penalty)
+        length_penalty=length_penalty,
+        hallucination_silence_threshold=hallucination_silence_threshold)
