@@ -83,6 +83,24 @@ def test_barrier_noop_single_process():
     barrier("test")  # must not raise or block when process_count() == 1
 
 
+def test_partition_specs_mesh_fallback():
+    """partition_specs(mesh=) applies the documented replication
+    fallback for non-dividing shapes; without a mesh the raw rank-fitted
+    spec comes back (shard_params applies the fallback itself)."""
+    from jax.sharding import PartitionSpec as P
+
+    from yoho_tpu.parallel.sharding import partition_specs
+
+    mesh = make_mesh(model=2)
+    params = {"attn": {"q_proj": {"kernel": np.zeros((16, 15), np.float32)}},
+              "mlp": {"w1": {"kernel": np.zeros((16, 16), np.float32)}}}
+    fitted = partition_specs(params, mesh=mesh)
+    assert fitted["attn"]["q_proj"]["kernel"] == P()  # 15 % 2 -> replicate
+    raw = partition_specs(params)
+    assert raw["attn"]["q_proj"]["kernel"] != P() or \
+        raw["mlp"]["w1"]["kernel"] != P()  # rules matched, un-fallbacked
+
+
 def test_replicate_jit_cached_per_mesh():
     from yoho_tpu.parallel.mesh import _replicate_jit
 

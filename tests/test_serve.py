@@ -157,6 +157,11 @@ def test_microbatcher_propagates_errors():
     try:
         with pytest.raises(RuntimeError, match="boom"):
             mb.submit(np.zeros(4, np.float32))
+        stats = mb.stats()
+        # An errored request is FAILED, never served (a dashboard showing
+        # 100% served while every request raised hides the outage).
+        assert stats["requests_failed"] == 1
+        assert stats["requests_served"] == 0
     finally:
         mb.close()
 
@@ -514,6 +519,34 @@ def test_websocket_stream_session(server):
         assert isinstance(final["text"], str)
         for seg in final["segments"]:
             assert {"start", "end", "text"} <= set(seg)
+    finally:
+        s.close()
+
+
+def test_websocket_flush_then_more_audio(server):
+    """{"op": "flush"} is NON-terminal: audio after a mid-stream flush
+    keeps the session alive (the terminal flush() used to make the next
+    frame raise and close the connection with an error)."""
+    host, port = server.replace("http://", "").split(":")
+    s = _ws_connect((host, int(port)))
+    try:
+        audio = np.zeros(5360, np.float32)
+        _ws_send(s, audio.tobytes(), opcode=2)
+        _ws_send(s, b'{"op": "flush"}', opcode=1)
+        _ws_send(s, audio.tobytes(), opcode=2)  # must not kill the session
+        _ws_send(s, b'{"op": "end"}', opcode=1)
+        final, errors = None, []
+        while True:
+            op, payload = _ws_recv(s)
+            if op == 8:
+                break
+            msg = json.loads(payload)
+            if "error" in msg:
+                errors.append(msg["error"])
+            if msg.get("final"):
+                final = msg
+        assert not errors, errors
+        assert final is not None
     finally:
         s.close()
 

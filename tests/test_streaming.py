@@ -33,6 +33,34 @@ def setup():
     return cfg, t
 
 
+def test_soft_flush_keeps_session_usable(setup):
+    """{"op": "flush"} semantics: soft_flush finalizes everything
+    buffered so far and the stream keeps accepting audio (the terminal
+    flush() made the next push raise, killing live sessions that
+    followed the documented protocol)."""
+    cfg, t = setup
+    g = np.random.default_rng(3)
+    stream = StreamingTranscriber(t)
+    chunk = t.chunk_samples
+    a = (0.1 * g.standard_normal(chunk + chunk // 2)).astype(np.float32)
+    b = (0.1 * g.standard_normal(chunk)).astype(np.float32)
+    stream.push(a)
+    mid = stream.soft_flush()
+    for s in mid:
+        assert s.end <= len(a) / t.sample_rate + 1e-6
+    n_before = len(stream.segments)
+    stream.push(b)  # must NOT raise
+    tail = stream.flush()
+    # Post-flush segments live on the continued absolute timeline.
+    for s in tail:
+        assert s.start >= len(a) / t.sample_rate - 1e-6
+    assert len(stream.segments) == n_before + len(tail)
+    # soft_flush after terminal flush stays a no-op.
+    assert stream.soft_flush() == []
+    with pytest.raises(RuntimeError):
+        stream.push(b)
+
+
 def test_flush_follows_offline_window_plan(setup):
     """A stream ending exactly on decoded coverage must not decode one
     extra overlap window (regression: flush re-decoded the tail, and the

@@ -140,9 +140,9 @@ def test_transcriber_vad_skips_silent_windows():
     def counting(t):
         orig = t._decode_with_fallback
 
-        def wrapped(b, mel, prompt=None):
+        def wrapped(b, mel, prompt=None, **kw):
             counts[id(t)] = counts.get(id(t), 0) + 1
-            return orig(b, mel, prompt)
+            return orig(b, mel, prompt, **kw)
 
         t._decode_with_fallback = wrapped
         return t

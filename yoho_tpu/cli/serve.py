@@ -77,8 +77,9 @@ import numpy as np
 from yoho_tpu.infer.batching import RequestCancelled, ServerOverloaded
 
 
-_PROM_COUNTERS = ("requests_served", "requests_rejected",
-                  "requests_cancelled", "batches_dispatched")
+_PROM_COUNTERS = ("requests_served", "requests_failed",
+                  "requests_rejected", "requests_cancelled",
+                  "batches_dispatched")
 _PROM_GAUGES = ("inflight", "queue_depth", "active_slots")
 
 
@@ -436,7 +437,10 @@ def make_handler(transcriber, batcher, continuous: bool = False):
                     except ValueError:
                         op = None
                     if op == "flush":
-                        emit(stream.flush(), final=False)
+                        # NON-terminal: the session continues — the
+                        # terminal flush() would make the next audio
+                        # frame raise and kill the connection.
+                        emit(stream.soft_flush(), final=False)
                     elif op == "end":
                         emit(stream.flush(), final=True)
                         ws.send_close(self.wfile)

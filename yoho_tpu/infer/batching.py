@@ -76,6 +76,7 @@ class MicroBatcher:
         self._closed = False
         self.batches_dispatched = 0
         self.requests_served = 0
+        self.requests_failed = 0
         self.requests_rejected = 0
         self.requests_cancelled = 0
         self.inflight = 0
@@ -153,6 +154,7 @@ class MicroBatcher:
         with self._cv:
             d = {
                 "requests_served": self.requests_served,
+                "requests_failed": self.requests_failed,
                 "requests_rejected": self.requests_rejected,
                 "requests_cancelled": self.requests_cancelled,
                 "batches_dispatched": self.batches_dispatched,
@@ -225,9 +227,15 @@ class MicroBatcher:
                         self.batches_dispatched += 1
                         # A request abandoned mid-batch (client gone,
                         # program ran to completion) counts as cancelled,
-                        # not served — nobody received its result.
+                        # not served — nobody received its result; a
+                        # batch that ERRORED counts as failed, not
+                        # served (a dashboard showing 100% served while
+                        # every request raised hides the outage).
                         n_gone = sum(1 for r in reqs if r.cancelled)
-                        self.requests_served += len(reqs) - n_gone
+                        n_err = sum(1 for r in reqs
+                                    if r.error is not None and not r.cancelled)
+                        self.requests_served += len(reqs) - n_gone - n_err
+                        self.requests_failed += n_err
                         self.requests_cancelled += n_gone
                         self.inflight -= len(reqs)
                     for req in reqs:

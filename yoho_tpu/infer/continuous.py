@@ -386,6 +386,7 @@ class ContinuousBatcher:
         self._cv = threading.Condition()
         self._closed = False
         self.requests_served = 0
+        self.requests_failed = 0
         self.requests_rejected = 0
         self.requests_cancelled = 0
         self.inflight = 0
@@ -457,6 +458,7 @@ class ContinuousBatcher:
         with self._cv:
             d = {
                 "requests_served": self.requests_served,
+                "requests_failed": self.requests_failed,
                 "requests_rejected": self.requests_rejected,
                 "requests_cancelled": self.requests_cancelled,
                 "batches_dispatched": self.batches_dispatched,
@@ -643,6 +645,10 @@ class ContinuousBatcher:
             # it must not count as served.
             if cancelled or req.cancelled:
                 self.requests_cancelled += 1
+            elif error is not None:
+                # An errored request is not served (same contract as the
+                # micro-batcher's requests_failed).
+                self.requests_failed += 1
             else:
                 self.requests_served += 1
         req.done.set()

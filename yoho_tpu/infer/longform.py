@@ -97,6 +97,16 @@ def chunk_audio(
     return windows, starts
 
 
+def window_ownership_bounds(off: float, chunk_s: float, stride_s: float,
+                            is_first: bool, is_last: bool):
+    """[lo, hi) absolute-time ownership of a window starting at ``off``
+    seconds — THE midpoint rule, shared by offline stitching and the
+    streaming finalizer so streamed == offline parity cannot drift."""
+    lo = -np.inf if is_first else off + chunk_s / 2 - stride_s / 2
+    hi = np.inf if is_last else off + chunk_s / 2 + stride_s / 2
+    return lo, hi
+
+
 def stitch_segments(
     per_window: Sequence[Sequence[Segment]],
     window_starts: Sequence[int],
@@ -112,14 +122,13 @@ def stitch_segments(
     With overlapping windows each instant is owned by exactly one window,
     so overlap duplicates are dropped deterministically.
     """
-    chunk_s = chunk_samples / sample_rate
-    stride_s = stride_samples / sample_rate
     out: List[Segment] = []
     n_win = len(window_starts)
     for w, segs in enumerate(per_window):
         off = window_starts[w] / sample_rate
-        lo = -np.inf if w == 0 else off + chunk_s / 2 - stride_s / 2
-        hi = np.inf if w == n_win - 1 else off + chunk_s / 2 + stride_s / 2
+        lo, hi = window_ownership_bounds(
+            off, chunk_samples / sample_rate, stride_samples / sample_rate,
+            is_first=(w == 0), is_last=(w == n_win - 1))
         for seg in segs:
             mid = off + (seg.start + seg.end) / 2
             if lo <= mid < hi:

@@ -102,6 +102,8 @@ class StreamingTranscriber:
 
     def _finalize(self, final: bool) -> List[Segment]:
         """Apply the midpoint-ownership rule across pending windows."""
+        from yoho_tpu.infer.longform import window_ownership_bounds
+
         t = self.t
         sr = t.sample_rate
         chunk_s = t.chunk_samples / sr
@@ -110,8 +112,9 @@ class StreamingTranscriber:
         n = len(self._pending)
         for w, (start, segs) in enumerate(self._pending):
             off = start / sr
-            lo = -np.inf if start == 0 else off + chunk_s / 2 - stride_s / 2
-            hi = np.inf if (final and w == n - 1) else off + chunk_s / 2 + stride_s / 2
+            lo, hi = window_ownership_bounds(
+                off, chunk_s, stride_s, is_first=(start == 0),
+                is_last=(final and w == n - 1))
             if not final and w == n - 1:
                 # The last pending window may still be revised — hold it.
                 continue
@@ -186,6 +189,27 @@ class StreamingTranscriber:
                 self._decode_window(self._next_window_start, tail)
         out = self._finalize(final=True)
         self._buffer = np.zeros((0,), np.float32)
+        return out
+
+    def soft_flush(self) -> List[Segment]:
+        """Mid-stream flush: finalize EVERYTHING buffered so far
+        (including the partial tail window) and keep the stream USABLE —
+        the next push() starts a fresh window plan at the current
+        position. Finals stay never-revised; the cost is a window-plan
+        boundary at the flush point (decode context does not span it) —
+        exactly the semantics of a live "force captions out now" op.
+        The websocket ``{"op": "flush"}`` handler uses this; the
+        terminal :meth:`flush` would kill the session on the next
+        audio frame."""
+        if self._flushed:
+            return []
+        out = self.flush()
+        # Re-arm: continue from the current absolute position with an
+        # empty buffer (everything before it is finalized and emitted).
+        self._flushed = False
+        self._buffer = np.zeros((0,), np.float32)
+        self._pending = []
+        self._next_window_start = self._consumed
         return out
 
     @property

@@ -57,8 +57,14 @@ def init_distributed() -> None:
             kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        # ONLY double-initialization is benign. Swallowing a failed init
+        # (unreachable coordinator, dead process 0) would silently run
+        # every host as its own single-process "cluster": is_coordinator
+        # true everywhere (artifact writers corrupt each other), each
+        # process training the FULL corpus — wrong results, no error.
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 def make_mesh(

@@ -10,7 +10,7 @@ embeddings over vocab, everything else replicated.
 from __future__ import annotations
 
 import re
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -64,22 +64,29 @@ def _path_str(path) -> str:
     return "/".join(parts)
 
 
-def partition_specs(params, rules: PartitionRules = _COMMON_RULES):
+def partition_specs(params, rules: PartitionRules = _COMMON_RULES,
+                    mesh: Optional[Mesh] = None):
     """Map a param pytree to a pytree of PartitionSpecs via path rules.
 
-    Falls back to replication whenever a matched spec does not divide the
-    actual array shape (e.g. tiny test models on a big model axis).
+    Specs are rank-fitted to each leaf (extra sharded axes dropped).
+    Pass ``mesh`` to ALSO apply the mesh fallback — replication whenever
+    a spec names an axis the mesh lacks or one that does not divide the
+    leaf's shape (e.g. tiny test models on a big model axis); without a
+    mesh that check cannot run here, and ``shard_params`` /
+    ``named_shardings`` apply it themselves.
     """
 
     def _spec(path, leaf) -> P:
         s = _path_str(path)
         for pat, spec in rules:
             if re.match(pat, s):
-                return _fit(spec, leaf)
+                fitted = _fit(spec, leaf)
+                return (_mesh_fit(fitted, getattr(leaf, "shape", ()), mesh)
+                        if mesh is not None else fitted)
         return P()
 
     def _fit(spec: P, leaf) -> P:
-        # Drop sharded axes that don't divide or don't exist.
+        # Rank fit: drop sharded axes beyond the leaf's ndim.
         dims = getattr(leaf, "shape", ())
         out = []
         for i, ax in enumerate(spec):
@@ -93,19 +100,25 @@ def partition_specs(params, rules: PartitionRules = _COMMON_RULES):
     return jax.tree_util.tree_map_with_path(_spec, params)
 
 
+def _mesh_fit(spec: P, shape, mesh: Mesh) -> P:
+    """The ONE mesh-fallback rule (shared by every placement path):
+    replicate whenever the spec names an axis the mesh lacks (e.g. the
+    ("data", "seq") long-context training mesh has no "model" axis) or
+    one that does not divide the array's shape (tiny test models on a
+    big model axis)."""
+    for i, ax in enumerate(spec):
+        if ax is not None and (ax not in mesh.shape
+                               or shape[i] % mesh.shape[ax] != 0):
+            return P()
+    return spec
+
+
 def shard_params(params, mesh: Mesh, rules: PartitionRules = _COMMON_RULES):
     """Place a parameter pytree onto the mesh according to the rules."""
     specs = partition_specs(params, rules)
 
     def _put(x, spec):
-        # Replicate any spec whose sharded dims don't divide evenly, or
-        # whose axis the mesh lacks (e.g. the ("data", "seq") long-context
-        # training mesh has no "model" axis — params replicate there).
-        for i, ax in enumerate(spec):
-            if ax is not None and (ax not in mesh.shape
-                                   or x.shape[i] % mesh.shape[ax] != 0):
-                spec = P()
-                break
+        spec = _mesh_fit(spec, x.shape, mesh)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(_put, params, specs)
@@ -117,11 +130,6 @@ def named_shardings(params, mesh: Mesh, rules: PartitionRules = _COMMON_RULES):
     specs = partition_specs(params, rules)
 
     def _ns(x, spec):
-        for i, ax in enumerate(spec):
-            if ax is not None and (ax not in mesh.shape
-                                   or x.shape[i] % mesh.shape[ax] != 0):
-                spec = P()
-                break
-        return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, _mesh_fit(spec, x.shape, mesh))
 
     return jax.tree_util.tree_map(_ns, params, specs)
