@@ -318,9 +318,10 @@ def make_handler(transcriber, batcher, continuous: bool = False):
             Client sends BINARY frames of little-endian float32 mono PCM
             at the server's sample rate; the server replies with a TEXT
             JSON message whenever segments finalize. A TEXT frame
-            ``{"op": "flush"}`` forces pending windows out;
-            ``{"op": "end"}`` (or closing) flushes and ends the session
-            with ``{"final": true, ...}``.
+            ``{"op": "flush"}`` forces everything buffered out as FINAL
+            segments and the session continues (the next window plan
+            starts at the flush point); ``{"op": "end"}`` (or closing)
+            flushes and ends the session with ``{"final": true, ...}``.
 
             ``GET /stream?language=xx`` pins the decode language for the
             whole stream; otherwise the server's ``--language`` applies
