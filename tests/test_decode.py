@@ -228,5 +228,9 @@ def test_beam_aux_quality_signals(setup):
     np.testing.assert_allclose(np.asarray(aux["sum_logprob"]), raw, atol=1e-3)
     ns = np.asarray(aux["no_speech_prob"])
     assert ns.shape == (3,) and np.all((ns >= 0) & (ns <= 1))
-    # penalized selection scores differ from raw when length_penalty != 0
-    assert not np.allclose(np.asarray(scores), raw)
+    # Selection scores are the GNMT penalty over GENERATED length only
+    # (prompt excluded — a long conditioning prompt must not collapse
+    # the penalty ratio between short and long hypotheses).
+    gen = np.asarray(lengths, np.float32) - 2  # prompt length 2
+    want = raw / (((5.0 + gen) / 6.0) ** 0.7)
+    np.testing.assert_allclose(np.asarray(scores), want, atol=1e-3)

@@ -126,12 +126,14 @@ def test_pretokenize_matches_gpt2_regex():
     import random
 
     rnd = random.Random(0)
+    # \x1c-\x1f: str.isspace() counts these, regex \s does not — the
+    # alphabet includes them so the fuzz pins the divergence fix.
     alphabet = (
-        "ab c.é你 12Ⅲ'\n\t!½ \U0001f680_-\"Z9"
+        "ab c.é你 12Ⅲ'\n\t!½ \U0001f680_-\"Z9\x1c\x1d"
     )
     fuzz = ["".join(rnd.choice(alphabet) for _ in range(rnd.randint(0, 40)))
             for _ in range(500)]
-    for s in SAMPLES + fuzz:
+    for s in SAMPLES + fuzz + ["a \x1cb", "x\x1c\x1c ", "\x1d", " \x1c"]:
         assert pretokenize(s) == pat.findall(s), repr(s)
 
 

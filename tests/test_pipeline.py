@@ -183,6 +183,30 @@ def _tiny_whisper_transcriber(**kw):
                        token_table=table, batch_size=1, **kw), cfg
 
 
+def test_no_speech_measured_at_sot_position():
+    """no_speech_prob is the <|nospeech|> softmax mass at the SOT
+    position's output distribution (OpenAI's probs_at_sot), not at the
+    last prompt token — verified against a manual teacher-forced pass."""
+    t, cfg = _tiny_whisper_transcriber(no_speech_threshold=1.1)
+    mel = jnp.zeros((1, 32, 8), jnp.float32)
+    _tokens, _lengths, aux = t._decode_with_fallback(1, mel)
+    prompt = np.asarray([t._prompt_ids()], np.int32)
+    sot_i = t._sot_index(prompt.shape[1])
+    assert sot_i == 0  # base prompt starts with <|startoftranscript|>
+    # Manual: full teacher-forced logits, softmax at the SOT position.
+    logits = t.model.apply(t.variables, jnp.asarray(prompt),
+                           t.model.apply(t.variables, mel,
+                                         method=type(t.model).encode_audio),
+                           method=type(t.model).decode_text)
+    probs = np.asarray(jax.nn.softmax(logits[:, sot_i].astype(jnp.float32),
+                                      axis=-1))
+    want = float(probs[0, t.token_table.no_speech])
+    assert abs(float(aux["no_speech_prob"][0]) - want) < 1e-4
+    # Prompted requests: SOT sits after the <|startofprev|> context.
+    plen = prompt.shape[1] + 6
+    assert t._sot_index(plen) == 6
+
+
 def test_hallucination_silence_filter():
     """_drop_silence_hallucinations: a segment over pure silence inside a
     long silent run is dropped; segments over speech (or silence shorter

@@ -230,6 +230,27 @@ def test_export_hf_roundtrip_via_transformers(tmp_path):
         np.testing.assert_allclose(np.asarray(flat1[k]),
                                    np.asarray(flat2[k]), atol=1e-6,
                                    err_msg=str(k))
+    # Synthesized config ids never exceed the actual (tiny) vocab — a
+    # reloaded transformers generate() would otherwise index out of the
+    # embedding table / never emit eos.
+    hf_cfg = transformers.WhisperConfig.from_pretrained(str(out))
+    assert hf_cfg.eos_token_id < cfg.n_vocab
+    assert hf_cfg.decoder_start_token_id < cfg.n_vocab
+
+    # Converting a torch-bf16 state_dict works (fine-tunes saved with
+    # torch_dtype=bfloat16 — .numpy() raises on bf16 tensors).
+    torch = pytest.importorskip("torch")
+    from yoho_tpu.nn.convert import convert_hf_whisper
+    from safetensors.numpy import load_file
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v)).to(torch.bfloat16)
+          for k, v in load_file(out / "model.safetensors").items()}
+    params_bf16 = convert_hf_whisper(sd, cfg)
+    np.testing.assert_allclose(
+        np.asarray(params_bf16["decoder"]["token_embedding"]["embedding"],
+                   np.float32),
+        np.asarray(params["decoder"]["token_embedding"]["embedding"]),
+        atol=1e-2)
 
 
 def test_freeze_encoder_trains_decoder_only(corpus, table, tmp_path):

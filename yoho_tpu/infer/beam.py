@@ -48,6 +48,7 @@ def beam_search(
     logits_fn=None,
     return_aux: bool = False,
     no_speech_id=None,
+    sot_index=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns ``(tokens (B, max_len), lengths (B,), best scores (B,))``.
 
@@ -71,15 +72,19 @@ def beam_search(
     scores = jnp.tile(jnp.asarray([0.0] + [float(NEG_INF)] * (k - 1)), (b, 1))
     finished = jnp.zeros((b, k), bool)
 
-    logits, caches = step_fn(v_prompt.astype(jnp.int32), caches, 0)  # (B*K, V)
+    logits_all, caches = step_fn(v_prompt.astype(jnp.int32), caches, 0)
+    logits = logits_all[:, -1]  # (B*K, V)
     vocab = logits.shape[-1]
 
     no_speech_prob = None
     if no_speech_id is not None:
-        # Whisper silence signal at the transcript start, beam 0 (all
-        # beams are identical before the first expansion).
+        # Whisper silence signal: <|nospeech|> mass at the SOT position's
+        # output distribution (OpenAI's probs_at_sot), beam 0 (all beams
+        # are identical before the first expansion).
+        src = (logits_all[:, sot_index]
+               if sot_index is not None else logits)
         probs0 = jax.nn.softmax(
-            as_f32_logits(logits.reshape(b, k, vocab)[:, 0]), axis=-1)
+            as_f32_logits(src.reshape(b, k, vocab)[:, 0]), axis=-1)
         no_speech_prob = probs0[:, no_speech_id]
 
     if len(suppress_ids):
@@ -126,7 +131,8 @@ def beam_search(
         pos, tokens, caches, scores, finished = state
         cur = jax.lax.dynamic_slice(tokens.reshape(b * k, max_len), (0, pos), (b * k, 1))
         logits, caches = step_fn(cur, caches, pos)
-        top_scores, beam_src, tok = expand(logits, scores, finished, tokens, pos + 1)
+        top_scores, beam_src, tok = expand(logits[:, -1], scores, finished,
+                                           tokens, pos + 1)
         tokens = _gather_beams(tokens.reshape(b * k, max_len), beam_src).reshape(
             b, k, max_len
         )
@@ -147,8 +153,13 @@ def beam_search(
     first_eot = jnp.argmax(is_eot, axis=-1)
     lengths = jnp.where(any_eot, p + first_eot + 1, max_len)
 
-    # GNMT length penalty: score / ((5 + len) / 6) ** alpha.
-    lp = ((5.0 + lengths.astype(jnp.float32)) / 6.0) ** length_penalty
+    # GNMT length penalty: score / ((5 + GENERATED len) / 6) ** alpha.
+    # Generated-token count only — including the prompt would couple the
+    # ranking to prompt length (a ~200-token conditioning prompt
+    # collapses the 5-vs-50-token penalty ratio from ~5.5x to ~1.2x) and
+    # diverge from OpenAI's MaximumLikelihoodRanker.
+    gen = (lengths - p).astype(jnp.float32)
+    lp = ((5.0 + gen) / 6.0) ** length_penalty
     final = scores / lp
     best = jnp.argmax(final, axis=1)
 

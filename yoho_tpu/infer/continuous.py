@@ -211,7 +211,11 @@ class ContinuousWhisperDecoder:
             from yoho_tpu.infer.decode import as_f32_logits
 
             last = logits[:, -1]
-            ns_prob = (jax.nn.softmax(as_f32_logits(last), axis=-1)[:, ns_id]
+            # <|nospeech|> mass at the SOT position's output distribution
+            # (OpenAI probs_at_sot) — same convention as greedy/beam.
+            sot_pos = t._sot_index(P)
+            ns_src = last if sot_pos is None else logits[:, sot_pos]
+            ns_prob = (jax.nn.softmax(as_f32_logits(ns_src), axis=-1)[:, ns_id]
                        if ns_id is not None else jnp.zeros((S,), jnp.float32))
             rows_buf = jnp.full((S, L), eot, jnp.int32)
             rows_buf = jax.lax.dynamic_update_slice(rows_buf, prompts, (0, 0))

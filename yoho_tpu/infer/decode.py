@@ -18,13 +18,18 @@ import jax.numpy as jnp
 
 
 def make_whisper_step_fn(model, variables, cross_kvs):
-    """step_fn(tokens, caches, pos) -> (last-position logits, new caches)."""
+    """step_fn(tokens, caches, pos) -> (ALL-position logits (B, S, V),
+    new caches). Decoders slice ``[:, -1]`` for the autoregressive pick
+    (free: the in-loop steps have S=1); the full prefill logits also
+    carry the <|nospeech|> distribution at the SOT position — OpenAI
+    reads no-speech probability at ``sot_index``, not at the last
+    prompt token (whisper decoding.py ``probs_at_sot``)."""
 
     def step(tokens, caches, pos):
         logits, new_caches = model.apply(
             variables, tokens, caches, cross_kvs, pos, method=type(model).decode_step
         )
-        return logits[:, -1], new_caches
+        return logits, new_caches
 
     return step
 
@@ -37,7 +42,7 @@ def make_yoho_step_fn(model, variables, cross_kvs):
         logits, _vp, new_caches = model.apply(
             variables, tokens, caches, cross_kvs, pos, method=type(model).decode_step
         )
-        return logits[:, -1], new_caches
+        return logits, new_caches
 
     return step
 
@@ -76,6 +81,7 @@ def greedy_decode(
     logits_fn: Optional[Callable] = None,
     return_aux: bool = False,
     no_speech_id: Optional[int] = None,
+    sot_index: Optional[int] = None,
 ):
     """Decode up to ``max_len`` total tokens (prompt included).
 
@@ -97,11 +103,16 @@ def greedy_decode(
     tokens = jax.lax.dynamic_update_slice(tokens, prompt.astype(jnp.int32), (0, 0))
 
     # Prefill the whole prompt in one step; sample the first new token.
-    logits, caches = step_fn(prompt.astype(jnp.int32), caches, 0)
+    logits_all, caches = step_fn(prompt.astype(jnp.int32), caches, 0)
+    logits = logits_all[:, -1]
 
     no_speech_prob = None
     if no_speech_id is not None:
-        probs0 = jax.nn.softmax(as_f32_logits(logits), axis=-1)
+        # OpenAI measures <|nospeech|> mass at the SOT position's output
+        # distribution (whisper decoding.py probs_at_sot), where the
+        # model was trained to emit it — NOT at the last prompt token.
+        src = logits_all[:, sot_index] if sot_index is not None else logits
+        probs0 = jax.nn.softmax(as_f32_logits(src), axis=-1)
         no_speech_prob = probs0[:, no_speech_id]
 
     if rng is None:
@@ -135,6 +146,7 @@ def greedy_decode(
         pos, tokens, caches, finished, sum_lp = state
         cur = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))
         logits, caches = step_fn(cur, caches, pos)
+        logits = logits[:, -1]
         nxt, lp = pick(logits, tokens, pos + 1, jax.random.fold_in(rng, pos + 1))
         nxt = nxt.astype(jnp.int32)
         nxt = jnp.where(finished, eot_id, nxt)

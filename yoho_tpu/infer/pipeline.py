@@ -426,6 +426,18 @@ class Transcriber:
             return make_whisper_step_fn(self.model, variables, cross_kvs)
         return make_yoho_step_fn(self.model, variables, cross_kvs)
 
+    def _sot_index(self, prompt_len: int) -> Optional[int]:
+        """Position of <|startoftranscript|> inside a prompt of this
+        length (every whisper prompt ENDS with the SOT sequence; prompted
+        requests prepend <|startofprev|> context). The no-speech
+        probability must be read at THIS position's output distribution
+        (OpenAI's probs_at_sot). None for the yoho family."""
+        if self.family != "whisper":
+            return None
+        n_sot = len(self.token_table.sot_sequence(
+            self.language or "en", self.task, timestamps=self.timestamps))
+        return max(prompt_len - n_sot, 0)
+
     def _decode_fn(self, batch: int, temperature: float = 0.0,
                    prompt_len: Optional[int] = None):
         """One jitted program: (mel windows, prompt) -> (tokens, lengths,
@@ -498,6 +510,7 @@ class Transcriber:
                     beams=k, length_penalty=self.length_penalty,
                     suppress_ids=suppress, logits_fn=logits_fn,
                     return_aux=True, no_speech_id=ns_id,
+                    sot_index=self._sot_index(prompt_len),
                 )
                 aux.setdefault("no_speech_prob", jnp.zeros((batch,), jnp.float32))
             elif (self.draft_model is not None and float(temperature) == 0.0):
@@ -539,6 +552,7 @@ class Transcriber:
                     t_caches, d_caches, jnp.asarray(prompt), self.max_len,
                     self.eot, gamma=gamma, suppress_ids=suppress,
                     return_aux=True, no_speech_id=ns_id,
+                    sot_index=self._sot_index(prompt_len),
                     logits_fn=logits_fn,
                 )
                 aux.setdefault("no_speech_prob", jnp.zeros((batch,), jnp.float32))
@@ -558,6 +572,7 @@ class Transcriber:
                     step, caches, jnp.asarray(prompt), self.max_len, self.eot,
                     suppress_ids=suppress, logits_fn=logits_fn,
                     return_aux=True, no_speech_id=ns_id,
+                    sot_index=self._sot_index(prompt_len),
                     temperature=float(temperature),
                     rng=rng,
                 )

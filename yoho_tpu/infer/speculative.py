@@ -78,6 +78,7 @@ def speculative_greedy_decode(
     suppress_ids: Sequence[int] = (),
     return_aux: bool = False,
     no_speech_id=None,
+    sot_index=None,
     logits_fn: Optional[Callable] = None,
 ):
     """Returns ``(tokens (B, max_len) int32, lengths (B,) int32)`` with
@@ -138,7 +139,11 @@ def speculative_greedy_decode(
                                          draft_caches, 0)
     no_speech_prob = None
     if no_speech_id is not None:
-        probs0 = jax.nn.softmax(as_f32_logits(t_logits[:, -1]), axis=-1)
+        # <|nospeech|> mass at the SOT position's output distribution
+        # (OpenAI probs_at_sot), not the last prompt token.
+        src = t_logits[:, sot_index] if sot_index is not None \
+            else t_logits[:, -1]
+        probs0 = jax.nn.softmax(as_f32_logits(src), axis=-1)
         no_speech_prob = probs0[:, no_speech_id]
     first, lp0 = pick_lp(t_logits[:, -1], tokens, jnp.int32(p))
     tokens = tokens.at[:, p].set(first)

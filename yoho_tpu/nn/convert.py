@@ -60,7 +60,17 @@ def convert_hf_whisper(state_dict: Dict[str, "np.ndarray"], cfg: WhisperConfig) 
             key = key[len("model."):]
         if key == "proj_out.weight":
             continue  # tied to embed_tokens
-        arr = val.detach().cpu().numpy() if hasattr(val, "detach") else np.asarray(val)
+        if hasattr(val, "detach"):
+            val = val.detach().cpu()
+            # torch bfloat16 has no numpy dtype (.numpy() raises
+            # TypeError) — common for checkpoints saved with
+            # torch_dtype=bfloat16; upcast first, params are converted
+            # to the model dtype downstream anyway.
+            if str(val.dtype) == "torch.bfloat16":
+                val = val.float()
+            arr = val.numpy()
+        else:
+            arr = np.asarray(val)
         sd[key] = arr
 
     enc: dict = {

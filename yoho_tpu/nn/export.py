@@ -134,9 +134,16 @@ def _synth_config(cfg: WhisperConfig) -> dict:
         "activation_function": "gelu",
         "is_encoder_decoder": True,
         "tie_word_embeddings": True,
-        "eos_token_id": 50257 if cfg.n_vocab != 51864 else 50256,
-        "pad_token_id": 50257 if cfg.n_vocab != 51864 else 50256,
-        "decoder_start_token_id": 50258 if cfg.n_vocab != 51864 else 50257,
+        # Standard whisper token ids — but never past the actual vocab
+        # (exported tiny test geometries would otherwise get an
+        # eos/decoder_start beyond the embedding table, so a reloaded
+        # transformers generate() indexes out of range or never stops).
+        "eos_token_id": min(50257 if cfg.n_vocab != 51864 else 50256,
+                            cfg.n_vocab - 1),
+        "pad_token_id": min(50257 if cfg.n_vocab != 51864 else 50256,
+                            cfg.n_vocab - 1),
+        "decoder_start_token_id": min(
+            50258 if cfg.n_vocab != 51864 else 50257, cfg.n_vocab - 1),
     }
 
 

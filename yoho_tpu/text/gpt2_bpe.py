@@ -17,6 +17,14 @@ implements the published GPT-2 algorithm from first principles:
 Golden-tested byte-for-byte against ``transformers.GPT2Tokenizer`` built
 from the same files, and the scanner is fuzzed against the true pattern
 via the ``regex`` module when available (tests/test_gpt2_bpe.py).
+
+Known limitation: letter/number classification rides on the running
+Python's unicodedata tables; codepoints assigned to \\p{L}/\\p{N} in a
+NEWER Unicode version than the interpreter ships (e.g. recent CJK
+extensions, unassigned in 15.0) classify as punctuation here and can
+pretokenize differently from a ``regex``-module build with newer tables.
+Encoded output remains a valid reversible byte-level encoding either
+way; only golden id-parity on those rare codepoints is affected.
 """
 
 from __future__ import annotations
@@ -62,6 +70,13 @@ def unicode_to_bytes() -> Dict[str, int]:
 _CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
 
 
+def _is_space(ch: str) -> bool:
+    # regex \s (Unicode White_Space) — Python's str.isspace() ALSO counts
+    # the file/group/record/unit separators U+001C-U+001F, which the
+    # GPT-2 pattern does not (fuzz-confirmed divergence vs tiktoken/HF).
+    return ch.isspace() and ch not in "\x1c\x1d\x1e\x1f"
+
+
 def _is_number(ch: str) -> bool:
     # \p{N} ~ numeric-but-not-letter: category-L chars with numeric value
     # (e.g. CJK numerals) are claimed by the letter branch first, exactly
@@ -93,7 +108,7 @@ def _word_at(text: str, i: int, prefix: str) -> Tuple[str, int]:
     # punctuation/symbols: anything neither whitespace nor letter nor number
     j = i + 1
     while j < n and not (
-        text[j].isspace() or text[j].isalpha() or _is_number(text[j])
+        _is_space(text[j]) or text[j].isalpha() or _is_number(text[j])
     ):
         j += 1
     return prefix + text[i:j], j
@@ -105,9 +120,9 @@ def pretokenize(text: str) -> List[str]:
     toks: List[str] = []
     i, n = 0, len(text)
     while i < n:
-        if text[i].isspace():
+        if _is_space(text[i]):
             j = i
-            while j < n and text[j].isspace():
+            while j < n and _is_space(text[j]):
                 j += 1
             if j == n:  # trailing whitespace run: one token
                 toks.append(text[i:j])
@@ -195,7 +210,14 @@ class GPT2BPE:
             for piece in self._bpe(mapped):
                 i = self.vocab.get(piece)
                 if i is None:  # corrupt vocab/merges mismatch: byte fallback
-                    ids.extend(self.vocab[c] for c in piece)
+                    try:
+                        ids.extend(self.vocab[c] for c in piece)
+                    except KeyError as e:
+                        raise ValueError(
+                            f"corrupt tokenizer files: piece {piece!r} is "
+                            f"not in vocab.json and neither is its byte "
+                            f"{e.args[0]!r} — re-download vocab.json/"
+                            "merges.txt together") from None
                 else:
                     ids.append(i)
         return ids
@@ -287,7 +309,16 @@ class TiktokenBPE:
             if best_rank is None:
                 break
             parts[best_i : best_i + 2] = [parts[best_i] + parts[best_i + 1]]
-        out = [self.ranks[p] for p in parts if p in self.ranks]
+        out = []
+        for part in parts:
+            r = self.ranks.get(part)
+            if r is None:
+                # A truncated .tiktoken missing single-byte entries would
+                # otherwise DELETE characters from transcripts silently.
+                raise ValueError(
+                    f"corrupt .tiktoken vocabulary: byte sequence {part!r} "
+                    "has no rank — the file is truncated or mismatched")
+            out.append(r)
         if len(self._cache) < 1_000_000:
             self._cache[piece] = out
         return out
@@ -368,6 +399,16 @@ def load_text_backend(model_path: str):
             return WhisperTokenizer.from_pretrained(model_path,
                                                     local_files_only=True)
         except Exception:
+            # Cold cache: only go to the hub if it is actually reachable
+            # — the unbounded call hangs for minutes in no-egress
+            # environments (3 s TCP probe instead).
+            import socket
+
+            try:
+                socket.create_connection(("huggingface.co", 443),
+                                         timeout=3).close()
+            except OSError:
+                return None
             return WhisperTokenizer.from_pretrained(model_path)
     except Exception:
         return None
