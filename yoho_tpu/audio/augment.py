@@ -27,7 +27,8 @@ def add_gaussian_snr(audio, sr, rng, min_snr_db=5.0, max_snr_db=40.0):
     snr = rng.uniform(min_snr_db, max_snr_db)
     rms = np.sqrt(np.mean(audio**2)) + 1e-9
     noise_rms = rms / _db_to_amp(snr)
-    return audio + rng.standard_normal(len(audio)).astype(np.float32) * noise_rms
+    noise = rng.standard_normal(len(audio)).astype(np.float32)
+    return (audio + noise * noise_rms).astype(np.float32)
 
 
 def air_absorption(audio, sr, rng, min_distance=10.0, max_distance=100.0):
@@ -53,20 +54,28 @@ def aliasing(audio, sr, rng, min_rate=4000, max_rate=12000):
     return up.astype(np.float32)
 
 
-def band_pass(audio, sr, rng, min_center=200.0, max_center=4000.0):
-    center = rng.uniform(min_center, max_center)
-    bw = center * rng.uniform(0.5, 1.9)
-    lo = max(20.0, center - bw / 2)
+def _band_edges(center: float, bw: float, sr: float):
+    """(lo, hi) clamped inside (0, Nyquist) with lo < hi — at low sample
+    rates a center near max_center could land lo above the Nyquist
+    clamp, making sps.butter raise and killing a dataloader worker
+    stochastically (sub-8 kHz corpora)."""
     hi = min(sr / 2 - 100, center + bw / 2)
+    lo = max(20.0, min(center - bw / 2, hi - 50.0))
+    return lo, hi
+
+
+def band_pass(audio, sr, rng, min_center=200.0, max_center=4000.0):
+    center = rng.uniform(min_center, min(max_center, sr / 2 - 200))
+    bw = center * rng.uniform(0.5, 1.9)
+    lo, hi = _band_edges(center, bw, sr)
     b, a = sps.butter(2, [lo / (sr / 2), hi / (sr / 2)], btype="band")
     return sps.lfilter(b, a, audio).astype(np.float32)
 
 
 def band_stop(audio, sr, rng, min_center=200.0, max_center=4000.0):
-    center = rng.uniform(min_center, max_center)
+    center = rng.uniform(min_center, min(max_center, sr / 2 - 200))
     bw = center * rng.uniform(0.25, 1.0)
-    lo = max(20.0, center - bw / 2)
-    hi = min(sr / 2 - 100, center + bw / 2)
+    lo, hi = _band_edges(center, bw, sr)
     b, a = sps.butter(2, [lo / (sr / 2), hi / (sr / 2)], btype="bandstop")
     return sps.lfilter(b, a, audio).astype(np.float32)
 
@@ -135,10 +144,15 @@ def _time_stretch(audio, rate, n_fft=1024, hop=256):
     """Phase vocoder time stretch by ``rate`` (rate>1 -> shorter)."""
     if len(audio) < n_fft:
         return audio
-    _, _, Z = sps.stft(audio, nperseg=n_fft, noverlap=n_fft - hop, boundary=None,
-                       padded=True)
+    # boundary='zeros' pads nperseg//2 on both ends; the matching istft
+    # (boundary=True) trims the same amount — a consistent round trip
+    # that keeps the onset (boundary=None + default istft trimming
+    # erased the first ~30 ms of every pitch-shifted clip and skewed
+    # the shift ~60 cents flat on a 2 s tone).
+    _, _, Z = sps.stft(audio, nperseg=n_fft, noverlap=n_fft - hop,
+                       boundary="zeros", padded=True)
     n_frames = Z.shape[1]
-    steps = np.arange(0, n_frames - 1, rate)
+    steps = np.arange(0, n_frames, rate)
     phase_adv = np.linspace(0, np.pi * hop, Z.shape[0])
     out = np.zeros((Z.shape[0], len(steps)), dtype=np.complex64)
     phase = np.angle(Z[:, 0])
@@ -150,7 +164,8 @@ def _time_stretch(audio, rate, n_fft=1024, hop=256):
         dphase = np.angle(Z[:, min(j + 1, n_frames - 1)]) - np.angle(Z[:, j]) - phase_adv
         dphase -= 2 * np.pi * np.round(dphase / (2 * np.pi))
         phase = phase + phase_adv + dphase
-    _, x = sps.istft(out, nperseg=n_fft, noverlap=n_fft - hop)
+    _, x = sps.istft(out, nperseg=n_fft, noverlap=n_fft - hop,
+                     boundary=True)
     return x.astype(np.float32)
 
 

@@ -89,6 +89,15 @@ def stft_power(
         scale = 1.0 / float(_hann_periodic(n_fft).sum())  # scipy scaling="spectrum"
     elif convention == "whisper":
         half = n_fft // 2
+        if n_samples <= max(half, hop):
+            # reflect padding needs width < axis size, and the whisper
+            # frame count n_samples // hop needs at least one hop of
+            # audio: zero-extend tiny inputs (a public entry point must
+            # not crash on a sub-200-sample clip).
+            grow = max(half + 1, hop) - n_samples
+            audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1)
+                            + [(0, grow)])
+            n_samples += grow
         audio = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(half, half)], mode="reflect")
         # torch.stft(center=True): 1 + n_samples // hop frames; whisper drops
         # the last one, so emit n_samples // hop directly.

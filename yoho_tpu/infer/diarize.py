@@ -29,7 +29,7 @@ def cluster_voiceprints(
 ) -> List[Optional[int]]:
     """Assign speaker ids to (possibly missing) embeddings.
 
-    Average-linkage agglomerative clustering: repeatedly merge the two
+    Centroid-linkage agglomerative clustering: repeatedly merge the two
     clusters whose centroid cosine similarity is highest, while above
     ``threshold``. Returns one id per input (None where the embedding was
     None). Ids are numbered by first appearance.

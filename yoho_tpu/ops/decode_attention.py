@@ -145,9 +145,18 @@ def _decode_attention_call(q, k, v, k_scale, v_scale, pos, *, kv_len: int,
     quantized = k_scale is not None
     tb = _pick_block(t)
 
-    if k_scale is None:  # placeholder refs so the kernel arity is fixed
-        k_scale = jnp.zeros((b, hkv, 1, t), jnp.bfloat16)
+    if quantized:
+        scale_spec = pl.BlockSpec((1, hkv, 1, tb), lambda i, j: (i, 0, 0, j),
+                                  memory_space=pltpu.VMEM)
+    else:
+        # Placeholder refs keep the kernel arity fixed, but must not
+        # stream with the T grid: a (B, Hkv, 1, T) dummy added ~2/D
+        # (~3% at D=64) dead HBM traffic to a bandwidth-bound kernel.
+        # One 128-lane block with a constant index map stays resident.
+        k_scale = jnp.zeros((b, hkv, 1, 128), jnp.bfloat16)
         v_scale = k_scale
+        scale_spec = pl.BlockSpec((1, hkv, 1, 128), lambda i, j: (i, 0, 0, 0),
+                                  memory_space=pltpu.VMEM)
     pos_arr = jnp.reshape((pos if pos is not None else jnp.int32(0)),
                           (1, 1)).astype(jnp.int32)
 
@@ -167,10 +176,8 @@ def _decode_attention_call(q, k, v, k_scale, v_scale, pos, *, kv_len: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hkv, dk, tb), lambda i, j: (i, 0, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hkv, 1, tb), lambda i, j: (i, 0, 0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hkv, 1, tb), lambda i, j: (i, 0, 0, j),
-                         memory_space=pltpu.VMEM),
+            scale_spec,
+            scale_spec,
         ],
         out_specs=pl.BlockSpec((1, hq, s, d), lambda i, j: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),

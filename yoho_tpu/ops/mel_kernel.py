@@ -127,6 +127,11 @@ def fused_log_mel(
 
     if convention == "whisper":
         half = n_fft // 2
+        if n_samples <= max(half, hop):
+            # reflect needs width < axis size; frame count needs >= hop.
+            grow = max(half + 1, hop) - n_samples
+            audio = jnp.pad(audio, ((0, 0), (0, grow)))
+            n_samples += grow
         audio = jnp.pad(audio, ((0, 0), (half, half)), mode="reflect")
         num_frames = n_samples // hop
         scaled = False
