@@ -193,6 +193,19 @@ def test_metrics_writer(tmp_path):
     assert rec["val_correct"] == "🚀hi🏁"
     assert rec["val_predicted"] == "⏱️x🎙️"
 
+    # Callers without train-sample decoding (whisper finetune/distill)
+    # pass empty train lists: the VAL rows must still be written (a
+    # plain 4-way zip dropped everything to the empty sequence).
+    m.write_validation(["a correct"], ["a predicted"], [], [])
+    rows = (tmp_path / "val.jsonl").read_text().strip().split("\n")
+    rec2 = json.loads(rows[-1])
+    assert rec2 == [{"val_correct": "a correct",
+                     "val_predicted": "a predicted",
+                     "train_correct": None, "train_predicted": None}]
+    # Post-EOT junk spanning newlines is stripped (re.S).
+    assert MetricsWriter.humanify(
+        "x<|endoftranscript|>junk\nmore") == "x🏁"
+
 
 def test_create_session(tmp_path):
     from yoho_tpu.core.config import load_session_config
@@ -403,6 +416,90 @@ def test_flush_restages_on_self_deadlock(tmp_path):
             ck._cv.release()
         except RuntimeError:
             pass
+        ck.close()
+
+
+def test_flush_waits_for_midwrite_of_newest(tmp_path, monkeypatch):
+    """SIGTERM path, no staged snapshot: the writer is MID-WRITE of the
+    newest snapshot (pending already popped). flush() must wait for that
+    write to become durable, not return instantly and let the handler
+    kill the process mid os.replace."""
+    import threading
+    import time
+
+    import yoho_tpu.train.checkpoint as ckpt_mod
+
+    real_save = ckpt_mod.save_checkpoint
+    in_write = threading.Event()
+    release = threading.Event()
+
+    def slow_save(path, step, params, opt_state):
+        in_write.set()
+        release.wait(timeout=30)
+        real_save(path, step, params, opt_state)
+
+    monkeypatch.setattr(ckpt_mod, "save_checkpoint", slow_save)
+    ck = AsyncCheckpointer(tmp_path / "c.msgpack")
+    try:
+        ck.save(1, {"w": np.ones(2, np.float32)}, {})
+        assert in_write.wait(timeout=30)
+        assert ck._pending is None  # popped: the old flush returned here
+        done = threading.Event()
+
+        def run_flush():
+            ck.flush(timeout=30.0)
+            done.set()
+
+        t = threading.Thread(target=run_flush)
+        t.start()
+        time.sleep(0.2)
+        assert not done.is_set()  # flush is WAITING on the in-flight write
+        release.set()
+        t.join(timeout=30)
+        assert done.is_set()
+        restored = load_checkpoint(tmp_path / "c.msgpack",
+                                   {"w": np.zeros(2, np.float32)}, {})
+        assert restored is not None and restored[0] == 1
+    finally:
+        release.set()
+        ck.close()
+
+
+def test_writer_thread_survives_write_failure(tmp_path, monkeypatch):
+    """A transient write error must not kill the background writer:
+    later saves still reach disk (the old thread died on first raise,
+    silently turning every subsequent save into a no-op)."""
+    import yoho_tpu.train.checkpoint as ckpt_mod
+
+    real_save = ckpt_mod.save_checkpoint
+    fail_once = {"armed": True}
+
+    def flaky_save(path, step, params, opt_state):
+        if fail_once["armed"]:
+            fail_once["armed"] = False
+            raise OSError("disk full")
+        real_save(path, step, params, opt_state)
+
+    monkeypatch.setattr(ckpt_mod, "save_checkpoint", flaky_save)
+    ck = AsyncCheckpointer(tmp_path / "c.msgpack")
+    try:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            ck.save(1, {"w": np.ones(2, np.float32)}, {})
+            for _ in range(100):  # let the failing write drain
+                if not fail_once["armed"]:
+                    break
+                import time
+
+                time.sleep(0.05)
+        ck.save(2, {"w": np.full(2, 2.0, np.float32)}, {})
+        ck.flush(timeout=30.0)
+        restored = load_checkpoint(tmp_path / "c.msgpack",
+                                   {"w": np.zeros(2, np.float32)}, {})
+        assert restored is not None and restored[0] == 2
+    finally:
         ck.close()
 
 

@@ -291,11 +291,16 @@ class SessionConfig(BaseModel):
         return self.sessions_root / self.name
 
     def reroot_weights(self) -> "SessionConfig":
-        """Re-root relative weight paths into the session directory."""
+        """Re-root relative weight paths into the session directory.
+
+        Idempotent: with a RELATIVE sessions_root the rerooted paths
+        stay relative, so a second call must not re-prefix them
+        (sessions/x/sessions/x/...)."""
+        base = self.path
         for attr in type(self.weights).model_fields:
             cur = getattr(self.weights, attr)
-            if not cur.is_absolute():
-                setattr(self.weights, attr, self.path / cur)
+            if not cur.is_absolute() and not cur.is_relative_to(base):
+                setattr(self.weights, attr, base / cur)
         return self
 
 
@@ -408,5 +413,10 @@ def load_session_config(
         )
     with open(cfg_file, "rb") as f:
         raw = tomllib.load(f)
+    for reserved in ("name", "sessions_root"):
+        if reserved in raw:
+            raise ValueError(
+                f"{cfg_file}: top-level '{reserved}' is reserved (it is "
+                "derived from the session directory) — remove it")
     config = SessionConfig(name=name, sessions_root=sessions_root, **raw)
     return config.reroot_weights()

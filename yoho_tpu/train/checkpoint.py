@@ -134,9 +134,36 @@ class AsyncCheckpointer:
                     self._cv.wait()
                 if self._stop and self._pending is None:
                     return
-                seq, payload = self._pending
-                self._pending = None
-            self._write(seq, payload)
+            # Take the write lock BEFORE popping pending: flush() can
+            # then rely on "pending is None and the lock is free" =>
+            # the newest snapshot is durable (no window where a popped
+            # snapshot exists outside both pending and the lock).
+            self._write_lock.acquire()
+            self._write_owner = threading.current_thread()
+            try:
+                with self._cv:
+                    if self._pending is None:
+                        continue  # flush() wrote it meanwhile
+                    seq, payload = self._pending
+                    self._pending = None
+                if seq > self._written_seq:
+                    try:
+                        save_checkpoint(self.path, *payload)
+                        self._written_seq = seq
+                    except Exception as e:  # noqa: BLE001
+                        # A transient write failure (ENOSPC, I/O) must
+                        # not kill the writer thread — that would turn
+                        # every later save() into a silent no-op. Warn
+                        # and keep consuming; newer snapshots retry.
+                        import warnings
+
+                        warnings.warn(
+                            f"async checkpoint write failed at seq {seq} "
+                            f"({e}); the writer keeps running and newer "
+                            "snapshots will retry")
+            finally:
+                self._write_owner = None
+                self._write_lock.release()
 
     def _restage(self, item) -> None:
         """Put an un-written snapshot back as pending (unless a newer one
@@ -159,6 +186,20 @@ class AsyncCheckpointer:
         with self._cv:
             item, self._pending = self._pending, None
         if item is None:
+            # Nothing staged — but the writer may be MID-WRITE of the
+            # newest snapshot (it holds the write lock from before the
+            # pop until durability). The SIGTERM path relies on flush()
+            # returning only once that write is on disk, so wait
+            # (bounded) for the lock instead of returning instantly and
+            # letting the handler kill the process mid os.replace.
+            if self._write_owner is threading.current_thread():
+                return
+            if timeout is not None:
+                acquired = self._write_lock.acquire(timeout=timeout)
+            else:
+                acquired = self._write_lock.acquire(blocking=blocking)
+            if acquired:
+                self._write_lock.release()
             return
         if self._write_owner is threading.current_thread():
             self._restage(item)

@@ -161,9 +161,10 @@ class WhisperDistiller(WhisperFinetuner):
         self.last_agreement = float(self._agreement(
             self.state.params, self._t_params,
             *self._place_batch(batch[:3])))
-        print(f"[distill] update {update}: teacher-agreement "
-              f"{self.last_agreement:.3f} (projected speculative "
-              "acceptance)", flush=True)
+        if self.metrics is not None:  # coordinator-only, like all writers
+            print(f"[distill] update {update}: teacher-agreement "
+                  f"{self.last_agreement:.3f} (projected speculative "
+                  "acceptance)", flush=True)
         return val_loss
 
     # ------------------------------------------------------------------

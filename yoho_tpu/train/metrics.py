@@ -42,7 +42,8 @@ class MetricsWriter:
         """Emoji substitution for special tokens (parity:
         ``transcription_pretrain_no_voiceprints.py:144-157``)."""
         end = "<|endoftranscript|>"
-        text = re.sub(f"{re.escape(end)}.*", end, text)
+        # DOTALL: post-EOT junk can contain newlines; '.*' must eat it all.
+        text = re.sub(f"{re.escape(end)}.*", end, text, flags=re.S)
         text = text.replace("<|startoftranscript|>", "🚀")
         text = text.replace("<|endoftranscript|>", "🏁")
         text = text.replace("<|voiceprint|>", "🎙️")
@@ -57,15 +58,25 @@ class MetricsWriter:
         train_predicted: Sequence[str],
     ) -> None:
         assert self.validations_path is not None
+        assert len(val_correct) == len(val_predicted)
+        assert len(train_correct) == len(train_predicted)
+        # Pad the shorter stream: callers without train-sample decoding
+        # (whisper finetune/distill pass empty train lists) must still
+        # get their VAL transcripts written — a plain 4-way zip silently
+        # dropped every row to the shortest (empty) sequence.
+        n = max(len(val_correct), len(train_correct))
+
+        def at(seq, i):
+            return self.humanify(seq[i]) if i < len(seq) else None
+
         dump = [
             {
-                "val_correct": self.humanify(a),
-                "val_predicted": self.humanify(b),
-                "train_correct": self.humanify(c),
-                "train_predicted": self.humanify(d),
+                "val_correct": at(val_correct, i),
+                "val_predicted": at(val_predicted, i),
+                "train_correct": at(train_correct, i),
+                "train_predicted": at(train_predicted, i),
             }
-            for a, b, c, d in zip(val_correct, val_predicted, train_correct,
-                                  train_predicted)
+            for i in range(n)
         ]
         with self._lock, open(self.validations_path, "a") as f:
             f.write(json.dumps(dump, ensure_ascii=False) + "\n")
