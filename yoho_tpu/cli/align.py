@@ -35,7 +35,11 @@ def main(argv=None):
                              "otherwise each file needs a sibling "
                              "<stem>.txt")
     parser.add_argument("--language", type=str, default="en")
-    parser.add_argument("--batch", type=int, default=8)
+    from yoho_tpu.cli.transcribe import batch_size_arg
+
+    parser.add_argument("--batch", type=batch_size_arg, default=8,
+                        help="decode batch size, or 'auto' (HBM capacity "
+                             "model)")
     parser.add_argument("--srt", type=str, default=None, metavar="DIR",
                         help="also write per-word SRT cues per input")
     args = parser.parse_args(argv)

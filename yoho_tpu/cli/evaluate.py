@@ -143,7 +143,11 @@ def main(argv=None):
     parser.add_argument("--root", type=str, default="./sessions")
     parser.add_argument("--language", type=str, default="en")
     parser.add_argument("--beams", type=int, default=0)
-    parser.add_argument("--batch", type=int, default=8)
+    from yoho_tpu.cli.transcribe import batch_size_arg
+
+    parser.add_argument("--batch", type=batch_size_arg, default=8,
+                        help="decode batch size, or 'auto' (HBM capacity "
+                             "model)")
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--json", action="store_true")
     parser.add_argument("--int8-kv", action="store_true",

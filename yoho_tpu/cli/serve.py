@@ -922,7 +922,12 @@ def main(argv=None):
     parser.add_argument("--root", type=str, default="./sessions")
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--host", type=str, default="127.0.0.1")
-    parser.add_argument("--batch", type=int, default=8)
+    from yoho_tpu.cli.transcribe import batch_size_arg
+
+    parser.add_argument("--batch", type=batch_size_arg, default=8,
+                        help="decode batch size (micro-batch cap / "
+                             "continuous slots), or 'auto' to size it "
+                             "from the HBM capacity model")
     parser.add_argument("--continuous", action="store_true",
                         help="slot-engine continuous batching: refill "
                              "freed decode slots between token chunks "

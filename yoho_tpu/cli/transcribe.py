@@ -43,6 +43,22 @@ def load_voiceprint_encoder(session: str, root: str):
     return enc, {"params": params}
 
 
+def batch_size_arg(value: str):
+    """argparse type for ``--batch``: a positive int, or ``auto`` to size
+    the batch from the HBM capacity model (``infer/capacity.py``)."""
+    if value == "auto":
+        return value
+    try:
+        batch = int(value)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"--batch takes a positive integer or 'auto', got {value!r}")
+    if batch < 1:
+        raise argparse.ArgumentTypeError(
+            f"--batch must be >= 1, got {batch}")
+    return batch
+
+
 def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: str,
                               timestamps: bool, quantized: bool = False,
                               word_timestamps: bool = False,
@@ -329,7 +345,7 @@ def _bulk_transcribe(t, args) -> int:
               f"{out_dir}", file=sys.stderr)
     # Group size: big enough to keep decode batches full, small enough
     # that a crash loses little work.
-    group = max(args.batch * 8, 32)
+    group = max(t.batch_size * 8, 32)  # batch resolved ("auto" -> int)
     done = 0
     for i in range(0, len(todo), group):
         chunk = todo[i : i + group]
@@ -370,7 +386,9 @@ def main(argv=None):
                              "'1x8' = 8-way tensor parallel, '-1x4' = "
                              "4-way TP x remaining data); params are "
                              "sharded per the partition rules")
-    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--batch", type=batch_size_arg, default=8,
+                        help="decode batch size, or 'auto' to size it "
+                             "from the HBM capacity model")
     parser.add_argument("--no-timestamps", action="store_true")
     parser.add_argument("--json", action="store_true", help="JSONL output")
     parser.add_argument("--output-dir", type=str, default=None, metavar="DIR",

@@ -15,3 +15,4 @@ from yoho_tpu.infer.diarize import (  # noqa: F401
 from yoho_tpu.infer.word_timestamps import WordTiming  # noqa: F401
 from yoho_tpu.infer.speculative import speculative_greedy_decode, make_verify_step_fn  # noqa: F401
 from yoho_tpu.infer.batching import MicroBatcher  # noqa: F401
+from yoho_tpu.infer.capacity import suggest_batch_size  # noqa: F401

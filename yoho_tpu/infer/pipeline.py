@@ -256,6 +256,17 @@ class Transcriber:
         else:
             raise ValueError(f"unknown family {family!r}")
 
+        if isinstance(self.batch_size, str):
+            # batch_size="auto": pick a safe batch from the HBM capacity
+            # model (infer/capacity.py) under THIS transcriber's settings
+            # (quantization, horizon, beams, mesh, weight precision).
+            if self.batch_size != "auto":
+                raise ValueError("batch_size must be an int or 'auto', "
+                                 f"got {self.batch_size!r}")
+            from yoho_tpu.infer.capacity import resolve_auto_batch
+
+            self.batch_size = resolve_auto_batch(self)
+
         overlap = min(int(overlap_seconds * self.sample_rate), self.chunk_samples // 2)
         self.stride_samples = self.chunk_samples - overlap
         assert 0 < self.stride_samples <= self.chunk_samples

@@ -24,7 +24,7 @@ def load_transcriber(
     *,
     session: Optional[str] = None,
     root: str = "./sessions",
-    batch: int = 8,
+    batch=8,  # int, or "auto" (HBM capacity model, infer/capacity.py)
     beams: int = 0,
     language: Optional[str] = "en",  # None = auto-detect (whisper)
     task: str = "transcribe",
