@@ -38,6 +38,8 @@ COMMANDS = {
               "Forced alignment: word timings for known transcripts"),
     "score-diarization": ("yoho_tpu.cli.score_diarization",
                           "DER between reference and hypothesis RTTM"),
+    "doctor": ("yoho_tpu.cli.doctor",
+               "Environment self-check (devices, codecs, checkpoints)"),
 }
 
 
