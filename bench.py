@@ -141,6 +141,95 @@ def bench_one(model_name="small", batch=320, beams=0, decode_tokens=224,
     }
 
 
+def bench_one_yoho(batch=512, decode_tokens=128, iters=3):
+    """Measure the custom YOHO family's serving path (the reference's own
+    model: ``yoho/src/nn/model.py``) — 10.25 s windows, KV-cached greedy
+    decode with the in-forward voiceprint head, bf16 caches (the
+    ``build_yoho_transcriber`` serving config)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yoho_tpu.audio.frontend import yoho_log_mel
+    from yoho_tpu.core.config import YOHOConfig
+    from yoho_tpu.infer.decode import greedy_decode, make_yoho_step_fn
+    from yoho_tpu.nn.yoho import YOHOModel
+
+    cfg = YOHOConfig()  # the reference's default size (train/config.toml)
+    vocab = 16000 + 3 + cfg.max_audio_len  # stage-0 scheme: BPE + specials
+    model = YOHOModel(cfg, vocab_size=vocab, voiceprint_dim=256,
+                      dtype=jnp.bfloat16)
+
+    shapes = jax.eval_shape(
+        lambda r, t, m: model.init(
+            r, t, m, method=YOHOModel.forward_with_voiceprints),
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 4), jnp.int32),
+        jnp.zeros((1, cfg.max_audio_len, cfg.n_mel_bands), jnp.float32),
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    keys = jax.random.split(jax.random.PRNGKey(0), len(leaves))
+    variables = jax.tree_util.tree_unflatten(
+        treedef,
+        [
+            (jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02).astype(s.dtype)
+            if jnp.issubdtype(s.dtype, jnp.floating)
+            else jnp.zeros(s.shape, s.dtype)
+            for k, s in zip(keys, leaves)
+        ],
+    )
+
+    sot = 16000  # <|startoftranscript|> sits right after the BPE ids
+    prompt = jnp.full((batch, 1), sot, jnp.int32)
+    max_len = 1 + decode_tokens
+
+    def run_once(variables, audio):
+        mel = yoho_log_mel(audio, cfg)
+        xa = model.apply(variables, mel, method=YOHOModel.encode_audio)
+        ckv = model.apply(variables, xa, method=YOHOModel.cross_kvs)
+        caches = model.apply(variables, batch, jnp.bfloat16, max_len,
+                             method=YOHOModel.init_caches)
+        step = make_yoho_step_fn(model, variables, ckv)
+        # eot = vocab-1 is never argmaxed with random weights -> the loop
+        # runs the full horizon (a worst-case, honest measurement).
+        return greedy_decode(step, caches, prompt, max_len, vocab - 1)
+
+    def run_many(variables, audio, n):
+        def body(_i, acc):
+            perturbed = audio + (acc.astype(jnp.float32) % 128.0) * 1e-9
+            _tokens, lengths = run_once(variables, perturbed)
+            return acc + jnp.sum(lengths)
+
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+    fn = jax.jit(run_many)
+    g = np.random.default_rng(0)
+    audio = jnp.asarray(
+        g.standard_normal((batch, cfg.n_samples)).astype(np.float32) * 0.1)
+
+    int(fn(variables, audio, 1))  # compile + warm
+
+    def timed(n):
+        t0 = time.perf_counter()
+        int(fn(variables, audio, n))
+        return time.perf_counter() - t0
+
+    t1 = min(timed(1) for _ in range(iters))
+    tk = min(timed(1 + iters) for _ in range(2))
+    best = max((tk - t1) / iters, 1e-9)
+
+    audio_seconds = batch * cfg.n_samples / cfg.sample_rate
+    rtf = audio_seconds / best
+    tok_per_sec = batch * decode_tokens / best
+    return {
+        "metric": f"yoho (custom model) audio-seconds transcribed /sec/chip "
+                  f"(B={batch}, {decode_tokens} decode tokens, bf16 caches, "
+                  f"in-forward voiceprints; {tok_per_sec:.0f} tok/s)",
+        "value": round(rtf, 2),
+        "unit": "audio_s/s",
+        "vs_baseline": round(rtf / 40.0, 3),
+    }
+
+
 def _require_backend(timeout_s: int = 600) -> None:
     """Fail fast (with a diagnosable JSON line) when the TPU backend
     cannot initialize, instead of hanging the driver forever.
@@ -184,6 +273,12 @@ def _require_backend(timeout_s: int = 600) -> None:
 
 def main():
     _require_backend(int(os.environ.get("BENCH_BACKEND_TIMEOUT", "600")))
+    if os.environ.get("BENCH_MODEL") == "yoho":
+        print(json.dumps(bench_one_yoho(
+            batch=int(os.environ.get("BENCH_BATCH", "512")),
+            decode_tokens=int(os.environ.get("BENCH_DECODE_TOKENS", "128")),
+            iters=int(os.environ.get("BENCH_ITERS", "3")))))
+        return
     kv_env = os.environ.get("BENCH_QUANTIZED_KV", "1")
     kwargs = dict(
         model_name=os.environ.get("BENCH_MODEL", "small"),
