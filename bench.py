@@ -155,7 +155,11 @@ def bench_one_yoho(batch=512, decode_tokens=128, iters=3):
     from yoho_tpu.nn.yoho import YOHOModel
 
     cfg = YOHOConfig()  # the reference's default size (train/config.toml)
-    vocab = 16000 + 3 + cfg.max_audio_len  # stage-0 scheme: BPE + specials
+    # Stage-0 tokenizer scheme: vocab_size is INCLUSIVE of the specials —
+    # ByteBPE lays ids out [specials 0..K-1][bytes][merges] and train_bpe
+    # budgets merges as vocab_size - n_special - 256 (text/bpe.py), so a
+    # real session serves exactly TokenizerHP.vocab_size = 16000 ids.
+    vocab = 16000
     model = YOHOModel(cfg, vocab_size=vocab, voiceprint_dim=256,
                       dtype=jnp.bfloat16)
 
@@ -178,7 +182,7 @@ def bench_one_yoho(batch=512, decode_tokens=128, iters=3):
         ],
     )
 
-    sot = 16000  # <|startoftranscript|> sits right after the BPE ids
+    sot = 0  # <|startoftranscript|> is the first special (id 0)
     prompt = jnp.full((batch, 1), sot, jnp.int32)
     max_len = 1 + decode_tokens
 

@@ -151,6 +151,67 @@ def test_yoho_family_suggestion():
     assert b >= 64  # short contexts + small dims -> large batches fit
 
 
+def test_yoho_stream_bytes_use_gqa_kv_width():
+    """YOHO caches hold kv_heads * head_dim = dims/2 cells per position
+    (nn/yoho.py init_caches: kvh = n_text_heads // 2) — the capacity model
+    must price the GQA width, not the full residual width."""
+    import jax
+    import jax.numpy as jnp
+
+    from yoho_tpu.nn.yoho import YOHOModel
+
+    cfg = YOHOConfig()
+    s = stream_bytes(cfg, family="yoho", kv_bytes=4.0, cache_bytes=4.0)
+    # The dominant cache terms must reflect dims/2, so the total estimate
+    # sits well under a full-width pricing of cross + self caches.
+    full_width = (2 * cfg.n_text_blocks * cfg.dims
+                  * (cfg.encoder_positions + cfg.max_text_len) * 4)
+    assert s < full_width
+
+    # Byte-exact on the real allocation: init_caches' self cache.
+    model = YOHOModel(cfg, vocab_size=512, voiceprint_dim=32)
+    caches = model.apply({"params": {}}, 2, jnp.float32, 128,
+                         method=YOHOModel.init_caches)
+    leaf_bytes = sum(np.prod(leaf.shape) * leaf.dtype.itemsize
+                     for leaf in jax.tree_util.tree_leaves(caches)) // 2
+    kvh = max(1, cfg.n_text_heads // 2)
+    head_dim = cfg.dims // cfg.n_text_heads
+    expect = 2 * cfg.n_text_blocks * kvh * head_dim * 128 * 4
+    assert leaf_bytes == expect
+
+
+def test_int8_weights_accounts_bf16_encoder():
+    """weights_int8 only quantizes the DECODER; auto-batch must budget the
+    encoder at bf16 (whisper_encoder_param_count split)."""
+    from yoho_tpu.infer.capacity import whisper_encoder_param_count
+
+    cfg = WHISPER_PRESETS["large-v3"]
+    enc = whisper_encoder_param_count(cfg)
+    assert 600e6 < enc < 700e6  # large-v3 encoder ~635M params
+    flat = _suggest_bench("large-v3", weights_dtype_bytes=1.0)
+    split = _suggest_bench("large-v3", weights_dtype_bytes=1.0,
+                           extra_fixed_bytes=enc)
+    assert split <= flat  # never MORE optimistic than the flat pricing
+    assert flat - split >= 0  # and the encoder surcharge costs streams
+
+
+def test_draft_model_shrinks_auto_batch():
+    """A speculative draft must reduce the suggestion: its weights and
+    per-stream caches are real HBM the target no longer has."""
+    cfg = WHISPER_PRESETS["small"]
+    draft = WHISPER_PRESETS["tiny"]
+    plain = suggest_batch_size(cfg, horizon=224, kv_bytes=1.0,
+                               cache_bytes=1.0, hbm_bytes=DEFAULT_HBM_BYTES)
+    with_draft = suggest_batch_size(
+        cfg, horizon=230, kv_bytes=1.0, cache_bytes=1.0,
+        hbm_bytes=DEFAULT_HBM_BYTES,
+        extra_fixed_bytes=whisper_param_count(draft) * 2,
+        extra_stream_bytes=stream_bytes(draft, horizon=230, kv_bytes=1.0,
+                                        cache_bytes=1.0))
+    assert with_draft < plain
+    assert with_draft >= 1
+
+
 # --------------------------------------------------------------------------
 # End-to-end resolution through the serving objects
 # --------------------------------------------------------------------------

@@ -94,6 +94,12 @@ def _check_codecs() -> list:
 
 _PROBE = r"""
 import json, sys
+# sitecustomize may pre-import jax (snapshotting JAX_PLATFORMS before this
+# code runs) — honor the env the operator asked for, like every CLI main
+# (CLAUDE.md; yoho_tpu.utils.platform). JAX_PLATFORMS=cpu must probe CPU,
+# not cold-init a possibly wedged TPU relay.
+from yoho_tpu.utils.platform import apply_platform_env
+apply_platform_env()
 import jax
 ds = jax.devices()
 ms = {}
@@ -111,10 +117,9 @@ print(json.dumps({
 
 
 def _check_devices(timeout: float) -> list:
-    env = dict(os.environ)
     try:
         out = subprocess.run([sys.executable, "-c", _PROBE],
-                             capture_output=True, timeout=timeout, env=env)
+                             capture_output=True, timeout=timeout)
     except subprocess.TimeoutExpired:
         return [("devices", FAIL,
                  f"backend init blocked for {timeout:.0f}s — wedged device "

@@ -35,7 +35,6 @@ percent at most, while landing over it costs the process.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 # Usable HBM per v5e chip as measured in this project's fit experiments
@@ -62,6 +61,18 @@ def whisper_param_count(cfg) -> int:
     dec = cfg.n_text_layer * (16 * s_t * s_t + 18 * s_t) + 2 * s_t
     embed = cfg.n_vocab * s_t + cfg.n_text_ctx * s_t  # tied logits
     return conv + enc + dec + embed
+
+
+def whisper_encoder_param_count(cfg) -> int:
+    """Encoder-side parameters (conv stem + encoder blocks + final LN).
+
+    ``nn/quantize.quantize_whisper_decoder`` leaves the encoder in bf16, so
+    int8-weights capacity accounting needs the split.
+    """
+    s_a = cfg.n_audio_state
+    conv = cfg.n_mels * s_a * 3 + s_a + s_a * s_a * 3 + s_a
+    enc = cfg.n_audio_layer * (12 * s_a * s_a + 12 * s_a) + 2 * s_a
+    return conv + enc
 
 
 def yoho_param_count(cfg, vocab_size: int) -> int:
@@ -113,7 +124,12 @@ def stream_bytes(cfg, family: str = "whisper", *,
         mel = cfg.n_frames * cfg.n_mels * 4
         horizon = cfg.n_text_ctx if horizon is None else horizon
     elif family == "yoho":
-        n_layer, n_state = cfg.n_text_blocks, cfg.dims
+        # GQA caches: kv_heads = n_text_heads // 2 (nn/yoho.py init_caches:
+        # ``kvh = max(1, c.n_text_heads // 2)``), so each cached position
+        # holds kv_heads * head_dim = ~dims/2 cells — NOT the full dims.
+        kvh = max(1, cfg.n_text_heads // 2)
+        head_dim = cfg.dims // cfg.n_text_heads
+        n_layer, n_state = cfg.n_text_blocks, kvh * head_dim
         n_ctx, enc_layer = cfg.encoder_positions, cfg.n_audio_blocks
         enc_state = cfg.dims
         mel = cfg.max_audio_len * cfg.n_mel_bands * 4
@@ -162,7 +178,9 @@ def suggest_batch_size(cfg, family: str = "whisper", *,
                        data_shards: int = 1,
                        model_shards: int = 1,
                        quantum: int = 8,
-                       max_batch: int = 512) -> int:
+                       max_batch: int = 512,
+                       extra_fixed_bytes: int = 0,
+                       extra_stream_bytes: int = 0) -> int:
     """Suggest a serving batch size that fits in HBM.
 
     ``beams``: beam search keeps ``batch * beams`` cache streams live
@@ -170,6 +188,11 @@ def suggest_batch_size(cfg, family: str = "whisper", *,
     ``data_shards``/``model_shards``: mesh axes — tensor parallelism
     splits each stream's caches/weights across ``model_shards`` chips and
     data parallelism multiplies the global batch by ``data_shards``.
+    ``extra_fixed_bytes``/``extra_stream_bytes``: additional per-device /
+    per-stream costs the config alone can't see (a speculative draft
+    model, the bf16 encoder of an int8-weights checkpoint). The extra
+    stream term is deliberately NOT divided by ``model_shards`` —
+    conservative for auxiliary buffers whose sharding we don't control.
     Returns at least 1; rounds down to ``quantum`` above it.
     """
     if hbm_bytes is None:
@@ -179,10 +202,11 @@ def suggest_batch_size(cfg, family: str = "whisper", *,
     else:
         params = yoho_param_count(cfg, vocab_size or 16000)
     weights = int(params * weights_dtype_bytes) // max(1, model_shards)
-    budget = hbm_bytes - weights - RESERVE_BYTES
+    budget = hbm_bytes - weights - RESERVE_BYTES - max(0, extra_fixed_bytes)
     per_stream = stream_bytes(cfg, family, horizon=horizon,
                               kv_bytes=kv_bytes, cache_bytes=cache_bytes)
     per_stream = -(-per_stream // max(1, model_shards))  # ceil div
+    per_stream += max(0, extra_stream_bytes)
     streams = max(0, budget) // max(1, per_stream)
     batch = int(streams // max(1, beams or 1))
     batch = min(batch, max_batch)
@@ -201,6 +225,26 @@ def resolve_auto_batch(t) -> int:
     kv_bytes = (0.5 if q == "int4" else 1.0 if q else cache_elem)
     cache_bytes = 1.0 if t.quantized_cache else cache_elem
     weights_bytes = (1.0 if getattr(t.model, "weights_int8", False) else 2.0)
+    extra_fixed = extra_stream = 0
+    horizon = t.max_len
+    if weights_bytes == 1.0 and t.family == "whisper":
+        # quantize_whisper_decoder leaves the ENCODER in bf16: those params
+        # cost 1 byte more than the flat int8 accounting above.
+        extra_fixed += whisper_encoder_param_count(cfg)
+    if t.draft_model is not None:
+        # Speculative decoding keeps a full second model + per-stream
+        # caches live (pipeline._decode_fn: draft caches share the target's
+        # dtypes and the horizon grows by gamma+2 stale-write slots).
+        d_cfg = t.draft_model.cfg
+        horizon = t.max_len + int(getattr(t, "speculative_gamma", 4)) + 2
+        if t.family == "whisper":
+            extra_fixed += whisper_param_count(d_cfg) * 2  # bf16 draft
+        else:
+            extra_fixed += yoho_param_count(
+                d_cfg, vocab_size=getattr(d_cfg, "n_vocab", 16000)) * 2
+        extra_stream += stream_bytes(d_cfg, t.family, horizon=horizon,
+                                     kv_bytes=kv_bytes,
+                                     cache_bytes=cache_bytes)
     data_shards = model_shards = 1
     if t.mesh is not None:
         ax = dict(zip(t.mesh.axis_names, t.mesh.devices.shape))
@@ -210,7 +254,8 @@ def resolve_auto_batch(t) -> int:
     if t.family == "yoho" and t.tokenizer is not None:
         vocab = int(t.tokenizer.vocab_size)
     return suggest_batch_size(
-        cfg, t.family, horizon=t.max_len, kv_bytes=kv_bytes,
+        cfg, t.family, horizon=horizon, kv_bytes=kv_bytes,
         cache_bytes=cache_bytes, beams=t.beams,
         weights_dtype_bytes=weights_bytes, vocab_size=vocab,
-        data_shards=data_shards, model_shards=model_shards)
+        data_shards=data_shards, model_shards=model_shards,
+        extra_fixed_bytes=extra_fixed, extra_stream_bytes=extra_stream)
