@@ -197,6 +197,34 @@ def test_speaker_dataloader(session):
     assert ids[0] == ids[1] and ids[2] == ids[3]
 
 
+def test_speaker_batches_differ_across_epochs(session):
+    """Sampling-based loader: without the epoch in the RNG stream every
+    epoch replays epoch 1's speaker/clip/augment draws bit-identically."""
+    from yoho_tpu.train.dataloader import SpeakerDataloader
+
+    config, _tok = session
+    dl = SpeakerDataloader(config, batch_size=4, clips_per_speaker=2,
+                           use_multiprocessing=False, augment=True)
+    a0, _ = dl.get_batch(0)
+    dl._epoch = 1
+    a1, _ = dl.get_batch(0)
+    assert not np.array_equal(a0, a1)
+
+
+def test_audio_chunks_differ_across_epochs(session):
+    """AudioChunkDataloader folds the epoch so augmentation noise varies
+    across epochs (the chunk slices themselves are deterministic)."""
+    from yoho_tpu.train.dataloader import AudioChunkDataloader
+
+    config, _tok = session
+    dl = AudioChunkDataloader(config, batch_size=2,
+                              use_multiprocessing=False, augment=True)
+    (a0,) = dl.get_batch(0)
+    dl._epoch = 1
+    (a1,) = dl.get_batch(0)
+    assert not np.array_equal(a0, a1)
+
+
 # ------------------------------------------------------------------- stage 4
 def test_spans_dataloader(session):
     from yoho_tpu.train.dataloader import TranscriptionDataloader

@@ -220,3 +220,42 @@ def test_parse_srt_positional_attributes():
     assert len(subs) == 2
     assert subs[0].content == "Hello"
     assert subs[0].end.total_seconds() == 4.0
+
+
+def test_parse_srt_internal_blank_line_keeps_content():
+    """A cue whose content contains an internal blank line must keep the
+    trailing lines (a blank-line splitter silently truncates them — the
+    srt package keeps content until the next cue header)."""
+    block = ("12\n00:01:00,000 --> 00:01:04,000\nline one\n\nline two\n\n"
+             "13\n00:01:05,000 --> 00:01:06,000\nnext cue\n")
+    subs = list(parse_srt(block))
+    assert len(subs) == 2
+    assert subs[0].content == "line one\n\nline two"
+    assert subs[1].content == "next cue"
+
+
+def test_parse_srt_arrow_in_content_is_not_a_cue_boundary():
+    """Content lines containing '-->' (dialogue arrows) must not be
+    mistaken for timestamp headers."""
+    block = ("1\n00:00:01,000 --> 00:00:02,000\ngo --> left\n\n"
+             "2\n00:00:03,000 --> 00:00:04,000\nok\n")
+    subs = list(parse_srt(block))
+    assert [s.content for s in subs] == ["go --> left", "ok"]
+
+
+def test_train_tokenizer_generator_survives_native_fallback(monkeypatch):
+    """backend='auto' with an unavailable native trainer must NOT train the
+    Python fallback on the generator the native attempt already exhausted
+    (that silently produced a merge-less, bytes-only tokenizer)."""
+    import yoho_tpu.native as native
+
+    def fake_native(corpus, *a, **k):
+        "\n".join(corpus)  # consume, like the real join-then-fail path
+        return None
+
+    monkeypatch.setattr(native, "bpe_train_native", fake_native)
+    tok = train_tokenizer((s for s in CORPUS), vocab_size=600,
+                          max_audio_len=16, backend="auto")
+    assert len(tok.bpe.merges) > 0
+    ids = tok.encode("the quick brown fox")
+    assert tok.decode(ids) == "the quick brown fox"

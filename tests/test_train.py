@@ -546,6 +546,32 @@ def test_worker_errors_surface_instead_of_hanging(session_config, tokenizer):
         dl.terminate()
 
 
+class _ExplodingFirstLoader(TranscriptionDataloader):
+    """Module-level so the spawn pickle can find it. Only batch 0 fails —
+    one worker dies, the others stay alive."""
+
+    def get_batch(self, idx):
+        if idx == 0:
+            raise ValueError("corrupt audio file")
+        return super().get_batch(idx)
+
+
+def test_partial_worker_death_does_not_hang_warmup(session_config, tokenizer):
+    """With warmup_queue=True, ONE worker dying (its queued tasks lost)
+    must not spin __init__ forever waiting for a queue that can never
+    fill; the dead worker's error then surfaces on get."""
+    dl = _ExplodingFirstLoader((0, 1), session_config, tokenizer,
+                               batch_size=2, use_multiprocessing=True,
+                               num_workers=2, max_queued_batches=4,
+                               warmup_queue=True, disable_warnings=True)
+    try:
+        with pytest.raises(RuntimeError, match="corrupt audio file"):
+            for _ in range(4):
+                dl.get_prepared_batch()
+    finally:
+        dl.terminate()
+
+
 # ------------------------------------------------- long-context sessions
 def test_long_context_toml_turns_it_on(tmp_path):
     """A session TOML alone configures long-context training (VERDICT r1

@@ -372,8 +372,21 @@ def load_text_backend(model_path: str):
         p = Path(model_path)
         candidates = ([p] if p.suffix == ".tiktoken" else
                       sorted(p.glob("*.tiktoken")) if p.is_dir() else [])
-        # Prefer the multilingual vocab when several ship together.
-        candidates.sort(key=lambda c: "multilingual" not in c.name)
+        # When gpt2.tiktoken (English-only) and multilingual.tiktoken ship
+        # together (OpenAI's whisper package caches the pair), pick by the
+        # checkpoint's vocab: .en models (vocab 51864) use the gpt2 table —
+        # decoding their ids through the multilingual table garbles
+        # transcripts silently (every id still resolves to SOME bytes).
+        prefer = "multilingual"
+        try:
+            import json as _json
+
+            cfg = _json.loads((p / "config.json").read_text(encoding="utf-8"))
+            if int(cfg.get("vocab_size", 51865)) == 51864:
+                prefer = "gpt2"
+        except (OSError, ValueError, TypeError):
+            pass
+        candidates.sort(key=lambda c: prefer not in c.name)
         if candidates:
             return TiktokenBPE.from_file(candidates[0])
     except (OSError, ValueError):

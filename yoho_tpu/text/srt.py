@@ -40,30 +40,47 @@ def _fmt_ts(td: dt.timedelta) -> str:
     return f"{h:02d}:{m:02d}:{s:02d},{ms:03d}"
 
 
+def _is_cue_header(line: str) -> bool:
+    """A timestamp header line: ``HH:MM:SS,mmm --> ...``. Anchoring on the
+    leading timestamp (not just '-->') keeps content lines that happen to
+    contain an arrow from being mistaken for cue boundaries."""
+    if "-->" not in line:
+        return False
+    return _TS.fullmatch(line.split("-->", 1)[0].strip()) is not None
+
+
 def parse_srt(data: str) -> Iterator[Subtitle]:
-    """Parse SRT text into subtitles (tolerant of blank-line variations)."""
-    blocks = re.split(r"\n\s*\n", data.replace("\r\n", "\n").strip("﻿").strip())
-    for block in blocks:
-        lines = [ln for ln in block.split("\n")]
-        if not lines or not lines[0].strip():
-            continue
-        idx_line = 0
+    """Parse SRT text into subtitles.
+
+    Cues are anchored on timestamp header lines rather than blank-line
+    blocks: real-world SRT content may contain INTERNAL blank lines, which
+    a blank-line splitter would silently truncate (dropping trailing lines
+    of the cue — the ``srt`` package this module replaces keeps content
+    until the next cue header, and so does this).
+    """
+    lines = data.replace("\r\n", "\n").strip("﻿").strip().split("\n")
+    headers = [i for i, ln in enumerate(lines) if _is_cue_header(ln)]
+    for n, i in enumerate(headers):
         index = 0
-        if re.fullmatch(r"\d+", lines[0].strip()):
-            index = int(lines[0].strip())
-            idx_line = 1
-        if idx_line >= len(lines) or "-->" not in lines[idx_line]:
-            continue
+        if i > 0 and re.fullmatch(r"\d+", lines[i - 1].strip()):
+            index = int(lines[i - 1].strip())
+        # Content runs to the next cue header, excluding its index line.
+        stop = headers[n + 1] if n + 1 < len(headers) else len(lines)
+        if (n + 1 < len(headers) and stop - 1 > i
+                and re.fullmatch(r"\d+", lines[stop - 1].strip())):
+            stop -= 1
         # Tolerate cue-position attributes after the end stamp
         # ("... --> 00:00:04,000 X1:100") and stray '-->' later in the
-        # line — real-world SRT corpora carry both (the srt package this
-        # module replaces accepts them).
-        start_s, end_s = lines[idx_line].split("-->", 1)
+        # line — real-world SRT corpora carry both.
+        start_s, end_s = lines[i].split("-->", 1)
         start_s = start_s.strip()
         end_s = end_s.strip().split(" ")[0].split("-->")[0].strip()
-        content = "\n".join(lines[idx_line + 1 :]).strip()
-        yield Subtitle(index=index, start=_parse_ts(start_s), end=_parse_ts(end_s),
-                       content=content)
+        content = "\n".join(lines[i + 1 : stop]).strip()
+        try:
+            start, end = _parse_ts(start_s), _parse_ts(end_s)
+        except ValueError:
+            continue  # garbage end stamp: drop the cue, keep parsing
+        yield Subtitle(index=index, start=start, end=end, content=content)
 
 
 def sort_and_reindex(subs: Iterable[Subtitle], start_index: int = 1) -> List[Subtitle]:

@@ -162,6 +162,13 @@ def train_tokenizer(
     if backend in ("auto", "native"):
         from yoho_tpu.native import bpe_train_native
 
+        if backend == "auto" and not isinstance(corpus, (list, tuple)):
+            # The native attempt CONSUMES the iterable (it joins the whole
+            # corpus before it can discover the library is unavailable);
+            # falling back to the Python trainer on the exhausted generator
+            # would silently produce a merge-less, bytes-only tokenizer.
+            # Materialize once — no extra peak memory vs the native join.
+            corpus = list(corpus)
         model_text = bpe_train_native(corpus, vocab_size, max_token_length, specials)
         if model_text is not None:
             return YOHOTokenizer(ByteBPE.loads(model_text))

@@ -17,6 +17,7 @@ from __future__ import annotations
 import bisect
 import datetime as dt
 import multiprocessing as mp
+import re
 import warnings
 from abc import ABC, abstractmethod
 from collections import OrderedDict
@@ -28,7 +29,7 @@ import numpy as np
 from yoho_tpu.audio.augment import augmenter
 from yoho_tpu.audio.io import load_audio_f32
 from yoho_tpu.core.config import SessionConfig
-from yoho_tpu.text.langdetect import detect_language
+from yoho_tpu.text.corpus import iter_transcripts
 from yoho_tpu.text.srt import parse_srt
 from yoho_tpu.text.standardize import standardize_text
 from yoho_tpu.text.tokenizer import EOT, SOT, VOICEPRINT, YOHOTokenizer
@@ -37,6 +38,11 @@ from yoho_tpu.text.tokenizer import EOT, SOT, VOICEPRINT, YOHOTokenizer
 # so a `yoho cache-corpus` FLAC sitting next to the original mp3/m4a wins
 # automatically (cli/cache_corpus.py).
 AUDIO_SUFFIXES = (".npy", ".flac", ".wav", ".mp3", ".mp4", ".m4a", ".ogg", ".opus")
+
+
+# Anything shaped like a special token (see text/tokenizer.py specials)
+# appearing INSIDE subtitle content — stripped before target assembly.
+_SPECIALISH_RE = re.compile(r"<\|[^<>|]*\|>")
 
 
 def list_audio_files(directory: Path) -> List[Path]:
@@ -171,14 +177,25 @@ class Dataloader(ABC):
         import time as _time
 
         while self.warmup_queue and not self._batch_queue.full():
-            if not any(w.is_alive() for w in self._workers):
-                break  # the error sentinel surfaces on the first get
+            # ANY dead worker ends warmup: its remaining queued tasks are
+            # lost, so the queue may never reach full — waiting on it would
+            # hang __init__. Its error sentinel (if it raised) surfaces on
+            # the first get_prepared_batch.
+            if any(not w.is_alive() for w in self._workers):
+                break
             _time.sleep(0.02)
 
     def _enqueue_next_task(self) -> None:
-        self._task_queues[self.current_batch_idx % self.num_workers].put(
-            (self._epoch, self.current_batch_idx)
-        )
+        widx = self.current_batch_idx % self.num_workers
+        # Don't feed tasks to a dead worker's queue (they would be lost and
+        # starve the pipeline); reroute to a surviving worker. Before
+        # _start_workers there are no Process handles yet — keep round-robin.
+        workers = getattr(self, "_workers", None)
+        if workers and not workers[widx].is_alive():
+            alive = [i for i, w in enumerate(workers) if w.is_alive()]
+            if alive:
+                widx = alive[self.current_batch_idx % len(alive)]
+        self._task_queues[widx].put((self._epoch, self.current_batch_idx))
         self.current_batch_idx = int((self.current_batch_idx + 1) % self.num_batches)
         if self.current_batch_idx == 0:
             self._epoch += 1
@@ -205,10 +222,17 @@ class Dataloader(ABC):
                 batch = self._batch_queue.get(timeout=60)
                 break
             except _queue.Empty:
-                if not any(w.is_alive() for w in self._workers):
+                dead = sum(1 for w in self._workers if not w.is_alive())
+                if dead:
+                    # A worker killed without an error sentinel (e.g.
+                    # OOM-kill) lost its in-flight tasks; with the queue
+                    # empty past the timeout the pipeline is starved —
+                    # fail loudly instead of retrying forever.
                     raise RuntimeError(
-                        "all dataloader workers died without reporting an "
-                        "error — check worker stderr") from None
+                        f"{dead}/{self.num_workers} dataloader workers died "
+                        "without reporting an error (killed? check worker "
+                        "stderr / dmesg for OOM) and the batch queue is "
+                        "empty — aborting instead of hanging") from None
         if isinstance(batch, dict) and "__dataloader_error__" in batch:
             raise RuntimeError(
                 f"dataloader worker failed: {batch['__dataloader_error__']}")
@@ -218,10 +242,28 @@ class Dataloader(ABC):
     def terminate(self) -> None:
         if not self.use_multiprocessing:
             return
+        import queue as _queue
+        import time as _time
+
         for q in self._task_queues:
             q.put(None)
-        while not self._batch_queue.empty():
-            self._batch_queue.get()
+        # Workers blocked in _batch_queue.put() can't reach their None
+        # sentinel until the queue has room — keep DRAINING while they wind
+        # down (a one-shot drain races: a worker can refill the queue right
+        # after it looks empty, then block again forever).
+        deadline = _time.monotonic() + 10.0
+        while (any(w.is_alive() for w in self._workers)
+               and _time.monotonic() < deadline):
+            try:
+                self._batch_queue.get(timeout=0.1)
+            except _queue.Empty:
+                pass
+        for w in self._workers:
+            w.join(timeout=1)
+            if w.is_alive():
+                # Still stuck (e.g. mid-decode of a huge file): hard-stop.
+                # Safe: workers hold no artifact locks, only scratch caches.
+                w.terminate()
         for w in self._workers:
             w.join(timeout=5)
 
@@ -282,20 +324,8 @@ class TranscriptionDataloader(Dataloader):
         paths: List[Tuple[Path, Path]] = []
         langs: List[str] = []
         audio_dir = Path(config.dataset.noisy) / "audio"
-        for path in all_paths:
-            try:
-                subs = list(parse_srt(path.read_text(encoding="utf-8")))
-            except (ValueError, OSError):
-                continue
-            if not subs:
-                continue
-            content = "\n".join(s.content for s in subs)
-            det = detect_language(content)
-            lang = det.language if det.score > 0.02 else (
-                config.language_whitelist[0] if config.language_whitelist else "en"
-            )
-            if config.language_whitelist and lang not in config.language_whitelist:
-                continue
+        for path, lang, subs in iter_transcripts(all_paths,
+                                                 config.language_whitelist):
             audio_path = None
             for suf in AUDIO_SUFFIXES:
                 cand = audio_dir / path.with_suffix(suf).name
@@ -429,9 +459,16 @@ class TranscriptionDataloader(Dataloader):
         """Negative sample: ambient noise (or synthesized low noise) with an
         empty transcript — implements the reserved speechless_sample_ratio."""
         cfg = self.config.yoho
-        files = list_audio_files(Path(self.config.dataset.ambient) / "audio")
+        # The ambient dir is immutable per run: list it once (lazily, so
+        # each spawn worker builds its own copy) and decode through the
+        # shared LRU instead of re-scanning + re-decoding per sample.
+        files = getattr(self, "_ambient_files", None)
+        if files is None:
+            files = list_audio_files(Path(self.config.dataset.ambient) / "audio")
+            self._ambient_files = files
         if files:
-            audio = load_audio_f32(files[int(rng.integers(len(files)))], cfg.sample_rate)
+            audio = self._cached_audio(files[int(rng.integers(len(files)))],
+                                       cfg.sample_rate)
             if len(audio) > cfg.n_samples:
                 off = int(rng.integers(0, len(audio) - cfg.n_samples))
                 audio = audio[off : off + cfg.n_samples]
@@ -477,6 +514,15 @@ class TranscriptionDataloader(Dataloader):
             for start, end, content in utts:
                 sf = int(min(start // cfg.stft_hop, cfg.max_audio_len - 1))
                 ef = int(min(end // cfg.stft_hop, cfg.max_audio_len - 1))
+                # Targets are assembled as text, so subtitle content that
+                # LOOKS like a control token (scraped "<|endoftranscript|>",
+                # a literal "<|t-5|>") would otherwise encode as a real
+                # special id — truncating the target or desyncing the
+                # voiceprint spans. Strip such spans from data; only the
+                # tokens injected here may be special. (The reference's
+                # sentencepiece user_defined_symbols shares this injection
+                # quirk, unsanitized — SURVEY.md §2.1 dataloader row.)
+                content = _SPECIALISH_RE.sub("", content)
                 transcript += f"<|t-{sf}|>{content}<|t-{ef}|>{VOICEPRINT}"
             transcript += EOT
             tokens_batch.append(self.tokenizer.encode(transcript))
@@ -553,7 +599,9 @@ class AudioChunkDataloader(Dataloader):
 
     def get_batch(self, idx: int):
         cfg = self.config.yoho
-        rng = np.random.default_rng((self.seed, idx))
+        # Fold the epoch so augmentation noise differs across epochs
+        # (chunks themselves are deterministic slices).
+        rng = np.random.default_rng((self.seed, self._epoch, idx))
         out = np.zeros((self.batch_size, cfg.n_samples), np.float32)
         for k in range(self.batch_size):
             fi, ci = self.chunks[(idx * self.batch_size + k) % len(self.chunks)]
@@ -613,7 +661,10 @@ class SpeakerDataloader(Dataloader):
 
     def get_batch(self, idx: int):
         cfg = self.config.yoho
-        rng = np.random.default_rng((self.seed, self.shard[0], idx))
+        # Sampling-based loader: without the epoch in the stream, every
+        # epoch would replay epoch 1's speaker/clip/augment draws exactly.
+        rng = np.random.default_rng((self.seed, self.shard[0],
+                                     self._epoch, idx))
         n_spk = self.batch_size // self.clips_per_speaker
         chosen = rng.choice(len(self.speakers), size=n_spk,
                             replace=len(self.speakers) < n_spk)

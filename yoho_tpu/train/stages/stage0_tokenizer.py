@@ -14,8 +14,7 @@ from pathlib import Path
 from typing import Iterator
 
 from yoho_tpu.core.config import SessionConfig
-from yoho_tpu.text.langdetect import detect_language
-from yoho_tpu.text.srt import parse_srt
+from yoho_tpu.text.corpus import iter_transcripts
 from yoho_tpu.text.standardize import standardize_text
 from yoho_tpu.text.tokenizer import train_tokenizer
 
@@ -23,20 +22,8 @@ from yoho_tpu.text.tokenizer import train_tokenizer
 def load_transcripts(config: SessionConfig) -> Iterator[str]:
     dirs = [config.dataset.noisy, config.dataset.clean, config.dataset.finetune]
     for d in dirs:
-        tdir = Path(d) / "transcripts"
-        if not tdir.exists():
-            continue
-        for p in sorted(tdir.iterdir()):
-            try:
-                subs = list(parse_srt(p.read_text(encoding="utf-8")))
-            except (ValueError, OSError):
-                continue
-            if not subs:
-                continue
-            det = detect_language("\n".join(s.content for s in subs))
-            lang = det.language if det.score > 0.02 else "en"
-            if config.language_whitelist and lang not in config.language_whitelist:
-                continue
+        for _path, lang, subs in iter_transcripts(
+                Path(d) / "transcripts", config.language_whitelist):
             for s in subs:
                 out = standardize_text(s.content, lang)
                 if out:
