@@ -15,22 +15,37 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Iterator, List, Optional, Sequence, Tuple, Union
 
-from yoho_tpu.text.langdetect import detect_language
+from yoho_tpu.text.langdetect import MIN_SCORE, rank_languages
 from yoho_tpu.text.srt import parse_srt
 
 # Below this detector score the detection is noise (very short or
 # symbol-heavy text); fall back instead of trusting it.
-LANG_SCORE_THRESHOLD = 0.02
+LANG_SCORE_THRESHOLD = MIN_SCORE
+
+# A whitelisted language within this absolute score margin of the top
+# detection is preferred over a non-whitelisted winner: sibling languages
+# (cs/sk, id/ms, hr/sr) often near-tie on short transcripts, and in a
+# whitelisted corpus the whitelisted sibling is the right call.
+WHITELIST_TIE_MARGIN = 0.10
 
 
 def transcript_language(subs, whitelist: Optional[Sequence[str]]) -> str:
-    """Detected language of a parsed transcript, with a deterministic
-    fallback: a low-confidence detection in a whitelisted corpus is most
-    likely the whitelisted language (else English)."""
-    det = detect_language("\n".join(s.content for s in subs))
-    if det.score > LANG_SCORE_THRESHOLD:
-        return det.language
-    return whitelist[0] if whitelist else "en"
+    """Detected language of a parsed transcript, with deterministic
+    fallbacks: a near-tie resolves toward the whitelist, and a
+    low-confidence (noise) detection in a whitelisted corpus is most
+    likely the whitelisted language (else English) — short or hum-only
+    transcripts must not be silently dropped."""
+    ranked = rank_languages("\n".join(s.content for s in subs))
+    if not ranked or ranked[0].score < LANG_SCORE_THRESHOLD:
+        return whitelist[0] if whitelist else "en"
+    best = ranked[0]
+    if whitelist and best.language not in whitelist:
+        for det in ranked[1:]:
+            if det.score < max(best.score - WHITELIST_TIE_MARGIN, MIN_SCORE):
+                break
+            if det.language in whitelist:
+                return det.language
+    return best.language
 
 
 def iter_transcripts(
