@@ -416,3 +416,143 @@ def test_moe_expert_parallel_matches_single_device():
     lead = sharded["params"]["experts"]["gate"]["kernel"]
     shapes = {sh.data.shape for sh in lead.addressable_shards}
     assert shapes == {(1, d, h)}
+
+
+# ------------------------------------------------------------- decoder MoE
+def _decoder_moe_cfg(**kw):
+    from yoho_tpu.core.config import YOHOConfig
+
+    base = dict(
+        n_mel_bands=8, max_audio_len=32, max_text_len=8, dims=32,
+        n_audio_heads=4, n_audio_blocks=2, n_text_heads=4, n_text_blocks=2,
+        n_experts=2, moe_in_decoder=True, moe_every_n=2,
+    )
+    base.update(kw)
+    return YOHOConfig(**base)
+
+
+def test_decoder_moe_wiring_and_grads():
+    """moe_in_decoder routes every moe_every_n-th DECODER MLP through MoE:
+    params appear, aux losses sow from both stacks, grads reach decoder
+    experts and router (VERDICT r2 item 8)."""
+    import optax
+
+    from yoho_tpu.nn.moe import collect_aux_losses
+    from yoho_tpu.nn.yoho import YOHOModel
+
+    cfg = _decoder_moe_cfg()
+    model = YOHOModel(cfg, vocab_size=64)
+    g = np.random.default_rng(7)
+    mel = jnp.asarray(g.standard_normal((2, 32, 8)).astype(np.float32))
+    tokens = jnp.asarray(g.integers(0, 64, size=(2, 8)).astype(np.int32))
+    variables = model.init(jax.random.PRNGKey(0), tokens, mel)
+    dec = variables["params"]["decoder"]
+    assert "experts" in dec["blocks_1"]["mlp"]
+    assert "experts" not in dec["blocks_0"]["mlp"]
+
+    def loss(p):
+        logits, st = model.apply({"params": p}, tokens, mel,
+                                 mutable=["intermediates"])
+        aux = collect_aux_losses(st["intermediates"])
+        return jnp.mean(logits ** 2) + cfg.moe_aux_weight * aux
+
+    grads = jax.grad(loss)(variables["params"])
+    moe = grads["decoder"]["blocks_1"]["mlp"]
+    assert float(optax.global_norm(moe["experts"])) > 0
+    assert float(optax.global_norm(moe["router"])) > 0
+    # sharding rules cover decoder experts identically to encoder ones
+    from yoho_tpu.parallel.sharding import YOHO_RULES, partition_specs
+
+    specs = partition_specs(variables["params"], YOHO_RULES)
+    assert specs["decoder"]["blocks_1"]["mlp"]["experts"]["gate"]["kernel"] \
+        == P("model")
+    assert specs["decoder"]["blocks_1"]["mlp"]["router"]["kernel"] == P()
+
+
+def test_decoder_moe_cached_decode_matches_forward():
+    """KV-cached decode_step through an MoE decoder reproduces the
+    teacher-forced forward logits exactly (default capacity_factor=2.0
+    guarantees no drops at top_k=2, so per-token routing is identical
+    whether tokens arrive all at once or one per step)."""
+    from yoho_tpu.nn.yoho import YOHOModel
+
+    cfg = _decoder_moe_cfg(moe_every_n=1)
+    model = YOHOModel(cfg, vocab_size=64)
+    g = np.random.default_rng(8)
+    mel = jnp.asarray(g.standard_normal((2, 32, 8)).astype(np.float32))
+    tokens = jnp.asarray(g.integers(0, 64, size=(2, 8)).astype(np.int32))
+    # init through the voiceprint forward so decode_step's head exists
+    variables = model.init(jax.random.PRNGKey(0), tokens, mel,
+                           method=YOHOModel.forward_with_voiceprints)
+
+    want = model.apply(variables, tokens, mel)  # (B, S, V)
+
+    xa = model.apply(variables, mel, method=YOHOModel.encode_audio)
+    ckvs = model.apply(variables, xa, method=YOHOModel.cross_kvs)
+    caches = model.apply(variables, 2, method=YOHOModel.init_caches)
+    got = []
+    for i in range(tokens.shape[1]):
+        logits, _vp, caches = model.apply(
+            variables, tokens[:, i:i + 1], caches, ckvs, i,
+            method=YOHOModel.decode_step)
+        got.append(np.asarray(logits[:, 0]))
+    np.testing.assert_allclose(np.stack(got, axis=1), np.asarray(want),
+                               atol=2e-4)
+
+
+def test_decoder_moe_identical_experts_equal_dense():
+    """With every expert initialized to the dense MLP's weights and no
+    drops, renormalized top-k combine sums to 1 — the MoE decoder is
+    EXACTLY the dense decoder. Pins dispatch/combine correctness on the
+    decoder path end-to-end."""
+    from yoho_tpu.nn.yoho import YOHOModel
+
+    cfg_dense = _decoder_moe_cfg(n_experts=0, moe_in_decoder=False)
+    cfg_moe = _decoder_moe_cfg(moe_every_n=1, moe_top_k=2)
+    dense = YOHOModel(cfg_dense, vocab_size=64)
+    moe = YOHOModel(cfg_moe, vocab_size=64)
+    g = np.random.default_rng(9)
+    mel = jnp.asarray(g.standard_normal((2, 32, 8)).astype(np.float32))
+    tokens = jnp.asarray(g.integers(0, 64, size=(2, 8)).astype(np.int32))
+    vd = dense.init(jax.random.PRNGKey(0), tokens, mel)
+    vm = moe.init(jax.random.PRNGKey(1), tokens, mel)
+
+    # Graft dense params into the MoE tree: every MoE MLP (encoder AND
+    # decoder — moe_every_n=1 routes both stacks) gets its dense
+    # counterpart tiled into all experts; routers keep their init.
+    pd = vd["params"]
+    pm = {}
+    for side in ("encoder", "decoder"):
+        out = {}
+        for name, block in pd[side].items():
+            if (name.startswith("blocks_")
+                    and "experts" in vm["params"][side][name]["mlp"]):
+                nb = dict(block)
+                nb["mlp"] = {
+                    "router": vm["params"][side][name]["mlp"]["router"],
+                    "experts": jax.tree_util.tree_map(
+                        lambda x: jnp.stack([x] * cfg_moe.n_experts),
+                        block["mlp"]),
+                }
+                out[name] = nb
+            else:
+                out[name] = block
+        pm[side] = out
+
+    want = dense.apply({"params": pd}, tokens, mel)
+    got = moe.apply({"params": pm}, tokens, mel)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4)
+
+
+def test_decoder_moe_rejects_int8_serving():
+    from yoho_tpu.nn.quantize import quantize_yoho_decoder
+    from yoho_tpu.nn.yoho import YOHOModel
+
+    cfg = _decoder_moe_cfg()
+    model = YOHOModel(cfg, vocab_size=64)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8), jnp.int32),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           method=YOHOModel.forward_with_voiceprints)
+    with pytest.raises(ValueError, match="moe_in_decoder"):
+        quantize_yoho_decoder(variables)

@@ -43,12 +43,17 @@ class YOHOConfig(BaseModel):
     n_text_heads: int = 6
     n_text_blocks: int = 4
 
-    # Mixture-of-Experts encoder (0 = dense, the reference architecture).
-    # When n_experts > 0, every ``moe_every_n``-th encoder block (1-based
-    # from the top: blocks with index % moe_every_n == moe_every_n - 1)
+    # Mixture-of-Experts (0 = dense, the reference architecture). When
+    # n_experts > 0, every ``moe_every_n``-th ENCODER block (1-based from
+    # the top: blocks with index % moe_every_n == moe_every_n - 1)
     # replaces its SwiGLU with a top-k MoE (``yoho_tpu.nn.moe``); expert
     # params shard over the mesh ``model`` axis (expert parallelism).
+    # DECODER blocks stay dense unless ``moe_in_decoder`` is also set, in
+    # which case the same every-n pattern routes the decoder MLPs too
+    # (composes with cached decode_step; NOT with weights_int8 decoder
+    # serving — quantize_yoho_decoder rejects expert params).
     n_experts: int = 0
+    moe_in_decoder: bool = False
     moe_every_n: int = 2
     moe_top_k: int = 2
     expert_capacity_factor: float = 2.0

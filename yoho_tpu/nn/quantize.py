@@ -101,6 +101,12 @@ def quantize_yoho_decoder(variables: dict) -> dict:
                 new_sub["out_proj"] = quantize_dense_params(sub["out_proj"])
                 new_block[sub_name] = new_sub
             elif sub_name == "mlp":
+                if "experts" in sub:
+                    raise ValueError(
+                        "quantize_yoho_decoder: decoder block "
+                        f"{name!r} carries MoE expert params "
+                        "(moe_in_decoder) — int8 decoder serving "
+                        "supports dense decoders only")
                 new_block[sub_name] = {
                     leaf: quantize_dense_params(p) for leaf, p in sub.items()
                 }

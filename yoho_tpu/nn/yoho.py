@@ -83,12 +83,35 @@ class YOHOEncoderBlock(nn.Module):
         return x
 
 
+def decoder_block_kwargs(cfg: YOHOConfig, index: int) -> dict:
+    """Constructor kwargs of decoder block ``index`` (single source, like
+    :func:`encoder_block_kwargs`). Decoder MLPs route through MoE only
+    when BOTH ``n_experts > 0`` and ``moe_in_decoder`` are set."""
+    moe = (cfg.n_experts > 0 and cfg.moe_in_decoder
+           and index % cfg.moe_every_n == cfg.moe_every_n - 1)
+    return dict(
+        q_heads=cfg.n_text_heads,
+        kv_heads=max(1, cfg.n_text_heads // 2),
+        dims=cfg.dims,
+        n_experts=cfg.n_experts if moe else 0,
+        moe_top_k=cfg.moe_top_k,
+        expert_capacity_factor=cfg.expert_capacity_factor,
+    )
+
+
 class YOHODecoderBlock(nn.Module):
     q_heads: int
     kv_heads: int
     dims: int
     dtype: jnp.dtype = jnp.float32
     weights_int8: bool = False
+    # Mixture-of-Experts MLP (0 = dense SwiGLU). Works in both the
+    # teacher-forced forward and the cached decode_step (per-sample
+    # routing is shape-agnostic: S=1 steps route each token to top-k
+    # experts with capacity 1).
+    n_experts: int = 0
+    moe_top_k: int = 2
+    expert_capacity_factor: float = 2.0
 
     def setup(self):
         d = self.dtype
@@ -104,8 +127,21 @@ class YOHODecoderBlock(nn.Module):
                                                 dtype=d, weights_int8=w8,
                                                 name="cross_attn")
         self.ln3 = nn.RMSNorm(dtype=d, name="ln3")
-        self.mlp = SwiGLU(int(self.dims * 1.5), dtype=d, weights_int8=w8,
-                          name="mlp")
+        if self.n_experts > 0:
+            if w8:
+                raise ValueError(
+                    "weights_int8 decoder serving does not support MoE "
+                    "decoder blocks (moe_in_decoder) — serve the MoE "
+                    "decoder in bf16/f32 or keep the decoder dense")
+            from yoho_tpu.nn.moe import MoESwiGLU
+
+            self.mlp = MoESwiGLU(self.n_experts, int(self.dims * 1.5),
+                                 top_k=self.moe_top_k,
+                                 capacity_factor=self.expert_capacity_factor,
+                                 dtype=d, name="mlp")
+        else:
+            self.mlp = SwiGLU(int(self.dims * 1.5), dtype=d, weights_int8=w8,
+                              name="mlp")
 
     def __call__(self, x, xa, mask):
         x = x + self.attn(self.ln1(x), mask=mask)
@@ -203,9 +239,8 @@ class YOHOTextDecoder(nn.Module):
         # differentiates, and cross_attention_map reaches into sublayers.
         block_cls = maybe_remat(YOHODecoderBlock, self.remat)
         self.blocks = [
-            block_cls(c.n_text_heads, max(1, c.n_text_heads // 2), c.dims,
-                      dtype=self.dtype, weights_int8=self.weights_int8,
-                      name=f"blocks_{i}")
+            block_cls(dtype=self.dtype, weights_int8=self.weights_int8,
+                      name=f"blocks_{i}", **decoder_block_kwargs(c, i))
             for i in range(c.n_text_blocks)
         ]
         self.ln = nn.RMSNorm(dtype=self.dtype, name="ln")
