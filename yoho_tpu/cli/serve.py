@@ -51,8 +51,9 @@ Concurrent requests are MICRO-BATCHED (yoho_tpu.infer.batching): their
 behind a lock. ``--continuous`` upgrades to slot-engine CONTINUOUS
 batching (yoho_tpu.infer.continuous): freed decode slots are refilled
 between token chunks, so a request waits at most ``--chunk-tokens`` steps
-instead of a full batch decode (no beams/speculative; the temperature
-fallback ladder and word timestamps are supported).
+instead of a full batch decode (no beams; composes with ``--draft-hf``
+per-slot speculative decoding, and the temperature fallback ladder and
+word timestamps are supported).
 
 Usage: ``python -m yoho_tpu.cli.serve (--hf ... | --session ...)
 [--port 8000] [--batch 8] [--max-wait-ms 25]``
@@ -61,19 +62,26 @@ Usage: ``python -m yoho_tpu.cli.serve (--hf ... | --session ...)
 from __future__ import annotations
 
 import argparse
-import io
 import json
 import socket
 import sys
-import threading
 import time
-import wave
-from email.parser import BytesParser
-from email.policy import HTTP as _HTTP_POLICY
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
+from yoho_tpu.cli.serve_openai import (  # noqa: F401 — re-exported API
+    OpenAIEndpointsMixin,
+    _audio_from_upload,
+    _decode_wav_bytes,
+    _parse_multipart,
+    _render_openai,
+    _segment_payload,
+    _snap_temperature,
+    _validate_language,
+    _validate_overrides,
+)
+from yoho_tpu.cli.serve_ws import StreamEndpointMixin
 from yoho_tpu.infer.batching import RequestCancelled, ServerOverloaded
 
 
@@ -107,188 +115,6 @@ def _prometheus_text(stats: dict) -> str:
     return "\n".join(lines) + "\n"
 
 
-# Per-request temperatures snap to these rungs. Each DISTINCT temperature
-# value compiles — and caches forever — one more TPU decode program per
-# batch shape (``Transcriber._decode_fn`` keys on the float), so an
-# open-ended float surface would let clients force unbounded minutes-long
-# XLA compiles that stall the shared decode worker. Snapping bounds the
-# program count at 11 and matches the documented "pooled per ladder rung"
-# behavior exactly.
-_TEMPERATURE_RUNGS = tuple(round(0.2 * i, 1) for i in range(11))  # 0.0..2.0
-
-
-def _snap_temperature(temperature):
-    """Nearest rung; 0.0 -> None (= the server's default decode).
-
-    Mapping 0.0 to "no override" is what the OpenAI SDK's default
-    ``temperature=0`` means — greedy, the behavior every engine already
-    has — so beam/continuous servers keep accepting it instead of
-    rejecting the SDK default with a 400."""
-    if temperature is None:
-        return None
-    snapped = min(_TEMPERATURE_RUNGS, key=lambda r: abs(r - temperature))
-    return None if snapped == 0.0 else snapped
-
-
-def _validate_overrides(transcriber, continuous: bool, prompt,
-                        temperature) -> str:
-    """'' when OK; an error message when per-request prompt/temperature
-    can't be honored by THIS server's engine/model — silently ignoring
-    them (the pre-feature behavior) risks wrong transcripts."""
-    if prompt is None and temperature is None:
-        return ""
-    if continuous:
-        return ("per-request prompt/temperature need the micro-batching "
-                "engine; this server runs --continuous")
-    if temperature is not None and getattr(transcriber, "beams", 0) > 1:
-        return "per-request temperature is greedy-only; this server beams"
-    if prompt is not None:
-        if getattr(transcriber, "family", "") != "whisper":
-            return ("prompt conditioning is a whisper-family feature "
-                    "(<|startofprev|> tokens)")
-        table = getattr(transcriber, "token_table", None)
-        if table is None or getattr(table, "text_backend", None) is None:
-            return ("this server cannot tokenize 'prompt': the checkpoint "
-                    "dir lacks vocab.json+merges.txt / tokenizer.json")
-    return ""
-
-
-def _validate_language(transcriber, language) -> str:
-    """'' when OK; an error message for an unknown whisper language code.
-
-    yoho-family and English-only models accept (and ignore) the field —
-    matching OpenAI's lenient handling — but a multilingual whisper
-    server rejects unknown codes instead of silently transcribing in the
-    wrong language."""
-    if language is None or transcriber.family != "whisper":
-        return ""
-    table = transcriber.token_table
-    if language in table.languages:
-        return ""
-    if not table.multilingual:
-        return ""  # English-only model: field is advisory
-    return (f"unknown language {language!r}; expected an ISO 639-1 code "
-            "the model was trained on (e.g. 'en', 'de', 'ja')")
-
-
-def _decode_wav_bytes(body: bytes, target_sr: int) -> np.ndarray:
-    from yoho_tpu.audio.io import resample
-
-    with wave.open(io.BytesIO(body), "rb") as w:
-        sr = w.getframerate()
-        n_ch = w.getnchannels()
-        raw = w.readframes(w.getnframes())
-    data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
-    if n_ch > 1:
-        data = data.reshape(-1, n_ch).mean(axis=1)
-    return resample(data, sr, target_sr)
-
-
-def _parse_multipart(body: bytes, content_type: str):
-    """multipart/form-data -> {field: (filename | None, bytes)} (stdlib).
-
-    Repeated fields keep the LAST value (HTML-form convention) except
-    array fields (OpenAI's ``timestamp_granularities[]``), whose every
-    value is appended under the bracketed name as a list of bytes."""
-    msg = BytesParser(policy=_HTTP_POLICY).parsebytes(
-        b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + body)
-    if not msg.is_multipart():
-        raise ValueError("expected multipart/form-data")
-    fields = {}
-    for part in msg.iter_parts():
-        name = part.get_param("name", header="content-disposition")
-        if not name:
-            continue
-        payload = part.get_payload(decode=True)
-        if name.endswith("[]"):
-            fields.setdefault(name, []).append(payload)
-        else:
-            fields[name] = (part.get_filename(), payload)
-    return fields
-
-
-def _audio_from_upload(filename, data: bytes, target_sr: int) -> np.ndarray:
-    """Decode an uploaded audio file body. WAV natively; other containers
-    via the ffmpeg-backed loader when available."""
-    if data[:4] == b"RIFF":
-        return _decode_wav_bytes(data, target_sr)
-    import tempfile
-    from pathlib import Path
-
-    from yoho_tpu.audio.io import load_audio_f32
-
-    suffix = Path(filename or "upload.bin").suffix or ".bin"
-    with tempfile.NamedTemporaryFile(suffix=suffix) as f:
-        f.write(data)
-        f.flush()
-        return load_audio_f32(f.name, target_sr)
-
-
-def _segment_payload(s, index: int) -> dict:
-    payload = {
-        "id": index,
-        "seek": 0,
-        "start": s.start,
-        "end": s.end,
-        "text": s.text,
-        "tokens": list(map(int, s.tokens)),
-        **s.quality_payload(),
-    }
-    if s.speaker is not None:
-        payload["speaker"] = s.speaker
-    if s.speaker_name is not None:
-        payload["speaker_name"] = s.speaker_name
-    if s.words:
-        payload["words"] = [
-            {"word": w.word, "start": w.start, "end": w.end,
-             "probability": w.probability} for w in s.words
-        ]
-    return payload
-
-
-def _render_openai(result, response_format: str, duration: float, task: str,
-                   granularities=("segment",)):
-    """-> (content_type, bytes) per the OpenAI audio API response formats.
-
-    ``granularities`` mirrors ``timestamp_granularities[]`` and shapes
-    only ``verbose_json``: "segment" includes the segments array,
-    "word" includes the flattened words array; either may be omitted."""
-    if response_format == "text":
-        return "text/plain; charset=utf-8", (result.text + "\n").encode()
-    if response_format in ("srt", "vtt"):
-        from yoho_tpu.text.srt import (
-            compose_srt,
-            compose_vtt,
-            segments_to_subtitles,
-        )
-
-        subs = segments_to_subtitles(result.segments)
-        out = compose_srt(subs) if response_format == "srt" else compose_vtt(subs)
-        return "text/plain; charset=utf-8", out.encode()
-    if response_format == "verbose_json":
-        payload = {
-            "task": task,
-            "language": result.language,
-            "duration": round(duration, 3),
-            "text": result.text,
-        }
-        if "segment" in granularities:
-            payload["segments"] = [
-                _segment_payload(s, i) for i, s in enumerate(result.segments)
-            ]
-        if "word" in granularities:
-            payload["words"] = [
-                {"word": w.word, "start": w.start, "end": w.end,
-                 "probability": w.probability}
-                for s in result.segments for w in (s.words or [])
-            ]
-        return ("application/json",
-                json.dumps(payload, ensure_ascii=False).encode())
-    # default: "json"
-    return ("application/json",
-            json.dumps({"text": result.text}, ensure_ascii=False).encode())
-
-
 def make_handler(transcriber, batcher, continuous: bool = False):
     import inspect
 
@@ -298,7 +124,8 @@ def make_handler(transcriber, batcher, continuous: bool = False):
     except (TypeError, ValueError):
         _supports_cancel = False
 
-    class Handler(BaseHTTPRequestHandler):
+    class Handler(OpenAIEndpointsMixin, StreamEndpointMixin,
+                  BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet
             pass
 
@@ -311,159 +138,6 @@ def make_handler(transcriber, batcher, continuous: bool = False):
                 self.send_header(key, value)
             self.end_headers()
             self.wfile.write(body)
-
-        def _stream(self) -> None:
-            """WebSocket real-time transcription (RFC 6455, stdlib).
-
-            Client sends BINARY frames of little-endian float32 mono PCM
-            at the server's sample rate; the server replies with a TEXT
-            JSON message whenever segments finalize. A TEXT frame
-            ``{"op": "flush"}`` forces everything buffered out as FINAL
-            segments and the session continues (the next window plan
-            starts at the flush point); ``{"op": "end"}`` (or closing)
-            flushes and ends the session with ``{"final": true, ...}``.
-
-            ``GET /stream?language=xx`` pins the decode language for the
-            whole stream; otherwise the server's ``--language`` applies
-            (default ``en``). Streams never auto-detect per window — a
-            noisy window flipping the language mid-stream (and the
-            first-window detection compile stall) would be worse than a
-            wrong pinned default."""
-            from urllib.parse import parse_qs, urlparse
-
-            from yoho_tpu.infer.streaming import StreamingTranscriber
-            from yoho_tpu.utils import websocket as ws
-
-            query = parse_qs(urlparse(self.path).query)
-            stream_lang = (query.get("language", [None])[0]
-                           or transcriber.language)
-            if stream_lang is None and transcriber.family == "whisper":
-                stream_lang = "en"  # the built-in B=1 path's default prompt
-
-            if not ws.perform_handshake(self):
-                self._json(400, {"error": "expected a websocket upgrade"})
-                return
-            # The socket has switched protocols; it can never carry HTTP
-            # again. Without this, returning into BaseHTTPRequestHandler's
-            # keep-alive loop parses trailing client frames as HTTP
-            # (spurious 400s on half-open clients).
-            self.close_connection = True
-            # Register with the drain registry: the websocket read has no
-            # timeout, so graceful shutdown must be able to find and close
-            # this socket to unblock the handler thread (see drain()).
-            registry = getattr(self.server, "stream_conns", None)
-            if registry is not None:
-                registry.add(self.connection)
-
-            def _decode_shared(window_audio):
-                # Route each stream window through the SHARED batcher:
-                # concurrent streams pool into one batch / slot set
-                # instead of each paying a lone B=1 decode. The language
-                # is pinned per stream (never per-window auto-detect) and
-                # vad=False because the streaming gate already vetted the
-                # window — collapsing it again would decode condensed
-                # audio and break parity with the built-in path. Per-
-                # window cluster ids are meaningless across a stream;
-                # the StreamingTranscriber's OnlineSpeakerTracker
-                # (track_speakers=True below) replaces them with STABLE
-                # stream-wide ids at finalization, so only voiceprints
-                # need to survive this hop.
-                while True:
-                    try:
-                        res = self._submit(window_audio,
-                                           language=stream_lang, vad=False)
-                        break
-                    except ServerOverloaded:
-                        # A stream holds session state its client cannot
-                        # reconstruct by retrying — wait out transient
-                        # overload instead of shedding the whole stream
-                        # (one-shot HTTP requests get the retryable 503).
-                        if self._client_gone():
-                            raise ConnectionError(
-                                "client left during overload wait")
-                        time.sleep(0.25)
-                return res.segments
-
-            stream = StreamingTranscriber(transcriber,
-                                          window_decoder=_decode_shared,
-                                          track_speakers=True)
-
-            def emit(segments, final: bool) -> None:
-                if not segments and not final:
-                    return
-                payload = {
-                    "segments": [_segment_payload(s, i)
-                                 for i, s in enumerate(segments)],
-                }
-                if final:
-                    payload["final"] = True
-                    payload["text"] = stream.text()
-                ws.send_text(self.wfile, json.dumps(payload,
-                                                    ensure_ascii=False))
-
-            try:
-                while True:
-                    msg = ws.read_message(self.rfile, self.wfile)
-                    if msg is None:  # peer closed without "end"
-                        return
-                    opcode, payload = msg
-                    if opcode == ws.OP_BINARY:
-                        if len(payload) % 4:
-                            ws.send_text(self.wfile, json.dumps({
-                                "error": "binary frames must contain whole "
-                                         "little-endian float32 samples"}))
-                            continue
-                        audio = np.frombuffer(payload, dtype="<f4")
-                        windows_before = stream._next_window_start
-                        emit(stream.push(audio), final=False)
-                        # Live-caption partials: the still-revisable last
-                        # window's hypotheses. Clients REPLACE their
-                        # partial display with each message (a later
-                        # window may revise these; finals are additive).
-                        # Only re-sent when this push actually decoded a
-                        # new window — small frames between window
-                        # boundaries would otherwise re-send identical
-                        # partials at the client's frame rate.
-                        if stream._next_window_start != windows_before:
-                            partials = stream.partial_segments()
-                            if partials:
-                                ws.send_text(self.wfile, json.dumps({
-                                    "partial": True,
-                                    "segments": [_segment_payload(s, i)
-                                                 for i, s in enumerate(partials)],
-                                }, ensure_ascii=False))
-                        continue
-                    try:
-                        op = json.loads(payload.decode() or "{}").get("op")
-                    except ValueError:
-                        op = None
-                    if op == "flush":
-                        # NON-terminal: the session continues — the
-                        # terminal flush() would make the next audio
-                        # frame raise and kill the connection.
-                        emit(stream.soft_flush(), final=False)
-                    elif op == "end":
-                        emit(stream.flush(), final=True)
-                        ws.send_close(self.wfile)
-                        return
-                    else:
-                        ws.send_text(self.wfile, json.dumps(
-                            {"error": f"unknown op {op!r}"}))
-            except (ConnectionError, OSError, RequestCancelled):
-                return  # peer went away; nothing to answer
-            except Exception as e:  # noqa: BLE001 — protocol violation /
-                # decode failure: report + close instead of a bare
-                # traceback and a dropped connection.
-                try:
-                    ws.send_text(self.wfile, json.dumps(
-                        {"error": f"{type(e).__name__}: {e}"}))
-                    ws.send_close(self.wfile)
-                except OSError:
-                    pass
-                return
-            finally:
-                if registry is not None:
-                    registry.discard(self.connection)
 
         def do_GET(self):
             path = self.path.split("?", 1)[0]
@@ -535,215 +209,6 @@ def make_handler(transcriber, batcher, continuous: bool = False):
             self.end_headers()
             self.wfile.write(body)
 
-        def _openai_audio(self, task: str) -> None:
-            server_task = getattr(transcriber, "task", "transcribe")
-            if task != server_task:
-                self._json(400, {"error": {
-                    "message": (f"this server decodes task={server_task!r}; "
-                                f"start it with --task {task} to serve this "
-                                "endpoint"),
-                    "type": "invalid_request_error"}})
-                return
-            try:
-                length = int(self.headers.get("Content-Length", 0))
-                body = self.rfile.read(length)
-                ctype = self.headers.get("Content-Type", "")
-                if "multipart/form-data" not in ctype:
-                    self._json(400, {"error": {
-                        "message": "expected multipart/form-data with a "
-                                   "'file' field",
-                        "type": "invalid_request_error"}})
-                    return
-                fields = _parse_multipart(body, ctype)
-                if "file" not in fields:
-                    self._json(400, {"error": {
-                        "message": "missing required field 'file'",
-                        "type": "invalid_request_error"}})
-                    return
-                filename, data = fields["file"]
-                try:
-                    audio = _audio_from_upload(filename, data,
-                                               transcriber.sample_rate)
-                except Exception as e:  # noqa: BLE001 — codec failure
-                    self._json(415, {"error": {
-                        "message": f"could not decode {filename!r}: {e}",
-                        "type": "invalid_request_error"}})
-                    return
-                fmt = (fields.get("response_format", (None, b"json"))[1]
-                       .decode().strip() or "json")
-                if fmt not in ("json", "text", "verbose_json", "srt", "vtt"):
-                    self._json(400, {"error": {
-                        "message": f"unsupported response_format {fmt!r}",
-                        "type": "invalid_request_error"}})
-                    return
-                granularities = tuple(
-                    v.decode().strip().lower()
-                    for v in fields.get("timestamp_granularities[]", [])
-                    if v.strip()) or ("segment",)
-                if unknown := set(granularities) - {"segment", "word"}:
-                    self._json(400, {"error": {
-                        "message": "unknown timestamp_granularities "
-                                   f"{sorted(unknown)} (use 'segment' "
-                                   "and/or 'word')",
-                        "type": "invalid_request_error"}})
-                    return
-                if granularities != ("segment",) and fmt != "verbose_json":
-                    self._json(400, {"error": {
-                        "message": "timestamp_granularities requires "
-                                   "response_format=verbose_json",
-                        "type": "invalid_request_error"}})
-                    return
-                if ("word" in granularities
-                        and not getattr(transcriber, "word_timestamps",
-                                        False)):
-                    self._json(400, {"error": {
-                        "message": "word timestamp_granularities need the "
-                                   "cross-attention alignment pass; start "
-                                   "the server with --word-timestamps",
-                        "type": "invalid_request_error"}})
-                    return
-                language = (fields.get("language", (None, b""))[1]
-                            .decode().strip().lower() or None)
-                err = _validate_language(transcriber, language)
-                if err:
-                    self._json(400, {"error": {
-                        "message": err, "type": "invalid_request_error"}})
-                    return
-                prompt = (fields.get("prompt", (None, b""))[1]
-                          .decode("utf-8", "replace").strip() or None)
-                temp_raw = (fields.get("temperature", (None, b""))[1]
-                            .decode().strip())
-                temperature = None
-                if temp_raw:
-                    try:
-                        temperature = float(temp_raw)
-                    except ValueError:
-                        self._json(400, {"error": {
-                            "message": f"temperature {temp_raw!r} is not "
-                                       "a number",
-                            "type": "invalid_request_error"}})
-                        return
-                    if not 0.0 <= temperature <= 2.0:
-                        self._json(400, {"error": {
-                            "message": f"temperature {temperature} outside "
-                                       "[0, 2]",
-                            "type": "invalid_request_error"}})
-                        return
-                    temperature = _snap_temperature(temperature)
-                err = _validate_overrides(transcriber, continuous,
-                                          prompt, temperature)
-                if err:
-                    self._json(400, {"error": {
-                        "message": err, "type": "invalid_request_error"}})
-                    return
-                stream_flag = (fields.get("stream", (None, b""))[1]
-                               .decode().strip().lower() in ("true", "1"))
-                if stream_flag:
-                    self._openai_audio_sse(audio, language,
-                                           prompt=prompt,
-                                           temperature=temperature)
-                    return
-                kw = {}
-                if prompt is not None:
-                    kw["prompt"] = prompt
-                if temperature is not None:
-                    kw["temperature"] = temperature
-                result = self._submit(audio, language=language, **kw)
-                duration = len(audio) / transcriber.sample_rate
-                ctype_out, out = _render_openai(result, fmt, duration, task,
-                                                granularities=granularities)
-                self._send(200, ctype_out, out)
-            except ServerOverloaded as e:
-                self._json(503, {"error": {
-                    "message": str(e), "type": "server_error"}},
-                    extra_headers={"Retry-After": "1"})
-            except RequestCancelled:
-                self.close_connection = True  # client is gone; no reply
-            except Exception as e:  # noqa: BLE001 — report, keep serving
-                self._json(500, {"error": {
-                    "message": f"{type(e).__name__}: {e}",
-                    "type": "server_error"}})
-
-        def _openai_audio_sse(self, audio, language, prompt=None,
-                              temperature=None) -> None:
-            """OpenAI ``stream=true``: Server-Sent Events over the upload.
-
-            The audio is fed window-by-window through a
-            :class:`StreamingTranscriber` whose decoder is the SHARED
-            batcher (streamed requests pool with everything else); every
-            batch of finalized segments becomes a
-            ``transcript.text.delta`` event, and the final
-            ``transcript.text.done`` carries the assembled text (deltas
-            concatenate to it exactly)."""
-            from yoho_tpu.infer.streaming import StreamingTranscriber
-
-            lang = language or transcriber.language
-            if lang is None and getattr(transcriber, "family", "") == "whisper":
-                lang = "en"  # match /stream: never per-window auto-detect
-
-            kw = {}
-            if prompt is not None:
-                kw["prompt"] = prompt  # conditions every window
-            if temperature is not None:
-                kw["temperature"] = temperature
-
-            def _decode_shared(window_audio):
-                # Same overload policy as /stream: a started SSE response
-                # cannot be retried by the client, so wait out transient
-                # overload instead of shedding mid-stream.
-                while True:
-                    try:
-                        return self._submit(window_audio, language=lang,
-                                            vad=False, **kw).segments
-                    except ServerOverloaded:
-                        if self._client_gone():
-                            raise ConnectionError(
-                                "client left during overload wait")
-                        time.sleep(0.25)
-
-            stream = StreamingTranscriber(transcriber,
-                                          window_decoder=_decode_shared)
-            self.send_response(200)
-            self.send_header("Content-Type", "text/event-stream")
-            self.send_header("Cache-Control", "no-cache")
-            self.send_header("Connection", "close")
-            self.end_headers()
-            # No Content-Length: the body ends when the socket closes.
-            self.close_connection = True
-
-            def _event(etype: str, payload: dict) -> None:
-                data = json.dumps(payload, ensure_ascii=False)
-                self.wfile.write(f"event: {etype}\ndata: {data}\n\n".encode())
-                self.wfile.flush()
-
-            sent_any = False
-
-            def _delta(segments) -> None:
-                nonlocal sent_any
-                text = " ".join(s.text for s in segments if s.text).strip()
-                if not text:
-                    return
-                delta = text if not sent_any else " " + text
-                sent_any = True
-                _event("transcript.text.delta",
-                       {"type": "transcript.text.delta", "delta": delta})
-
-            try:
-                step = getattr(transcriber, "chunk_samples", 0) or len(audio)
-                for off in range(0, max(len(audio), 1), step):
-                    _delta(stream.push(audio[off:off + step]))
-                _delta(stream.flush())
-                _event("transcript.text.done",
-                       {"type": "transcript.text.done", "text": stream.text()})
-            except (ConnectionError, OSError, RequestCancelled):
-                pass  # client went away mid-stream; nothing to answer
-            except Exception as e:  # noqa: BLE001 — headers are out; report
-                # in-band (an HTTP error status is no longer possible).
-                try:
-                    _event("error", {"type": "error",
-                                     "message": f"{type(e).__name__}: {e}"})
-                except OSError:
-                    pass
 
         def do_POST(self):
             from urllib.parse import parse_qs, urlsplit
@@ -804,6 +269,14 @@ def make_handler(transcriber, batcher, continuous: bool = False):
             except Exception as e:  # noqa: BLE001 — report, keep serving
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
 
+
+    # The endpoint mixins (cli/serve_openai.py, cli/serve_ws.py) reach the
+    # serving objects through these class attributes; the base methods
+    # below keep using the closure directly.
+    Handler.transcriber = transcriber
+    Handler.batcher = batcher
+    Handler.continuous = continuous
+
     return Handler
 
 
@@ -815,8 +288,9 @@ def serve(transcriber, port: int = 8000, host: str = "127.0.0.1",
     refilled between ``chunk_tokens``-token chunks, so a new request
     waits at most one chunk instead of a full batch decode and finished
     slots never idle behind a slow stream. Slot decodes are greedy (no
-    beams/speculative); the temperature ladder and word timestamps run
-    in the batcher's assemble step.
+    beams) and compose with speculative draft-verify decoding (each
+    slot advances by its own accepted length); the temperature ladder
+    and word timestamps run in the batcher's assemble step.
 
     ``max_pending`` bounds in-flight requests (backpressure): past it,
     submissions fail fast with 503 + Retry-After instead of queueing
@@ -931,7 +405,9 @@ def main(argv=None):
     parser.add_argument("--continuous", action="store_true",
                         help="slot-engine continuous batching: refill "
                              "freed decode slots between token chunks "
-                             "(greedy only; lowest queue latency)")
+                             "(greedy; composes with --draft-hf for "
+                             "per-slot speculative decoding; lowest "
+                             "queue latency)")
     parser.add_argument("--chunk-tokens", type=int, default=16,
                         help="tokens decoded between admission checks "
                              "(--continuous)")
@@ -1038,9 +514,8 @@ def main(argv=None):
         parser.error("--max-pending must be >= 0")
     if args.draft_hf and not args.hf:
         parser.error("--draft-hf requires --hf (whisper family)")
-    if args.draft_hf and (args.beams or args.continuous):
-        parser.error("--draft-hf is greedy-only and runs whole-batch "
-                     "verify steps; drop --beams/--continuous")
+    if args.draft_hf and args.beams:
+        parser.error("--draft-hf is greedy-only; drop --beams")
     if args.draft_hf and args.gamma < 1:
         parser.error("--gamma must be >= 1")
 
