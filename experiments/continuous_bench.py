@@ -43,7 +43,7 @@ class _WordBackend:
         return " ".join(self.r[int(i)] for i in ids if int(i) in self.r)
 
 
-def build_transcriber():
+def build_transcriber(draft_gamma: int = 0):
     from yoho_tpu.core.config import WhisperConfig
     from yoho_tpu.infer.pipeline import Transcriber
     from yoho_tpu.nn.whisper import Whisper
@@ -62,8 +62,18 @@ def build_transcriber():
     template = jax.tree_util.tree_map(
         lambda s: jnp.zeros(s.shape, s.dtype), template)
     params = load_params(FIX / "params.msgpack", template)
+    kw = {}
+    if draft_gamma:
+        # The fixture drafts for ITSELF (alpha = 1, every proposal
+        # accepted): isolates the slot-composition mechanics. A real
+        # deployment pairs a SMALLER draft; the throughput model is
+        # experiments/speculative_bench.py's (win ~ alpha * t_target /
+        # t_draft) — self-drafting measures pure mechanism overhead.
+        kw = dict(draft_model=model, draft_variables={"params": params},
+                  speculative_gamma=draft_gamma)
     return Transcriber(model, {"params": params}, family="whisper",
-                       token_table=table, batch_size=4, timestamps=False), cfg
+                       token_table=table, batch_size=4, timestamps=False,
+                       **kw), cfg
 
 
 def tone_clip(s: int, n_samples: int, tones=(440, 880, 1320)) -> np.ndarray:
@@ -125,6 +135,16 @@ def main():
     lat_c = drive(cont, clips, stagger_ms / 1e3)
     cont.close()
 
+    # Speculative slots (VERDICT r2 item 2): same staggered load through
+    # the draft-carrying engine. Self-drafting (alpha = 1) measures the
+    # composition's mechanism overhead; the REAL latency lever is a
+    # smaller draft (speculative_bench.py's model: alpha * t_tgt/t_draft).
+    t_spec, _ = build_transcriber(draft_gamma=4)
+    spec = ContinuousBatcher(t_spec, max_batch=4, chunk_tokens=8)
+    spec.submit(clips[0])
+    lat_s = drive(spec, clips, stagger_ms / 1e3)
+    spec.close()
+
     def stats(x):
         return (f"p50 {np.percentile(x, 50)*1e3:6.1f} ms  "
                 f"p95 {np.percentile(x, 95)*1e3:6.1f} ms  "
@@ -134,10 +154,14 @@ def main():
           f"stagger, 4 slots:")
     print(f"  all   micro      : {stats(lat_m)}")
     print(f"  all   continuous : {stats(lat_c)}")
+    print(f"  all   cont+draft : {stats(lat_s)}")
     print(f"  short micro      : {stats(lat_m[short_idx])}")
     print(f"  short continuous : {stats(lat_c[short_idx])}")
-    print(f"  short-request p95 speedup: "
+    print(f"  short cont+draft : {stats(lat_s[short_idx])}")
+    print(f"  short-request p95 speedup (cont vs micro): "
           f"{np.percentile(lat_m[short_idx],95)/np.percentile(lat_c[short_idx],95):.2f}x")
+    print(f"  short-request p95 spec overhead (cont+draft vs cont): "
+          f"{np.percentile(lat_s[short_idx],95)/np.percentile(lat_c[short_idx],95):.2f}x")
 
 
 if __name__ == "__main__":

@@ -21,8 +21,12 @@ Greedy parity: a window decoded through slots produces the IDENTICAL
 token sequence as ``greedy_decode`` (same suppression, timestamp rules,
 quality signals) — pinned in tests/test_continuous.py.
 
-Scope: whisper AND yoho families; slot decodes are greedy (no beams /
-speculative), but the whisper temperature-fallback ladder IS supported —
+Scope: whisper AND yoho families; slot decodes are greedy (no beams).
+Speculative draft-verify decoding COMPOSES with the slot engine
+(``infer/continuous_spec.py``): with a draft model attached each slot
+advances by its own per-round accepted length — unlike the batched
+speculative decoder there is no lockstep minimum across streams. The
+whisper temperature-fallback ladder IS also supported —
 slot decodes are rung 0, and failed windows re-decode at rungs > 0 in
 the batcher's assemble step (same `_run_fallback_ladder` as the batched
 path, on the submitting caller's thread). Yoho voiceprints and whisper
@@ -76,9 +80,9 @@ class ContinuousWhisperDecoder:
         t = transcriber
         if t.family not in ("whisper", "yoho"):
             raise ValueError(f"unknown family {t.family!r}")
-        if t.beams > 1 or t.draft_model is not None:
+        if t.beams > 1:
             raise ValueError("continuous batching is greedy-only "
-                             "(no beams / speculative)")
+                             "(no beams)")
         if t.temperatures and t.temperatures[0] != 0.0:
             # Rung 0 is the slot engine's greedy decode; rungs > 0 are
             # handled by the batcher's assemble step (_run_fallback_ladder).
@@ -95,9 +99,18 @@ class ContinuousWhisperDecoder:
         self.prompt_len = len(t._prompt_ids())
         self.max_len = t.max_len
         self.eot = t.eot
+        # Speculative slots (continuous_spec.py): each slot carries its
+        # own draft-verify cursor. ``ext`` adds stale-write workspace past
+        # the horizon (verify blocks may scatter up to gamma positions
+        # beyond a committing EOT; reap reads only [:max_len]).
+        self.draft = t.draft_model is not None
+        self.gamma = int(t.speculative_gamma) if self.draft else 0
+        if self.draft and self.gamma < 1:
+            raise ValueError(f"speculative_gamma must be >= 1, "
+                             f"got {t.speculative_gamma}")
+        self.ext = self.max_len + (self.gamma + 2 if self.draft else 0)
 
         model = t.model
-        cfg = model.cfg
         self._rules = None
         if t.family == "whisper" and t.timestamps:
             from yoho_tpu.infer.whisper_rules import make_timestamp_rules
@@ -117,45 +130,64 @@ class ContinuousWhisperDecoder:
         # decode_step returns (logits, caches); yoho's decode_step also
         # returns voiceprint states (extracted post-hoc by the batcher).
         quantize = t.quantized_cross_kv if t.family == "whisper" else False
+        # Decode horizon: spec mode needs cache workspace past max_len
+        # (stale multi-token writes — see infer/speculative.py).
+        horizon = self.ext if self.draft else None
 
-        if t.family == "whisper":
-            def init_caches(variables, batch):
-                return model.apply(variables, batch, t.cache_dtype, None,
-                                   t.quantized_cache,
-                                   method=type(model).init_caches)
+        def make_surfaces(a_model):
+            if t.family == "whisper":
+                def init_caches(variables, batch):
+                    return a_model.apply(variables, batch, t.cache_dtype,
+                                         horizon, t.quantized_cache,
+                                         method=type(a_model).init_caches)
 
-            def step(variables, toks, caches, ckv, pos):
-                return model.apply(variables, toks, caches, ckv, pos,
-                                   method=type(model).decode_step)
-        else:
-            def init_caches(variables, batch):
-                return model.apply(variables, batch, t.cache_dtype,
-                                   method=type(model).init_caches)
+                def step(variables, toks, caches, ckv, pos):
+                    return a_model.apply(variables, toks, caches, ckv, pos,
+                                         method=type(a_model).decode_step)
+            else:
+                def init_caches(variables, batch):
+                    return a_model.apply(variables, batch, t.cache_dtype,
+                                         horizon,
+                                         method=type(a_model).init_caches)
 
-            def step(variables, toks, caches, ckv, pos):
-                logits, _vp, caches = model.apply(
-                    variables, toks, caches, ckv, pos,
-                    method=type(model).decode_step)
-                return logits, caches
-        self._init_caches = init_caches
-        self._step = step
+                def step(variables, toks, caches, ckv, pos):
+                    logits, _vp, caches = a_model.apply(
+                        variables, toks, caches, ckv, pos,
+                        method=type(a_model).decode_step)
+                    return logits, caches
 
-        def encode_one(variables, window):
-            mel = t._features(window)
-            xa = model.apply(variables, mel, method=type(model).encode_audio)
-            if quantize:
-                return model.apply(variables, xa, quantize,
-                                   method=type(model).cross_kvs)
-            return model.apply(variables, xa, method=type(model).cross_kvs)
+            def encode_one(variables, window):
+                mel = t._features(window)
+                xa = a_model.apply(variables, mel,
+                                   method=type(a_model).encode_audio)
+                if quantize:
+                    return a_model.apply(variables, xa, quantize,
+                                         method=type(a_model).cross_kvs)
+                return a_model.apply(variables, xa,
+                                     method=type(a_model).cross_kvs)
 
-        ckv_b1_shape = jax.eval_shape(
-            encode_one, t.variables,
-            jax.ShapeDtypeStruct((1, t.chunk_samples), jnp.float32))
-        self.ckv = jax.tree_util.tree_map(
-            lambda s: jnp.zeros((self.slots,) + s.shape[1:], s.dtype),
-            ckv_b1_shape)
-        self.caches = init_caches(t.variables, self.slots)
-        self.tokens = jnp.full((self.slots, self.max_len), self.eot,
+            return init_caches, step, encode_one
+
+        self._init_caches, self._step, encode_one = make_surfaces(model)
+
+        def ckv_state(enc, variables):
+            b1 = jax.eval_shape(
+                enc, variables,
+                jax.ShapeDtypeStruct((1, t.chunk_samples), jnp.float32))
+            return jax.tree_util.tree_map(
+                lambda s: jnp.zeros((self.slots,) + s.shape[1:], s.dtype),
+                b1)
+
+        self.ckv = ckv_state(encode_one, t.variables)
+        self.caches = self._init_caches(t.variables, self.slots)
+        encode_one_d = None
+        if self.draft:
+            (self._init_caches_d, self._step_d,
+             encode_one_d) = make_surfaces(t.draft_model)
+            self.d_ckv = ckv_state(encode_one_d, t.draft_variables)
+            self.d_caches = self._init_caches_d(t.draft_variables,
+                                                self.slots)
+        self.tokens = jnp.full((self.slots, self.ext), self.eot,
                                jnp.int32)
         self.pos = jnp.zeros((self.slots,), jnp.int32)
         self.active = jnp.zeros((self.slots,), bool)
@@ -163,7 +195,13 @@ class ContinuousWhisperDecoder:
         self.no_speech = jnp.zeros((self.slots,), jnp.float32)
 
         self._occupied: List[Optional[_Window]] = [None] * self.slots
-        self._build_programs(encode_one)
+        if self.draft:
+            from yoho_tpu.infer.continuous_spec import build_spec_programs
+
+            self._admit, self._chunk = build_spec_programs(
+                self, encode_one, encode_one_d)
+        else:
+            self._build_programs(encode_one)
 
     # ------------------------------------------------------------------
     def _pick(self, logits, tokens, pos):
@@ -284,22 +322,39 @@ class ContinuousWhisperDecoder:
             prompts[i] = win.prompt
             fill_row[free[i]] = i
             fill_valid[free[i]] = True
-        (self.caches, self.ckv, self.tokens, self.pos, self.active,
-         self.sum_lp, self.no_speech) = self._admit(
-            self.t.variables, self.caches, self.ckv, self.tokens, self.pos,
-            self.active, self.sum_lp, self.no_speech,
-            jnp.asarray(windows), jnp.asarray(prompts),
-            jnp.asarray(fill_row), jnp.asarray(fill_valid))
+        if self.draft:
+            (self.caches, self.d_caches, self.ckv, self.d_ckv, self.tokens,
+             self.pos, self.active, self.sum_lp, self.no_speech) = \
+                self._admit(
+                    self.t.variables, self.t.draft_variables, self.caches,
+                    self.d_caches, self.ckv, self.d_ckv, self.tokens,
+                    self.pos, self.active, self.sum_lp, self.no_speech,
+                    jnp.asarray(windows), jnp.asarray(prompts),
+                    jnp.asarray(fill_row), jnp.asarray(fill_valid))
+        else:
+            (self.caches, self.ckv, self.tokens, self.pos, self.active,
+             self.sum_lp, self.no_speech) = self._admit(
+                self.t.variables, self.caches, self.ckv, self.tokens,
+                self.pos, self.active, self.sum_lp, self.no_speech,
+                jnp.asarray(windows), jnp.asarray(prompts),
+                jnp.asarray(fill_row), jnp.asarray(fill_valid))
         for i, win in enumerate(take):
             self._occupied[free[i]] = win
         return len(take)
 
     def step(self) -> List[_Window]:
         """One K-token chunk over every slot; returns reaped windows."""
-        (self.caches, self.tokens, self.pos, self.active,
-         self.sum_lp) = self._chunk(
-            self.t.variables, self.caches, self.ckv, self.tokens, self.pos,
-            self.active, self.sum_lp)
+        if self.draft:
+            (self.caches, self.d_caches, self.tokens, self.pos, self.active,
+             self.sum_lp) = self._chunk(
+                self.t.variables, self.t.draft_variables, self.caches,
+                self.d_caches, self.ckv, self.d_ckv, self.tokens, self.pos,
+                self.active, self.sum_lp)
+        else:
+            (self.caches, self.tokens, self.pos, self.active,
+             self.sum_lp) = self._chunk(
+                self.t.variables, self.caches, self.ckv, self.tokens,
+                self.pos, self.active, self.sum_lp)
         return self.reap()
 
     def reap(self) -> List[_Window]:
@@ -317,7 +372,9 @@ class ContinuousWhisperDecoder:
         for s in dirty:
             win = self._occupied[s]
             self._occupied[s] = None
-            row = tokens[s]
+            # Spec mode keeps stale-write workspace past max_len — the
+            # committed stream (and greedy parity) lives in [:max_len].
+            row = tokens[s][: self.max_len]
             is_eot = row[P:] == self.eot
             length = (P + int(np.argmax(is_eot)) + 1 if is_eot.any()
                       else self.max_len)

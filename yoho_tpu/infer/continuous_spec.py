@@ -1,0 +1,175 @@
+"""Speculative decoding inside the continuous-batching slot engine.
+
+Composes the two flagship latency levers (VERDICT r2 item 2): slot
+admission (``infer/continuous.py``) and draft-verify decoding
+(``infer/speculative.py``). The lockstep limitation of the batched
+speculative decoder disappears here: every slot carries its OWN cursor
+(vector ``pos``), so each slot commits its own accepted length per round
+— a fast-accepting stream never waits for a slow one.
+
+One round per slot = gamma sequential draft steps (S=1 at vector
+positions) + ONE target verify step (S = gamma + 1 at vector positions,
+enabled by the multi-token vector-position cache scatter in
+``nn/kv_cache.py``). Greedy parity: the committed stream per slot is
+IDENTICAL to target-only greedy decoding — the same argument as the
+batched decoder (``infer/speculative.py`` module docstring), applied
+per row; pinned in tests/test_continuous.py.
+
+A "chunk" here is ``max(1, chunk_tokens // (gamma + 1))`` rounds, so the
+admission cadence stays roughly ``chunk_tokens`` committed tokens in the
+worst (all-rejected) case and up to ``rounds * (gamma + 1)`` at full
+acceptance. Reference anchor: the per-token decode loop the reference
+paid (``/root/reference/yoho/src/nn/whisper.py:274-285``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def build_spec_programs(engine, encode_one, encode_one_d):
+    """(admit, chunk) jitted programs for a draft-carrying slot engine.
+
+    ``engine`` is the owning ``ContinuousWhisperDecoder``; ``encode_one``
+    / ``encode_one_d`` encode a window batch to target / draft cross-KVs.
+    Signatures mirror the greedy programs plus draft state (d_caches,
+    d_ckv) and the draft variables rider.
+    """
+    t = engine.t
+    init_caches, step = engine._init_caches, engine._step
+    init_caches_d, step_d = engine._init_caches_d, engine._step_d
+    P, S, L = engine.prompt_len, engine.slots, engine.max_len
+    eot = engine.eot
+    gamma = engine.gamma
+    ns_id = (t.token_table.no_speech if t.family == "whisper" else None)
+
+    def admit(variables, d_vars, caches, d_caches, ckv, d_ckv, tokens, pos,
+              active, sum_lp, no_speech, windows, prompts, fill_row,
+              fill_valid):
+        """Encode + prefill BOTH models for up to S windows in one call
+        (same slot-placement contract as the greedy admit)."""
+        from yoho_tpu.infer.decode import as_f32_logits
+
+        ckv_new = encode_one(variables, windows)
+        d_ckv_new = encode_one_d(d_vars, windows)
+        fresh = init_caches(variables, S)
+        d_fresh = init_caches_d(d_vars, S)
+        logits, fresh = step(variables, prompts, fresh, ckv_new, 0)
+        _dl, d_fresh = step_d(d_vars, prompts, d_fresh, d_ckv_new, 0)
+
+        last = logits[:, -1]
+        sot_pos = t._sot_index(P)
+        ns_src = last if sot_pos is None else logits[:, sot_pos]
+        ns_prob = (jax.nn.softmax(as_f32_logits(ns_src), axis=-1)[:, ns_id]
+                   if ns_id is not None else jnp.zeros((S,), jnp.float32))
+        rows_buf = jnp.full((S, engine.ext), eot, jnp.int32)
+        rows_buf = jax.lax.dynamic_update_slice(rows_buf, prompts, (0, 0))
+        first, lp0 = engine._pick(last, rows_buf, P)
+        rows_buf = rows_buf.at[:, P].set(first)
+
+        def place(big, new):
+            mask = fill_valid.reshape((S,) + (1,) * (big.ndim - 1))
+            return jnp.where(mask, new[fill_row].astype(big.dtype), big)
+
+        ckv = jax.tree_util.tree_map(place, ckv, ckv_new)
+        d_ckv = jax.tree_util.tree_map(place, d_ckv, d_ckv_new)
+        caches = jax.tree_util.tree_map(place, caches, fresh)
+        d_caches = jax.tree_util.tree_map(place, d_caches, d_fresh)
+        tokens = place(tokens, rows_buf)
+        pos = jnp.where(fill_valid, P, pos)
+        active = jnp.where(fill_valid, first[fill_row] != eot, active)
+        sum_lp = jnp.where(fill_valid, lp0[fill_row], sum_lp)
+        no_speech = jnp.where(fill_valid, ns_prob[fill_row], no_speech)
+        return (caches, d_caches, ckv, d_ckv, tokens, pos, active, sum_lp,
+                no_speech)
+
+    rounds = max(1, engine.chunk_tokens // (gamma + 1))
+
+    def chunk(variables, d_vars, caches, d_caches, ckv, d_ckv, tokens, pos,
+              active, sum_lp):
+        """``rounds`` draft-verify rounds; each slot advances by its own
+        accepted length (1..gamma+1 committed tokens per round)."""
+        rows = jnp.arange(S)
+        idx = jnp.arange(gamma + 1)
+
+        def body(_i, state):
+            caches, d_caches, tokens, pos, active, sum_lp = state
+            c = pos + 1  # per-slot next write position
+
+            # --- draft phase: gamma proposals at vector positions.
+            # First step S=2 at c-2: idempotent re-write of c-2 plus the
+            # cache gap at c-1 a fully-accepted round leaves behind
+            # (same trick as the batched decoder). Proposals also go
+            # into a WORK buffer so the logit rules see the token
+            # context target greedy would see on the accepted prefix.
+            work = tokens
+            cur2 = jnp.stack([tokens[rows, c - 1 - 1],
+                              tokens[rows, c - 1]], axis=1)  # (S, 2)
+            d_logits, d_caches = step_d(d_vars, cur2, d_caches, d_ckv,
+                                        c - 2)
+            props = []
+            prop, _lp = engine._pick(d_logits[:, -1], work, c)
+            props.append(prop)
+            work = work.at[rows, c].set(prop)
+            for j in range(1, gamma):
+                d_logits, d_caches = step_d(d_vars, props[-1][:, None],
+                                            d_caches, d_ckv, c - 1 + j)
+                prop, _lp = engine._pick(d_logits[:, -1], work, c + j)
+                props.append(prop)
+                work = work.at[rows, c + j].set(prop)
+            proposals = jnp.stack(props, axis=1)  # (S, gamma)
+
+            # --- verify: ONE target step over [last, p_0..p_{g-1}].
+            last = tokens[rows, c - 1][:, None]
+            verify_in = jnp.concatenate([last, proposals], axis=1)
+            t_logits, caches = step(variables, verify_in, caches, ckv,
+                                    c - 1)
+            picks = [engine._pick(t_logits[:, i], work, c + i)
+                     for i in range(gamma + 1)]
+            greedy = jnp.stack([ch for ch, _ in picks], axis=1)
+            lp_rows = jnp.stack([lp for _, lp in picks], axis=1)
+
+            # --- PER-SLOT acceptance (no lockstep): m in 1..gamma+1.
+            agree = greedy[:, :-1] == proposals
+            n = jnp.sum(jnp.cumprod(agree.astype(jnp.int32), axis=1),
+                        axis=1)
+            m = n + 1  # committed tokens this round
+
+            g_pick = jnp.take_along_axis(greedy, (m - 1)[:, None], axis=1)
+            block = jnp.where(
+                idx[None, :] < (m - 1)[:, None],
+                jnp.pad(proposals, ((0, 0), (0, 1))),  # pad col unused
+                jnp.where(idx[None, :] == (m - 1)[:, None], g_pick, eot),
+            ).astype(jnp.int32)
+            cidx = c[:, None] + idx[None, :]  # (S, gamma+1)
+            cur_vals = tokens[rows[:, None], cidx]
+            block = jnp.where(active[:, None], block, cur_vals)
+            tokens = tokens.at[rows[:, None], cidx].set(block)
+
+            # Quality signal: committed tokens are target argmaxes, so
+            # their logprobs are lp_rows (greedy convention: up to and
+            # including the first EOT, nothing past the horizon).
+            in_commit = idx[None, :] < m[:, None]
+            blk_eot = ((block == eot) & in_commit).astype(jnp.int32)
+            prior_eot = jnp.cumsum(blk_eot, axis=1) - blk_eot
+            alive = (in_commit & (prior_eot == 0) & active[:, None]
+                     & (cidx < L))
+            sum_lp = sum_lp + jnp.sum(jnp.where(alive, lp_rows, 0.0),
+                                      axis=1)
+
+            committed_eot = jnp.any((block == eot) & in_commit
+                                    & active[:, None], axis=1)
+            new_pos = jnp.where(active, pos + m, pos)
+            active = jnp.logical_and(
+                active,
+                jnp.logical_and(~committed_eot, new_pos + 1 < L))
+            return caches, d_caches, tokens, new_pos, active, sum_lp
+
+        caches, d_caches, tokens, pos, active, sum_lp = jax.lax.fori_loop(
+            0, rounds, body,
+            (caches, d_caches, tokens, pos, active, sum_lp))
+        return caches, d_caches, tokens, pos, active, sum_lp
+
+    return (jax.jit(admit, donate_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10)),
+            jax.jit(chunk, donate_argnums=(2, 3, 6, 7, 8, 9)))
