@@ -30,6 +30,15 @@ MATRIX = [
     ("small", "small", 320, 0, 224, 1688.0),
 ]
 
+# Training rows (VERDICT r2 item 3): the PERFORMANCE.md training claims,
+# re-measured every matrix run so a train-step regression is driver-
+# visible like the serving rows. (name, kind, batch, claimed audio-s/s)
+TRAIN_MATRIX = [
+    ("train-stage1-yoho", "stage1", 64, 7824.0),
+    ("finetune-small", "finetune", 8, 1012.0),
+    ("finetune-small-freeze", "finetune-freeze", 8, 2594.0),
+]
+
 
 def bench_one(model_name="small", batch=320, beams=0, decode_tokens=224,
               iters=3, quantized_kv=True, quantized_cache=True):
@@ -78,9 +87,10 @@ def bench_one(model_name="small", batch=320, beams=0, decode_tokens=224,
         # multiple), not the full 448-token context: halves self-KV traffic.
         cache_len = -(-max_len // 128) * 128
         if beams > 1:  # BASELINE.json config #3: beam-search serving
-            from yoho_tpu.infer.beam import beam_search, tile_beams
+            from yoho_tpu.infer.beam import beam_search
 
-            ckv = tile_beams(ckv, beams)
+            # Cross-KV stays untiled: beams share one copy via the
+            # query-axis fold in nn/layers (VERDICT r2 item 7).
             caches = model.apply(variables, batch * beams, jnp.bfloat16,
                                  cache_len, quantized_cache,
                                  method=Whisper.init_caches)
@@ -234,6 +244,183 @@ def bench_one_yoho(batch=512, decode_tokens=128, iters=3):
     }
 
 
+def _random_params(shapes):
+    """Random bf16-initialized params for a shape pytree (throughput only
+    depends on shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    leaves, treedef = jax.tree_util.tree_flatten(shapes)
+    keys = jax.random.split(jax.random.PRNGKey(0), len(leaves))
+    return jax.tree_util.tree_unflatten(
+        treedef,
+        [
+            (jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02).astype(s.dtype)
+            if jnp.issubdtype(s.dtype, jnp.floating)
+            else jnp.zeros(s.shape, s.dtype)
+            for k, s in zip(keys, leaves)
+        ],
+    )
+
+
+def _timed_steps(step_fn, state, batch_args, iters=3):
+    """min ms/step of a donated train step, measured with in-jit chained
+    repetition (same protocol as the serving benches: a data dependency
+    between iterations, host materialization to close the pipeline)."""
+    import jax
+    import jax.numpy as jnp
+
+    def run_many(state, n, *args):
+        def body(_i, carry):
+            st, acc = carry
+            st, loss = step_fn(st, *args)
+            return st, acc + loss
+        st, acc = jax.lax.fori_loop(0, n, body, (state, jnp.float32(0)))
+        return st, acc
+
+    fn = jax.jit(run_many, donate_argnums=(0,), static_argnums=(1,))
+    state, acc = fn(state, 1, *batch_args)  # compile + warm
+    float(acc)
+
+    def timed(n, st):
+        t0 = time.perf_counter()
+        st, acc = fn(st, n, *batch_args)
+        float(acc)
+        return time.perf_counter() - t0, st
+
+    t1, state = timed(1, state)
+    for _ in range(iters - 1):
+        t, state = timed(1, state)
+        t1 = min(t1, t)
+    tk, state = timed(1 + iters, state)
+    tk2, state = timed(1 + iters, state)
+    return max((min(tk, tk2) - t1) / iters, 1e-9)
+
+
+def bench_train_stage1(batch=64, iters=3):
+    """Stage-1 YOHO training step (default reference config, on-device
+    mel, masked CE, AdamW) — PERFORMANCE.md's 83.9 ms/step claim."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax.training.train_state import TrainState
+
+    from yoho_tpu.audio.frontend import yoho_log_mel
+    from yoho_tpu.core.config import YOHOConfig
+    from yoho_tpu.nn.yoho import YOHOModel
+    from yoho_tpu.train.trainer import masked_ce_loss
+
+    cfg = YOHOConfig()
+    vocab = 16000
+    model = YOHOModel(cfg, vocab_size=vocab, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.max_text_len), jnp.int32),
+        jnp.zeros((1, cfg.max_audio_len, cfg.n_mel_bands), jnp.float32))
+    params = _random_params(shapes)["params"]
+    state = TrainState.create(apply_fn=model.apply, params=params,
+                              tx=optax.adamw(1e-4))
+
+    def loss_fn(params, mel, tokens, mask):
+        logits = model.apply({"params": params}, tokens, mel)
+        return masked_ce_loss(logits, tokens, mask)
+
+    def step(state, audio, tokens, mask):
+        mel = yoho_log_mel(audio, cfg)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, mel,
+                                                  tokens, mask)
+        return state.apply_gradients(grads=grads), loss
+
+    g = np.random.default_rng(0)
+    args = (
+        jax.numpy.asarray(g.standard_normal((batch, cfg.n_samples))
+                          .astype(np.float32) * 0.1),
+        jax.numpy.asarray(g.integers(0, vocab, (batch, cfg.max_text_len))
+                          .astype(np.int32)),
+        jax.numpy.ones((batch, cfg.max_text_len), jax.numpy.uint8),
+    )
+    best = _timed_steps(step, state, args, iters)
+    audio_s = batch * cfg.n_samples / cfg.sample_rate
+    return {
+        "metric": f"stage-1 YOHO training audio-seconds trained /sec/chip "
+                  f"(B={batch}, 10.25 s clips, on-device mel; "
+                  f"{best * 1e3:.1f} ms/step)",
+        "value": round(audio_s / best, 2),
+        "unit": "audio_s/s",
+        "vs_baseline": round((audio_s / best) / 40.0, 3),
+    }
+
+
+def bench_whisper_finetune(batch=8, freeze_encoder=False, iters=3,
+                           text_len=224):
+    """`yoho finetune` whisper-small step (30 s windows, bf16) —
+    PERFORMANCE.md's 237 / 92.5 ms/step claims."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax.training.train_state import TrainState
+
+    from yoho_tpu.core.config import WHISPER_PRESETS
+    from yoho_tpu.nn.whisper import Whisper
+    from yoho_tpu.train.trainer import masked_ce_loss
+
+    cfg = WHISPER_PRESETS["small"]
+    model = Whisper(cfg, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, cfg.n_frames, cfg.n_mels), jnp.float32),
+        jnp.zeros((1, 4), jnp.int32))
+    params = _random_params(shapes)["params"]
+    inner = optax.adamw(1e-5)
+    if freeze_encoder:
+        tx = optax.multi_transform(
+            {"train": inner, "freeze": optax.set_to_zero()},
+            param_labels={k: ("freeze" if k == "encoder" else "train")
+                          for k in params})
+    else:
+        tx = inner
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+
+    def loss_fn(params, mel, tokens, mask):
+        logits = model.apply({"params": params}, mel, tokens)
+        return masked_ce_loss(logits, tokens, mask)
+
+    def step(state, mel, tokens, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, mel,
+                                                  tokens, mask)
+        return state.apply_gradients(grads=grads), loss
+
+    g = np.random.default_rng(0)
+    args = (
+        jax.numpy.asarray(g.standard_normal((batch, cfg.n_frames, cfg.n_mels))
+                          .astype(np.float32)),
+        jax.numpy.asarray(g.integers(0, cfg.n_vocab, (batch, text_len))
+                          .astype(np.int32)),
+        jax.numpy.ones((batch, text_len), jax.numpy.uint8),
+    )
+    best = _timed_steps(step, state, args, iters)
+    audio_s = batch * cfg.chunk_seconds
+    label = "freeze-encoder " if freeze_encoder else ""
+    return {
+        "metric": f"whisper-small {label}finetune audio-seconds trained "
+                  f"/sec/chip (B={batch}, 30 s windows, T={text_len}, bf16; "
+                  f"{best * 1e3:.1f} ms/step)",
+        "value": round(audio_s / best, 2),
+        "unit": "audio_s/s",
+        "vs_baseline": round((audio_s / best) / 40.0, 3),
+    }
+
+
+def bench_train(kind: str, batch: int, iters=3):
+    if kind == "stage1":
+        return bench_train_stage1(batch, iters)
+    if kind == "finetune":
+        return bench_whisper_finetune(batch, False, iters)
+    if kind == "finetune-freeze":
+        return bench_whisper_finetune(batch, True, iters)
+    raise ValueError(kind)
+
+
 def _require_backend(timeout_s: int = 600) -> None:
     """Fail fast (with a diagnosable JSON line) when the TPU backend
     cannot initialize, instead of hanging the driver forever.
@@ -277,6 +464,14 @@ def _require_backend(timeout_s: int = 600) -> None:
 
 def main():
     _require_backend(int(os.environ.get("BENCH_BACKEND_TIMEOUT", "600")))
+    if os.environ.get("BENCH_TRAIN"):
+        # BENCH_TRAIN=stage1|finetune|finetune-freeze (BENCH_BATCH applies)
+        kind = os.environ["BENCH_TRAIN"]
+        defaults = {"stage1": 64, "finetune": 8, "finetune-freeze": 8}
+        print(json.dumps(bench_train(
+            kind, int(os.environ.get("BENCH_BATCH", defaults[kind])),
+            int(os.environ.get("BENCH_ITERS", "3")))))
+        return
     if os.environ.get("BENCH_MODEL") == "yoho":
         print(json.dumps(bench_one_yoho(
             batch=int(os.environ.get("BENCH_BATCH", "512")),
@@ -303,12 +498,8 @@ def main():
     import gc
 
     rows = []
-    for name, model_name, batch, beams, decode_tokens, claimed in MATRIX:
-        gc.collect()  # drop the previous config's device buffers (HBM)
-        print(f"[matrix] {name}: B={batch} beams={beams}...",
-              file=sys.stderr, flush=True)
-        r = bench_one(model_name=model_name, batch=batch, beams=beams,
-                      decode_tokens=decode_tokens, iters=kwargs["iters"])
+
+    def record(name, claimed, r):
         r["config"] = name
         r["claimed"] = claimed
         r["vs_claimed"] = round(r["value"] / claimed, 3)
@@ -320,6 +511,19 @@ def main():
         with open(os.path.join(os.path.dirname(__file__) or ".",
                                "BENCH_MATRIX.json"), "w") as f:
             json.dump(rows, f, indent=1)
+
+    for name, kind, batch, claimed in TRAIN_MATRIX:
+        gc.collect()
+        print(f"[matrix] {name}: B={batch}...", file=sys.stderr, flush=True)
+        record(name, claimed, bench_train(kind, batch, kwargs["iters"]))
+
+    for name, model_name, batch, beams, decode_tokens, claimed in MATRIX:
+        gc.collect()  # drop the previous config's device buffers (HBM)
+        print(f"[matrix] {name}: B={batch} beams={beams}...",
+              file=sys.stderr, flush=True)
+        record(name, claimed,
+               bench_one(model_name=model_name, batch=batch, beams=beams,
+                         decode_tokens=decode_tokens, iters=kwargs["iters"]))
     print(json.dumps(rows[-1]))  # flagship line for the driver
 
 
