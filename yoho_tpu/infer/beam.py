@@ -52,8 +52,12 @@ def beam_search(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns ``(tokens (B, max_len), lengths (B,), best scores (B,))``.
 
-    ``step_fn`` must operate on a folded (B*K) batch — tile ``cross_kvs``
-    with :func:`tile_beams` before closing over them.
+    ``step_fn`` must operate on a folded (B*K) batch. Close over the
+    UNtiled (B, ...) ``cross_kvs``: the attention layers detect the
+    batch mismatch and fold beams into the query axis so all K beams
+    share one cross-KV read (``nn.layers._beam_fold``); tiling with
+    :func:`tile_beams` still works but costs K x the cross-KV HBM
+    traffic per step.
 
     ``return_aux=True`` additionally returns the quality-signal dict of
     :func:`yoho_tpu.infer.decode.greedy_decode`: ``sum_logprob`` is the
