@@ -364,6 +364,8 @@ def bench_whisper_finetune(batch=8, freeze_encoder=False, iters=3,
     from yoho_tpu.nn.whisper import Whisper
     from yoho_tpu.train.trainer import masked_ce_loss
 
+    from yoho_tpu.audio.frontend import whisper_log_mel
+
     cfg = WHISPER_PRESETS["small"]
     model = Whisper(cfg, dtype=jnp.bfloat16)
     shapes = jax.eval_shape(
@@ -385,15 +387,19 @@ def bench_whisper_finetune(batch=8, freeze_encoder=False, iters=3,
         logits = model.apply({"params": params}, mel, tokens)
         return masked_ce_loss(logits, tokens, mask)
 
-    def step(state, mel, tokens, mask):
+    # On-device mel from raw 30 s windows INSIDE the step — the real
+    # ``yoho finetune`` program (experiments/whisper_finetune_bench.py
+    # protocol), not a precomputed-features proxy.
+    def step(state, audio, tokens, mask):
+        mel = whisper_log_mel(audio, n_mels=cfg.n_mels)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, mel,
                                                   tokens, mask)
         return state.apply_gradients(grads=grads), loss
 
     g = np.random.default_rng(0)
     args = (
-        jax.numpy.asarray(g.standard_normal((batch, cfg.n_frames, cfg.n_mels))
-                          .astype(np.float32)),
+        jax.numpy.asarray(g.standard_normal((batch, cfg.n_samples))
+                          .astype(np.float32) * 0.05),
         jax.numpy.asarray(g.integers(0, cfg.n_vocab, (batch, text_len))
                           .astype(np.int32)),
         jax.numpy.ones((batch, text_len), jax.numpy.uint8),

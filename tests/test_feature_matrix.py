@@ -142,3 +142,44 @@ def test_feature_combination(models, label, build):
                     batch_size=2, **kw)
     res = t.transcribe(models["audio"])
     _check(res, CFG_T.chunk_seconds)
+
+
+CONT_MATRIX = [
+    ("cont", lambda M: dict()),
+    ("cont+int8kv", lambda M: dict(quantized_cross_kv=True,
+                                   quantized_cache=True)),
+    ("cont+fallback", lambda M: dict(temperatures=(0.0, 0.5))),
+    ("cont+vad+autolang", lambda M: dict(vad_filter=True, language=None)),
+    ("cont+words", lambda M: dict(word_timestamps=True)),
+    ("cont+draft", lambda M: dict(
+        draft_model=M["d"][0], draft_variables=M["d"][1],
+        speculative_gamma=2)),
+    ("cont+draft+int8kv", lambda M: dict(
+        draft_model=M["d"][0], draft_variables=M["d"][1],
+        speculative_gamma=3, quantized_cross_kv=True,
+        quantized_cache=True)),
+    ("cont+draft+autolang+words", lambda M: dict(
+        draft_model=M["d"][0], draft_variables=M["d"][1],
+        speculative_gamma=2, language=None, word_timestamps=True)),
+]
+
+
+@pytest.mark.parametrize("label,build", CONT_MATRIX,
+                         ids=[m[0] for m in CONT_MATRIX])
+def test_continuous_feature_combination(models, label, build):
+    """The slot engine (incl. speculative slots) composes with the same
+    option grid: every combination decodes through ContinuousBatcher and
+    produces a structurally sane result."""
+    from yoho_tpu.infer.continuous import ContinuousBatcher
+
+    kw = build(models)
+    table = WhisperTokenTable(multilingual=True, text_backend=_FakeBPE())
+    model, variables = models["t"]
+    t = Transcriber(model, variables, family="whisper", token_table=table,
+                    batch_size=2, **kw)
+    batcher = ContinuousBatcher(t, max_batch=2, chunk_tokens=4)
+    try:
+        res = batcher.submit(models["audio"])
+    finally:
+        batcher.close()
+    _check(res, CFG_T.chunk_seconds)
