@@ -24,7 +24,7 @@ import numpy as np
 
 # (name, model, batch, beams, decode_tokens, claimed audio-s/s)
 MATRIX = [
-    ("large-v3-beam5", "large-v3", 8, 5, 224, 32.5),
+    ("large-v3-beam5", "large-v3", 8, 5, 224, 38.97),
     ("large-v3", "large-v3", 40, 0, 224, 280.0),
     ("large-v3-turbo", "large-v3-turbo", 128, 0, 224, 1121.0),
     ("small", "small", 320, 0, 224, 1688.0),
@@ -34,9 +34,9 @@ MATRIX = [
 # re-measured every matrix run so a train-step regression is driver-
 # visible like the serving rows. (name, kind, batch, claimed audio-s/s)
 TRAIN_MATRIX = [
-    ("train-stage1-yoho", "stage1", 64, 7824.0),
-    ("finetune-small", "finetune", 8, 1012.0),
-    ("finetune-small-freeze", "finetune-freeze", 8, 2594.0),
+    ("train-stage1-yoho", "stage1", 64, 7983.0),
+    ("finetune-small", "finetune", 8, 1069.0),
+    ("finetune-small-freeze", "finetune-freeze", 8, 6563.0),
 ]
 
 

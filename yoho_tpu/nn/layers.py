@@ -245,6 +245,8 @@ class MultiHeadAttention(nn.Module):
         if isinstance(cross_kv, QuantizedKV):
             fold = _beam_fold(b, cross_kv.k_q.shape[0])
             if fold > 1:
+                assert mask is None, \
+                    "beam-shared cross-KV does not take a mask"
                 out = attend_quantized(_fold_queries(q, fold), cross_kv,
                                        mask, self.dtype)
                 out = out.reshape(b, s, self.n_head, -1)
@@ -257,6 +259,8 @@ class MultiHeadAttention(nn.Module):
             if fold > 1:
                 # Beam-shared cross-KV: beams fold into the query axis so
                 # all K beams read ONE cross-KV (see _beam_fold).
+                assert mask is None, \
+                    "beam-shared cross-KV does not take a mask"
                 out = _attend(_fold_queries(q, fold), k.astype(q.dtype),
                               v.astype(q.dtype), mask, self.dtype)
                 out = out.reshape(b, s, self.n_head, -1)
@@ -554,6 +558,8 @@ class GroupedQueryAttention(nn.Module):
                 # Beam-shared cross-KV (see _beam_fold): beams fold into
                 # the query axis; RoPE was already applied above, and the
                 # group-expanded KV is shared by all beams.
+                assert mask is None, \
+                    "beam-shared cross-KV does not take a mask"
                 kk, vv = k, v
                 if groups > 1:
                     kk = jnp.repeat(kk, groups, axis=1)
