@@ -124,6 +124,28 @@ HELDOUT: dict[str, list[str]] = {
            "তুমি কি গতকাল ব্যাংক থেকে আসা চিঠিটা দেখেছ?"],
     "ta": ["என் அண்ணன் மருத்துவமனையில் வேலை செய்கிறான், பொதுவாக இரவு தாமதமாக வீடு திரும்புவான்.",
            "நேற்று வங்கியிலிருந்து வந்த கடிதத்தைப் பார்த்தாயா?"],
+    "hy": ["Իմ եղբայրը աշխատում է հիվանդանոցում և սովորաբար ուշ է վերադառնում երեկոյան։",
+           "Տեսա՞ր այն նամակը, որ երեկ եկավ բանկից։"],
+    "ka": ["ჩემი ძმა საავადმყოფოში მუშაობს და ჩვეულებრივ საღამოს გვიან ბრუნდება.",
+           "ნახე ის წერილი, რომელიც გუშინ ბანკიდან მოვიდა?"],
+    "ne": ["मेरो भाइ अस्पतालमा काम गर्छ र प्रायः राति ढिलो फर्कन्छ।",
+           "हिजो बैंकबाट आएको चिठी देख्यौ? मैले अझै खोलेको छैन, किनभने हामी हतारमा थियौं।"],
+    "gu": ["મારો ભાઈ હોસ્પિટલમાં કામ કરે છે અને સામાન્ય રીતે રાત્રે મોડો પાછો આવે છે.",
+           "ગઈકાલે બેંકમાંથી આવેલો પત્ર તેં જોયો?"],
+    "pa": ["ਮੇਰਾ ਭਰਾ ਹਸਪਤਾਲ ਵਿੱਚ ਕੰਮ ਕਰਦਾ ਹੈ ਅਤੇ ਆਮ ਤੌਰ ਤੇ ਰਾਤ ਨੂੰ ਦੇਰ ਨਾਲ ਮੁੜਦਾ ਹੈ।",
+           "ਕੱਲ੍ਹ ਬੈਂਕ ਤੋਂ ਆਈ ਚਿੱਠੀ ਤੂੰ ਵੇਖੀ?"],
+    "kn": ["ನನ್ನ ಅಣ್ಣ ಆಸ್ಪತ್ರೆಯಲ್ಲಿ ಕೆಲಸ ಮಾಡುತ್ತಾನೆ ಮತ್ತು ಸಾಮಾನ್ಯವಾಗಿ ರಾತ್ರಿ ತಡವಾಗಿ ಮನೆಗೆ ಬರುತ್ತಾನೆ.",
+           "ನಿನ್ನೆ ಬ್ಯಾಂಕಿನಿಂದ ಬಂದ ಪತ್ರವನ್ನು ನೋಡಿದೆಯಾ?"],
+    "ml": ["എന്റെ സഹോദരൻ ആശുപത്രിയിൽ ജോലി ചെയ്യുന്നു, സാധാരണയായി രാത്രി വൈകിയാണ് വീട്ടിലെത്തുന്നത്.",
+           "ഇന്നലെ ബാങ്കിൽ നിന്ന് വന്ന കത്ത് നീ കണ്ടോ?"],
+    "si": ["මගේ අයියා රෝහලේ වැඩ කරනවා, සාමාන්‍යයෙන් රෑ පරක්කු වෙලා ගෙදර එනවා.",
+           "ඊයේ බැංකුවෙන් ආපු ලියුම ඔයා දැක්කද?"],
+    "la": ["Frater meus in valetudinario laborat et plerumque sero vesperi domum redit.",
+           "Vidistine epistulam quae heri a mensa argentaria venit?"],
+    "kk": ["Менің ағам ауруханада жұмыс істейді және әдетте кешке кеш қайтады.",
+           "Кеше банктен келген хатты көрдің бе?"],
+    "uz": ["Akam kasalxonada ishlaydi va odatda kechqurun kech qaytadi.",
+           "Kecha bankdan kelgan xatni ko'rdingmi? Men uni hali ochmadim, chunki juda shoshilib yurgan edik."],
     "te": ["మా అన్నయ్య ఆసుపత్రిలో పని చేస్తాడు, సాధారణంగా రాత్రి ఆలస్యంగా ఇంటికి వస్తాడు.",
            "నిన్న బ్యాంకు నుంచి వచ్చిన ఉత్తరం చూశావా?"],
 }

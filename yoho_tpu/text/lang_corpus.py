@@ -665,6 +665,111 @@ Bạn có thể cho tôi biết nhà ga gần nhất ở đâu không?
 கிராமத்தில் உள்ள பெரும்பாலான மக்கள் பல ஆண்டுகளாக ஒருவரை ஒருவர் அறிவார்கள்.
 அருகிலுள்ள நிலையம் எங்கே என்று சொல்ல முடியுமா?
 எல்லாம் ஒரே நேரத்தில் நடப்பது போல் தோன்றிய நாட்களில் அதுவும் ஒன்று.""",
+    "hy": """\
+Այսօր առավոտյան շատ ցուրտ էր, ուստի մենք մնացինք տանը և թեյ պատրաստեցինք։
+Կարծում եմ, որ նրանք ավելի ուշ կգնան շուկա, բայց դեռ ոչինչ որոշված չէ։
+Նա ինձ ասաց, որ բանալիները սեղանի վրա են՝ հին լուսանկարների կողքին։
+Մենք գնացքին սպասում ենք արդեն գրեթե մեկ ժամ։
+Երբ տուն հասնես, չմոռանաս փակել պատուհանները՝ նախքան անձրևը սկսվի։
+Գյուղի մարդկանց մեծ մասը միմյանց ճանաչում է շատ տարիներ։
+Կարո՞ղ եք ասել, թե որտեղ է մոտակա կայարանը։""",
+    "ka": """\
+დღეს დილით ძალიან ციოდა, ამიტომ სახლში დავრჩით და ჩაი მოვამზადეთ.
+ვფიქრობ, ისინი მოგვიანებით ბაზარში წავლენ, მაგრამ ჯერ არაფერია გადაწყვეტილი.
+მან მითხრა, რომ გასაღებები მაგიდაზეა, ძველი ფოტოების გვერდით.
+ჩვენ მატარებელს თითქმის ერთი საათია ველოდებით.
+სახლში რომ მიხვალ, არ დაგავიწყდეს ფანჯრების დაკეტვა, სანამ წვიმა დაიწყება.
+სოფლის ხალხის უმეტესობა ერთმანეთს მრავალი წელია იცნობს.
+შეგიძლიათ მითხრათ, სად არის უახლოესი სადგური?""",
+    "ne": """\
+आज बिहान धेरै जाडो थियो, त्यसैले हामी घरमै बस्यौं र चिया बनायौं।
+मलाई लाग्छ उनीहरू पछि बजार जानेछन्, तर अहिलेसम्म केही निर्णय भएको छैन।
+उनले मलाई भनिन् कि साँचोहरू टेबलमाथि पुराना तस्बिरहरूको छेउमा छन्।
+हामी करिब एक घण्टादेखि रेल कुरिरहेका छौं।
+घर पुगेपछि पानी पर्नुअघि झ्यालहरू बन्द गर्न नबिर्सनू।
+गाउँका धेरैजसो मानिसहरूले एकअर्कालाई धेरै वर्षदेखि चिन्छन्।
+सबैभन्दा नजिकको स्टेसन कहाँ छ भन्न सक्नुहुन्छ?
+ऊ सधैं बिहान सबेरै उठ्छ र खेतमा काम गर्न जान्छ।
+तिमीले खाना खायौ कि खाएनौ?
+हामी भोलि काठमाडौं जाँदैछौं, त्यहाँ मेरा साथीहरू बस्छन्।
+यो किताब निकै राम्रो छ, मैले दुई पटक पढिसकें।
+मेरा बुबा कार्यालयमा काम गर्नुहुन्छ र बेलुका ढिलो फर्कनुहुन्छ।
+उनीहरू हरेक शनिबार मन्दिर जान्छन् र फूल चढाउँछन्।""",
+    "gu": """\
+આજે સવારે ખૂબ ઠંડી હતી, તેથી અમે ઘરમાં જ રહ્યા અને ચા બનાવી.
+મને લાગે છે કે તેઓ પછી બજારમાં જશે, પણ હજી કંઈ નક્કી થયું નથી.
+તેણે મને કહ્યું કે ચાવીઓ ટેબલ પર જૂના ફોટા પાસે છે.
+અમે લગભગ એક કલાકથી ટ્રેનની રાહ જોઈ રહ્યા છીએ.
+ઘરે પહોંચે ત્યારે વરસાદ શરૂ થાય તે પહેલાં બારીઓ બંધ કરવાનું ભૂલતો નહીં.
+ગામના મોટા ભાગના લોકો એકબીજાને ઘણાં વર્ષોથી ઓળખે છે.
+સૌથી નજીકનું સ્ટેશન ક્યાં છે તે કહી શકશો?""",
+    "pa": """\
+ਅੱਜ ਸਵੇਰੇ ਬਹੁਤ ਠੰਢ ਸੀ, ਇਸ ਲਈ ਅਸੀਂ ਘਰ ਹੀ ਰਹੇ ਅਤੇ ਚਾਹ ਬਣਾਈ।
+ਮੈਨੂੰ ਲੱਗਦਾ ਹੈ ਕਿ ਉਹ ਬਾਅਦ ਵਿੱਚ ਬਾਜ਼ਾਰ ਜਾਣਗੇ, ਪਰ ਹਾਲੇ ਕੁਝ ਤੈਅ ਨਹੀਂ ਹੋਇਆ।
+ਉਸਨੇ ਮੈਨੂੰ ਦੱਸਿਆ ਕਿ ਚਾਬੀਆਂ ਮੇਜ਼ ਉੱਤੇ ਪੁਰਾਣੀਆਂ ਤਸਵੀਰਾਂ ਕੋਲ ਹਨ।
+ਅਸੀਂ ਲਗਭਗ ਇੱਕ ਘੰਟੇ ਤੋਂ ਗੱਡੀ ਦੀ ਉਡੀਕ ਕਰ ਰਹੇ ਹਾਂ।
+ਘਰ ਪਹੁੰਚ ਕੇ ਮੀਂਹ ਪੈਣ ਤੋਂ ਪਹਿਲਾਂ ਖਿੜਕੀਆਂ ਬੰਦ ਕਰਨਾ ਨਾ ਭੁੱਲੀਂ।
+ਪਿੰਡ ਦੇ ਬਹੁਤੇ ਲੋਕ ਇੱਕ ਦੂਜੇ ਨੂੰ ਕਈ ਸਾਲਾਂ ਤੋਂ ਜਾਣਦੇ ਹਨ।
+ਕੀ ਤੁਸੀਂ ਦੱਸ ਸਕਦੇ ਹੋ ਕਿ ਸਭ ਤੋਂ ਨੇੜਲਾ ਸਟੇਸ਼ਨ ਕਿੱਥੇ ਹੈ?""",
+    "kn": """\
+ಇಂದು ಬೆಳಿಗ್ಗೆ ತುಂಬಾ ಚಳಿ ಇತ್ತು, ಹಾಗಾಗಿ ನಾವು ಮನೆಯಲ್ಲಿಯೇ ಇದ್ದು ಚಹಾ ಮಾಡಿದೆವು.
+ಅವರು ನಂತರ ಮಾರುಕಟ್ಟೆಗೆ ಹೋಗುತ್ತಾರೆ ಎಂದು ನನಗೆ ಅನಿಸುತ್ತದೆ, ಆದರೆ ಇನ್ನೂ ಏನೂ ನಿರ್ಧಾರವಾಗಿಲ್ಲ.
+ಬೀಗದ ಕೈಗಳು ಮೇಜಿನ ಮೇಲೆ ಹಳೆಯ ಫೋಟೋಗಳ ಪಕ್ಕ ಇವೆ ಎಂದು ಅವಳು ನನಗೆ ಹೇಳಿದಳು.
+ನಾವು ಸುಮಾರು ಒಂದು ಗಂಟೆಯಿಂದ ರೈಲಿಗಾಗಿ ಕಾಯುತ್ತಿದ್ದೇವೆ.
+ಮನೆಗೆ ತಲುಪಿದ ಮೇಲೆ ಮಳೆ ಶುರುವಾಗುವ ಮೊದಲು ಕಿಟಕಿಗಳನ್ನು ಮುಚ್ಚಲು ಮರೆಯಬೇಡ.
+ಹಳ್ಳಿಯ ಹೆಚ್ಚಿನ ಜನರು ಒಬ್ಬರನ್ನೊಬ್ಬರು ಹಲವು ವರ್ಷಗಳಿಂದ ಬಲ್ಲರು.
+ಹತ್ತಿರದ ನಿಲ್ದಾಣ ಎಲ್ಲಿದೆ ಎಂದು ಹೇಳಬಹುದೇ?""",
+    "ml": """\
+ഇന്ന് രാവിലെ നല്ല തണുപ്പായിരുന്നു, അതിനാൽ ഞങ്ങൾ വീട്ടിൽ തന്നെ ഇരുന്ന് ചായ ഉണ്ടാക്കി.
+അവർ പിന്നീട് ചന്തയിൽ പോകുമെന്ന് ഞാൻ കരുതുന്നു, പക്ഷേ ഇതുവരെ ഒന്നും തീരുമാനിച്ചിട്ടില്ല.
+താക്കോലുകൾ മേശപ്പുറത്ത് പഴയ ഫോട്ടോകളുടെ അടുത്താണെന്ന് അവൾ എന്നോട് പറഞ്ഞു.
+ഞങ്ങൾ ഏകദേശം ഒരു മണിക്കൂറായി തീവണ്ടിക്കായി കാത്തിരിക്കുന്നു.
+വീട്ടിൽ എത്തിയാൽ മഴ തുടങ്ങും മുമ്പ് ജനലുകൾ അടയ്ക്കാൻ മറക്കരുത്.
+ഗ്രാമത്തിലെ മിക്ക ആളുകളും പരസ്പരം വർഷങ്ങളായി അറിയുന്നവരാണ്.
+ഏറ്റവും അടുത്തുള്ള സ്റ്റേഷൻ എവിടെയാണെന്ന് പറയാമോ?""",
+    "si": """\
+අද උදේ හුඟක් සීතල නිසා අපි ගෙදරම ඉඳලා තේ හැදුවා.
+ඔවුන් පසුව වෙළඳපොළට යයි කියලා මම හිතනවා, නමුත් තවම කිසිවක් තීරණය වී නැහැ.
+යතුරු මේසය උඩ පරණ ඡායාරූප ළඟ තියෙනවා කියලා ඇය මට කිව්වා.
+අපි පැයක් විතර දුම්රියට බලාගෙන ඉන්නවා.
+ගෙදර ගියාම වැස්ස පටන් ගන්න කලින් ජනේල වහන්න අමතක කරන්න එපා.
+ගමේ බොහෝ අය අවුරුදු ගණනාවක් තිස්සේ එකිනෙකා හඳුනනවා.
+ළඟම දුම්රිය ස්ථානය කොහෙද කියලා කියන්න පුළුවන්ද?""",
+    "la": """\
+Hodie mane frigidissimum erat, itaque domi mansimus et aquam calidam paravimus.
+Puto eos postea ad forum ituros esse, sed nihil adhuc constitutum est.
+Mihi dixit claves in mensa iuxta imagines veteres esse.
+Iam fere horam trenum exspectamus, id est vehiculum ferriviarium.
+Cum domum perveneris, noli oblivisci fenestras claudere antequam pluere incipiat.
+Plerique homines in vico inter se multos annos noverunt.
+Potesne mihi dicere ubi statio proxima sit?
+Erat unus ex illis diebus quibus omnia simul accidere videbantur.
+Gallia est omnis divisa in partes tres, quarum unam incolunt Belgae.
+Magister discipulis multas fabulas de rebus antiquis narrabat.
+Non scholae sed vitae discimus, ut maiores nostri dicebant.
+Tempus fugit neque umquam revertitur, itaque carpe diem.""",
+    "kk": """\
+Бүгін таңертең өте суық болды, сондықтан біз үйде қалып, шай дайындадық.
+Менің ойымша, олар кейін базарға барады, бірақ әлі ештеңе шешілген жоқ.
+Ол маған кілттер үстелдің үстінде, ескі суреттердің қасында жатыр деді.
+Біз пойызды бір сағатқа жуық күтіп тұрмыз.
+Үйге жеткенде, жаңбыр басталмай тұрып терезелерді жабуды ұмытпа.
+Ауылдағы адамдардың көбі бірін-бірі көп жылдан бері біледі.
+Ең жақын бекет қайда екенін айта аласыз ба?""",
+    "uz": """\
+Bugun ertalab juda sovuq edi, shuning uchun uyda qolib choy damladik.
+Menimcha, ular keyinroq bozorga borishadi, lekin hali hech narsa hal qilinmagan.
+U menga kalitlar stol ustida, eski suratlar yonida ekanini aytdi.
+Biz poyezdni deyarli bir soatdan beri kutyapmiz.
+Uyga yetib borganingda, yomg'ir boshlanishidan oldin derazalarni yopishni unutma.
+Qishloqdagi odamlarning ko'pchiligi bir-birini ko'p yillardan beri taniydi.
+Eng yaqin bekat qayerda ekanini ayta olasizmi?
+Bolalar maktabdan qaytib, hovlida o'ynashni yaxshi ko'rishadi.
+Ertaga ob-havo yaxshi bo'lsa, biz tog'larga boramiz.
+U o'zbek tilida juda chiroyli she'rlar yozadi.
+Do'konlar bugun soat to'qqizgacha ishlaydi.
+Opam shifoxonada hamshira bo'lib ishlaydi.
+U har kuni ishga erta ketadi va kechqurun kech qaytadi.""",
     "te": """\
 ఈ రోజు ఉదయం చాలా చలిగా ఉంది, అందుకే మేము ఇంట్లోనే ఉండి టీ చేసుకున్నాం.
 వాళ్ళు తర్వాత మార్కెట్‌కు వెళ్తారని అనుకుంటున్నాను, కానీ ఇంకా ఏమీ నిర్ణయం కాలేదు.

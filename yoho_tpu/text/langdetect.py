@@ -40,10 +40,10 @@ from typing import NamedTuple
 from yoho_tpu.text.lang_corpus import CORPUS
 
 # Below this weighted cosine the best match is considered noise.
-# Calibrated in tests/test_langdetect.py: Latin-alphabet gibberish scores
-# < 0.05 while genuine 2-4 word utterances in covered languages score
-# > 0.2; held-out full sentences score 0.35-0.8.
-MIN_SCORE = 0.10
+# Calibrated in tests/test_langdetect.py: Latin-alphabet gibberish peaks
+# at ~0.107 against the 67 profiles while genuine 2-4 word utterances in
+# covered languages score > 0.18; held-out full sentences score 0.35-0.8.
+MIN_SCORE = 0.12
 
 _STRIP = re.compile(r"[\W\d_]+", re.UNICODE)
 
