@@ -23,7 +23,14 @@ import time
 import numpy as np
 
 # (name, model, batch, beams, decode_tokens, claimed audio-s/s)
+# (name, model, batch, beams, decode_tokens, claimed audio-s/s[, kwargs])
 MATRIX = [
+    # B=1 single-stream latency lane, int8 weights. Claim is END-TO-END
+    # (mel + encoder + cross-KV + 224-token decode = 1 716 tok/s measured);
+    # PERFORMANCE.md's 2 602 tok/s is the bare decode step, which this
+    # row's end-to-end framing amortizes per window.
+    ("small-b1-int8w", "small", 1, 0, 224, 229.9,
+     {"int8_weights": True, "quantized_kv": True, "quantized_cache": True}),
     ("large-v3-beam5", "large-v3", 8, 5, 224, 38.97),
     ("large-v3", "large-v3", 40, 0, 224, 280.0),
     ("large-v3-turbo", "large-v3-turbo", 128, 0, 224, 1121.0),
@@ -41,7 +48,8 @@ TRAIN_MATRIX = [
 
 
 def bench_one(model_name="small", batch=320, beams=0, decode_tokens=224,
-              iters=3, quantized_kv=True, quantized_cache=True):
+              iters=3, quantized_kv=True, quantized_cache=True,
+              int8_weights=False):
     """Measure one serving configuration -> result dict."""
     import jax
     import jax.numpy as jnp
@@ -54,11 +62,14 @@ def bench_one(model_name="small", batch=320, beams=0, decode_tokens=224,
 
     cfg = WHISPER_PRESETS[model_name]
     table = WhisperTokenTable(multilingual=True)
-    model = Whisper(cfg, dtype=jnp.bfloat16)
+    model = Whisper(cfg, dtype=jnp.bfloat16, weights_int8=int8_weights)
 
-    # Random bf16 params (shapes only matter for throughput).
+    # Random bf16 params (shapes only matter for throughput); shapes come
+    # from the PLAIN layout — the int8 path quantizes them below, exactly
+    # like serving quantizes a loaded checkpoint.
+    shape_model = Whisper(cfg, dtype=jnp.bfloat16)
     shapes = jax.eval_shape(
-        model.init, jax.random.PRNGKey(0),
+        shape_model.init, jax.random.PRNGKey(0),
         jnp.zeros((1, cfg.n_frames, cfg.n_mels), jnp.float32),
         jnp.zeros((1, 4), jnp.int32),
     )
@@ -74,6 +85,11 @@ def bench_one(model_name="small", batch=320, beams=0, decode_tokens=224,
             for k, s in zip(keys, leaves)
         ],
     )
+
+    if int8_weights:
+        from yoho_tpu.nn.quantize import quantize_whisper_decoder
+
+        variables = quantize_whisper_decoder(variables)
 
     prompt_ids = table.sot_sequence("en", "transcribe", timestamps=False)
     prompt = jnp.asarray([prompt_ids] * batch, jnp.int32)
@@ -143,7 +159,8 @@ def bench_one(model_name="small", batch=320, beams=0, decode_tokens=224,
                   f"(B={batch}, {decode_tokens} decode tokens"
                   f"{f', beam={beams}' if beams > 1 else ''}"
                   f"{', int4 cross-KV' if quantized_kv == 'int4' else ', int8 cross-KV' if quantized_kv else ''}"
-                  f"{', int8 cache' if quantized_cache else ''}; "
+                  f"{', int8 cache' if quantized_cache else ''}"
+                  f"{', int8 weights' if int8_weights else ''}; "
                   f"{tok_per_sec:.0f} tok/s)",
         "value": round(rtf, 2),
         "unit": "audio_s/s",
@@ -495,6 +512,7 @@ def main():
         # (opt-in approximation; quarters the dominant cross-KV HBM traffic).
         quantized_kv={"0": False, "1": True, "4": "int4"}[kv_env],
         quantized_cache=os.environ.get("BENCH_QUANTIZED_CACHE", "1") == "1",
+        int8_weights=os.environ.get("BENCH_INT8_WEIGHTS", "0") == "1",
     )
 
     if "--matrix" not in sys.argv:
@@ -523,13 +541,16 @@ def main():
         print(f"[matrix] {name}: B={batch}...", file=sys.stderr, flush=True)
         record(name, claimed, bench_train(kind, batch, kwargs["iters"]))
 
-    for name, model_name, batch, beams, decode_tokens, claimed in MATRIX:
+    for row in MATRIX:
+        name, model_name, batch, beams, decode_tokens, claimed = row[:6]
+        extra = row[6] if len(row) > 6 else {}
         gc.collect()  # drop the previous config's device buffers (HBM)
         print(f"[matrix] {name}: B={batch} beams={beams}...",
               file=sys.stderr, flush=True)
         record(name, claimed,
                bench_one(model_name=model_name, batch=batch, beams=beams,
-                         decode_tokens=decode_tokens, iters=kwargs["iters"]))
+                         decode_tokens=decode_tokens, iters=kwargs["iters"],
+                         **extra))
     print(json.dumps(rows[-1]))  # flagship line for the driver
 
 
