@@ -31,7 +31,7 @@ MATRIX = [
     # row's end-to-end framing amortizes per window.
     ("small-b1-int8w", "small", 1, 0, 224, 229.9,
      {"int8_weights": True, "quantized_kv": True, "quantized_cache": True}),
-    ("large-v3-beam5", "large-v3", 8, 5, 224, 38.97),
+    ("large-v3-beam5", "large-v3", 8, 5, 224, 41.68),
     ("large-v3", "large-v3", 40, 0, 224, 280.0),
     ("large-v3-turbo", "large-v3-turbo", 128, 0, 224, 1121.0),
     ("small", "small", 320, 0, 224, 1688.0),

@@ -131,6 +131,8 @@ def beam_search(
         pos, _t, _c, _s, finished = state
         return jnp.logical_and(pos + 1 < max_len, ~jnp.all(finished))
 
+    identity_src = jnp.tile(jnp.arange(k, dtype=jnp.int32)[None], (b, 1))
+
     def body(state):
         pos, tokens, caches, scores, finished = state
         cur = jax.lax.dynamic_slice(tokens.reshape(b * k, max_len), (0, pos), (b * k, 1))
@@ -140,7 +142,17 @@ def beam_search(
         tokens = _gather_beams(tokens.reshape(b * k, max_len), beam_src).reshape(
             b, k, max_len
         )
-        caches = _gather_beams(caches, beam_src)
+        # The cache reorder is the step's big HBM write (every layer's
+        # K/V moved). When the expansion keeps every beam in place —
+        # common once beams settle on confident stretches — skip it:
+        # lax.cond executes only the taken branch, and the identity
+        # branch returns the operands untouched.
+        caches = jax.lax.cond(
+            jnp.all(beam_src == identity_src),
+            lambda c: c,
+            lambda c: _gather_beams(c, beam_src),
+            caches,
+        )
         finished = jnp.take_along_axis(finished, beam_src, axis=1) | (tok == eot_id)
         tokens = jax.lax.dynamic_update_slice(
             tokens, tok[:, :, None], (0, 0, pos + 1)
