@@ -600,8 +600,9 @@ def main(argv=None):
     def _term(_signum, _frame):
         raise KeyboardInterrupt
 
+    prev_term = None
     try:
-        signal.signal(signal.SIGTERM, _term)
+        prev_term = signal.signal(signal.SIGTERM, _term)
     except ValueError:
         pass  # not the main thread (embedded use)
     try:
@@ -609,6 +610,14 @@ def main(argv=None):
     except KeyboardInterrupt:
         pass
     finally:
+        if prev_term is not None:
+            # Restore the caller's handler: embedded runs (tests, library
+            # use) must not keep a global SIGTERM->KeyboardInterrupt hook
+            # after this server exits.
+            try:
+                signal.signal(signal.SIGTERM, prev_term)
+            except ValueError:
+                pass
         drain(server, timeout_s=args.drain_timeout)
         print("drained; bye", file=sys.stderr)
     return 0
