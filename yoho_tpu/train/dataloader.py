@@ -17,6 +17,7 @@ from __future__ import annotations
 import bisect
 import datetime as dt
 import multiprocessing as mp
+import os
 import re
 import warnings
 from abc import ABC, abstractmethod
@@ -176,12 +177,28 @@ class Dataloader(ABC):
             w.start()
         import time as _time
 
+        # Bounded warmup: prefill is an optimization, never a correctness
+        # requirement — an unbounded busy-wait here hangs __init__ whenever
+        # the queue can never fill AND the workers look alive (observed
+        # in-suite: spawned workers stuck >10 min booting in a long-lived
+        # parent; faulthandler dump pointed exactly at this loop). Any
+        # worker error still surfaces on the first get_prepared_batch.
+        deadline = _time.monotonic() + float(
+            os.environ.get("YOHO_DATALOADER_WARMUP_TIMEOUT", "120"))
         while self.warmup_queue and not self._batch_queue.full():
             # ANY dead worker ends warmup: its remaining queued tasks are
             # lost, so the queue may never reach full — waiting on it would
             # hang __init__. Its error sentinel (if it raised) surfaces on
             # the first get_prepared_batch.
             if any(not w.is_alive() for w in self._workers):
+                break
+            if _time.monotonic() > deadline:
+                if not self.disable_warnings:
+                    warnings.warn(
+                        "dataloader warmup did not fill the batch queue "
+                        "within the warmup timeout; continuing without a "
+                        "full prefetch buffer (workers may be slow to "
+                        "boot — YOHO_DATALOADER_WARMUP_TIMEOUT overrides)")
                 break
             _time.sleep(0.02)
 
