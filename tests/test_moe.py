@@ -556,3 +556,35 @@ def test_decoder_moe_rejects_int8_serving():
                            method=YOHOModel.forward_with_voiceprints)
     with pytest.raises(ValueError, match="moe_in_decoder"):
         quantize_yoho_decoder(variables)
+
+
+def test_decoder_moe_rejects_speculative_serving():
+    """S>1 verify changes MoE capacity routing (tokens in a verify block
+    compete for per-expert capacity where S=1 steps never do), so the
+    speculative exactness contract cannot hold — Transcriber must refuse
+    the combination up front (infer/pipeline.py guard)."""
+    from yoho_tpu.infer.pipeline import Transcriber
+    from yoho_tpu.nn.yoho import YOHOModel
+
+    cfg = _decoder_moe_cfg()
+    model = YOHOModel(cfg, vocab_size=64)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8), jnp.int32),
+                           jnp.zeros((1, 32, 8), jnp.float32),
+                           method=YOHOModel.forward_with_voiceprints)
+    class _Tok:
+        eot_id = 1
+
+    with pytest.raises(ValueError, match="moe_in_decoder"):
+        Transcriber(model, variables, family="yoho", tokenizer=_Tok(),
+                    batch_size=1, draft_model=model,
+                    draft_variables=variables)
+
+    # Encoder-only MoE keeps its exactness proof (routing is outside the
+    # decode loop) — the guard must NOT fire there.
+    cfg_enc = _decoder_moe_cfg(moe_in_decoder=False)
+    enc_model = YOHOModel(cfg_enc, vocab_size=64)
+    t = Transcriber(enc_model, variables, family="yoho", tokenizer=_Tok(),
+                    batch_size=1, draft_model=enc_model,
+                    draft_variables=variables)
+    assert t.draft_model is not None

@@ -68,6 +68,85 @@ class _Window:
     req: Any = None  # owning _Request (set by ContinuousBatcher)
 
 
+def make_admit(engine, encode_one, encode_one_d=None):
+    """Build the admit program: encode + prefill up to S windows in ONE
+    call. Shared by the greedy engine and the speculative engine
+    (``continuous_spec.build_spec_programs``) so the no-speech
+    convention, slot-placement contract, and first-token/active/sum_lp
+    bookkeeping have exactly one implementation.
+
+    windows (S, n_samples) / prompts (S, P): admission batch rows
+    (garbage past the valid count — their outputs are discarded).
+    fill_row (S,) int32 / fill_valid (S,) bool are SLOT-indexed: slot s
+    takes admission row fill_row[s] when fill_valid[s] — a gather +
+    select per slot, so there are no scatter collisions and untouched
+    slots keep their state. Constant latency for 1..S admissions; the
+    encoder runs batched (at small batch it is latency-bound, so one
+    admission costs the same call as S — and S admissions cost ONE
+    call, not S).
+
+    With ``encode_one_d`` the draft model is encoded + prefilled too and
+    the function takes/returns the extended draft state (``d_state`` =
+    (d_vars, d_caches, d_ckv); returns with d_caches/d_ckv placed).
+    """
+    t = engine.t
+    init_caches, step = engine._init_caches, engine._step
+    P, S = engine.prompt_len, engine.slots
+    eot = engine.eot
+    ns_id = (t.token_table.no_speech if t.family == "whisper" else None)
+    draft = encode_one_d is not None
+
+    def admit(variables, caches, ckv, tokens, pos, active, sum_lp,
+              no_speech, windows, prompts, fill_row, fill_valid,
+              d_state=None):
+        from yoho_tpu.infer.decode import as_f32_logits
+
+        ckv_new = encode_one(variables, windows)
+        fresh = init_caches(variables, S)
+        logits, fresh = step(variables, prompts, fresh, ckv_new, 0)
+
+        def place(big, new):
+            mask = fill_valid.reshape((S,) + (1,) * (big.ndim - 1))
+            return jnp.where(mask, new[fill_row].astype(big.dtype), big)
+
+        if draft:
+            d_vars, d_caches, d_ckv = d_state
+            d_ckv_new = encode_one_d(d_vars, windows)
+            d_fresh = engine._init_caches_d(d_vars, S)
+            _dl, d_fresh = engine._step_d(d_vars, prompts, d_fresh,
+                                          d_ckv_new, 0)
+            d_ckv = jax.tree_util.tree_map(place, d_ckv, d_ckv_new)
+            d_caches = jax.tree_util.tree_map(place, d_caches, d_fresh)
+
+        last = logits[:, -1]
+        # <|nospeech|> mass at the SOT position's output distribution
+        # (OpenAI probs_at_sot) — same convention as greedy/beam.
+        sot_pos = t._sot_index(P)
+        ns_src = last if sot_pos is None else logits[:, sot_pos]
+        ns_prob = (jax.nn.softmax(as_f32_logits(ns_src), axis=-1)[:, ns_id]
+                   if ns_id is not None else jnp.zeros((S,), jnp.float32))
+        # Token rows sized to the engine's workspace width: == max_len
+        # for the greedy engine, max_len + stale-write slack in spec mode.
+        rows_buf = jnp.full((S, engine.ext), eot, jnp.int32)
+        rows_buf = jax.lax.dynamic_update_slice(rows_buf, prompts, (0, 0))
+        first, lp0 = engine._pick(last, rows_buf, P)
+        rows_buf = rows_buf.at[:, P].set(first)
+
+        ckv = jax.tree_util.tree_map(place, ckv, ckv_new)
+        caches = jax.tree_util.tree_map(place, caches, fresh)
+        tokens = place(tokens, rows_buf)
+        pos = jnp.where(fill_valid, P, pos)
+        active = jnp.where(fill_valid, first[fill_row] != eot, active)
+        sum_lp = jnp.where(fill_valid, lp0[fill_row], sum_lp)
+        no_speech = jnp.where(fill_valid, ns_prob[fill_row], no_speech)
+        if draft:
+            return (caches, d_caches, ckv, d_ckv, tokens, pos, active,
+                    sum_lp, no_speech)
+        return caches, ckv, tokens, pos, active, sum_lp, no_speech
+
+    return admit
+
+
 class ContinuousWhisperDecoder:
     """Slot engine: admit windows into free slots, decode in K-token
     chunks, reap finished slots. Driven by one owner thread
@@ -224,54 +303,11 @@ class ContinuousWhisperDecoder:
     def _build_programs(self, encode_one) -> None:
         t = self.t
         model = t.model
-        ns_id = (t.token_table.no_speech if t.family == "whisper" else None)
         init_caches, step = self._init_caches, self._step
         P, S, L = self.prompt_len, self.slots, self.max_len
         eot = self.eot
 
-        def admit(variables, caches, ckv, tokens, pos, active, sum_lp,
-                  no_speech, windows, prompts, fill_row, fill_valid):
-            """Encode + prefill up to S windows in ONE call.
-
-            windows (S, n_samples) / prompts (S, P): admission batch rows
-            (garbage past the valid count — their outputs are discarded).
-            fill_row (S,) int32 / fill_valid (S,) bool are SLOT-indexed:
-            slot s takes admission row fill_row[s] when fill_valid[s] —
-            a gather + select per slot, so there are no scatter
-            collisions and untouched slots keep their state. Constant
-            latency for 1..S admissions; the encoder runs batched (at
-            small batch it is latency-bound, so one admission costs the
-            same call as S — and S admissions cost ONE call, not S)."""
-            ckv_new = encode_one(variables, windows)
-            fresh = init_caches(variables, S)
-            logits, fresh = step(variables, prompts, fresh, ckv_new, 0)
-
-            from yoho_tpu.infer.decode import as_f32_logits
-
-            last = logits[:, -1]
-            # <|nospeech|> mass at the SOT position's output distribution
-            # (OpenAI probs_at_sot) — same convention as greedy/beam.
-            sot_pos = t._sot_index(P)
-            ns_src = last if sot_pos is None else logits[:, sot_pos]
-            ns_prob = (jax.nn.softmax(as_f32_logits(ns_src), axis=-1)[:, ns_id]
-                       if ns_id is not None else jnp.zeros((S,), jnp.float32))
-            rows_buf = jnp.full((S, L), eot, jnp.int32)
-            rows_buf = jax.lax.dynamic_update_slice(rows_buf, prompts, (0, 0))
-            first, lp0 = self._pick(last, rows_buf, P)
-            rows_buf = rows_buf.at[:, P].set(first)
-
-            def place(big, new):
-                mask = fill_valid.reshape((S,) + (1,) * (big.ndim - 1))
-                return jnp.where(mask, new[fill_row].astype(big.dtype), big)
-
-            ckv = jax.tree_util.tree_map(place, ckv, ckv_new)
-            caches = jax.tree_util.tree_map(place, caches, fresh)
-            tokens = place(tokens, rows_buf)
-            pos = jnp.where(fill_valid, P, pos)
-            active = jnp.where(fill_valid, first[fill_row] != eot, active)
-            sum_lp = jnp.where(fill_valid, lp0[fill_row], sum_lp)
-            no_speech = jnp.where(fill_valid, ns_prob[fill_row], no_speech)
-            return caches, ckv, tokens, pos, active, sum_lp, no_speech
+        admit = make_admit(self, encode_one)
 
         def chunk(variables, caches, ckv, tokens, pos, active, sum_lp):
             """K greedy steps over all slots, each at its own position."""

@@ -37,52 +37,27 @@ def build_spec_programs(engine, encode_one, encode_one_d):
     d_ckv) and the draft variables rider.
     """
     t = engine.t
-    init_caches, step = engine._init_caches, engine._step
-    init_caches_d, step_d = engine._init_caches_d, engine._step_d
+    step = engine._step
+    step_d = engine._step_d
     P, S, L = engine.prompt_len, engine.slots, engine.max_len
     eot = engine.eot
     gamma = engine.gamma
-    ns_id = (t.token_table.no_speech if t.family == "whisper" else None)
+
+    # ONE admit implementation for both engines (continuous.make_admit):
+    # this wrapper only reorders the draft state into the engine's admit
+    # signature/donation layout.
+    from yoho_tpu.infer.continuous import make_admit
+
+    admit_core = make_admit(engine, encode_one, encode_one_d)
 
     def admit(variables, d_vars, caches, d_caches, ckv, d_ckv, tokens, pos,
               active, sum_lp, no_speech, windows, prompts, fill_row,
               fill_valid):
         """Encode + prefill BOTH models for up to S windows in one call
         (same slot-placement contract as the greedy admit)."""
-        from yoho_tpu.infer.decode import as_f32_logits
-
-        ckv_new = encode_one(variables, windows)
-        d_ckv_new = encode_one_d(d_vars, windows)
-        fresh = init_caches(variables, S)
-        d_fresh = init_caches_d(d_vars, S)
-        logits, fresh = step(variables, prompts, fresh, ckv_new, 0)
-        _dl, d_fresh = step_d(d_vars, prompts, d_fresh, d_ckv_new, 0)
-
-        last = logits[:, -1]
-        sot_pos = t._sot_index(P)
-        ns_src = last if sot_pos is None else logits[:, sot_pos]
-        ns_prob = (jax.nn.softmax(as_f32_logits(ns_src), axis=-1)[:, ns_id]
-                   if ns_id is not None else jnp.zeros((S,), jnp.float32))
-        rows_buf = jnp.full((S, engine.ext), eot, jnp.int32)
-        rows_buf = jax.lax.dynamic_update_slice(rows_buf, prompts, (0, 0))
-        first, lp0 = engine._pick(last, rows_buf, P)
-        rows_buf = rows_buf.at[:, P].set(first)
-
-        def place(big, new):
-            mask = fill_valid.reshape((S,) + (1,) * (big.ndim - 1))
-            return jnp.where(mask, new[fill_row].astype(big.dtype), big)
-
-        ckv = jax.tree_util.tree_map(place, ckv, ckv_new)
-        d_ckv = jax.tree_util.tree_map(place, d_ckv, d_ckv_new)
-        caches = jax.tree_util.tree_map(place, caches, fresh)
-        d_caches = jax.tree_util.tree_map(place, d_caches, d_fresh)
-        tokens = place(tokens, rows_buf)
-        pos = jnp.where(fill_valid, P, pos)
-        active = jnp.where(fill_valid, first[fill_row] != eot, active)
-        sum_lp = jnp.where(fill_valid, lp0[fill_row], sum_lp)
-        no_speech = jnp.where(fill_valid, ns_prob[fill_row], no_speech)
-        return (caches, d_caches, ckv, d_ckv, tokens, pos, active, sum_lp,
-                no_speech)
+        return admit_core(variables, caches, ckv, tokens, pos, active,
+                          sum_lp, no_speech, windows, prompts, fill_row,
+                          fill_valid, d_state=(d_vars, d_caches, d_ckv))
 
     rounds = max(1, engine.chunk_tokens // (gamma + 1))
 

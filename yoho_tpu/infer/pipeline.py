@@ -214,6 +214,22 @@ class Transcriber(DecodeProgramsMixin, FallbackLadderMixin,
         if draft_model is not None and beams and beams > 1:
             raise ValueError("speculative decoding is greedy-only "
                              "(beams must be 0/1)")
+        if draft_model is not None:
+            tgt_cfg = getattr(model, "cfg", None)
+            if (getattr(tgt_cfg, "n_experts", 0)
+                    and getattr(tgt_cfg, "moe_in_decoder", False)):
+                # The exactness proof needs the target's S=gamma+1 verify
+                # step to equal gamma+1 sequential S=1 steps. MoE capacity
+                # routing breaks that: a verify block's tokens COMPETE for
+                # per-expert capacity (ceil(S/E*cf)*top_k slots over S
+                # tokens), so a token can be dropped where the S=1 greedy
+                # step (one token, no competition) never drops — committed
+                # tokens could diverge from target-only greedy.
+                raise ValueError(
+                    "speculative decoding does not support moe_in_decoder "
+                    "targets (S>1 verify changes MoE capacity routing, "
+                    "breaking greedy exactness) — serve the MoE decoder "
+                    "without a draft model")
         self.model = model
         self.mesh = mesh
         if mesh is not None:
