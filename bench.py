@@ -49,7 +49,7 @@ TRAIN_MATRIX = [
 
 def bench_one(model_name="small", batch=320, beams=0, decode_tokens=224,
               iters=3, quantized_kv=True, quantized_cache=True,
-              int8_weights=False):
+              int8_weights=False, int8_encoder=False):
     """Measure one serving configuration -> result dict."""
     import jax
     import jax.numpy as jnp
@@ -62,7 +62,8 @@ def bench_one(model_name="small", batch=320, beams=0, decode_tokens=224,
 
     cfg = WHISPER_PRESETS[model_name]
     table = WhisperTokenTable(multilingual=True)
-    model = Whisper(cfg, dtype=jnp.bfloat16, weights_int8=int8_weights)
+    model = Whisper(cfg, dtype=jnp.bfloat16, weights_int8=int8_weights,
+                    encoder_int8=int8_encoder)
 
     # Random bf16 params (shapes only matter for throughput); shapes come
     # from the PLAIN layout — the int8 path quantizes them below, exactly
@@ -73,23 +74,16 @@ def bench_one(model_name="small", batch=320, beams=0, decode_tokens=224,
         jnp.zeros((1, cfg.n_frames, cfg.n_mels), jnp.float32),
         jnp.zeros((1, 4), jnp.int32),
     )
-    key = jax.random.PRNGKey(0)
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    keys = jax.random.split(key, len(leaves))
-    variables = jax.tree_util.tree_unflatten(
-        treedef,
-        [
-            (jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02).astype(s.dtype)
-            if jnp.issubdtype(s.dtype, jnp.floating)
-            else jnp.zeros(s.shape, s.dtype)
-            for k, s in zip(keys, leaves)
-        ],
-    )
+    variables = _random_params(shapes)
 
     if int8_weights:
         from yoho_tpu.nn.quantize import quantize_whisper_decoder
 
         variables = quantize_whisper_decoder(variables)
+    if int8_encoder:
+        from yoho_tpu.nn.quantize import quantize_whisper_encoder
+
+        variables = quantize_whisper_encoder(variables)
 
     prompt_ids = table.sot_sequence("en", "transcribe", timestamps=False)
     prompt = jnp.asarray([prompt_ids] * batch, jnp.int32)
@@ -160,7 +154,8 @@ def bench_one(model_name="small", batch=320, beams=0, decode_tokens=224,
                   f"{f', beam={beams}' if beams > 1 else ''}"
                   f"{', int4 cross-KV' if quantized_kv == 'int4' else ', int8 cross-KV' if quantized_kv else ''}"
                   f"{', int8 cache' if quantized_cache else ''}"
-                  f"{', int8 weights' if int8_weights else ''}; "
+                  f"{', int8 weights' if int8_weights else ''}"
+                  f"{', int8 encoder' if int8_encoder else ''}; "
                   f"{tok_per_sec:.0f} tok/s)",
         "value": round(rtf, 2),
         "unit": "audio_s/s",
@@ -197,17 +192,7 @@ def bench_one_yoho(batch=512, decode_tokens=128, iters=3):
         jnp.zeros((1, 4), jnp.int32),
         jnp.zeros((1, cfg.max_audio_len, cfg.n_mel_bands), jnp.float32),
     )
-    leaves, treedef = jax.tree_util.tree_flatten(shapes)
-    keys = jax.random.split(jax.random.PRNGKey(0), len(leaves))
-    variables = jax.tree_util.tree_unflatten(
-        treedef,
-        [
-            (jax.random.normal(k, s.shape, jnp.bfloat16) * 0.02).astype(s.dtype)
-            if jnp.issubdtype(s.dtype, jnp.floating)
-            else jnp.zeros(s.shape, s.dtype)
-            for k, s in zip(keys, leaves)
-        ],
-    )
+    variables = _random_params(shapes)
 
     sot = 0  # <|startoftranscript|> is the first special (id 0)
     prompt = jnp.full((batch, 1), sot, jnp.int32)
@@ -513,6 +498,7 @@ def main():
         quantized_kv={"0": False, "1": True, "4": "int4"}[kv_env],
         quantized_cache=os.environ.get("BENCH_QUANTIZED_CACHE", "1") == "1",
         int8_weights=os.environ.get("BENCH_INT8_WEIGHTS", "0") == "1",
+        int8_encoder=os.environ.get("BENCH_INT8_ENCODER", "0") == "1",
     )
 
     if "--matrix" not in sys.argv:

@@ -189,3 +189,67 @@ def test_quantize_kv_time_major_bit_identical():
                                       np.asarray(b.k_scale)[..., :t])
         np.testing.assert_array_equal(np.asarray(a.v_scale)[..., :t],
                                       np.asarray(b.v_scale)[..., :t])
+
+
+def test_encoder_int8_tree_structure_and_accuracy():
+    """quantize_whisper_encoder produces exactly the layout
+    Whisper(encoder_int8=True) expects, and the W8A8 encoder tracks the
+    f32 encoder closely (per-position cosine similarity near 1)."""
+    model, variables, mel, tokens = _setup()
+    q_model = Whisper(CFG, encoder_int8=True)
+    from yoho_tpu.nn.quantize import quantize_whisper_encoder
+
+    q_vars = quantize_whisper_encoder(variables)
+    expected = jax.eval_shape(q_model.init, jax.random.PRNGKey(0), mel,
+                              tokens)
+    exp_paths = {jax.tree_util.keystr(k): v.shape for k, v in
+                 jax.tree_util.tree_leaves_with_path(expected)}
+    got_paths = {jax.tree_util.keystr(k): np.asarray(v).shape for k, v in
+                 jax.tree_util.tree_leaves_with_path(q_vars)}
+    assert exp_paths == got_paths
+
+    ref = model.apply(variables, mel, method=Whisper.encode_audio)
+    got = q_model.apply(q_vars, mel, method=Whisper.encode_audio)
+    ref_n = np.asarray(ref, np.float32)
+    got_n = np.asarray(got, np.float32)
+    cos = (np.sum(ref_n * got_n, -1)
+           / (np.linalg.norm(ref_n, axis=-1)
+              * np.linalg.norm(got_n, axis=-1)))
+    assert cos.min() > 0.995, cos.min()
+
+    # Composes with the weight-only decoder scheme (disjoint subtrees):
+    # one tree serves Whisper(encoder_int8=True, weights_int8=True).
+    both_model = Whisper(CFG, encoder_int8=True, weights_int8=True)
+    both_vars = quantize_whisper_decoder(quantize_whisper_encoder(variables))
+    expected = jax.eval_shape(both_model.init, jax.random.PRNGKey(0), mel,
+                              tokens)
+    exp_paths = {jax.tree_util.keystr(k): v.shape for k, v in
+                 jax.tree_util.tree_leaves_with_path(expected)}
+    got_paths = {jax.tree_util.keystr(k): np.asarray(v).shape for k, v in
+                 jax.tree_util.tree_leaves_with_path(both_vars)}
+    assert exp_paths == got_paths
+    logits = both_model.apply(both_vars, mel, tokens)
+    assert np.isfinite(np.asarray(logits, np.float32)).all()
+
+
+def test_int8_dense_matches_manual_reference():
+    """Int8Dense == the hand-written W8A8 math: per-token activation
+    absmax, per-channel kernel scales, int32 accumulation."""
+    from yoho_tpu.nn.layers import Int8Dense
+    from yoho_tpu.nn.quantize import quantize_dense_params
+
+    g = np.random.default_rng(3)
+    kernel = g.standard_normal((16, 8)).astype(np.float32)
+    bias = g.standard_normal((8,)).astype(np.float32)
+    x = (g.standard_normal((2, 5, 16)) * 3).astype(np.float32)
+
+    qp = quantize_dense_params({"kernel": kernel, "bias": bias})
+    layer = Int8Dense(8, dtype=jnp.float32)
+    got = layer.apply({"params": qp}, jnp.asarray(x))
+
+    a_scale = np.maximum(np.abs(x).max(-1, keepdims=True) / 127.0, 1e-12)
+    a_q = np.clip(np.round(x / a_scale), -127, 127).astype(np.int32)
+    k_q = np.asarray(qp["kernel_q"], np.int32)
+    want = (a_q @ k_q).astype(np.float32) * a_scale * np.asarray(
+        qp["kernel_scale"]) + bias
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-5)

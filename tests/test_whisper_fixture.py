@@ -95,3 +95,23 @@ def test_int4_cross_kv_matches_golden(setup):
     a quality regression (or silent improvement) is visible. On this
     fixture it happens to be exact; PERFORMANCE.md records the result."""
     assert _decode_all(setup, "int4") == GOLDEN["texts"]["int4"]
+
+
+def test_int8_encoder_transcripts_on_trained_weights(setup):
+    """W8A8 encoder serving (encoder_int8=True) on REAL trained weights:
+    a documented approximation (8-bit activations) — on the overfit
+    fixture the decision margins are large, so transcripts must stay
+    exact; a change here is a quality regression signal."""
+    from yoho_tpu.infer.pipeline import Transcriber
+    from yoho_tpu.nn.quantize import quantize_whisper_encoder
+    from yoho_tpu.nn.whisper import Whisper
+
+    cfg, model, variables, table = setup
+    q_model = Whisper(cfg, dtype=jnp.bfloat16, encoder_int8=True)
+    q_vars = quantize_whisper_encoder(variables)
+    t = Transcriber(q_model, q_vars, family="whisper", token_table=table,
+                    batch_size=1, timestamps=False,
+                    quantized_cross_kv="int8", quantized_cache=True)
+    texts = [t.transcribe(_tone_clip(i, cfg.n_samples)).text
+             for i in range(3)]
+    assert texts == GOLDEN["texts"]["bf16"]

@@ -155,6 +155,9 @@ def main(argv=None):
     parser.add_argument("--int8-weights", action="store_true",
                         help="evaluate with the weight-only int8 decoder "
                              "(measure the quantization quality delta)")
+    parser.add_argument("--int8-encoder", action="store_true",
+                        help="evaluate with the W8A8 int8 encoder "
+                             "(measure the quantization quality delta)")
     parser.add_argument("--vad", action="store_true",
                         help="collapse silence before decoding (measures "
                              "the quality impact of VAD on this corpus)")
@@ -194,6 +197,7 @@ def main(argv=None):
                                       True,
                                       quantized=args.int8_kv,
                                       int8_weights=args.int8_weights,
+                                      int8_encoder=args.int8_encoder,
                                       vad_filter=args.vad, diarize=diarize,
                                       speaker_threshold=args.speaker_threshold)
     else:

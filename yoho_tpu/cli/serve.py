@@ -439,6 +439,9 @@ def main(argv=None):
                         help="int8 KV caches (faster, argmax-identical)")
     parser.add_argument("--int8-weights", action="store_true",
                         help="weight-only int8 decoder (near-lossless)")
+    parser.add_argument("--int8-encoder", action="store_true",
+                        help="W8A8 int8 encoder on the MXU's 2x-rate int8 "
+                             "path (whisper family; near-lossless)")
     parser.add_argument("--vad", action="store_true",
                         help="collapse silence on the host before decoding")
     parser.add_argument("--word-timestamps", action="store_true",
@@ -544,6 +547,7 @@ def main(argv=None):
                                       True,
                                       quantized=args.int8_kv,
                                       int8_weights=args.int8_weights,
+                                      int8_encoder=args.int8_encoder,
                                       task=args.task,
                                       word_timestamps=args.word_timestamps,
                                       temperatures=temps,
@@ -565,6 +569,10 @@ def main(argv=None):
             print("warning: --diarize-session is ignored with --session — "
                   "the yoho family emits voiceprints in the decode forward "
                   "pass and diarizes natively", file=sys.stderr)
+        if args.int8_encoder:
+            print("warning: --int8-encoder is ignored with --session "
+                  "(W8A8 encoder serving is whisper-family only)",
+                  file=sys.stderr)
         t = build_yoho_transcriber(args.session, args.root, args.beams,
                                    args.batch, vad_filter=args.vad,
                                    mesh=mesh, enrolled_speakers=enrolled,

@@ -64,6 +64,7 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
                               word_timestamps: bool = False,
                               temperatures=(0.0,), best_of: int = 1,
                               int8_weights: bool = False,
+                              int8_encoder: bool = False,
                               initial_prompt=None,
                               condition_on_previous_text: bool = False,
                               task: str = "transcribe",
@@ -97,7 +98,15 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
         from yoho_tpu.nn.quantize import quantize_whisper_decoder
 
         params = quantize_whisper_decoder(params)
-    model = Whisper(cfg, dtype=jnp.bfloat16, weights_int8=int8_weights)
+    if int8_encoder:
+        # W8A8 encoder: the compute-bound half runs on the MXU's 2x-rate
+        # int8 path (nn/layers.Int8Dense) — composes with the weight-only
+        # int8 decoder (disjoint subtrees).
+        from yoho_tpu.nn.quantize import quantize_whisper_encoder
+
+        params = quantize_whisper_encoder(params)
+    model = Whisper(cfg, dtype=jnp.bfloat16, weights_int8=int8_weights,
+                    encoder_int8=int8_encoder)
     v3 = cfg.n_vocab == 51866
     multilingual = cfg.n_vocab != 51864
     table = WhisperTokenTable(multilingual=multilingual, v3=v3)
@@ -401,6 +410,10 @@ def main(argv=None):
     parser.add_argument("--int8-weights", action="store_true",
                         help="weight-only int8 decoder (1.6x single-stream "
                              "weight traffic; near-lossless, not bit-exact)")
+    parser.add_argument("--int8-encoder", action="store_true",
+                        help="W8A8 int8 encoder on the MXU's 2x-rate int8 "
+                             "path (whisper family; near-lossless, not "
+                             "bit-exact)")
     parser.add_argument("--word-timestamps", action="store_true")
     parser.add_argument("--temperature-fallback", action="store_true",
                         help="retry low-quality windows at higher temperatures")
@@ -520,6 +533,7 @@ def main(argv=None):
                                       temperatures=temps,
                                       best_of=args.best_of,
                                       int8_weights=args.int8_weights,
+                                      int8_encoder=args.int8_encoder,
                                       initial_prompt=args.initial_prompt,
                                       condition_on_previous_text=(
                                           args.condition_on_previous_text),
@@ -541,6 +555,10 @@ def main(argv=None):
             print("warning: --lora is ignored with --session (adapters "
                   "are a whisper fine-tune artifact; yoho sessions load "
                   "their own trained weights)", file=sys.stderr)
+        if args.int8_encoder:
+            print("warning: --int8-encoder is ignored with --session "
+                  "(W8A8 encoder serving is whisper-family only)",
+                  file=sys.stderr)
         if args.diarize_session:
             print("warning: --diarize-session is ignored with --session — "
                   "the yoho family emits voiceprints in the decode forward "

@@ -227,9 +227,13 @@ def resolve_auto_batch(t) -> int:
     weights_bytes = (1.0 if getattr(t.model, "weights_int8", False) else 2.0)
     extra_fixed = extra_stream = 0
     horizon = t.max_len
-    if weights_bytes == 1.0 and t.family == "whisper":
+    if (weights_bytes == 1.0 and t.family == "whisper"
+            and not getattr(t.model, "encoder_int8", False)):
         # quantize_whisper_decoder leaves the ENCODER in bf16: those params
-        # cost 1 byte more than the flat int8 accounting above.
+        # cost 1 byte more than the flat int8 accounting above. (With
+        # encoder_int8 the encoder kernels ARE int8, so the flat
+        # accounting is already right; without weights_int8, encoder_int8
+        # alone just makes the flat 2-byte model conservative.)
         extra_fixed += whisper_encoder_param_count(cfg)
     if t.draft_model is not None:
         # Speculative decoding keeps a full second model + per-stream

@@ -170,10 +170,15 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     weights_int8: bool = False  # serve with int8 kernels (QuantizedDense)
+    w8a8: bool = False  # encoder serving: int8 weights AND activations
 
     def setup(self):
         d = self.dtype
-        dense = QuantizedDense if self.weights_int8 else nn.Dense
+        if self.weights_int8 and self.w8a8:
+            raise ValueError("weights_int8 and w8a8 are mutually exclusive "
+                             "dense selections")
+        dense = (Int8Dense if self.w8a8
+                 else QuantizedDense if self.weights_int8 else nn.Dense)
         self.q_proj = dense(self.n_state, dtype=d, name="q_proj")
         self.k_proj = dense(self.n_state, use_bias=self.k_bias, dtype=d, name="k_proj")
         self.v_proj = dense(self.n_state, dtype=d, name="v_proj")
@@ -319,6 +324,64 @@ class QuantizedDense(nn.Module):
         return y
 
 
+def quantize_act_rows(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-row (last-axis) symmetric absmax int8 quantization of
+    activations: returns (codes int8, scale f32 keepdims). The dynamic
+    half of the W8A8 scheme (:class:`Int8Dense`)."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-12)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+class Int8Dense(nn.Module):
+    """W8A8 Dense for the ENCODER: int8 kernel (per-output-channel absmax
+    scales, from ``yoho_tpu.nn.quantize``) x dynamically int8-quantized
+    activations (per-token absmax) -> int32 MXU accumulation.
+
+    Why this exists next to :class:`QuantizedDense` (weight-only): the
+    v5e MXU runs int8 x int8 matmuls at 2x its bf16 peak (394 vs 197
+    T(FL)OP/s; measured 375 TOP/s = 1.96x the measured bf16 rate,
+    experiments/int8_mxu_probe.py). The encoder is COMPUTE-bound (its
+    weight traffic amortizes over 1500 positions), so weight-only
+    dequant-into-bf16-matmul buys nothing there (measured 1.01x) — only
+    feeding the MXU int8 on BOTH operands does. A real approximation
+    (8-bit activations, per-token scales) — serving opt-in, never the
+    default; quality is measured on the trained fixtures in
+    tests/test_quantize.py and experiments/quantization_quality.py.
+
+    Param layout is identical to QuantizedDense (kernel_q int8,
+    kernel_scale (1, out) f32, bias f32) so ``quantize_dense_params``
+    serves both.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        in_dim = x.shape[-1]
+        kernel_q = self.param("kernel_q", nn.initializers.zeros,
+                              (in_dim, self.features), jnp.int8)
+        scale = self.param("kernel_scale", nn.initializers.ones,
+                           (1, self.features), jnp.float32)
+        xq, xs = quantize_act_rows(x)
+        y = jax.lax.dot_general(
+            xq, kernel_q, (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        # Scales factor out of the int32 accumulation exactly: per-token
+        # activation scale broadcasts over rows, per-channel kernel scale
+        # over columns.
+        y = y.astype(jnp.float32) * xs * scale
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias
+        return y.astype(self.dtype)
+
+
 class QuantizedDenseGeneral(nn.Module):
     """Weight-only int8 DenseGeneral projecting to (heads, head_dim) —
     the GQA projection shape. Per-output-channel scales over (h, hd)."""
@@ -378,10 +441,12 @@ class MLP(nn.Module):
     expansion: int = 4
     dtype: jnp.dtype = jnp.float32
     weights_int8: bool = False
+    w8a8: bool = False  # encoder serving: int8 weights AND activations
 
     @nn.compact
     def __call__(self, x):
-        dense = QuantizedDense if self.weights_int8 else nn.Dense
+        dense = (Int8Dense if self.w8a8
+                 else QuantizedDense if self.weights_int8 else nn.Dense)
         x = dense(self.n_state * self.expansion, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         return dense(self.n_state, dtype=self.dtype, name="fc2")(x)

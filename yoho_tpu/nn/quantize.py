@@ -1,17 +1,25 @@
-"""Post-training weight-only int8 quantization for serving.
+"""Post-training int8 quantization for serving.
 
-Converts a trained/converted Whisper param tree into the layout expected
-by ``Whisper(weights_int8=True)``: decoder Dense kernels become int8 with
-per-output-channel absmax scales, the tied token embedding becomes int8
-with per-row scales. Biases, layernorms, positional embeddings and the
-whole encoder stay untouched (the encoder's weight traffic amortizes over
-a window; the decoder's repeats every token — measured 1.58x on the B=1
-weight chain, experiments/int8_weights_probe.py).
+Two schemes, matched to where each half of the model spends its time:
 
-This is the classic weight-only scheme (per-channel absmax, symmetric,
-no activation quantization) — near-lossless for transformer serving; the
-logits it produces are NOT bit-identical to bf16 (unlike the int8 KV
-cache, which is argmax-identical in tests). Validate on your eval set.
+* **Decoder, weight-only** (``quantize_whisper_decoder`` /
+  ``quantize_yoho_decoder`` -> ``weights_int8=True``): Dense kernels
+  become int8 with per-output-channel absmax scales, the tied token
+  embedding int8 with per-row scales; activations stay bf16 and XLA
+  fuses the dequant into the matmul. The decode step is WEIGHT-bound
+  (its weights re-read every token) — measured 1.58x on the B=1 weight
+  chain (experiments/int8_weights_probe.py).
+* **Encoder, W8A8** (``quantize_whisper_encoder`` ->
+  ``encoder_int8=True``): the encoder is COMPUTE-bound (weights
+  amortize over 1500 positions), so weight-only buys nothing there —
+  instead activations are dynamically quantized per token and the
+  matmuls run int8 x int8 -> int32 on the MXU's 2x-rate int8 path
+  (experiments/int8_mxu_probe.py). Conv stem/layernorms stay bf16.
+
+Both are classic symmetric absmax schemes — near-lossless for
+transformer serving; the logits are NOT bit-identical to bf16 (unlike
+the int8 KV cache, which is argmax-identical in tests). Validate on
+your eval set.
 """
 
 from __future__ import annotations
@@ -75,6 +83,41 @@ def quantize_whisper_decoder(variables: dict) -> dict:
         dec[name] = new_block
 
     out["decoder"] = dec
+    return {"params": out} if "params" in variables else out
+
+
+def quantize_whisper_encoder(variables: dict) -> dict:
+    """Param tree for ``Whisper(...)`` -> tree for
+    ``Whisper(..., encoder_int8=True)`` (same model config).
+
+    Encoder block attention projections + MLP kernels become int8 with
+    per-output-channel scales (the same layout as the decoder scheme —
+    ``Int8Dense`` and ``QuantizedDense`` share it); the conv stem,
+    layernorms, and ``ln_post`` stay untouched. Unlike the weight-only
+    decoder scheme this feeds the MXU int8 on BOTH operands (activations
+    are quantized dynamically at run time) — the encoder is
+    compute-bound, and the v5e int8 MXU path runs at 2x bf16 peak
+    (experiments/int8_mxu_probe.py). Composes with
+    ``quantize_whisper_decoder`` (disjoint subtrees).
+    """
+    params = variables["params"] if "params" in variables else variables
+    out = dict(params)
+    enc = dict(params["encoder"])
+
+    for name, block in list(enc.items()):
+        if not name.startswith("blocks_"):
+            continue
+        new_block = dict(block)
+        for sub_name, sub in block.items():
+            if sub_name in ("attn", "mlp"):
+                new_sub = dict(sub)
+                for leaf_name, leaf in sub.items():
+                    if leaf_name in _DENSE_NAMES:
+                        new_sub[leaf_name] = quantize_dense_params(leaf)
+                new_block[sub_name] = new_sub
+        enc[name] = new_block
+
+    out["encoder"] = enc
     return {"params": out} if "params" in variables else out
 
 

@@ -49,13 +49,16 @@ class EncoderBlock(nn.Module):
     n_head: int
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    w8a8: bool = False  # int8 weights x int8 activations (encoder serving)
 
     def setup(self):
         self.ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")
         self.attn = MultiHeadAttention(self.n_state, self.n_head, dtype=self.dtype,
-                                       use_flash=self.use_flash, name="attn")
+                                       use_flash=self.use_flash,
+                                       w8a8=self.w8a8, name="attn")
         self.ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")
-        self.mlp = MLP(self.n_state, dtype=self.dtype, name="mlp")
+        self.mlp = MLP(self.n_state, dtype=self.dtype, w8a8=self.w8a8,
+                       name="mlp")
 
     def __call__(self, x):
         x = x + self.attn(self.ln1(x))
@@ -110,6 +113,10 @@ class AudioEncoder(nn.Module):
     # recompute forward for O(depth) activation memory (see
     # yoho_tpu.nn.yoho.YOHOAudioEncoder.remat).
     remat: bool = False
+    # W8A8 serving: block attention projections + MLPs run int8 x int8
+    # on the MXU's doubled-rate int8 path (Int8Dense). Conv stem,
+    # layernorms, and the attention itself (softmax/AV) stay bf16.
+    w8a8: bool = False
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
@@ -124,7 +131,8 @@ class AudioEncoder(nn.Module):
         block_cls = maybe_remat(EncoderBlock, self.remat)
         for i in range(c.n_audio_layer):
             x = block_cls(c.n_audio_state, c.n_audio_head, dtype=d,
-                          use_flash=self.use_flash, name=f"blocks_{i}")(x)
+                          use_flash=self.use_flash, w8a8=self.w8a8,
+                          name=f"blocks_{i}")(x)
         return nn.LayerNorm(epsilon=1e-5, dtype=d, name="ln_post")(x)
 
 
@@ -305,6 +313,12 @@ class Whisper(nn.Module):
     # repeats per token). ~1.6x on the B=1 weight-bound step; weights come
     # from yoho_tpu.nn.quantize.quantize_whisper_decoder, not training.
     weights_int8: bool = False
+    # Serve the ENCODER W8A8: int8 weights x dynamically-quantized int8
+    # activations on the MXU's 2x-rate int8 path (the encoder is
+    # compute-bound, so weight-only int8 buys nothing there — see
+    # nn.layers.Int8Dense). Weights from quantize_whisper_encoder.
+    # Composes freely with weights_int8 (disjoint subtrees).
+    encoder_int8: bool = False
     # Gradient-checkpoint every transformer block (fine-tuning memory
     # lever, exact; `yoho finetune --remat`). See AudioEncoder.remat.
     remat: bool = False
@@ -312,6 +326,7 @@ class Whisper(nn.Module):
     def setup(self):
         self.encoder = AudioEncoder(self.cfg, dtype=self.dtype,
                                     use_flash=self.use_flash,
+                                    w8a8=self.encoder_int8,
                                     remat=self.remat, name="encoder")
         self.decoder = TextDecoder(self.cfg, dtype=self.dtype,
                                    weights_int8=self.weights_int8,
