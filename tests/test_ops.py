@@ -251,3 +251,106 @@ def test_int4_quantization_error_bounded():
                     None, jnp.bfloat16)
     err = np.abs(np.asarray(out4, np.float32) - np.asarray(exact, np.float32))
     assert err.mean() < 0.1, err.mean()
+
+
+def test_w8a8_dense_kernel_matches_fallback():
+    """The fused W8A8 kernel (interpret mode on CPU) matches the XLA
+    composition within rounding ties: a 1-ulp f32 difference in the
+    per-row activation scale between the two compilations can flip an
+    int8 round on exact-half values, shifting an output by one weight
+    step — everything else is integer-exact."""
+    import os
+
+    from yoho_tpu.nn.layers import Int8Dense
+    from yoho_tpu.nn.quantize import quantize_dense_params
+    from yoho_tpu.ops.w8a8_dense import w8a8_dense
+
+    g = np.random.default_rng(5)
+    kernel = g.standard_normal((96, 384)).astype(np.float32) * 0.05
+    bias = g.standard_normal((384,)).astype(np.float32)
+    x = jnp.asarray(g.standard_normal((3, 70, 96)).astype(np.float32) * 0.7,
+                    jnp.bfloat16)
+    qp = quantize_dense_params({"kernel": kernel, "bias": bias})
+
+    prev = os.environ.get("YOHO_W8A8_KERNEL")
+    os.environ["YOHO_W8A8_KERNEL"] = "off"
+    try:
+        for act in (None, "gelu_tanh"):
+            ref = Int8Dense(384, dtype=jnp.float32, activation=act).apply(
+                {"params": qp}, x)
+            got = w8a8_dense(x, qp["kernel_q"], qp["kernel_scale"],
+                             qp["bias"], activation=act,
+                             out_dtype=jnp.float32)
+            assert got.shape == ref.shape
+            # one weight-step tolerance for round-tie flips
+            step = (np.abs(kernel).max(axis=0) / 127.0).max()
+            err = np.abs(np.asarray(ref) - np.asarray(got))
+            assert err.max() <= step * np.abs(x.astype(jnp.float32)).max() \
+                * 1.1 + 1e-5, err.max()
+            # ...and at serving precision (bf16) the overwhelming
+            # majority of entries are identical (f32 exposes sub-bf16
+            # last-ulp rescale differences; bf16 rounding hides them)
+            rb = np.asarray(jnp.asarray(ref).astype(jnp.bfloat16), np.float32)
+            gb = np.asarray(jnp.asarray(got).astype(jnp.bfloat16), np.float32)
+            assert (rb == gb).mean() > 0.98
+    finally:
+        if prev is None:
+            os.environ.pop("YOHO_W8A8_KERNEL", None)
+        else:
+            os.environ["YOHO_W8A8_KERNEL"] = prev
+
+
+def test_w8a8_dense_kernel_shapes_and_padding():
+    """M padding and adaptive block_n: odd row counts and every whisper
+    feature width (384..1280 and 4x expansions) go through the kernel."""
+    from yoho_tpu.nn.quantize import quantize_dense_params
+    from yoho_tpu.ops.w8a8_dense import w8a8_dense
+
+    g = np.random.default_rng(6)
+    for n in (384, 512, 768, 1280):
+        kernel = g.standard_normal((64, n)).astype(np.float32) * 0.1
+        qp = quantize_dense_params({"kernel": kernel})
+        x = jnp.asarray(g.standard_normal((1, 37, 64)).astype(np.float32),
+                        jnp.bfloat16)
+        out = w8a8_dense(x, qp["kernel_q"], qp["kernel_scale"], None)
+        assert out.shape == (1, 37, n)
+        assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
+def test_encoder_int8_forward_through_kernel_matches_fallback():
+    """Whisper(encoder_int8=True) end to end: the forced-on kernel path
+    (interpret) tracks the XLA fallback closely at the encoder output."""
+    import os
+
+    from yoho_tpu.core.config import WhisperConfig
+    from yoho_tpu.nn.quantize import quantize_whisper_encoder
+    from yoho_tpu.nn.whisper import Whisper
+
+    cfg = WhisperConfig(
+        n_mels=8, n_audio_ctx=16, n_audio_state=128, n_audio_head=4,
+        n_audio_layer=2, n_vocab=64, n_text_ctx=8, n_text_state=128,
+        n_text_head=4, n_text_layer=1,
+    )
+    g = np.random.default_rng(7)
+    mel = jnp.asarray(g.standard_normal((2, 32, 8)).astype(np.float32))
+    model = Whisper(cfg)
+    variables = model.init(jax.random.PRNGKey(0), mel,
+                           jnp.zeros((2, 4), jnp.int32))
+    q_model = Whisper(cfg, encoder_int8=True)
+    q_vars = quantize_whisper_encoder(variables)
+
+    outs = {}
+    prev = os.environ.get("YOHO_W8A8_KERNEL")
+    try:
+        for mode in ("off", "on"):
+            os.environ["YOHO_W8A8_KERNEL"] = mode
+            outs[mode] = np.asarray(
+                q_model.apply(q_vars, mel, method=Whisper.encode_audio),
+                np.float32)
+    finally:
+        if prev is None:
+            os.environ.pop("YOHO_W8A8_KERNEL", None)
+        else:
+            os.environ["YOHO_W8A8_KERNEL"] = prev
+    np.testing.assert_allclose(outs["on"], outs["off"], rtol=0.05,
+                               atol=0.05)

@@ -335,6 +335,18 @@ def quantize_act_rows(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return q, scale
 
 
+def _w8a8_kernel_enabled() -> bool:
+    """YOHO_W8A8_KERNEL = auto (default: fused Pallas kernel on TPU, XLA
+    composition elsewhere) | on (force, incl. interpret mode — tests) |
+    off (XLA composition everywhere)."""
+    mode = os.environ.get("YOHO_W8A8_KERNEL", "auto").lower()
+    if mode == "on":
+        return True
+    if mode == "off":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 class Int8Dense(nn.Module):
     """W8A8 Dense for the ENCODER: int8 kernel (per-output-channel absmax
     scales, from ``yoho_tpu.nn.quantize``) x dynamically int8-quantized
@@ -351,6 +363,17 @@ class Int8Dense(nn.Module):
     default; quality is measured on the trained fixtures in
     tests/test_quantize.py and experiments/quantization_quality.py.
 
+    On TPU the whole op runs as ONE fused Pallas kernel
+    (``yoho_tpu.ops.w8a8_dense``): quantize -> int8 dot -> rescale/bias/
+    activation without HBM intermediates — composing the same math in
+    XLA measures 0.93x bf16 because the quant passes and the int32
+    epilogue each round-trip HBM (experiments/encoder_bisect.py).
+    ``activation="gelu_tanh"`` fuses the tanh-GELU into the epilogue
+    (used by the w8a8 MLP; the exact-erf GELU is VPU-bound — see
+    experiments/gelu_probe.py). Kernel and fallback agree to rounding
+    ties (a 1-ulp scale difference between compilations can flip an
+    int8 round — tested with tolerance, not bit-identity).
+
     Param layout is identical to QuantizedDense (kernel_q int8,
     kernel_scale (1, out) f32, bias f32) so ``quantize_dense_params``
     serves both.
@@ -359,6 +382,7 @@ class Int8Dense(nn.Module):
     features: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.bfloat16
+    activation: Optional[str] = None  # None | "gelu_tanh" (fused epilogue)
 
     @nn.compact
     def __call__(self, x):
@@ -367,6 +391,17 @@ class Int8Dense(nn.Module):
                               (in_dim, self.features), jnp.int8)
         scale = self.param("kernel_scale", nn.initializers.ones,
                            (1, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        # Kernel path needs a lane-aligned output width; tiny dims (test
+        # fixtures, micro models) take the XLA composition below.
+        if _w8a8_kernel_enabled() and self.features % 128 == 0:
+            from yoho_tpu.ops.w8a8_dense import w8a8_dense
+
+            return w8a8_dense(x, kernel_q, scale, bias,
+                              activation=self.activation,
+                              out_dtype=self.dtype)
         xq, xs = quantize_act_rows(x)
         y = jax.lax.dot_general(
             xq, kernel_q, (((x.ndim - 1,), (0,)), ((), ())),
@@ -375,10 +410,14 @@ class Int8Dense(nn.Module):
         # activation scale broadcasts over rows, per-channel kernel scale
         # over columns.
         y = y.astype(jnp.float32) * xs * scale
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros,
-                              (self.features,), jnp.float32)
+        if bias is not None:
             y = y + bias
+        if self.activation == "gelu_tanh":
+            from yoho_tpu.ops.w8a8_dense import _gelu_tanh
+
+            y = _gelu_tanh(y)
+        elif self.activation is not None:
+            raise ValueError(f"unknown activation {self.activation!r}")
         return y.astype(self.dtype)
 
 
@@ -445,8 +484,16 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        dense = (Int8Dense if self.w8a8
-                 else QuantizedDense if self.weights_int8 else nn.Dense)
+        if self.w8a8:
+            # W8A8 serving MLP: the GELU fuses into fc1's kernel epilogue
+            # as the tanh approximation (the exact-erf GELU is VPU-bound,
+            # ~60 ms of the whisper-small B=128 MLP stack —
+            # experiments/gelu_probe.py). Part of the documented
+            # encoder_int8 approximation; the default path keeps erf.
+            x = Int8Dense(self.n_state * self.expansion, dtype=self.dtype,
+                          activation="gelu_tanh", name="fc1")(x)
+            return Int8Dense(self.n_state, dtype=self.dtype, name="fc2")(x)
+        dense = QuantizedDense if self.weights_int8 else nn.Dense
         x = dense(self.n_state * self.expansion, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
         return dense(self.n_state, dtype=self.dtype, name="fc2")(x)
