@@ -49,7 +49,7 @@ TRAIN_MATRIX = [
 
 def bench_one(model_name="small", batch=320, beams=0, decode_tokens=224,
               iters=3, quantized_kv=True, quantized_cache=True,
-              int8_weights=False, int8_encoder=False):
+              int8_weights=False, int8_encoder=False, fast_gelu=False):
     """Measure one serving configuration -> result dict."""
     import jax
     import jax.numpy as jnp
@@ -63,7 +63,7 @@ def bench_one(model_name="small", batch=320, beams=0, decode_tokens=224,
     cfg = WHISPER_PRESETS[model_name]
     table = WhisperTokenTable(multilingual=True)
     model = Whisper(cfg, dtype=jnp.bfloat16, weights_int8=int8_weights,
-                    encoder_int8=int8_encoder)
+                    encoder_int8=int8_encoder, fast_gelu=fast_gelu)
 
     # Random bf16 params (shapes only matter for throughput); shapes come
     # from the PLAIN layout — the int8 path quantizes them below, exactly
@@ -155,7 +155,8 @@ def bench_one(model_name="small", batch=320, beams=0, decode_tokens=224,
                   f"{', int4 cross-KV' if quantized_kv == 'int4' else ', int8 cross-KV' if quantized_kv else ''}"
                   f"{', int8 cache' if quantized_cache else ''}"
                   f"{', int8 weights' if int8_weights else ''}"
-                  f"{', int8 encoder' if int8_encoder else ''}; "
+                  f"{', int8 encoder' if int8_encoder else ''}"
+                  f"{', tanh gelu' if fast_gelu else ''}; "
                   f"{tok_per_sec:.0f} tok/s)",
         "value": round(rtf, 2),
         "unit": "audio_s/s",
@@ -499,6 +500,7 @@ def main():
         quantized_cache=os.environ.get("BENCH_QUANTIZED_CACHE", "1") == "1",
         int8_weights=os.environ.get("BENCH_INT8_WEIGHTS", "0") == "1",
         int8_encoder=os.environ.get("BENCH_INT8_ENCODER", "0") == "1",
+        fast_gelu=os.environ.get("BENCH_FAST_GELU", "0") == "1",
     )
 
     if "--matrix" not in sys.argv:

@@ -78,9 +78,13 @@ def main():
               f"({dt*1e3/batch:7.3f} ms/window)", flush=True)
         return dt
 
+    model_fg = Whisper(cfg, dtype=jnp.bfloat16, fast_gelu=True)
+
     t_bf16 = timeit(f"{model_name} B={batch} bf16", model, variables)
+    t_fg = timeit(f"{model_name} B={batch} fast_gelu", model_fg, variables)
     t_int8 = timeit(f"{model_name} B={batch} W8A8", model_q, variables_q)
-    print(f"\nencoder speedup: {t_bf16 / t_int8:.2f}x")
+    print(f"\nfast_gelu speedup: {t_bf16 / t_fg:.2f}x   "
+          f"W8A8 speedup: {t_bf16 / t_int8:.2f}x")
 
 
 if __name__ == "__main__":

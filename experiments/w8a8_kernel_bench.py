@@ -28,8 +28,8 @@ def main():
 
     m = int(sys.argv[1]) if len(sys.argv) > 1 else 192000  # B=128 x T=1500
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-
-    K, N = 768, 3072  # whisper-small fc1
+    K = int(sys.argv[3]) if len(sys.argv) > 3 else 768
+    N = int(sys.argv[4]) if len(sys.argv) > 4 else 3072  # whisper-small fc1
     g = np.random.default_rng(0)
     x = jnp.asarray(g.standard_normal((m, K)).astype(np.float32) * 0.5,
                     jnp.bfloat16)
@@ -79,8 +79,14 @@ def main():
 
     timeit("XLA W8A8 composition", xla_w8a8, x, wq, ws)
 
-    for bm, bn in ((256, 512), (512, 1024), (1024, 1024), (1024, 3072),
-                   (2048, 1024), (2048, 3072)):
+    timeit("kernel auto-blocks",
+           lambda x, wq, ws: w8a8_dense(x, wq, ws, None), x, wq, ws)
+    timeit("kernel auto-blocks + gelu_tanh",
+           lambda x, wq, ws: w8a8_dense(x, wq, ws, None,
+                                        activation="gelu_tanh"), x, wq, ws)
+    for bm, bn in ((256, 512), (512, 1024), (1024, 1024)):
+        if N % bn and bn > N:
+            continue
         timeit(f"kernel bm={bm} bn={bn}",
                lambda x, wq, ws, bm=bm, bn=bn: w8a8_dense(
                    x, wq, ws, None, block_m=bm, block_n=bn), x, wq, ws)

@@ -115,3 +115,19 @@ def test_int8_encoder_transcripts_on_trained_weights(setup):
     texts = [t.transcribe(_tone_clip(i, cfg.n_samples)).text
              for i in range(3)]
     assert texts == GOLDEN["texts"]["bf16"]
+
+
+def test_fast_gelu_transcripts_on_trained_weights(setup):
+    """fast_gelu (tanh-GELU encoder MLPs) on REAL trained weights, same
+    param tree: a near-lossless approximation — transcripts must stay
+    exact on the overfit fixture's margins."""
+    from yoho_tpu.infer.pipeline import Transcriber
+    from yoho_tpu.nn.whisper import Whisper
+
+    cfg, model, variables, table = setup
+    f_model = Whisper(cfg, dtype=jnp.bfloat16, fast_gelu=True)
+    t = Transcriber(f_model, variables, family="whisper", token_table=table,
+                    batch_size=1, timestamps=False)
+    texts = [t.transcribe(_tone_clip(i, cfg.n_samples)).text
+             for i in range(3)]
+    assert texts == GOLDEN["texts"]["bf16"]

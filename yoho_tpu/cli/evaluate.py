@@ -158,6 +158,9 @@ def main(argv=None):
     parser.add_argument("--int8-encoder", action="store_true",
                         help="evaluate with the W8A8 int8 encoder "
                              "(measure the quantization quality delta)")
+    parser.add_argument("--fast-gelu", action="store_true",
+                        help="evaluate with the tanh-GELU encoder "
+                             "(measure the approximation quality delta)")
     parser.add_argument("--vad", action="store_true",
                         help="collapse silence before decoding (measures "
                              "the quality impact of VAD on this corpus)")
@@ -198,6 +201,7 @@ def main(argv=None):
                                       quantized=args.int8_kv,
                                       int8_weights=args.int8_weights,
                                       int8_encoder=args.int8_encoder,
+                                      fast_gelu=args.fast_gelu,
                                       vad_filter=args.vad, diarize=diarize,
                                       speaker_threshold=args.speaker_threshold)
     else:

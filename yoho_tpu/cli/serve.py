@@ -440,8 +440,12 @@ def main(argv=None):
     parser.add_argument("--int8-weights", action="store_true",
                         help="weight-only int8 decoder (near-lossless)")
     parser.add_argument("--int8-encoder", action="store_true",
-                        help="W8A8 int8 encoder on the MXU's 2x-rate int8 "
-                             "path (whisper family; near-lossless)")
+                        help="W8A8 int8 encoder MLPs (whisper family; "
+                             "capacity + small throughput win; "
+                             "near-lossless; implies the tanh GELU)")
+    parser.add_argument("--fast-gelu", action="store_true",
+                        help="tanh-GELU in encoder MLPs (~1.18x encoder "
+                             "throughput; near-lossless)")
     parser.add_argument("--vad", action="store_true",
                         help="collapse silence on the host before decoding")
     parser.add_argument("--word-timestamps", action="store_true",
@@ -548,6 +552,7 @@ def main(argv=None):
                                       quantized=args.int8_kv,
                                       int8_weights=args.int8_weights,
                                       int8_encoder=args.int8_encoder,
+                                      fast_gelu=args.fast_gelu,
                                       task=args.task,
                                       word_timestamps=args.word_timestamps,
                                       temperatures=temps,

@@ -65,6 +65,7 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
                               temperatures=(0.0,), best_of: int = 1,
                               int8_weights: bool = False,
                               int8_encoder: bool = False,
+                              fast_gelu: bool = False,
                               initial_prompt=None,
                               condition_on_previous_text: bool = False,
                               task: str = "transcribe",
@@ -106,7 +107,7 @@ def build_whisper_transcriber(hf_path: str, beams: int, batch: int, language: st
 
         params = quantize_whisper_encoder(params)
     model = Whisper(cfg, dtype=jnp.bfloat16, weights_int8=int8_weights,
-                    encoder_int8=int8_encoder)
+                    encoder_int8=int8_encoder, fast_gelu=fast_gelu)
     v3 = cfg.n_vocab == 51866
     multilingual = cfg.n_vocab != 51864
     table = WhisperTokenTable(multilingual=multilingual, v3=v3)
@@ -411,9 +412,14 @@ def main(argv=None):
                         help="weight-only int8 decoder (1.6x single-stream "
                              "weight traffic; near-lossless, not bit-exact)")
     parser.add_argument("--int8-encoder", action="store_true",
-                        help="W8A8 int8 encoder on the MXU's 2x-rate int8 "
-                             "path (whisper family; near-lossless, not "
-                             "bit-exact)")
+                        help="W8A8 int8 encoder MLPs (whisper family; "
+                             "halves encoder weight HBM, ~1.08x encoder "
+                             "throughput; near-lossless, not bit-exact; "
+                             "implies the tanh GELU)")
+    parser.add_argument("--fast-gelu", action="store_true",
+                        help="tanh-GELU in encoder MLPs (~1.18x encoder "
+                             "throughput, whisper family; near-lossless "
+                             "approximation of the exact erf GELU)")
     parser.add_argument("--word-timestamps", action="store_true")
     parser.add_argument("--temperature-fallback", action="store_true",
                         help="retry low-quality windows at higher temperatures")
@@ -534,6 +540,7 @@ def main(argv=None):
                                       best_of=args.best_of,
                                       int8_weights=args.int8_weights,
                                       int8_encoder=args.int8_encoder,
+                                      fast_gelu=args.fast_gelu,
                                       initial_prompt=args.initial_prompt,
                                       condition_on_previous_text=(
                                           args.condition_on_previous_text),
@@ -558,6 +565,10 @@ def main(argv=None):
         if args.int8_encoder:
             print("warning: --int8-encoder is ignored with --session "
                   "(W8A8 encoder serving is whisper-family only)",
+                  file=sys.stderr)
+        if args.fast_gelu:
+            print("warning: --fast-gelu is ignored with --session "
+                  "(the yoho family uses SwiGLU, not GELU)",
                   file=sys.stderr)
         if args.diarize_session:
             print("warning: --diarize-session is ignored with --session — "

@@ -31,7 +31,8 @@ def load_transcriber(
     timestamps: bool = True,
     int8_kv: bool = False,
     int8_weights: bool = False,
-    int8_encoder: bool = False,  # W8A8 encoder (whisper family)
+    int8_encoder: bool = False,  # W8A8 encoder MLPs (whisper family)
+    fast_gelu: bool = False,  # tanh-GELU encoder MLPs (whisper family)
     word_timestamps: bool = False,
     temperature_fallback: bool = False,
     best_of: int = 1,  # sampled candidates per window at temperature>0
@@ -95,7 +96,7 @@ def load_transcriber(
         return build_whisper_transcriber(
             hf, beams, batch, language, timestamps,
             quantized=int8_kv, int8_weights=int8_weights,
-            int8_encoder=int8_encoder,
+            int8_encoder=int8_encoder, fast_gelu=fast_gelu,
             word_timestamps=word_timestamps, temperatures=temps,
             best_of=best_of, initial_prompt=initial_prompt,
             condition_on_previous_text=condition_on_previous_text,
@@ -115,6 +116,7 @@ def load_transcriber(
         ("timestamps", timestamps, True),
         ("int8_kv", int8_kv, False),
         ("int8_encoder", int8_encoder, False),
+        ("fast_gelu", fast_gelu, False),
         ("temperature_fallback", temperature_fallback, False),
         ("best_of", best_of, 1),
         ("initial_prompt", initial_prompt, None),

@@ -170,15 +170,10 @@ class MultiHeadAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     weights_int8: bool = False  # serve with int8 kernels (QuantizedDense)
-    w8a8: bool = False  # encoder serving: int8 weights AND activations
 
     def setup(self):
         d = self.dtype
-        if self.weights_int8 and self.w8a8:
-            raise ValueError("weights_int8 and w8a8 are mutually exclusive "
-                             "dense selections")
-        dense = (Int8Dense if self.w8a8
-                 else QuantizedDense if self.weights_int8 else nn.Dense)
+        dense = QuantizedDense if self.weights_int8 else nn.Dense
         self.q_proj = dense(self.n_state, dtype=d, name="q_proj")
         self.k_proj = dense(self.n_state, use_bias=self.k_bias, dtype=d, name="k_proj")
         self.v_proj = dense(self.n_state, dtype=d, name="v_proj")
@@ -336,15 +331,19 @@ def quantize_act_rows(x) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _w8a8_kernel_enabled() -> bool:
-    """YOHO_W8A8_KERNEL = auto (default: fused Pallas kernel on TPU, XLA
-    composition elsewhere) | on (force, incl. interpret mode — tests) |
-    off (XLA composition everywhere)."""
-    mode = os.environ.get("YOHO_W8A8_KERNEL", "auto").lower()
-    if mode == "on":
-        return True
-    if mode == "off":
-        return False
-    return jax.default_backend() == "tpu"
+    """YOHO_W8A8_KERNEL = auto/off (default: XLA composition everywhere)
+    | on (force the fused Pallas kernel, incl. interpret mode — tests).
+
+    Default is the XLA composition because it MEASURES FASTER in-model:
+    whisper-small B=128 encoder, W8A8 MLPs — XLA 356 ms (1.21x bf16) vs
+    fused kernel 400 ms (1.08x). Isolated microbenches favored the
+    kernel, but inside the encoder XLA fuses the quantize into the
+    preceding layernorm and the dequant epilogue into the next op,
+    while a pallas_call is an opaque boundary. Same conclusion as the
+    decode kernels (PERFORMANCE.md speed-of-light audit): XLA keeps the
+    job; the kernel stays as the documented negative result and A/B
+    vehicle."""
+    return os.environ.get("YOHO_W8A8_KERNEL", "auto").lower() == "on"
 
 
 class Int8Dense(nn.Module):
@@ -481,21 +480,25 @@ class MLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
     weights_int8: bool = False
     w8a8: bool = False  # encoder serving: int8 weights AND activations
+    # tanh-GELU instead of exact erf: the erf costs ~60 ms of the
+    # whisper-small B=128 encoder MLP stack on the VPU while tanh is
+    # measured free (experiments/gelu_probe.py). A real approximation
+    # (~43% of bf16 outputs change in the last ulp band) — serving
+    # opt-in via Whisper(fast_gelu=True); training/parity keep erf.
+    gelu_tanh: bool = False
 
     @nn.compact
     def __call__(self, x):
         if self.w8a8:
             # W8A8 serving MLP: the GELU fuses into fc1's kernel epilogue
-            # as the tanh approximation (the exact-erf GELU is VPU-bound,
-            # ~60 ms of the whisper-small B=128 MLP stack —
-            # experiments/gelu_probe.py). Part of the documented
-            # encoder_int8 approximation; the default path keeps erf.
+            # as the tanh approximation (always — part of the documented
+            # encoder_int8 approximation; the default path keeps erf).
             x = Int8Dense(self.n_state * self.expansion, dtype=self.dtype,
                           activation="gelu_tanh", name="fc1")(x)
             return Int8Dense(self.n_state, dtype=self.dtype, name="fc2")(x)
         dense = QuantizedDense if self.weights_int8 else nn.Dense
         x = dense(self.n_state * self.expansion, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_tanh)
         return dense(self.n_state, dtype=self.dtype, name="fc2")(x)
 
 

@@ -90,14 +90,19 @@ def quantize_whisper_encoder(variables: dict) -> dict:
     """Param tree for ``Whisper(...)`` -> tree for
     ``Whisper(..., encoder_int8=True)`` (same model config).
 
-    Encoder block attention projections + MLP kernels become int8 with
-    per-output-channel scales (the same layout as the decoder scheme —
-    ``Int8Dense`` and ``QuantizedDense`` share it); the conv stem,
-    layernorms, and ``ln_post`` stay untouched. Unlike the weight-only
-    decoder scheme this feeds the MXU int8 on BOTH operands (activations
-    are quantized dynamically at run time) — the encoder is
-    compute-bound, and the v5e int8 MXU path runs at 2x bf16 peak
-    (experiments/int8_mxu_probe.py). Composes with
+    Encoder block MLP kernels (fc1/fc2) become int8 with per-output-
+    channel scales (the same layout as the decoder scheme — ``Int8Dense``
+    and ``QuantizedDense`` share it); attention projections, the conv
+    stem, layernorms, and ``ln_post`` stay untouched. MLP-ONLY on
+    purpose: the rectangular fc matmuls have enough MXU work per byte
+    for the int8 path to win, while the square n_state x n_state
+    attention projections measured 3x SLOWER than bf16 under dynamic
+    activation quantization (experiments/w8a8_kernel_bench.py) — so
+    they stay exact. Unlike the weight-only decoder scheme this feeds
+    the MXU int8 on BOTH operands (activations are quantized
+    dynamically at run time); the GELU between fc1/fc2 becomes the tanh
+    approximation, fused into fc1's kernel epilogue (the exact-erf GELU
+    is VPU-bound — experiments/gelu_probe.py). Composes with
     ``quantize_whisper_decoder`` (disjoint subtrees).
     """
     params = variables["params"] if "params" in variables else variables
@@ -108,13 +113,11 @@ def quantize_whisper_encoder(variables: dict) -> dict:
         if not name.startswith("blocks_"):
             continue
         new_block = dict(block)
-        for sub_name, sub in block.items():
-            if sub_name in ("attn", "mlp"):
-                new_sub = dict(sub)
-                for leaf_name, leaf in sub.items():
-                    if leaf_name in _DENSE_NAMES:
-                        new_sub[leaf_name] = quantize_dense_params(leaf)
-                new_block[sub_name] = new_sub
+        new_block["mlp"] = {
+            leaf_name: (quantize_dense_params(leaf)
+                        if leaf_name in _DENSE_NAMES else leaf)
+            for leaf_name, leaf in block["mlp"].items()
+        }
         enc[name] = new_block
 
     out["encoder"] = enc

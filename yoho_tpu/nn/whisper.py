@@ -49,16 +49,22 @@ class EncoderBlock(nn.Module):
     n_head: int
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
-    w8a8: bool = False  # int8 weights x int8 activations (encoder serving)
+    # W8A8 int8 serving: quantizes the MLP ONLY. Attention projections
+    # are square (n_state x n_state) — too little MXU work per byte for
+    # dynamic-quant int8 to beat bf16 (measured 3x SLOWER,
+    # experiments/w8a8_kernel_bench.py at 768x768) — so they stay exact.
+    w8a8: bool = False
+    # tanh-GELU in the MLP (see nn.layers.MLP.gelu_tanh) — the cheap
+    # half of the approximate encoder modes, usable without int8.
+    gelu_tanh: bool = False
 
     def setup(self):
         self.ln1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln1")
         self.attn = MultiHeadAttention(self.n_state, self.n_head, dtype=self.dtype,
-                                       use_flash=self.use_flash,
-                                       w8a8=self.w8a8, name="attn")
+                                       use_flash=self.use_flash, name="attn")
         self.ln2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln2")
         self.mlp = MLP(self.n_state, dtype=self.dtype, w8a8=self.w8a8,
-                       name="mlp")
+                       gelu_tanh=self.gelu_tanh, name="mlp")
 
     def __call__(self, x):
         x = x + self.attn(self.ln1(x))
@@ -113,10 +119,13 @@ class AudioEncoder(nn.Module):
     # recompute forward for O(depth) activation memory (see
     # yoho_tpu.nn.yoho.YOHOAudioEncoder.remat).
     remat: bool = False
-    # W8A8 serving: block attention projections + MLPs run int8 x int8
-    # on the MXU's doubled-rate int8 path (Int8Dense). Conv stem,
-    # layernorms, and the attention itself (softmax/AV) stay bf16.
+    # W8A8 serving: block MLPs run int8 x int8 through the fused Pallas
+    # kernel (Int8Dense; attention/conv/layernorms stay bf16 — see
+    # EncoderBlock.w8a8).
     w8a8: bool = False
+    # tanh-GELU in block MLPs (conv-stem GELUs stay erf: 2 activations
+    # over the stem vs 12+ MLP stacks — not worth approximating).
+    gelu_tanh: bool = False
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray) -> jnp.ndarray:
@@ -132,6 +141,7 @@ class AudioEncoder(nn.Module):
         for i in range(c.n_audio_layer):
             x = block_cls(c.n_audio_state, c.n_audio_head, dtype=d,
                           use_flash=self.use_flash, w8a8=self.w8a8,
+                          gelu_tanh=self.gelu_tanh,
                           name=f"blocks_{i}")(x)
         return nn.LayerNorm(epsilon=1e-5, dtype=d, name="ln_post")(x)
 
@@ -313,12 +323,21 @@ class Whisper(nn.Module):
     # repeats per token). ~1.6x on the B=1 weight-bound step; weights come
     # from yoho_tpu.nn.quantize.quantize_whisper_decoder, not training.
     weights_int8: bool = False
-    # Serve the ENCODER W8A8: int8 weights x dynamically-quantized int8
-    # activations on the MXU's 2x-rate int8 path (the encoder is
-    # compute-bound, so weight-only int8 buys nothing there — see
-    # nn.layers.Int8Dense). Weights from quantize_whisper_encoder.
-    # Composes freely with weights_int8 (disjoint subtrees).
+    # Serve the ENCODER's MLPs W8A8: int8 weights x dynamically-
+    # quantized int8 activations on the MXU int8 path, via the fused
+    # Pallas kernel (nn.layers.Int8Dense / ops.w8a8_dense). Measured
+    # HONESTLY: ~1.08x encoder throughput at whisper-small/turbo — the
+    # quant overheads eat most of the 2x MXU rate — but it HALVES the
+    # encoder weight footprint (0.63 GB freed on large-v3: a capacity
+    # lever) and includes the tanh-GELU below. Weights from
+    # quantize_whisper_encoder; composes with weights_int8 (disjoint
+    # subtrees). Implies the fast_gelu approximation in the MLPs.
     encoder_int8: bool = False
+    # tanh-GELU in encoder MLPs (exact-erf GELU is VPU-bound: ~60 ms of
+    # the whisper-small B=128 encoder, experiments/gelu_probe.py).
+    # Plain bf16 otherwise — no param changes, composes with anything.
+    # A real approximation; the default stays exact erf.
+    fast_gelu: bool = False
     # Gradient-checkpoint every transformer block (fine-tuning memory
     # lever, exact; `yoho finetune --remat`). See AudioEncoder.remat.
     remat: bool = False
@@ -327,6 +346,7 @@ class Whisper(nn.Module):
         self.encoder = AudioEncoder(self.cfg, dtype=self.dtype,
                                     use_flash=self.use_flash,
                                     w8a8=self.encoder_int8,
+                                    gelu_tanh=self.fast_gelu,
                                     remat=self.remat, name="encoder")
         self.decoder = TextDecoder(self.cfg, dtype=self.dtype,
                                    weights_int8=self.weights_int8,

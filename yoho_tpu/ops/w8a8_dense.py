@@ -61,6 +61,33 @@ def _w8a8_kernel(x_ref, w_ref, s_ref, b_ref, o_ref, *, activation):
     o_ref[...] = y.astype(o_ref.dtype)
 
 
+_VMEM_BUDGET = 10 * 1024 * 1024  # conservative slice of the ~16 MB VMEM
+
+
+def _pick_blocks(k: int, n: int, block_m: int, block_n: int):
+    """Choose (block_m, block_n) that fit VMEM with block_n a divisor of
+    N — preferring the WHOLE N per program (x is then read once instead
+    of once per column block; the narrow-N projection shapes measured
+    3x slower than bf16 when x was re-streamed per j —
+    experiments/w8a8_kernel_bench.py)."""
+
+    def fits(bm, bn):
+        return (k * bn                 # int8 weight block (resident)
+                + 2 * bm * k * 2       # double-buffered x tiles (bf16)
+                + bm * bn * 4          # int32/f32 accumulator
+                + 2 * bm * bn * 2      # double-buffered out tiles
+                ) <= _VMEM_BUDGET
+
+    for bm in (block_m, block_m // 2, block_m // 4):
+        if bm < 128:
+            break
+        for bn in [n] + [d for d in range(block_n, 127, -128) if n % d == 0]:
+            if fits(bm, bn):
+                return bm, bn
+    raise ValueError(f"no VMEM-fitting blocks for K={k}, N={n} "
+                     f"(N must be a multiple of 128)")
+
+
 @functools.partial(jax.jit, static_argnames=("activation", "block_m",
                                              "block_n", "out_dtype"))
 def w8a8_dense(x, w_q, w_scale, bias=None, *, activation=None,
@@ -82,16 +109,11 @@ def w8a8_dense(x, w_q, w_scale, bias=None, *, activation=None,
         m *= d
     xf = x.reshape(m, k)
 
+    block_m, block_n = _pick_blocks(k, n, block_m, block_n)
     pad_m = (-m) % block_m
     if pad_m:
         xf = jnp.pad(xf, ((0, pad_m), (0, 0)))
     mp = m + pad_m
-    while n % block_n:
-        # Shrink to a divisor of N (every model dim here is a multiple
-        # of 128: whisper states 384..1280 and their 4x expansions).
-        block_n //= 2
-        if block_n < 128:
-            raise ValueError(f"N={n} must be a multiple of 128")
 
     scale = jnp.asarray(w_scale, jnp.float32).reshape(1, n)
     b = (jnp.zeros((1, n), jnp.float32) if bias is None
