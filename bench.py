@@ -34,6 +34,11 @@ MATRIX = [
     ("large-v3-beam5", "large-v3", 8, 5, 224, 41.68),
     ("large-v3", "large-v3", 40, 0, 224, 280.0),
     ("large-v3-turbo", "large-v3-turbo", 128, 0, 224, 1121.0),
+    # int8-encoder serving lane (opt-in approximation): the encoder-heavy
+    # turbo gains the most (+15.8%); small gains +4% end to end.
+    ("large-v3-turbo-int8enc", "large-v3-turbo", 128, 0, 224, 1298.0,
+     {"int8_encoder": True}),
+    ("small-int8enc", "small", 320, 0, 224, 1755.9, {"int8_encoder": True}),
     ("small", "small", 320, 0, 224, 1688.0),
 ]
 
