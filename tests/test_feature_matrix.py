@@ -52,6 +52,15 @@ def models():
     d_model, d_vars = init(CFG_D, 1)
     q_model = Whisper(CFG_T, weights_int8=True)
     q_vars = quantize_whisper_decoder(t_vars)
+    # Encoder approximation modes: fast_gelu shares t's tree; encoder_int8
+    # gets a quantized-MLP tree (and composes with the int8 decoder).
+    from yoho_tpu.nn.quantize import quantize_whisper_encoder
+
+    fg_model = Whisper(CFG_T, fast_gelu=True)
+    e8_model = Whisper(CFG_T, encoder_int8=True)
+    e8_vars = quantize_whisper_encoder(t_vars)
+    e8q_model = Whisper(CFG_T, encoder_int8=True, weights_int8=True)
+    e8q_vars = quantize_whisper_decoder(quantize_whisper_encoder(t_vars))
     g = np.random.default_rng(0)
     audio = (0.1 * g.standard_normal(int(CFG_T.n_samples * 2.3))
              ).astype(np.float32)
@@ -69,7 +78,9 @@ def models():
                         jnp.ones((1, vp_cfg.max_audio_len), jnp.float32))
     alice = np.ones(16) / 4.0
     return dict(t=(t_model, t_vars), d=(d_model, d_vars),
-                q=(q_model, q_vars), vp=(enc, enc_vars),
+                q=(q_model, q_vars), fg=(fg_model, t_vars),
+                e8=(e8_model, e8_vars), e8q=(e8q_model, e8q_vars),
+                vp=(enc, enc_vars),
                 enrolled={"alice": alice}, audio=audio)
 
 
@@ -129,6 +140,14 @@ MATRIX = [
         _model="q", diarize_encoder=M["vp"][0],
         diarize_variables=M["vp"][1], enrolled_speakers=M["enrolled"],
         temperatures=(0.0, 0.5))),
+    ("fastgelu+beam2+int8kv", lambda M: dict(
+        _model="fg", beams=2, quantized_cross_kv=True,
+        quantized_cache=True)),
+    ("int8enc+draft+words", lambda M: dict(
+        _model="e8", draft_model=M["d"][0], draft_variables=M["d"][1],
+        word_timestamps=True)),
+    ("int8enc+int8weights+fallback+autolang", lambda M: dict(
+        _model="e8q", temperatures=(0.0, 0.5), language=None)),
 ]
 
 
@@ -146,6 +165,9 @@ def test_feature_combination(models, label, build):
 
 CONT_MATRIX = [
     ("cont", lambda M: dict()),
+    ("cont+int8enc", lambda M: dict(_model="e8")),
+    ("cont+fastgelu+int8kv", lambda M: dict(
+        _model="fg", quantized_cross_kv=True, quantized_cache=True)),
     ("cont+int8kv", lambda M: dict(quantized_cross_kv=True,
                                    quantized_cache=True)),
     ("cont+fallback", lambda M: dict(temperatures=(0.0, 0.5))),
@@ -173,8 +195,9 @@ def test_continuous_feature_combination(models, label, build):
     from yoho_tpu.infer.continuous import ContinuousBatcher
 
     kw = build(models)
+    which = kw.pop("_model", "t")
     table = WhisperTokenTable(multilingual=True, text_backend=_FakeBPE())
-    model, variables = models["t"]
+    model, variables = models[which]
     t = Transcriber(model, variables, family="whisper", token_table=table,
                     batch_size=2, **kw)
     batcher = ContinuousBatcher(t, max_batch=2, chunk_tokens=4)
