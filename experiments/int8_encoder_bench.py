@@ -2,11 +2,13 @@
 
 The encoder is compute-bound (~51% MFU under XLA, encoder_bench.py) and
 the v5e MXU runs int8 x int8 matmuls at 2x its bf16 peak (measured
-1.96x, int8_mxu_probe.py). ``Whisper(encoder_int8=True)`` runs every
-encoder block projection/MLP through ``Int8Dense`` (dynamic per-token
-activation quant, per-channel weight scales, int32 accumulation);
-attention softmax/AV, conv stem, and layernorms stay bf16. This bench
-measures what that buys end to end on the encoder forward.
+1.96x, int8_mxu_probe.py). ``Whisper(encoder_int8=True)`` runs the
+encoder block MLPs through ``Int8Dense`` (dynamic per-token activation
+quant, per-channel weight scales, int32 accumulation, tanh-GELU fused);
+attention (projections included — square matmuls measured 3x slower
+under dynamic quant), conv stem, and layernorms stay bf16. This bench
+measures what that buys end to end on the encoder forward, alongside
+the quantization-free ``fast_gelu`` mode.
 
 Protocol: in-jit chained repetition with weights/inputs as traced jit
 arguments (closed-over arrays become program constants — CLAUDE.md) and

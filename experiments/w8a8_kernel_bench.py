@@ -7,7 +7,7 @@ fixed per-program cost dominates). This sweeps block sizes on the real
 matmul shapes and compares against the bf16 jnp.dot and the XLA W8A8
 composition.
 
-Usage: python experiments/w8a8_kernel_bench.py [m] [reps]
+Usage: python experiments/w8a8_kernel_bench.py [m] [reps] [k] [n]
 """
 
 import os

@@ -578,6 +578,10 @@ def main(argv=None):
             print("warning: --int8-encoder is ignored with --session "
                   "(W8A8 encoder serving is whisper-family only)",
                   file=sys.stderr)
+        if args.fast_gelu:
+            print("warning: --fast-gelu is ignored with --session "
+                  "(the yoho family uses SwiGLU, not GELU)",
+                  file=sys.stderr)
         t = build_yoho_transcriber(args.session, args.root, args.beams,
                                    args.batch, vad_filter=args.vad,
                                    mesh=mesh, enrolled_speakers=enrolled,

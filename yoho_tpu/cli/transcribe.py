@@ -413,7 +413,7 @@ def main(argv=None):
                              "weight traffic; near-lossless, not bit-exact)")
     parser.add_argument("--int8-encoder", action="store_true",
                         help="W8A8 int8 encoder MLPs (whisper family; "
-                             "halves encoder weight HBM, ~1.08x encoder "
+                             "halves encoder weight HBM, 1.21x encoder "
                              "throughput; near-lossless, not bit-exact; "
                              "implies the tanh GELU)")
     parser.add_argument("--fast-gelu", action="store_true",

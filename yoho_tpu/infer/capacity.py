@@ -75,6 +75,14 @@ def whisper_encoder_param_count(cfg) -> int:
     return conv + enc
 
 
+def whisper_encoder_mlp_param_count(cfg) -> int:
+    """Encoder MLP (fc1+fc2) parameters — the slice
+    ``quantize_whisper_encoder`` actually quantizes (MLP-only; attention
+    projections/conv/LNs stay bf16)."""
+    s_a = cfg.n_audio_state
+    return cfg.n_audio_layer * (8 * s_a * s_a + 5 * s_a)
+
+
 def yoho_param_count(cfg, vocab_size: int) -> int:
     """Parameters of the custom YOHO model (``nn/yoho.py``) from dims."""
     s = cfg.dims
@@ -227,14 +235,17 @@ def resolve_auto_batch(t) -> int:
     weights_bytes = (1.0 if getattr(t.model, "weights_int8", False) else 2.0)
     extra_fixed = extra_stream = 0
     horizon = t.max_len
-    if (weights_bytes == 1.0 and t.family == "whisper"
-            and not getattr(t.model, "encoder_int8", False)):
+    if weights_bytes == 1.0 and t.family == "whisper":
         # quantize_whisper_decoder leaves the ENCODER in bf16: those params
-        # cost 1 byte more than the flat int8 accounting above. (With
-        # encoder_int8 the encoder kernels ARE int8, so the flat
-        # accounting is already right; without weights_int8, encoder_int8
-        # alone just makes the flat 2-byte model conservative.)
-        extra_fixed += whisper_encoder_param_count(cfg)
+        # cost 1 byte more than the flat int8 accounting above. With
+        # encoder_int8 only the encoder MLPs are int8 (MLP-only scheme) —
+        # attention projections/conv/LNs (~215 MB on large-v3) still pay
+        # the bf16 surcharge. (Without weights_int8, encoder_int8 alone
+        # just makes the flat 2-byte model conservative.)
+        bf16_extra = whisper_encoder_param_count(cfg)
+        if getattr(t.model, "encoder_int8", False):
+            bf16_extra -= whisper_encoder_mlp_param_count(cfg)
+        extra_fixed += bf16_extra
     if t.draft_model is not None:
         # Speculative decoding keeps a full second model + per-stream
         # caches live (pipeline._decode_fn: draft caches share the target's

@@ -362,12 +362,14 @@ class Int8Dense(nn.Module):
     default; quality is measured on the trained fixtures in
     tests/test_quantize.py and experiments/quantization_quality.py.
 
-    On TPU the whole op runs as ONE fused Pallas kernel
-    (``yoho_tpu.ops.w8a8_dense``): quantize -> int8 dot -> rescale/bias/
-    activation without HBM intermediates — composing the same math in
-    XLA measures 0.93x bf16 because the quant passes and the int32
-    epilogue each round-trip HBM (experiments/encoder_bisect.py).
-    ``activation="gelu_tanh"`` fuses the tanh-GELU into the epilogue
+    The production path is the XLA composition below — it measured
+    FASTER in-model than the fused Pallas kernel
+    (``yoho_tpu.ops.w8a8_dense``; 356 vs 400 ms on the whisper-small
+    B=128 encoder): XLA fuses the quantize into the preceding layernorm
+    and the epilogue into the consumer, while a pallas_call is an
+    opaque fusion boundary (see _w8a8_kernel_enabled; the kernel stays
+    as the A/B vehicle, YOHO_W8A8_KERNEL=on).
+    ``activation="gelu_tanh"`` applies the tanh-GELU after the rescale
     (used by the w8a8 MLP; the exact-erf GELU is VPU-bound — see
     experiments/gelu_probe.py). Kernel and fallback agree to rounding
     ties (a 1-ulp scale difference between compilations can flip an

@@ -119,9 +119,9 @@ class AudioEncoder(nn.Module):
     # recompute forward for O(depth) activation memory (see
     # yoho_tpu.nn.yoho.YOHOAudioEncoder.remat).
     remat: bool = False
-    # W8A8 serving: block MLPs run int8 x int8 through the fused Pallas
-    # kernel (Int8Dense; attention/conv/layernorms stay bf16 — see
-    # EncoderBlock.w8a8).
+    # W8A8 serving: block MLPs run int8 x int8 via Int8Dense (XLA
+    # composition by default — it beat the fused Pallas kernel in-model;
+    # attention/conv/layernorms stay bf16 — see EncoderBlock.w8a8).
     w8a8: bool = False
     # tanh-GELU in block MLPs (conv-stem GELUs stay erf: 2 activations
     # over the stem vs 12+ MLP stacks — not worth approximating).
@@ -324,8 +324,8 @@ class Whisper(nn.Module):
     # from yoho_tpu.nn.quantize.quantize_whisper_decoder, not training.
     weights_int8: bool = False
     # Serve the ENCODER's MLPs W8A8: int8 weights x dynamically-
-    # quantized int8 activations on the MXU int8 path, via the fused
-    # Pallas kernel (nn.layers.Int8Dense / ops.w8a8_dense). Measured
+    # quantized int8 activations on the MXU int8 path
+    # (nn.layers.Int8Dense; XLA composition by default). Measured
     # HONESTLY: ~1.08x encoder throughput at whisper-small/turbo — the
     # quant overheads eat most of the 2x MXU rate — but it HALVES the
     # encoder weight footprint (0.63 GB freed on large-v3: a capacity
