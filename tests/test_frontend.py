@@ -131,3 +131,15 @@ def test_normalize_standardize_guard():
     silent = jnp.zeros((1, 16, 8))
     out = normalize_standardize(silent)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_log_mel_rejects_wrong_rank():
+    """The public frontends take (batch, n_samples) only: wrong-rank audio
+    must raise instead of silently broadcasting into a garbage spectrogram
+    (found by an end-to-end error probe; 4-D input used to come back as a
+    5-D "mel")."""
+    for bad in (np.zeros(1600, np.float32), np.zeros((2, 3, 1600), np.float32)):
+        with pytest.raises(ValueError, match="batch, n_samples"):
+            whisper_log_mel(bad)
+        with pytest.raises(ValueError, match="batch, n_samples"):
+            yoho_log_mel(bad, YOHOConfig())

@@ -150,7 +150,12 @@ def log_mel_spectrogram(
     convention: str,
     log_floor: float,
 ) -> jnp.ndarray:
-    """Un-normalized log10 mel spectrogram, (..., frames, n_mels)."""
+    """Un-normalized log10 mel spectrogram, (B, frames, n_mels)."""
+    if getattr(audio, "ndim", None) != 2:
+        raise ValueError(
+            "expected audio of shape (batch, n_samples), got "
+            f"{getattr(audio, 'shape', type(audio))}"
+        )
     power = stft_power(audio, n_fft, hop, convention=convention)
     filters = jnp.asarray(
         mel_filter_bank(sample_rate, n_fft, n_mels, mel_scale=mel_scale).T
