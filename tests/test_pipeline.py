@@ -790,3 +790,25 @@ def test_per_request_language_exact_tokens():
         want = fixed.transcribe_many([audio])[0]
         assert [s.tokens for s in got.segments] == \
                [s.tokens for s in want.segments]
+
+
+def test_prepare_audio_scales_integer_pcm(yoho_setup):
+    """Raw integer PCM is scaled to [-1, 1] (soundfile convention), not
+    naively cast — a plain float cast would feed +-32767-amplitude audio
+    into the log-mel frontend and silently wreck the features."""
+    cfg, model, variables, tok = yoho_setup
+    t = Transcriber(model, variables, family="yoho", tokenizer=tok,
+                    batch_size=1)
+    g = np.random.default_rng(2)
+    mono = np.clip(0.25 * g.standard_normal(cfg.n_samples), -1, 1)
+    i16 = (mono * 32767).astype(np.int16)
+    got16 = t._prepare_audio(i16, None)
+    assert np.abs(got16).max() <= 1.0
+    np.testing.assert_allclose(got16, i16 / 32768.0, atol=1e-7)
+    np.testing.assert_allclose(got16, mono, atol=2.5 / 32768)
+    i32 = (mono * (2**31 - 1)).astype(np.int32)
+    np.testing.assert_allclose(t._prepare_audio(i32, None), mono, atol=1e-6)
+    u8 = np.clip(np.round(mono * 128) + 128, 0, 255).astype(np.uint8)
+    got8 = t._prepare_audio(u8, None)
+    assert np.abs(got8).max() <= 1.0
+    np.testing.assert_allclose(got8, mono, atol=1.5 / 128)

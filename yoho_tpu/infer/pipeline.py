@@ -321,6 +321,19 @@ class Transcriber(DecodeProgramsMixin, FallbackLadderMixin,
     def _prepare_audio(self, audio, sample_rate: Optional[int]) -> np.ndarray:
         if isinstance(audio, (str, Path)):
             return load_audio_f32(audio, self.sample_rate)
+        audio = np.asarray(audio)
+        if audio.dtype.kind in "iu":
+            # Raw PCM: scale to [-1, 1] (soundfile convention) — a plain
+            # float cast would feed +-32767-amplitude samples into the
+            # log-mel frontend and silently wreck the features.
+            info = np.iinfo(audio.dtype)
+            half = float(info.max) + 1.0
+            audio = audio.astype(np.float32)
+            if info.min == 0:  # unsigned PCM (e.g. uint8 WAV) is offset
+                audio -= half / 2.0
+                audio /= half / 2.0
+            else:
+                audio /= half
         audio = np.asarray(audio, np.float32)
         if audio.ndim == 2:  # (samples, channels) or (channels, samples)
             audio = audio.mean(axis=1 if audio.shape[0] > audio.shape[1] else 0)
