@@ -55,9 +55,12 @@ def build(batch, remat_block):
 
     tokens0 = jnp.zeros((1, cfg.max_text_len), jnp.int32)
     mel0 = jnp.zeros((1, cfg.max_audio_len, cfg.n_mel_bands), jnp.float32)
+    # Init with the SAME method the timed loss calls (plain __call__):
+    # forward_with_voiceprints would also create voiceprint-head params
+    # that sit unused in the loss yet still receive AdamW updates,
+    # slightly overstating every policy's absolute ms/step.
     params = jax.jit(
-        lambda: model.init(jax.random.PRNGKey(0), tokens0, mel0,
-                           method=YOHOModel.forward_with_voiceprints)["params"]
+        lambda: model.init(jax.random.PRNGKey(0), tokens0, mel0)["params"]
     )()
     optimizer = optax.adamw(1e-4)
 

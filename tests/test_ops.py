@@ -105,6 +105,22 @@ def test_fused_whisper_normalized_matches_xla():
                                rtol=1e-3, atol=2e-3)
 
 
+def test_fused_frontends_reject_wrong_rank_like_xla():
+    """The fused drop-ins must reject non-(batch, n_samples) audio with
+    the same ValueError as the XLA frontends (ADVICE r4): silently
+    reshaping a 1-D waveform or a nested batch diverges from the
+    functions they are documented drop-ins for."""
+    import pytest
+
+    cfg = YOHOConfig(n_mel_bands=32, max_audio_len=128)
+    for bad in (np.zeros(16_000, np.float32),
+                np.zeros((2, 3, 16_000), np.float32)):
+        with pytest.raises(ValueError, match="batch, n_samples"):
+            fused_whisper_log_mel(jnp.asarray(bad))
+        with pytest.raises(ValueError, match="batch, n_samples"):
+            fused_yoho_log_mel(jnp.asarray(bad), cfg)
+
+
 # ------------------------------------------------------- fused decode attention
 def _quantize_ref(x):
     import numpy as np

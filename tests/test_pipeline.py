@@ -812,3 +812,18 @@ def test_prepare_audio_scales_integer_pcm(yoho_setup):
     got8 = t._prepare_audio(u8, None)
     assert np.abs(got8).max() <= 1.0
     np.testing.assert_allclose(got8, mono, atol=1.5 / 128)
+
+
+def test_prepare_audio_rejects_non_pcm_integer_dtypes(yoho_setup):
+    """A Python list of int16-range samples becomes int64 under
+    np.asarray; dividing by 2^63 would silently turn it into
+    near-silence, so non-PCM integer dtypes raise instead (ADVICE r4)."""
+    cfg, model, variables, tok = yoho_setup
+    t = Transcriber(model, variables, family="yoho", tokenizer=tok,
+                    batch_size=1)
+    with pytest.raises(ValueError, match="not a PCM dtype"):
+        t._prepare_audio([0, 100, -100, 32000], None)  # int64 via asarray
+    with pytest.raises(ValueError, match="not a PCM dtype"):
+        t._prepare_audio(np.zeros(64, np.int64), None)
+    with pytest.raises(ValueError, match="not a PCM dtype"):
+        t._prepare_audio(np.zeros(64, np.uint16), None)

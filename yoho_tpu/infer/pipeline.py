@@ -325,7 +325,15 @@ class Transcriber(DecodeProgramsMixin, FallbackLadderMixin,
         if audio.dtype.kind in "iu":
             # Raw PCM: scale to [-1, 1] (soundfile convention) — a plain
             # float cast would feed +-32767-amplitude samples into the
-            # log-mel frontend and silently wreck the features.
+            # log-mel frontend and silently wreck the features. Only the
+            # dtypes real PCM containers use are auto-scaled; a Python
+            # list of ints becomes int64 under np.asarray and dividing
+            # by 2^63 would silently turn it into near-silence.
+            if audio.dtype not in (np.uint8, np.int16, np.int32):
+                raise ValueError(
+                    f"integer audio dtype {audio.dtype} is not a PCM "
+                    "dtype (uint8/int16/int32); pass float samples in "
+                    "[-1, 1] or cast to a real PCM dtype first")
             info = np.iinfo(audio.dtype)
             half = float(info.max) + 1.0
             audio = audio.astype(np.float32)

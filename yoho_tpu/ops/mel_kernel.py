@@ -194,11 +194,24 @@ def fused_log_mel(
     return out[:, :num_frames, :n_mels].reshape(*lead, num_frames, n_mels)
 
 
+def _require_batched(audio) -> None:
+    """Same (batch, n_samples) guard as the XLA frontends
+    (``audio.frontend.log_mel_spectrogram``): the fused entry points are
+    documented drop-ins, so they must reject wrong-rank audio identically
+    instead of silently reshaping it."""
+    if getattr(audio, "ndim", None) != 2:
+        raise ValueError(
+            "expected audio of shape (batch, n_samples), got "
+            f"{getattr(audio, 'shape', type(audio))}"
+        )
+
+
 def fused_whisper_log_mel(audio: jnp.ndarray, n_mels: int = 80) -> jnp.ndarray:
     """Whisper-normalized fused frontend: drop-in for
     ``yoho_tpu.audio.frontend.whisper_log_mel``."""
     from yoho_tpu.audio.frontend import normalize_whisper
 
+    _require_batched(audio)
     return normalize_whisper(
         fused_log_mel(audio, n_mels=n_mels, mel_scale="slaney",
                       convention="whisper", log_floor=1e-10)
@@ -209,6 +222,7 @@ def fused_yoho_log_mel(audio: jnp.ndarray, config) -> jnp.ndarray:
     """Reference-convention fused frontend: drop-in for ``yoho_log_mel``."""
     from yoho_tpu.audio.frontend import normalize_standardize
 
+    _require_batched(audio)
     return normalize_standardize(
         fused_log_mel(
             audio,
