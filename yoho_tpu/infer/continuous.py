@@ -1,43 +1,21 @@
-"""Continuous batching for greedy serving (slot-based decode; both
-model families).
+"""Continuous batching for greedy serving: the request-level batcher.
 
-The batched decode programs (``infer/decode.py``) run a whole window
-batch to completion: streams that emit EOT after 40 tokens idle until the
-batch's slowest stream finishes (up to ``n_text_ctx``), and a request
-arriving mid-decode waits for the full batch. Continuous batching fixes
-both the TPU-first way: ONE fixed-shape compiled step loop over S slots
-where every slot decodes at its OWN position, plus a fixed admission
-program that prefills a single slot — freed slots are refilled between
-chunks of K tokens, so a new request waits at most K steps and finished
-slots never idle.
-
-What makes this possible is vector-position decode plumbing: per-row
-``pos`` flows through the positional-embedding gather, the causal cache
-mask, the cache scatter (``KVCache.update``), and the timestamp rules
-(``whisper_rules``) — all static shapes, still exactly two compiled
-programs (admit, chunk) regardless of traffic.
+Requests' windows are admitted into freed decode slots between K-token
+chunks instead of waiting for whole-batch completion. The compiled slot
+machinery lives in ``infer/slot_engine.py`` (engine + EngineSpec program
+interface; VERDICT r4 item 7 split); the speculative program builders in
+``infer/continuous_spec.py``; this module owns the THREADING surface:
+request queueing, windowing, admission pacing, cancellation, fallback
+retries and assembly.
 
 Greedy parity: a window decoded through slots produces the IDENTICAL
 token sequence as ``greedy_decode`` (same suppression, timestamp rules,
-quality signals) — pinned in tests/test_continuous.py.
-
-Scope: whisper AND yoho families; slot decodes are greedy (no beams).
-Speculative draft-verify decoding COMPOSES with the slot engine
-(``infer/continuous_spec.py``): with a draft model attached each slot
-advances by its own per-round accepted length — unlike the batched
-speculative decoder there is no lockstep minimum across streams. The
-whisper temperature-fallback ladder IS also supported —
-slot decodes are rung 0, and failed windows re-decode at rungs > 0 in
-the batcher's assemble step (same `_run_fallback_ladder` as the batched
-path, on the submitting caller's thread). Yoho voiceprints and whisper
-word timestamps are extracted by the batcher's post-pass, exactly like
-the batched path. Admissions batch too (one fixed-shape admit program
-encodes + prefills up to S windows per call), so the encoder amortizes
-like the batched path; bulk offline throughput can still favor
-``Transcriber.transcribe_many`` when every stream decodes the same
-length, while continuous mode wins latency and slot utilization under
-skewed decode lengths and staggered arrivals. No reference counterpart
-(the reference has no serving layer at all — SURVEY.md §1).
+quality signals) — pinned in tests/test_continuous.py. Scope: whisper
+AND yoho families; slot decodes are greedy (no beams); speculative
+draft-verify and the whisper temperature-fallback ladder both compose
+(rungs > 0 re-decode in the batcher's assemble step on the submitting
+caller's thread). No reference counterpart (the reference has no serving
+layer at all — SURVEY.md §1).
 """
 
 from __future__ import annotations
@@ -50,398 +28,14 @@ from typing import Any, Callable, List, Optional
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
-
-@dataclass(eq=False)
-class _Window:
-    """One 30 s window in flight."""
-
-    window: np.ndarray  # (n_samples,) f32
-    prompt: np.ndarray  # (P,) int32
-    done: threading.Event = field(default_factory=threading.Event)
-    tokens: Optional[np.ndarray] = None  # (max_len,) on completion
-    length: int = 0
-    sum_logprob: float = 0.0
-    no_speech_prob: float = 0.0
-    req: Any = None  # owning _Request (set by ContinuousBatcher)
-
-
-def make_admit(engine, encode_one, encode_one_d=None):
-    """Build the admit program: encode + prefill up to S windows in ONE
-    call. Shared by the greedy engine and the speculative engine
-    (``continuous_spec.build_spec_programs``) so the no-speech
-    convention, slot-placement contract, and first-token/active/sum_lp
-    bookkeeping have exactly one implementation.
-
-    windows (S, n_samples) / prompts (S, P): admission batch rows
-    (garbage past the valid count — their outputs are discarded).
-    fill_row (S,) int32 / fill_valid (S,) bool are SLOT-indexed: slot s
-    takes admission row fill_row[s] when fill_valid[s] — a gather +
-    select per slot, so there are no scatter collisions and untouched
-    slots keep their state. Constant latency for 1..S admissions; the
-    encoder runs batched (at small batch it is latency-bound, so one
-    admission costs the same call as S — and S admissions cost ONE
-    call, not S).
-
-    With ``encode_one_d`` the draft model is encoded + prefilled too and
-    the function takes/returns the extended draft state (``d_state`` =
-    (d_vars, d_caches, d_ckv); returns with d_caches/d_ckv placed).
-    """
-    t = engine.t
-    init_caches, step = engine._init_caches, engine._step
-    P, S = engine.prompt_len, engine.slots
-    eot = engine.eot
-    ns_id = (t.token_table.no_speech if t.family == "whisper" else None)
-    draft = encode_one_d is not None
-
-    def admit(variables, caches, ckv, tokens, pos, active, sum_lp,
-              no_speech, windows, prompts, fill_row, fill_valid,
-              d_state=None):
-        from yoho_tpu.infer.decode import as_f32_logits
-
-        ckv_new = encode_one(variables, windows)
-        fresh = init_caches(variables, S)
-        logits, fresh = step(variables, prompts, fresh, ckv_new, 0)
-
-        def place(big, new):
-            mask = fill_valid.reshape((S,) + (1,) * (big.ndim - 1))
-            return jnp.where(mask, new[fill_row].astype(big.dtype), big)
-
-        if draft:
-            d_vars, d_caches, d_ckv = d_state
-            d_ckv_new = encode_one_d(d_vars, windows)
-            d_fresh = engine._init_caches_d(d_vars, S)
-            _dl, d_fresh = engine._step_d(d_vars, prompts, d_fresh,
-                                          d_ckv_new, 0)
-            d_ckv = jax.tree_util.tree_map(place, d_ckv, d_ckv_new)
-            d_caches = jax.tree_util.tree_map(place, d_caches, d_fresh)
-
-        last = logits[:, -1]
-        # <|nospeech|> mass at the SOT position's output distribution
-        # (OpenAI probs_at_sot) — same convention as greedy/beam.
-        sot_pos = t._sot_index(P)
-        ns_src = last if sot_pos is None else logits[:, sot_pos]
-        ns_prob = (jax.nn.softmax(as_f32_logits(ns_src), axis=-1)[:, ns_id]
-                   if ns_id is not None else jnp.zeros((S,), jnp.float32))
-        # Token rows sized to the engine's workspace width: == max_len
-        # for the greedy engine, max_len + stale-write slack in spec mode.
-        rows_buf = jnp.full((S, engine.ext), eot, jnp.int32)
-        rows_buf = jax.lax.dynamic_update_slice(rows_buf, prompts, (0, 0))
-        first, lp0 = engine._pick(last, rows_buf, P)
-        rows_buf = rows_buf.at[:, P].set(first)
-
-        ckv = jax.tree_util.tree_map(place, ckv, ckv_new)
-        caches = jax.tree_util.tree_map(place, caches, fresh)
-        tokens = place(tokens, rows_buf)
-        pos = jnp.where(fill_valid, P, pos)
-        active = jnp.where(fill_valid, first[fill_row] != eot, active)
-        sum_lp = jnp.where(fill_valid, lp0[fill_row], sum_lp)
-        no_speech = jnp.where(fill_valid, ns_prob[fill_row], no_speech)
-        if draft:
-            return (caches, d_caches, ckv, d_ckv, tokens, pos, active,
-                    sum_lp, no_speech)
-        return caches, ckv, tokens, pos, active, sum_lp, no_speech
-
-    return admit
-
-
-class ContinuousWhisperDecoder:
-    """Slot engine: admit windows into free slots, decode in K-token
-    chunks, reap finished slots. Driven by one owner thread
-    (:class:`ContinuousBatcher`); not itself thread-safe. Despite the
-    historical name it drives BOTH families (whisper and yoho — the
-    family-dependent surfaces are resolved at construction)."""
-
-    def __init__(self, transcriber, slots: Optional[int] = None,
-                 chunk_tokens: int = 16):
-        t = transcriber
-        if t.family not in ("whisper", "yoho"):
-            raise ValueError(f"unknown family {t.family!r}")
-        if t.beams > 1:
-            raise ValueError("continuous batching is greedy-only "
-                             "(no beams)")
-        if t.temperatures and t.temperatures[0] != 0.0:
-            # Rung 0 is the slot engine's greedy decode; rungs > 0 are
-            # handled by the batcher's assemble step (_run_fallback_ladder).
-            raise ValueError("continuous batching decodes rung 0 greedily; "
-                             "the temperature ladder must start at 0.0")
-        self.t = t
-        self.slots = int(slots or t.batch_size)
-        self.chunk_tokens = int(chunk_tokens)
-        if self.chunk_tokens < 1:
-            raise ValueError("chunk_tokens must be >= 1 (0 would decode "
-                             "nothing per tick and livelock the worker)")
-        if self.slots < 1:
-            raise ValueError("need at least one slot")
-        self.prompt_len = len(t._prompt_ids())
-        self.max_len = t.max_len
-        self.eot = t.eot
-        # Speculative slots (continuous_spec.py): each slot carries its
-        # own draft-verify cursor. ``ext`` adds stale-write workspace past
-        # the horizon (verify blocks may scatter up to gamma positions
-        # beyond a committing EOT; reap reads only [:max_len]).
-        self.draft = t.draft_model is not None
-        self.gamma = int(t.speculative_gamma) if self.draft else 0
-        if self.draft and self.gamma < 1:
-            raise ValueError(f"speculative_gamma must be >= 1, "
-                             f"got {t.speculative_gamma}")
-        self.ext = self.max_len + (self.gamma + 2 if self.draft else 0)
-
-        model = t.model
-        self._rules = None
-        if t.family == "whisper" and t.timestamps:
-            from yoho_tpu.infer.whisper_rules import make_timestamp_rules
-
-            self._rules = make_timestamp_rules(t.token_table, self.prompt_len)
-        self._suppress = t._suppress_ids()
-        # Same logit bias (hotwords / logit_bias=) as the offline decode
-        # programs — applied before the rules, mirroring pipeline.py.
-        self._bias = t._bias_logits_fn()
-        # Repetition controls, between bias and timestamp rules — the
-        # same order as pipeline._build_decode_fn (per-row pos works:
-        # logit_rules broadcasts pos exactly like whisper_rules).
-        self._rep = t._repetition_rules_fn(self.prompt_len)
-
-        # Family-dependent model surfaces (mirrors infer/pipeline.py):
-        # whisper's init_caches takes the quantized flag and its
-        # decode_step returns (logits, caches); yoho's decode_step also
-        # returns voiceprint states (extracted post-hoc by the batcher).
-        quantize = t.quantized_cross_kv if t.family == "whisper" else False
-        # Decode horizon: spec mode needs cache workspace past max_len
-        # (stale multi-token writes — see infer/speculative.py).
-        horizon = self.ext if self.draft else None
-
-        def make_surfaces(a_model):
-            if t.family == "whisper":
-                def init_caches(variables, batch):
-                    return a_model.apply(variables, batch, t.cache_dtype,
-                                         horizon, t.quantized_cache,
-                                         method=type(a_model).init_caches)
-
-                def step(variables, toks, caches, ckv, pos):
-                    return a_model.apply(variables, toks, caches, ckv, pos,
-                                         method=type(a_model).decode_step)
-            else:
-                def init_caches(variables, batch):
-                    return a_model.apply(variables, batch, t.cache_dtype,
-                                         horizon,
-                                         method=type(a_model).init_caches)
-
-                def step(variables, toks, caches, ckv, pos):
-                    logits, _vp, caches = a_model.apply(
-                        variables, toks, caches, ckv, pos,
-                        method=type(a_model).decode_step)
-                    return logits, caches
-
-            def encode_one(variables, window):
-                mel = t._features(window)
-                xa = a_model.apply(variables, mel,
-                                   method=type(a_model).encode_audio)
-                if quantize:
-                    return a_model.apply(variables, xa, quantize,
-                                         method=type(a_model).cross_kvs)
-                return a_model.apply(variables, xa,
-                                     method=type(a_model).cross_kvs)
-
-            return init_caches, step, encode_one
-
-        self._init_caches, self._step, encode_one = make_surfaces(model)
-
-        def ckv_state(enc, variables):
-            b1 = jax.eval_shape(
-                enc, variables,
-                jax.ShapeDtypeStruct((1, t.chunk_samples), jnp.float32))
-            return jax.tree_util.tree_map(
-                lambda s: jnp.zeros((self.slots,) + s.shape[1:], s.dtype),
-                b1)
-
-        self.ckv = ckv_state(encode_one, t.variables)
-        self.caches = self._init_caches(t.variables, self.slots)
-        encode_one_d = None
-        if self.draft:
-            (self._init_caches_d, self._step_d,
-             encode_one_d) = make_surfaces(t.draft_model)
-            self.d_ckv = ckv_state(encode_one_d, t.draft_variables)
-            self.d_caches = self._init_caches_d(t.draft_variables,
-                                                self.slots)
-        self.tokens = jnp.full((self.slots, self.ext), self.eot,
-                               jnp.int32)
-        self.pos = jnp.zeros((self.slots,), jnp.int32)
-        self.active = jnp.zeros((self.slots,), bool)
-        self.sum_lp = jnp.zeros((self.slots,), jnp.float32)
-        self.no_speech = jnp.zeros((self.slots,), jnp.float32)
-
-        self._occupied: List[Optional[_Window]] = [None] * self.slots
-        if self.draft:
-            from yoho_tpu.infer.continuous_spec import build_spec_programs
-
-            self._admit, self._chunk = build_spec_programs(
-                self, encode_one, encode_one_d)
-        else:
-            self._build_programs(encode_one)
-
-    # ------------------------------------------------------------------
-    def _pick(self, logits, tokens, pos):
-        """Greedy next-token under suppression + timestamp rules; returns
-        (next_id, logprob). ``pos`` scalar (admission) or vector (chunk)."""
-        from yoho_tpu.infer.decode import _suppress, as_f32_logits
-
-        logits = _suppress(as_f32_logits(logits), self._suppress)
-        if self._bias is not None:
-            logits = self._bias(logits)
-        if self._rep is not None:
-            logits = self._rep(logits, tokens, pos)
-        if self._rules is not None:
-            logits = self._rules(logits, tokens, pos)
-        nxt = jnp.argmax(logits, axis=-1)
-        logprobs = jax.nn.log_softmax(logits, axis=-1)
-        lp = jnp.take_along_axis(logprobs, nxt[:, None], axis=-1)[:, 0]
-        return nxt.astype(jnp.int32), lp
-
-    def _build_programs(self, encode_one) -> None:
-        t = self.t
-        model = t.model
-        init_caches, step = self._init_caches, self._step
-        P, S, L = self.prompt_len, self.slots, self.max_len
-        eot = self.eot
-
-        admit = make_admit(self, encode_one)
-
-        def chunk(variables, caches, ckv, tokens, pos, active, sum_lp):
-            """K greedy steps over all slots, each at its own position."""
-
-            def body(_i, state):
-                caches, tokens, pos, active, sum_lp = state
-                rows = jnp.arange(S)
-                cur = tokens[rows, pos][:, None]  # last decided token
-                logits, caches = step(variables, cur, caches, ckv, pos)
-                nxt, lp = self._pick(logits[:, -1], tokens, pos + 1)
-                nxt = jnp.where(active, nxt, eot)
-                sum_lp = sum_lp + jnp.where(active, lp, 0.0)
-                new_pos = jnp.where(active, pos + 1, pos)
-                val = jnp.where(active, nxt, tokens[rows, new_pos])
-                tokens = tokens.at[rows, new_pos].set(val)
-                active = jnp.logical_and(
-                    active, jnp.logical_and(nxt != eot, new_pos + 1 < L))
-                return caches, tokens, new_pos, active, sum_lp
-
-            caches, tokens, pos, active, sum_lp = jax.lax.fori_loop(
-                0, self.chunk_tokens, body,
-                (caches, tokens, pos, active, sum_lp))
-            return caches, tokens, pos, active, sum_lp
-
-        self._admit = jax.jit(admit, donate_argnums=(1, 2, 3, 4, 5, 6, 7))
-        self._chunk = jax.jit(chunk, donate_argnums=(1, 3, 4, 5, 6))
-
-    # ------------------------------------------------------------------
-    def admit(self, win: _Window) -> bool:
-        """Place one window into a free slot; False when all slots busy."""
-        return self.admit_many([win]) == 1
-
-    def admit_many(self, wins: List[_Window]) -> int:
-        """Admit up to ``free_slots`` windows in ONE device call; returns
-        how many were taken (the rest stay with the caller)."""
-        free = [s for s, w in enumerate(self._occupied) if w is None]
-        take = wins[: len(free)]
-        if not take:
-            return 0
-        S = self.slots
-        windows = np.zeros((S, self.t.chunk_samples), np.float32)
-        prompts = np.zeros((S, self.prompt_len), np.int32)
-        prompts[:] = take[0].prompt[None, :]  # valid ids in garbage rows
-        fill_row = np.zeros(S, np.int32)
-        fill_valid = np.zeros(S, bool)
-        for i, win in enumerate(take):
-            windows[i] = win.window
-            prompts[i] = win.prompt
-            fill_row[free[i]] = i
-            fill_valid[free[i]] = True
-        if self.draft:
-            (self.caches, self.d_caches, self.ckv, self.d_ckv, self.tokens,
-             self.pos, self.active, self.sum_lp, self.no_speech) = \
-                self._admit(
-                    self.t.variables, self.t.draft_variables, self.caches,
-                    self.d_caches, self.ckv, self.d_ckv, self.tokens,
-                    self.pos, self.active, self.sum_lp, self.no_speech,
-                    jnp.asarray(windows), jnp.asarray(prompts),
-                    jnp.asarray(fill_row), jnp.asarray(fill_valid))
-        else:
-            (self.caches, self.ckv, self.tokens, self.pos, self.active,
-             self.sum_lp, self.no_speech) = self._admit(
-                self.t.variables, self.caches, self.ckv, self.tokens,
-                self.pos, self.active, self.sum_lp, self.no_speech,
-                jnp.asarray(windows), jnp.asarray(prompts),
-                jnp.asarray(fill_row), jnp.asarray(fill_valid))
-        for i, win in enumerate(take):
-            self._occupied[free[i]] = win
-        return len(take)
-
-    def step(self) -> List[_Window]:
-        """One K-token chunk over every slot; returns reaped windows."""
-        if self.draft:
-            (self.caches, self.d_caches, self.tokens, self.pos, self.active,
-             self.sum_lp) = self._chunk(
-                self.t.variables, self.t.draft_variables, self.caches,
-                self.d_caches, self.ckv, self.d_ckv, self.tokens, self.pos,
-                self.active, self.sum_lp)
-        else:
-            (self.caches, self.tokens, self.pos, self.active,
-             self.sum_lp) = self._chunk(
-                self.t.variables, self.caches, self.ckv, self.tokens,
-                self.pos, self.active, self.sum_lp)
-        return self.reap()
-
-    def reap(self) -> List[_Window]:
-        """Collect finished slots (occupied but no longer active)."""
-        active = np.asarray(self.active)
-        done: List[_Window] = []
-        dirty = [s for s, w in enumerate(self._occupied)
-                 if w is not None and not active[s]]
-        if not dirty:
-            return done
-        tokens = np.asarray(self.tokens)
-        sum_lp = np.asarray(self.sum_lp)
-        no_speech = np.asarray(self.no_speech)
-        P = self.prompt_len
-        for s in dirty:
-            win = self._occupied[s]
-            self._occupied[s] = None
-            # Spec mode keeps stale-write workspace past max_len — the
-            # committed stream (and greedy parity) lives in [:max_len].
-            row = tokens[s][: self.max_len]
-            is_eot = row[P:] == self.eot
-            length = (P + int(np.argmax(is_eot)) + 1 if is_eot.any()
-                      else self.max_len)
-            win.tokens = row
-            win.length = length
-            win.sum_logprob = float(sum_lp[s])
-            win.no_speech_prob = float(no_speech[s])
-            done.append(win)
-        return done
-
-    def release(self, pred) -> int:
-        """Free every occupied slot whose window matches ``pred`` without
-        reaping its tokens (request cancellation): the slot goes inactive
-        on device — it stops advancing in :meth:`step` and is refillable
-        by the next :meth:`admit_many` — and the window is discarded."""
-        idx = [s for s, w in enumerate(self._occupied)
-               if w is not None and pred(w)]
-        if not idx:
-            return 0
-        self.active = self.active.at[jnp.asarray(np.asarray(idx))].set(False)
-        for s in idx:
-            self._occupied[s] = None
-        return len(idx)
-
-    @property
-    def busy(self) -> bool:
-        return any(w is not None for w in self._occupied)
-
-    @property
-    def free_slots(self) -> int:
-        return sum(w is None for w in self._occupied)
+from yoho_tpu.infer.slot_engine import (  # noqa: F401  (re-exports)
+    ContinuousWhisperDecoder,
+    SlotEngine,
+    _Window,
+    make_admit,
+)
 
 
 @dataclass(eq=False)

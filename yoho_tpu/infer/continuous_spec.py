@@ -1,7 +1,7 @@
 """Speculative decoding inside the continuous-batching slot engine.
 
 Composes the two flagship latency levers (VERDICT r2 item 2): slot
-admission (``infer/continuous.py``) and draft-verify decoding
+admission (``infer/slot_engine.py``) and draft-verify decoding
 (``infer/speculative.py``). The lockstep limitation of the batched
 speculative decoder disappears here: every slot carries its OWN cursor
 (vector ``pos``), so each slot commits its own accepted length per round
@@ -20,6 +20,11 @@ admission cadence stays roughly ``chunk_tokens`` committed tokens in the
 worst (all-rejected) case and up to ``rounds * (gamma + 1)`` at full
 acceptance. Reference anchor: the per-token decode loop the reference
 paid (``/root/reference/yoho/src/nn/whisper.py:274-285``).
+
+This module is coded against :class:`yoho_tpu.infer.slot_engine.EngineSpec`
+ONLY (VERDICT r4 item 7): it receives the engine's program-builder
+interface, never the engine object, so the engine's cache attributes and
+donation layout stay private to the program builders.
 """
 
 from __future__ import annotations
@@ -28,27 +33,30 @@ import jax
 import jax.numpy as jnp
 
 
-def build_spec_programs(engine, encode_one, encode_one_d):
+def build_spec_programs(spec):
     """(admit, chunk) jitted programs for a draft-carrying slot engine.
 
-    ``engine`` is the owning ``ContinuousWhisperDecoder``; ``encode_one``
-    / ``encode_one_d`` encode a window batch to target / draft cross-KVs.
-    Signatures mirror the greedy programs plus draft state (d_caches,
-    d_ckv) and the draft variables rider.
+    ``spec`` is an :class:`~yoho_tpu.infer.slot_engine.EngineSpec` with
+    draft surfaces set. Signatures mirror the greedy programs plus draft
+    state (d_caches, d_ckv) and the draft variables rider — the calling
+    convention documented on EngineSpec.
     """
-    t = engine.t
-    step = engine._step
-    step_d = engine._step_d
-    P, S, L = engine.prompt_len, engine.slots, engine.max_len
-    eot = engine.eot
-    gamma = engine.gamma
+    step, step_d = spec.step, spec.step_d
+    pick = spec.pick
+    P, S, L = spec.prompt_len, spec.slots, spec.max_len
+    eot = spec.eot
+    gamma = spec.gamma
+    if not spec.draft:
+        raise ValueError("build_spec_programs needs draft surfaces on "
+                         "the EngineSpec (step_d/init_caches_d/"
+                         "encode_one_d)")
 
-    # ONE admit implementation for both engines (continuous.make_admit):
+    # ONE admit implementation for both engines (slot_engine.make_admit):
     # this wrapper only reorders the draft state into the engine's admit
     # signature/donation layout.
-    from yoho_tpu.infer.continuous import make_admit
+    from yoho_tpu.infer.slot_engine import make_admit
 
-    admit_core = make_admit(engine, encode_one, encode_one_d)
+    admit_core = make_admit(spec)
 
     def admit(variables, d_vars, caches, d_caches, ckv, d_ckv, tokens, pos,
               active, sum_lp, no_speech, windows, prompts, fill_row,
@@ -59,7 +67,7 @@ def build_spec_programs(engine, encode_one, encode_one_d):
                           sum_lp, no_speech, windows, prompts, fill_row,
                           fill_valid, d_state=(d_vars, d_caches, d_ckv))
 
-    rounds = max(1, engine.chunk_tokens // (gamma + 1))
+    rounds = max(1, spec.chunk_tokens // (gamma + 1))
 
     def chunk(variables, d_vars, caches, d_caches, ckv, d_ckv, tokens, pos,
               active, sum_lp):
@@ -84,13 +92,13 @@ def build_spec_programs(engine, encode_one, encode_one_d):
             d_logits, d_caches = step_d(d_vars, cur2, d_caches, d_ckv,
                                         c - 2)
             props = []
-            prop, _lp = engine._pick(d_logits[:, -1], work, c)
+            prop, _lp = pick(d_logits[:, -1], work, c)
             props.append(prop)
             work = work.at[rows, c].set(prop)
             for j in range(1, gamma):
                 d_logits, d_caches = step_d(d_vars, props[-1][:, None],
                                             d_caches, d_ckv, c - 1 + j)
-                prop, _lp = engine._pick(d_logits[:, -1], work, c + j)
+                prop, _lp = pick(d_logits[:, -1], work, c + j)
                 props.append(prop)
                 work = work.at[rows, c + j].set(prop)
             proposals = jnp.stack(props, axis=1)  # (S, gamma)
@@ -100,7 +108,7 @@ def build_spec_programs(engine, encode_one, encode_one_d):
             verify_in = jnp.concatenate([last, proposals], axis=1)
             t_logits, caches = step(variables, verify_in, caches, ckv,
                                     c - 1)
-            picks = [engine._pick(t_logits[:, i], work, c + i)
+            picks = [pick(t_logits[:, i], work, c + i)
                      for i in range(gamma + 1)]
             greedy = jnp.stack([ch for ch, _ in picks], axis=1)
             lp_rows = jnp.stack([lp for _, lp in picks], axis=1)
