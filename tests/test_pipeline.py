@@ -455,6 +455,25 @@ def test_condition_on_previous_text_sequential():
         Transcriber(model, variables, family="whisper", token_table=table,
                     beams=3, condition_on_previous_text=True)
 
+    # transcribe_many must honor the conditioned mode (each request runs
+    # the sequential path) — it previously decoded unconditioned, so the
+    # micro-batching server silently dropped the configured conditioning.
+    r_many = cond.transcribe_many([short, long])
+    assert [s.tokens for s in r_many[0].segments] == \
+           [s.tokens for s in r_cond.segments]
+    assert [s.tokens for s in r_many[1].segments] == \
+           [s.tokens for s in r_long.segments]
+    with pytest.raises(ValueError, match="condition_on_previous_text"):
+        cond.transcribe_many([short], prompts=["ctx"])
+
+    # The slot engine rejects conditioned transcribers outright (slots
+    # decode windows independently; running anyway would silently drop
+    # the conditioning).
+    from yoho_tpu.infer.slot_engine import SlotEngine
+
+    with pytest.raises(ValueError, match="condition_on_previous_text"):
+        SlotEngine(cond)
+
 
 def test_auto_language_detection_transcribe():
     """language=None: the detected language lands in the prompt and the

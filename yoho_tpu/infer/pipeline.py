@@ -238,6 +238,13 @@ class Transcriber(DecodeProgramsMixin, FallbackLadderMixin,
             from yoho_tpu.parallel.sharding import shard_params
 
             variables = {"params": shard_params(variables["params"], mesh)}
+            if draft_variables is not None:
+                # The draft rides the same mesh: TP-sharding it keeps the
+                # verify and draft steps on one layout (an unsharded
+                # draft would leave GSPMD to replicate it ad hoc inside
+                # every speculative program).
+                self.draft_variables = draft_variables = {
+                    "params": shard_params(draft_variables["params"], mesh)}
         self.variables = variables
         self.family = family
         self.tokenizer = tokenizer
@@ -399,6 +406,7 @@ class Transcriber(DecodeProgramsMixin, FallbackLadderMixin,
 
     def _transcribe_sequential(self, audio: np.ndarray,
                                language: Optional[str] = None,
+                               vad: Optional[bool] = None,
                                ) -> TranscriptionResult:
         """Window-by-window decoding with previous-text conditioning.
 
@@ -410,7 +418,7 @@ class Transcriber(DecodeProgramsMixin, FallbackLadderMixin,
         standard guard against feeding a degenerate window forward."""
         tt = self.token_table
         original_audio = audio  # source timeline (diarization spans)
-        audio, vmap = self._apply_vad(audio)
+        audio, vmap = self._apply_vad(audio, vad)
         if len(audio) == 0:  # all-silent after VAD
             return TranscriptionResult(text="", segments=[],
                                        language=self.language)
@@ -511,6 +519,30 @@ class Transcriber(DecodeProgramsMixin, FallbackLadderMixin,
         programs within each pool, and entries with ``None`` everywhere
         batch exactly as before.
         """
+        if self.condition_on_previous_text:
+            # Sequential conditioning can't share a pooled window batch;
+            # silently decoding unconditioned here would betray the
+            # configured mode (the micro-batching server routes through
+            # this method). Each request runs the sequential path.
+            if any(p is not None for p in (prompts or [])) or \
+                    any(t is not None for t in (temperatures or [])):
+                raise ValueError("per-request prompt/temperature overrides "
+                                 "don't compose with "
+                                 "condition_on_previous_text (use "
+                                 "initial_prompt/temperatures instead)")
+            langs = list(languages) if languages is not None \
+                else [None] * len(audios)
+            if len(langs) != len(audios):
+                raise ValueError(f"languages has {len(langs)} entries for "
+                                 f"{len(audios)} audios")
+            vads = list(vad) if vad is not None else [None] * len(audios)
+            if len(vads) != len(audios):
+                raise ValueError(f"vad has {len(vads)} entries for "
+                                 f"{len(audios)} audios")
+            return [self._transcribe_sequential(
+                        self._prepare_audio(a, sample_rate),
+                        language=lg, vad=v)
+                    for a, lg, v in zip(audios, langs, vads)]
         if vad is not None and len(vad) != len(audios):
             raise ValueError(f"vad has {len(vad)} entries for "
                              f"{len(audios)} audios")
