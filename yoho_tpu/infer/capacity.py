@@ -17,20 +17,26 @@ artifact is a real buffer we allocate):
 * self-attention cache — ``2 * n_text_layer * n_state * cache_len`` cells,
   ``cache_len`` = decode horizon rounded up to the 128-lane tile;
 * mel window           — ``n_frames * n_mels`` f32;
-* XLA staging temps    — encoder activations and the per-layer cross-KV
-  staging copies XLA keeps live while a batch encodes. These are NOT
-  buffers we allocate, so they are modelled empirically:
-  ``n_audio_layer * n_audio_ctx * n_state`` bytes (encoder) +
-  ``2 * n_text_layer * n_audio_ctx * n_state`` bytes (decoder staging),
-  sized so the suggestion never crosses a boundary measured on the real
-  chip (v5e, PERFORMANCE.md: small fits B=320 / OOMs at 352, large-v3
-  40/48, large-v3-turbo 160 fits). Those three boundaries are pinned in
-  ``tests/test_capacity.py`` — the model is conservative by construction.
+* XLA staging temps    — encoder activations and cross-KV staging copies
+  XLA keeps live while a batch encodes. These are NOT buffers we
+  allocate, so they are CALIBRATED against the measured v5e fit
+  boundaries (PERFORMANCE.md "Choosing batch size": small fits B=320 /
+  OOMs at 352, large-v3 40/48, large-v3-turbo 160 fits):
+  ``0.331 * n_audio_ctx * n_audio_state * n_audio_layer**1.5`` bytes.
+  The superlinear depth term is empirical — a linear layers*ctx*state
+  model cannot satisfy all three windows at once (small and large-v3
+  scale proportionally in every linear per-stream term, but their
+  measured staging overheads do not: ~16 MB vs ~110-158 MB per stream);
+  deeper encoders demonstrably keep MORE than proportionally many
+  activation temps live. The boundaries AND the one-quantum tightness
+  targets (small >= 256, large-v3 >= 40, turbo >= 96 — VERDICT r4
+  item 6) are pinned in ``tests/test_capacity.py``.
 
-A suggestion is a safe starting point, not the tuned optimum: past
-bandwidth saturation throughput creeps +2-3% per +25% batch
-(PERFORMANCE.md), so landing 30% under the true fit boundary costs a few
-percent at most, while landing over it costs the process.
+A suggestion is a safe starting point landing within ~one batch quantum
+of the measured fit on every calibrated config: past bandwidth
+saturation throughput creeps +2-3% per +25% batch (PERFORMANCE.md), so
+the residual gap costs ~1-3%, while landing over the boundary costs the
+process a startup OOM minutes into a cold compile.
 """
 
 from __future__ import annotations
@@ -43,6 +49,12 @@ DEFAULT_HBM_BYTES = int(15.75e9)
 # Held back for XLA workspace, fragmentation, and host-transfer staging.
 RESERVE_BYTES = 512 << 20
 _LANE = 128  # TPU minor-dim tile; cache lengths round up to it
+# Staging calibration (module docstring): bytes per encoder cell and the
+# empirical depth exponent, jointly fitted so every measured v5e fit
+# boundary is approached within one batch quantum and no OOM point is
+# crossed (tests/test_capacity.py pins both sides).
+_STAGING_BYTES = 0.331
+_STAGING_DEPTH_EXP = 1.5
 
 
 # ---------------------------------------------------------------------------
@@ -147,12 +159,13 @@ def stream_bytes(cfg, family: str = "whisper", *,
 
     cross = _cross_kv_bytes(n_layer, n_state, n_ctx, kv_bytes)
     cache = _self_cache_bytes(n_layer, n_state, horizon, cache_bytes)
-    # Empirical staging terms (see module docstring): encoder activation
-    # temps while the batch encodes, and the per-decoder-layer bf16
-    # staging copy of the cross-KV XLA keeps live before quantize/layout.
-    enc_temps = enc_layer * n_ctx * enc_state
-    dec_temps = 2 * n_layer * n_ctx * n_state
-    return cross + cache + mel + enc_temps + dec_temps
+    # Calibrated staging term (see module docstring): encoder activation
+    # temps + cross-KV staging XLA keeps live while a batch encodes,
+    # fitted to the measured v5e boundaries with a superlinear depth
+    # exponent (small ~16 MB/stream, large-v3 & turbo ~115 MB/stream).
+    staging = int(_STAGING_BYTES * n_ctx * enc_state
+                  * enc_layer ** _STAGING_DEPTH_EXP)
+    return cross + cache + mel + staging
 
 
 def detect_hbm_bytes(default: int = DEFAULT_HBM_BYTES) -> int:
