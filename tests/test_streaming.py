@@ -362,3 +362,78 @@ def test_streaming_shared_batcher_vad_not_collapsed_twice():
 
     assert [s.tokens for s in want] == [s.tokens for s in got]
     assert [(s.start, s.end) for s in want] == [(s.start, s.end) for s in got]
+
+
+def test_partial_interval_early_hypotheses(setup):
+    """Opt-in partial_interval_seconds: a provisional hypothesis of the
+    INCOMPLETE tail window appears after ~interval seconds of audio —
+    without it nothing is decoded until a full window fills (the
+    first-partial-latency lever; experiments/streaming_bench.py)."""
+    cfg, t = setup
+    g = np.random.default_rng(11)
+    win = t.chunk_samples
+    interval_s = (win // 4) / t.sample_rate
+
+    st = StreamingTranscriber(t, partial_interval_seconds=interval_s)
+    baseline = StreamingTranscriber(t)
+    # Half a window: the plain stream has decoded nothing...
+    half = (0.1 * g.standard_normal(win // 2)).astype(np.float32)
+    st.push(half)
+    baseline.push(half)
+    assert baseline.partial_segments() == []
+    # ...the partial-interval stream decoded the zero-padded tail.
+    assert st._provisional is not None
+    provisional = st.partial_segments()
+    for seg in provisional:
+        assert seg.end >= seg.start >= 0.0
+    # Completing the window supersedes the provisional hypothesis: the
+    # full-window decode clears it (the pending window now carries the
+    # freshest hypothesis; with random weights it may hold 0 segments).
+    st.push((0.1 * g.standard_normal(win)).astype(np.float32))
+    assert st._provisional is None
+    assert len(st._pending) >= 1
+
+
+def test_partial_interval_finals_bit_identical(setup):
+    """Provisional decodes never enter finalization: finals (tokens AND
+    timestamps) are identical with and without partial_interval_seconds,
+    for both the built-in decode and the window_decoder hook."""
+    cfg, t = setup
+    g = np.random.default_rng(12)
+    audio = (0.1 * g.standard_normal(int(cfg.n_samples * 2.7))).astype(np.float32)
+
+    def run(stream):
+        out = []
+        for i in range(0, len(audio), 517):
+            out.extend(stream.push(audio[i : i + 517]))
+        out.extend(stream.flush())
+        return out
+
+    want = run(StreamingTranscriber(t))
+    got = run(StreamingTranscriber(
+        t, partial_interval_seconds=(t.chunk_samples // 8) / t.sample_rate))
+    assert [s.tokens for s in want] == [s.tokens for s in got]
+    assert [(s.start, s.end, s.text) for s in want] == \
+           [(s.start, s.end, s.text) for s in got]
+
+    calls = []
+
+    def hook(window_audio):
+        calls.append(len(window_audio))
+        return t.transcribe(window_audio).segments
+
+    got_hook = run(StreamingTranscriber(
+        t, window_decoder=hook,
+        partial_interval_seconds=(t.chunk_samples // 8) / t.sample_rate))
+    assert [s.tokens for s in want] == [s.tokens for s in got_hook]
+    # The hook saw extra (provisional, shorter-than-window) decodes.
+    assert any(n < t.chunk_samples for n in calls)
+
+
+def test_partial_interval_validation(setup):
+    cfg, t = setup
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="partial_interval_seconds"):
+        StreamingTranscriber(t, partial_interval_seconds=0.0)
+    with _pytest.raises(ValueError, match="partial_interval_seconds"):
+        StreamingTranscriber(t, partial_interval_seconds=-1.0)

@@ -21,7 +21,8 @@ from yoho_tpu.infer.longform import Segment
 
 class StreamingTranscriber:
     def __init__(self, transcriber, window_decoder=None,
-                 track_speakers: bool = False):
+                 track_speakers: bool = False,
+                 partial_interval_seconds=None):
         """``window_decoder(window_audio) -> List[Segment]`` (window-
         relative, quality attached) optionally replaces the built-in B=1
         decode — the server passes its shared request batcher here so
@@ -34,7 +35,20 @@ class StreamingTranscriber:
         once emitted) and, with enrolled voiceprints on the transcriber,
         ``speaker_name`` — live "who is speaking" for meetings. Without
         it, per-window diarization ids are meaningless across a stream,
-        so they are stripped."""
+        so they are stripped.
+
+        ``partial_interval_seconds`` (opt-in, live captions): without it
+        the first hypothesis appears only once a FULL window of audio has
+        arrived (chunk_seconds of fill — ~30 s for whisper — dominates
+        first-partial latency; measured in experiments/streaming_bench).
+        With it, whenever at least this much new audio has accumulated
+        since the last decode, the current *incomplete* window is decoded
+        zero-padded and exposed through :meth:`partial_segments` as a
+        provisional hypothesis. Finalized output is BIT-IDENTICAL with or
+        without it (provisional decodes never enter finalization — pinned
+        in tests/test_streaming.py); the cost is one extra B=1 decode per
+        interval, reusing the same compiled program (the window is padded
+        to chunk_samples either way, so no new jit signature)."""
         self.t = transcriber
         self._window_decoder = window_decoder
         self._tracker = None
@@ -44,6 +58,16 @@ class StreamingTranscriber:
             self._tracker = OnlineSpeakerTracker(
                 threshold=getattr(transcriber, "speaker_threshold", 0.75),
                 enrolled=getattr(transcriber, "enrolled_speakers", None))
+        if partial_interval_seconds is not None:
+            if partial_interval_seconds <= 0:
+                raise ValueError("partial_interval_seconds must be > 0, "
+                                 f"got {partial_interval_seconds}")
+            self._partial_interval = int(
+                partial_interval_seconds * transcriber.sample_rate)
+        else:
+            self._partial_interval = None
+        self._provisional = None  # (window_start, [Segment]) | None
+        self._last_decode_at = 0  # absolute samples at last decode
         self._buffer = np.zeros((0,), np.float32)
         self._next_window_start = 0  # absolute sample index
         self._emitted: List[Segment] = []
@@ -53,6 +77,18 @@ class StreamingTranscriber:
 
     # ------------------------------------------------------------------
     def _decode_window(self, window_start: int, audio: np.ndarray):
+        segs = self._decode_segments(audio)
+        self._pending.append((window_start, segs))
+        # A full-window decode supersedes any provisional hypothesis and
+        # resets the partial cadence (the freshest hypothesis is now this
+        # window's — an immediate partial re-decode would add nothing).
+        self._provisional = None
+        self._last_decode_at = self._consumed
+
+    def _decode_segments(self, audio: np.ndarray) -> List[Segment]:
+        """Decode one (possibly partial) window -> window-relative
+        segments. Shared by full-window decodes and provisional partial
+        decodes so both run the identical path (VAD gate included)."""
         t = self.t
         if getattr(t, "vad_filter", False):
             # Streaming VAD gate: a window with no detected speech never
@@ -62,12 +98,9 @@ class StreamingTranscriber:
             from yoho_tpu.audio.vad import detect_speech
 
             if not detect_speech(audio, t.sample_rate, t.vad_options):
-                self._pending.append((window_start, []))
-                return
+                return []
         if self._window_decoder is not None:
-            self._pending.append((window_start,
-                                  self._window_decoder(audio)))
-            return
+            return self._window_decoder(audio)
         batch = np.zeros((1, t.chunk_samples), np.float32)
         n = min(len(audio), t.chunk_samples)
         batch[0, :n] = audio[:n]
@@ -98,7 +131,7 @@ class StreamingTranscriber:
         # segments already carry (stitch_segments rounds inside
         # _finalize_request) — midpoint ownership in _finalize and the
         # final timestamps are then bit-identical across both paths.
-        self._pending.append((window_start, [s.shifted(0) for s in segs]))
+        return [s.shifted(0) for s in segs]
 
     def _finalize(self, final: bool) -> List[Segment]:
         """Apply the midpoint-ownership rule across pending windows."""
@@ -162,6 +195,21 @@ class StreamingTranscriber:
         keep_from = self._next_window_start - (self._consumed - len(self._buffer))
         if keep_from > 0:
             self._buffer = self._buffer[keep_from:]
+        if (self._partial_interval is not None
+                and self._consumed > self._next_window_start
+                and self._consumed - self._last_decode_at
+                >= self._partial_interval):
+            # Provisional decode of the incomplete tail window (zero-
+            # padded by the decode path): live captions get a hypothesis
+            # every partial_interval instead of waiting out the window
+            # fill. Never enters finalization.
+            rel = self._next_window_start - (self._consumed
+                                             - len(self._buffer))
+            tail = self._buffer[max(rel, 0):]
+            if len(tail) > 0:
+                self._provisional = (self._next_window_start,
+                                     self._decode_segments(tail))
+                self._last_decode_at = self._consumed
         return new
 
     def flush(self) -> List[Segment]:
@@ -189,6 +237,7 @@ class StreamingTranscriber:
                 self._decode_window(self._next_window_start, tail)
         out = self._finalize(final=True)
         self._buffer = np.zeros((0,), np.float32)
+        self._provisional = None  # the tail is now decoded for real
         return out
 
     def soft_flush(self) -> List[Segment]:
@@ -219,14 +268,20 @@ class StreamingTranscriber:
 
     def partial_segments(self) -> List[Segment]:
         """Current UNFINALIZED hypotheses: segments of the last decoded,
-        still-revisable window, on the absolute timeline. Live captions
-        show these immediately; a later overlapping window may revise
-        them, so they must be replaced (not appended) by the next partial
-        or final batch. With track_speakers, partials carry TENTATIVE
-        speaker labels (read-only nearest-centroid match — they never
-        update the tracker)."""
+        still-revisable window — plus, with ``partial_interval_seconds``,
+        the provisional decode of the still-incomplete tail window — on
+        the absolute timeline. Live captions show these immediately; a
+        later overlapping window may revise them, so they must be
+        replaced (not appended) by the next partial or final batch.
+        With track_speakers, partials carry TENTATIVE speaker labels
+        (read-only nearest-centroid match — they never update the
+        tracker)."""
         out = [seg.shifted(start / self.t.sample_rate)
                for start, segs in self._pending for seg in segs]
+        if self._provisional is not None:
+            start, segs = self._provisional
+            out.extend(seg.shifted(start / self.t.sample_rate)
+                       for seg in segs)
         if self._tracker is not None:
             self._tracker.peek(out)
         return out
