@@ -116,6 +116,7 @@ MATRIX = [
                                        quantized_cross_kv=True)),
     ("suppress+beam2", lambda M: dict(beams=2,
                                       suppress_tokens=tuple(range(100, 140)))),
+    ("beam2+words", lambda M: dict(beams=2, word_timestamps=True)),
     ("vad+int8kv+words", lambda M: dict(vad_filter=True,
                                         quantized_cross_kv=True,
                                         quantized_cache=True,
