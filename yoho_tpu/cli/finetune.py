@@ -46,6 +46,12 @@ def main(argv=None):
     parser.add_argument("--freeze-encoder", action="store_true",
                         help="train the decoder only (halves optimizer "
                              "memory and most backward FLOPs)")
+    parser.add_argument("--optimizer", choices=("adamw", "adafactor"),
+                        default="adamw",
+                        help="adafactor drops AdamW's two param-sized "
+                             "moment trees (factored second moments only) "
+                             "— the lever that fits FULL large-v3 "
+                             "finetune on one chip (AdamW OOMs at batch 2)")
     parser.add_argument("--lora", type=int, default=0, metavar="RANK",
                         help="LoRA parameter-efficient fine-tune: train "
                              "rank-RANK adapters on frozen base weights "
@@ -130,7 +136,7 @@ def main(argv=None):
         max_target_len=args.max_target_len,
         use_multiprocessing=args.workers,
         src_dir=args.hf, seed=args.seed,
-        remat=args.remat,
+        remat=args.remat, optimizer=args.optimizer,
         lora_rank=args.lora, lora_alpha=args.lora_alpha,
         lora_targets=args.lora_targets,
     )

@@ -229,7 +229,7 @@ class WhisperFinetuner:
                  max_target_len: Optional[int] = None,
                  use_multiprocessing: bool = False,
                  src_dir=None, ambient_dir=None, seed: int = 0,
-                 remat: bool = False,
+                 remat: bool = False, optimizer: str = "adamw",
                  lora_rank: int = 0, lora_alpha: Optional[float] = None,
                  lora_targets: Optional[str] = None):
         from yoho_tpu.nn import lora as lora_mod
@@ -302,7 +302,22 @@ class WhisperFinetuner:
         total = max(updates, warmup + 1)
         self.lr_schedule = optax.schedules.warmup_cosine_decay_schedule(
             0.0, learning_rate, warmup, total, final_learning_rate)
-        inner = optax.adamw(self.lr_schedule)
+        # Optimizer-state HBM is the binding term for full-parameter
+        # finetunes of the big checkpoints on one chip: AdamW holds two
+        # param-sized moment trees, and with grads + updates transient
+        # the step peaks at ~5 param trees — measured on a v5e, large-v3
+        # bf16 AdamW OOMs at batch 2 EVEN WITH remat
+        # (experiments/large_finetune_probe.py). adafactor keeps factored
+        # second moments (rank-1, ~1/1000th the size) and no first
+        # moment, which is what admits full large-v3 finetune
+        # single-chip; it is the standard large-model choice (T5 et al).
+        if optimizer == "adamw":
+            inner = optax.adamw(self.lr_schedule)
+        elif optimizer == "adafactor":
+            inner = optax.adafactor(self.lr_schedule)
+        else:
+            raise ValueError(f"unknown optimizer {optimizer!r} "
+                             "(adamw | adafactor)")
         if freeze_encoder and not self.lora_rank:
             # The encoder is usually the part worth preserving (domain
             # shift lives in the text side); freezing it also halves
