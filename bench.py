@@ -517,12 +517,9 @@ def main():
     if os.environ.get("BENCH_TRAIN"):
         # BENCH_TRAIN=stage1|finetune|finetune-freeze (BENCH_BATCH applies)
         kind = os.environ["BENCH_TRAIN"]
-        defaults = {"stage1": 64, "finetune": 8, "finetune-freeze": 8,
-                    "finetune-large-v3": 4,
-                    "finetune-large-v3-remat": 8,
-                    "finetune-large-v3-freeze": 8}
+        defaults = {"stage1": 64, "finetune": 8, "finetune-freeze": 8}
         print(json.dumps(bench_train(
-            kind, int(os.environ.get("BENCH_BATCH", defaults[kind])),
+            kind, int(os.environ.get("BENCH_BATCH", defaults.get(kind, 8))),
             int(os.environ.get("BENCH_ITERS", "3")))))
         return
     if os.environ.get("BENCH_MODEL") == "yoho":

@@ -551,6 +551,45 @@ def test_websocket_flush_then_more_audio(server):
         s.close()
 
 
+def test_websocket_partial_interval_early_captions():
+    """--partial-interval: pushing LESS than one window already yields a
+    {"partial": true} message (the provisional tail decode) — without it
+    nothing is emitted until a full window fills. Finals unchanged."""
+    t = _tiny_transcriber()
+    interval_s = (t.chunk_samples // 4) / t.sample_rate
+    srv = serve(t, port=0, partial_interval=interval_s)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        host, port = srv.server_address[:2]
+        s = _ws_connect((host, port))
+        try:
+            g = np.random.default_rng(5)
+            half = (0.1 * g.standard_normal(t.chunk_samples // 2)
+                    ).astype(np.float32)
+            _ws_send(s, half.tobytes(), opcode=2)
+            _ws_send(s, b'{"op": "end"}', opcode=1)
+            partials, final = [], None
+            while True:
+                op, payload = _ws_recv(s)
+                if op == 8:
+                    break
+                msg = json.loads(payload)
+                if msg.get("partial"):
+                    partials.append(msg)
+                if msg.get("final"):
+                    final = msg
+            assert partials, "no provisional partial before a full window"
+            for seg in partials[0]["segments"]:
+                assert {"start", "end", "text"} <= set(seg)
+            assert final is not None
+        finally:
+            s.close()
+    finally:
+        srv.shutdown()
+        srv.batcher.close()
+
+
 def test_websocket_stream_keeps_speaker_names():
     """/stream runs the OnlineSpeakerTracker: finalized segments carry
     STABLE stream-wide speaker ids (with voiceprints) plus the enrolled

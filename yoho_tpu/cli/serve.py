@@ -115,7 +115,8 @@ def _prometheus_text(stats: dict) -> str:
     return "\n".join(lines) + "\n"
 
 
-def make_handler(transcriber, batcher, continuous: bool = False):
+def make_handler(transcriber, batcher, continuous: bool = False,
+                 partial_interval=None):
     import inspect
 
     try:
@@ -276,13 +277,15 @@ def make_handler(transcriber, batcher, continuous: bool = False):
     Handler.transcriber = transcriber
     Handler.batcher = batcher
     Handler.continuous = continuous
+    Handler.partial_interval = partial_interval
 
     return Handler
 
 
 def serve(transcriber, port: int = 8000, host: str = "127.0.0.1",
           max_wait_ms: float = 25.0, continuous: bool = False,
-          chunk_tokens: int = 16, max_pending=None):
+          chunk_tokens: int = 16, max_pending=None,
+          partial_interval=None):
     """``continuous=True`` swaps the collect-then-batch MicroBatcher for
     the slot engine (``infer/continuous.py``): freed decode slots are
     refilled between ``chunk_tokens``-token chunks, so a new request
@@ -312,7 +315,8 @@ def serve(transcriber, port: int = 8000, host: str = "127.0.0.1",
                                max_pending=max_pending)
     server = ThreadingHTTPServer((host, port),
                                  make_handler(transcriber, batcher,
-                                              continuous=continuous))
+                                              continuous=continuous,
+                                              partial_interval=partial_interval))
     server.batcher = batcher  # so callers/tests can read counters / close
     server.transcriber = transcriber  # for warmup()/introspection
     server.stream_conns = set()  # live websocket sockets, for drain()
@@ -411,6 +415,16 @@ def main(argv=None):
     parser.add_argument("--chunk-tokens", type=int, default=16,
                         help="tokens decoded between admission checks "
                              "(--continuous)")
+    parser.add_argument("--partial-interval", type=float, default=None,
+                        metavar="SECONDS",
+                        help="websocket streams: decode the INCOMPLETE "
+                             "tail window every this-many seconds of new "
+                             "audio and push it as a revisable partial — "
+                             "first captions after ~interval instead of a "
+                             "full 30 s window fill; finals are unchanged "
+                             "(StreamingTranscriber partial_interval_"
+                             "seconds; costs one extra decode per "
+                             "interval per stream)")
     parser.add_argument("--max-wait-ms", type=float, default=25.0,
                         help="micro-batching window for concurrent requests")
     parser.add_argument("--max-pending", type=int, default=256,
@@ -598,7 +612,8 @@ def main(argv=None):
     server = serve(t, args.port, args.host, args.max_wait_ms,
                    continuous=args.continuous,
                    chunk_tokens=args.chunk_tokens,
-                   max_pending=args.max_pending or None)
+                   max_pending=args.max_pending or None,
+                   partial_interval=args.partial_interval)
     if not args.no_warmup:
         # Pay the (minutes-long on a cold TPU) XLA compile now, not on
         # the first user's request. The socket is already bound: early

@@ -95,9 +95,11 @@ class StreamEndpointMixin:
                     time.sleep(0.25)
             return res.segments
 
-        stream = StreamingTranscriber(self.transcriber,
-                                      window_decoder=_decode_shared,
-                                      track_speakers=True)
+        stream = StreamingTranscriber(
+            self.transcriber, window_decoder=_decode_shared,
+            track_speakers=True,
+            partial_interval_seconds=getattr(self, "partial_interval",
+                                             None))
 
         def emit(segments, final: bool) -> None:
             if not segments and not final:
@@ -125,19 +127,25 @@ class StreamEndpointMixin:
                                      "little-endian float32 samples"}))
                         continue
                     audio = np.frombuffer(payload, dtype="<f4")
-                    windows_before = stream._next_window_start
+                    decodes_before = stream._last_decode_at
                     emit(stream.push(audio), final=False)
                     # Live-caption partials: the still-revisable last
-                    # window's hypotheses. Clients REPLACE their
+                    # window's hypotheses (+ the provisional tail decode
+                    # under --partial-interval). Clients REPLACE their
                     # partial display with each message (a later
                     # window may revise these; finals are additive).
-                    # Only re-sent when this push actually decoded a
-                    # new window — small frames between window
-                    # boundaries would otherwise re-send identical
-                    # partials at the client's frame rate.
-                    if stream._next_window_start != windows_before:
+                    # Only re-sent when this push actually ran a decode
+                    # (full window OR provisional) — small frames
+                    # between decode points would otherwise re-send
+                    # identical partials at the client's frame rate.
+                    if stream._last_decode_at != decodes_before:
                         partials = stream.partial_segments()
-                        if partials:
+                        # Under --partial-interval an EMPTY partial is
+                        # still a signal (clear the caption line); the
+                        # default mode keeps the quieter no-empty-sends
+                        # behavior.
+                        if partials or (getattr(self, "partial_interval",
+                                                None) is not None):
                             ws.send_text(self.wfile, json.dumps({
                                 "partial": True,
                                 "segments": [_segment_payload(s, i)
