@@ -46,8 +46,16 @@ CONFIGS = [
     ("adafactor-remat-b8", "finetune-large-v3-adafactor-remat", 8),
     ("adafactor-remat-b16", "finetune-large-v3-adafactor-remat", 16),
     ("adafactor-remat-b24", "finetune-large-v3-adafactor-remat", 24),
+    ("freeze-b4", "finetune-large-v3-freeze", 4),
     ("freeze-b8", "finetune-large-v3-freeze", 8),
 ]
+
+# AdamW rows measured in the first run (OOM at every batch incl. B=2
+# with remat; freeze-b8 OOMs at compile: 17.66G/15.75G): skip them when
+# SKIP_MEASURED=1 so re-runs only probe the new adafactor/freeze lanes.
+if os.environ.get("SKIP_MEASURED"):
+    CONFIGS = [c for c in CONFIGS
+               if c[0].startswith(("adafactor", "freeze-b4"))]
 
 
 def main():
@@ -61,8 +69,12 @@ def main():
                            env=env, capture_output=True, text=True,
                            timeout=3000)
         line = (p.stdout.strip().splitlines() or [""])[-1]
-        oom = ("RESOURCE_EXHAUSTED" in p.stderr
-               or "ResourceExhausted" in p.stderr)
+        # The relay reports allocation OOMs as RESOURCE_EXHAUSTED but
+        # COMPILE-time OOMs as an HTTP 500 wrapping "Ran out of memory
+        # in memory space hbm" (observed on freeze-b8: 17.66G/15.75G).
+        oom = any(s in p.stderr for s in (
+            "RESOURCE_EXHAUSTED", "ResourceExhausted",
+            "Ran out of memory", "Exceeded hbm capacity"))
         if p.returncode == 0 and line.startswith("{"):
             rows.append({"config": label, "fits": True,
                          **json.loads(line)})

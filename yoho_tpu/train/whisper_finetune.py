@@ -411,7 +411,19 @@ class WhisperFinetuner:
                          sample_rate=cfg.sample_rate, n_fft=cfg.n_fft,
                          hop=cfg.hop_length)
 
+        freeze = self.freeze_encoder and not self.lora_rank
+
         def loss_fn(params, mel, tokens, loss_mask):
+            if freeze:
+                # Structural freeze, not just zeroed updates: without
+                # stop_gradient the encoder stays in the grad graph
+                # (multi_transform only discards its grads AFTER they
+                # are computed), and on large-v3 the encoder backward's
+                # activations + grad buffers alone push the step past
+                # HBM — measured: freeze-b4 OOMed at compile (17.7 GB)
+                # before this, fits after.
+                params = dict(params, encoder=jax.lax.stop_gradient(
+                    params["encoder"]))
             logits = model.apply({"params": params}, mel, tokens)
             return masked_ce_loss(logits, tokens, loss_mask)
 
