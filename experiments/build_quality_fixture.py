@@ -227,7 +227,10 @@ def finish(cfg, table, params, eval_sents):
                          {"params": bf16_params}, family="whisper",
                          token_table=table, batch_size=8, timestamps=False)
     chosen_noise, sweep = None, {}
-    for noise in (0.08, 0.12, 0.16, 0.20, 0.24):
+    # The 3000-sentence model is noise-robust well past its training
+    # noise (WER 0.0 at 0.20): sweep to where decisions actually start
+    # flipping.
+    for noise in (0.24, 0.30, 0.36, 0.44, 0.52, 0.62, 0.74):
         hyps = [r.text for r in bf16_t.transcribe_many(eval_audio_at(noise))]
         rate, _ = wer(eval_sents, hyps, normalize=False)
         sweep[noise] = round(float(rate), 4)

@@ -128,7 +128,9 @@ def test_lane_wer_matches_recorded(quality, lane):
     table quotes exactly these numbers."""
     spec, cfg, table, variables, audio = quality
     got = _lane_wer(lane, spec, cfg, table, variables, audio)
-    assert got == pytest.approx(spec["wer"][lane], abs=1e-6), lane
+    # abs=1e-4: the recorded goldens are rounded to 4 decimals; the
+    # decode itself is deterministic.
+    assert got == pytest.approx(spec["wer"][lane], abs=1e-4), lane
 
 
 def test_lane_deltas_are_small(quality):
