@@ -46,6 +46,8 @@ import numpy as np
 MODEL = os.environ.get("STREAM_BENCH_MODEL", "small")
 SECONDS = float(os.environ.get("STREAM_BENCH_SECONDS", "75"))
 STREAMS = int(os.environ.get("STREAM_BENCH_STREAMS", "8"))
+TOKENS = int(os.environ.get("STREAM_BENCH_TOKENS", "224"))
+PARTIAL = float(os.environ.get("STREAM_BENCH_PARTIAL", "1.0"))
 
 
 def _percentiles(xs):
@@ -57,7 +59,7 @@ def _percentiles(xs):
             "max": round(float(a.max()), 4), "n": len(xs)}
 
 
-def build_transcriber(model_name=MODEL, decode_tokens=224,
+def build_transcriber(model_name=MODEL, decode_tokens=TOKENS,
                       int8_weights=True, batch_size=1,
                       overlap_seconds=5.0):
     import jax.numpy as jnp
@@ -93,6 +95,28 @@ def build_transcriber(model_name=MODEL, decode_tokens=224,
         batch_size=batch_size, language="en", timestamps=True,
         overlap_seconds=overlap_seconds, cache_dtype=jnp.bfloat16,
         quantized_cross_kv="int8", quantized_cache=True)
+
+
+def measure_dispatch_overhead(n=12):
+    """p50 wall time of a trivial pre-compiled jitted call. On a LOCAL
+    chip this is sub-ms; through the axon relay each device call pays a
+    full RPC round trip (measured: seconds), which dominates any
+    per-window latency measurement. Reported alongside the wall numbers
+    so the local-chip projection (wall - k_calls * overhead) is honest —
+    CLAUDE.md 'per-call wall timings can be polluted by per-RPC
+    argument shipping'."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8,), jnp.float32)
+    float(f(x)[0])  # compile
+    samples = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(f(x)[0])
+        samples.append(time.perf_counter() - t0)
+    return float(np.percentile(samples, 50))
 
 
 def _instrument(stream, events):
@@ -204,11 +228,13 @@ def mode_single():
     compile_s = time.perf_counter() - w0
 
     out = {"config": "single-b1-int8w",
-           "warm_compile_s": round(compile_s, 1)}
+           "warm_compile_s": round(compile_s, 1),
+           "dispatch_overhead_s": round(measure_dispatch_overhead(), 4)}
     out["plain"] = run_stream(
         t, lambda: StreamingTranscriber(t), seed=1)
-    out["partial_1s"] = run_stream(
-        t, lambda: StreamingTranscriber(t, partial_interval_seconds=1.0),
+    out[f"partial_{PARTIAL:g}s"] = run_stream(
+        t, lambda: StreamingTranscriber(
+            t, partial_interval_seconds=PARTIAL),
         seed=1)
     print(json.dumps(out), flush=True)
 
@@ -226,7 +252,7 @@ def mode_cadence():
             t.stride_samples = int(stride_s * t.sample_rate)
             r = run_stream(
                 t, lambda: StreamingTranscriber(
-                    t, partial_interval_seconds=1.0),
+                    t, partial_interval_seconds=PARTIAL),
                 seed=2)
             r["stride_s"] = stride_s
             rows.append(r)

@@ -106,6 +106,13 @@ class StreamingTranscriber:
         batch[0, :n] = audio[:n]
         mel = t._features(t._to_device(batch))
         tokens, lengths, aux = t._decode_with_fallback(1, mel)
+        # ONE host transfer for the whole result pytree: the downstream
+        # parsing reads tokens/lengths/aux piecemeal, which on a
+        # remote-dispatch backend (the axon relay) costs one RPC round
+        # trip PER read — measured seconds per window of pure dispatch.
+        import jax
+
+        tokens, lengths, aux = jax.device_get((tokens, lengths, aux))
         silent = t._silent_mask(lengths, aux)
         segs = ([] if silent[0]
                 else t._tokens_to_segments(tokens[0], int(lengths[0])))
