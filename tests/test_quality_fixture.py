@@ -143,3 +143,64 @@ def test_lane_deltas_are_small(quality):
     spec, *_ = quality
     for lane, rate in spec["wer"].items():
         assert abs(rate - spec["wer"]["bf16"]) <= 0.06, (lane, rate)
+
+
+def test_spec_slots_exact_and_alpha_on_trained_pair(quality):
+    """Speculative slots with the GENUINELY smaller trained draft
+    (half-width, half-depth, worse held-out WER) stay token-exact vs
+    greedy, and the measured per-round acceptance alpha is substantial —
+    the empirical anchor for the spec-continuous projection
+    (PERFORMANCE.md 'Measured with a genuinely smaller trained draft')."""
+    spec, cfg, table, variables, audio = quality
+    dcfg = WhisperConfig(
+        **json.loads((FIX / "draft_config.json").read_text()))
+    template = jax.eval_shape(
+        Whisper(dcfg).init, jax.random.PRNGKey(0),
+        jnp.zeros((1, dcfg.n_frames, dcfg.n_mels), jnp.float32),
+        jnp.zeros((1, 4), jnp.int32))["params"]
+    template = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, jnp.bfloat16
+                            if jnp.issubdtype(s.dtype, jnp.floating)
+                            else s.dtype), template)
+    d_vars = {"params": load_params(FIX / "draft_params.msgpack", template)}
+    target = Whisper(cfg, dtype=jnp.bfloat16)
+    draft = Whisper(dcfg, dtype=jnp.bfloat16)
+
+    kw = dict(family="whisper", token_table=table, batch_size=4,
+              timestamps=False)
+    clips = audio[:6]
+    want = Transcriber(target, variables, **kw).transcribe_many(clips)
+
+    from yoho_tpu.infer.continuous import ContinuousBatcher
+
+    spec_t = Transcriber(target, variables, draft_model=draft,
+                         draft_variables=d_vars, speculative_gamma=2, **kw)
+    b = ContinuousBatcher(spec_t, max_batch=4, chunk_tokens=6)
+    try:
+        got = [b.submit(c) for c in clips]
+    finally:
+        b.close()
+    for w, g_res in zip(want, got):
+        assert [s.tokens for s in w.segments] == \
+               [s.tokens for s in g_res.segments]
+
+    # alpha from per-chunk cursor advances (1 round per chunk).
+    from yoho_tpu.infer.slot_engine import SlotEngine, _Window
+
+    eng = SlotEngine(spec_t, slots=4, chunk_tokens=3)  # gamma+1
+    prompt = np.asarray(spec_t._prompt_ids(), np.int32)
+    todo = [_Window(np.pad(c[: spec_t.chunk_samples],
+                           (0, max(0, spec_t.chunk_samples - len(c)))),
+                    prompt) for c in clips]
+    committed = rounds = 0
+    while todo or eng.busy:
+        if todo and eng.free_slots:
+            n = eng.admit_many(todo)
+            del todo[:n]
+        before = np.asarray(eng.pos).copy()
+        active = np.asarray(eng.active).copy()
+        eng.step()
+        committed += int(np.sum((np.asarray(eng.pos) - before)[active]))
+        rounds += int(np.sum(active))
+    alpha = (committed / max(1, rounds) - 1) / 2  # gamma = 2
+    assert alpha > 0.2, alpha  # a same-corpus draft accepts substantially
