@@ -75,9 +75,15 @@ def main():
         oom = any(s in p.stderr for s in (
             "RESOURCE_EXHAUSTED", "ResourceExhausted",
             "Ran out of memory", "Exceeded hbm capacity"))
-        if p.returncode == 0 and line.startswith("{"):
-            rows.append({"config": label, "fits": True,
-                         **json.loads(line)})
+        parsed = (json.loads(line)
+                  if p.returncode == 0 and line.startswith("{") else None)
+        if parsed is not None and "error" not in parsed:
+            rows.append({"config": label, "fits": True, **parsed})
+        elif parsed is not None:
+            # bench.py's wedged-relay fail-fast path prints a zero-value
+            # JSON line and exits 0 — that is NOT a fitting config.
+            rows.append({"config": label, "fits": False, "oom": False,
+                         "rc": 0, "error": parsed["error"][:300]})
         else:
             # Surface the actual exception, not jax's traceback-filter
             # notice (which is the literal last stderr line).

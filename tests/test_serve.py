@@ -556,7 +556,7 @@ def test_websocket_partial_interval_early_captions():
     {"partial": true} message (the provisional tail decode) — without it
     nothing is emitted until a full window fills. Finals unchanged."""
     t = _tiny_transcriber()
-    interval_s = (t.chunk_samples // 4) / t.sample_rate
+    interval_s = 0.1  # >= the enforced floor; < the half-window push
     srv = serve(t, port=0, partial_interval=interval_s)
     thread = threading.Thread(target=srv.serve_forever, daemon=True)
     thread.start()

@@ -372,7 +372,7 @@ def test_partial_interval_early_hypotheses(setup):
     cfg, t = setup
     g = np.random.default_rng(11)
     win = t.chunk_samples
-    interval_s = (win // 4) / t.sample_rate
+    interval_s = 0.1  # >= the enforced floor; still < the half-window push
 
     st = StreamingTranscriber(t, partial_interval_seconds=interval_s)
     baseline = StreamingTranscriber(t)
@@ -410,8 +410,7 @@ def test_partial_interval_finals_bit_identical(setup):
         return out
 
     want = run(StreamingTranscriber(t))
-    got = run(StreamingTranscriber(
-        t, partial_interval_seconds=(t.chunk_samples // 8) / t.sample_rate))
+    got = run(StreamingTranscriber(t, partial_interval_seconds=0.1))
     assert [s.tokens for s in want] == [s.tokens for s in got]
     assert [(s.start, s.end, s.text) for s in want] == \
            [(s.start, s.end, s.text) for s in got]
@@ -423,8 +422,7 @@ def test_partial_interval_finals_bit_identical(setup):
         return t.transcribe(window_audio).segments
 
     got_hook = run(StreamingTranscriber(
-        t, window_decoder=hook,
-        partial_interval_seconds=(t.chunk_samples // 8) / t.sample_rate))
+        t, window_decoder=hook, partial_interval_seconds=0.1))
     assert [s.tokens for s in want] == [s.tokens for s in got_hook]
     # The hook saw extra (provisional, shorter-than-window) decodes.
     assert any(n < t.chunk_samples for n in calls)
@@ -437,3 +435,6 @@ def test_partial_interval_validation(setup):
         StreamingTranscriber(t, partial_interval_seconds=0.0)
     with _pytest.raises(ValueError, match="partial_interval_seconds"):
         StreamingTranscriber(t, partial_interval_seconds=-1.0)
+    # Sub-frame typos (0.00005 for 0.5) would decode every push frame.
+    with _pytest.raises(ValueError, match="partial_interval_seconds"):
+        StreamingTranscriber(t, partial_interval_seconds=0.00005)

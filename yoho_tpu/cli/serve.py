@@ -300,6 +300,12 @@ def serve(transcriber, port: int = 8000, host: str = "127.0.0.1",
     unboundedly behind a saturated chip. Client disconnects cancel their
     request — queued work is dropped, and in continuous mode occupied
     slots are freed at the next chunk boundary."""
+    if partial_interval is not None and partial_interval < 0.1:
+        # Fail at startup, not per-connection: an invalid value would
+        # otherwise bind the port, pay the warmup compile, report
+        # healthy — and then error every /stream client at handshake.
+        raise ValueError("--partial-interval must be >= 0.1 seconds, "
+                         f"got {partial_interval}")
     if continuous:
         from yoho_tpu.infer.continuous import ContinuousBatcher
 

@@ -373,9 +373,7 @@ class ContinuousBatcher:
                 reqs[id(w.req)] = w.req
         self._window_queue.clear()
         self.engine._occupied = [None] * self.engine.slots
-        import jax.numpy as _jnp
-
-        self.engine.active = _jnp.zeros((self.engine.slots,), bool)
+        self.engine.active = jnp.zeros((self.engine.slots,), bool)
         for req in reqs.values():
             self._finish(req, error)
 

@@ -59,9 +59,14 @@ class StreamingTranscriber:
                 threshold=getattr(transcriber, "speaker_threshold", 0.75),
                 enrolled=getattr(transcriber, "enrolled_speakers", None))
         if partial_interval_seconds is not None:
-            if partial_interval_seconds <= 0:
-                raise ValueError("partial_interval_seconds must be > 0, "
-                                 f"got {partial_interval_seconds}")
+            if partial_interval_seconds < 0.1:
+                # A sub-frame interval (e.g. a 0.00005 typo for 0.5)
+                # would pass a bare > 0 check, floor to 0 samples, and
+                # trigger one full B=1 device decode per pushed frame —
+                # saturating the chip for a single stream. Captions
+                # faster than 10/s are meaningless anyway.
+                raise ValueError("partial_interval_seconds must be >= 0.1 "
+                                 f"seconds, got {partial_interval_seconds}")
             self._partial_interval = int(
                 partial_interval_seconds * transcriber.sample_rate)
         else:
@@ -283,12 +288,23 @@ class StreamingTranscriber:
         With track_speakers, partials carry TENTATIVE speaker labels
         (read-only nearest-centroid match — they never update the
         tracker)."""
-        out = [seg.shifted(start / self.t.sample_rate)
+        sr = self.t.sample_rate
+        out = [seg.shifted(start / sr)
                for start, segs in self._pending for seg in segs]
         if self._provisional is not None:
             start, segs = self._provisional
-            out.extend(seg.shifted(start / self.t.sample_rate)
-                       for seg in segs)
+            # The provisional tail window overlaps the last pending
+            # window by (chunk - stride): hypotheses there are already
+            # shown by the pending window, and emitting both would
+            # duplicate the overlap-region captions in every partial
+            # message. Keep only the provisional segments whose midpoint
+            # lies in audio the pending windows do not cover.
+            covered = max((s + self.t.chunk_samples
+                           for s, _ in self._pending), default=0) / sr
+            for seg in segs:
+                abs_seg = seg.shifted(start / sr)
+                if (abs_seg.start + abs_seg.end) / 2 >= covered:
+                    out.append(abs_seg)
         if self._tracker is not None:
             self._tracker.peek(out)
         return out
